@@ -1,0 +1,99 @@
+"""Keyed deduplication — the reference's core operator (D1, SURVEY.md §2.3).
+
+Declared at /root/reference/config/glassflow/deduplication_pipeline.json:44-49
+and injected per-variant at /root/reference/src/pre_process.py:31-32; the
+semantics ("keep the first record per ``id_field`` seen within
+``time_window``") execute inside the closed GlassFlow service, so this module
+is a fresh Spark-first implementation, not a port.
+
+Three forms:
+
+- :func:`streaming_dedup` — the real thing: ``withWatermark`` +
+  ``dropDuplicatesWithinWatermark`` (Spark >= 3.5). State is evicted once the
+  watermark passes ``time_window``, exactly matching the reference's bounded
+  dedup window; RocksDB state store handles 8h x 10M+ keys (W4).
+- :func:`dedup_first_wins` — batch analogue used by the correctness oracle:
+  global first-wins per key via min-ordinal semi-self-join (aggregate +
+  rejoin beats a global ``row_number()`` window at 100 TB: the window forces a
+  single-ordering sort per key partition, while groupBy gets map-side partial
+  aggregation and AQE skew handling).
+- :func:`dedup_within_window` — batch analogue of the *windowed* semantics:
+  first-wins per (key, tumbling time_window bucket).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config.durations import duration_to_interval
+
+
+def _first_per_key(df: DataFrame, keys: list[str], order_col: str) -> DataFrame:
+    """Keep the row with the minimum ``order_col`` per key group.
+
+    Implemented as groupBy(min) + broadcast-unfriendly-but-co-partitioned
+    rejoin; both sides shuffle on ``keys`` so the join is co-located (no extra
+    exchange, AQE merges the stages). Assumes ``order_col`` is unique per key
+    group (a publish ordinal / (ts, seq) tuple packed into one column).
+    """
+    firsts = df.groupBy(*keys).agg(F.min(order_col).alias(order_col))
+    return df.join(firsts, on=keys + [order_col], how="inner")
+
+
+def dedup_first_wins(df: DataFrame, key: str | list[str], order_col: str = "seq") -> DataFrame:
+    """Batch first-wins dedup: keep the earliest record per key.
+
+    Matches the reference's observable invariant (sink rows == unique keys,
+    /root/reference/src/pipeline_test.py:13-45) when the dedup window covers
+    the whole run — true for every published variant (windows 1h-8h vs runs
+    publishing each key's duplicates seconds apart).
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    return _first_per_key(df, keys, order_col)
+
+
+def dedup_within_window(
+    df: DataFrame,
+    key: str | list[str],
+    time_window: str,
+    ts_col: str = "ts",
+    order_col: str = "seq",
+) -> DataFrame:
+    """Batch windowed dedup: first record per key per tumbling ``time_window``.
+
+    A batch approximation of the streaming "suppress re-sends for
+    ``time_window`` after first sight": a duplicate landing in the next bucket
+    is re-emitted. The streaming path (:func:`streaming_dedup`) implements the
+    exact rolling semantics; this form exists for bounded/backfill runs and is
+    deliberately bucket-aligned so it is expressible in ANSI SQL for the
+    oracle harness.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    interval = duration_to_interval(time_window)
+    bucketed = df.withColumn("_w", F.window(F.col(ts_col), interval)["start"])
+    out = _first_per_key(bucketed, keys + ["_w"], order_col)
+    return out.drop("_w")
+
+
+def streaming_dedup(
+    df: DataFrame,
+    key: str | list[str],
+    time_window: str,
+    ts_col: str = "timestamp",
+) -> DataFrame:
+    """Streaming keyed dedup with bounded state (the exact D1 semantics).
+
+    ``dropDuplicatesWithinWatermark`` keeps the first record per key and
+    drops re-sends arriving within the watermark delay; state for a key is
+    evicted once the watermark moves past it — the Spark-native equivalent of
+    the reference's NATS-KV dedup window (W4 in SURVEY.md §2.8).
+
+    ``ts_col`` defaults to the Kafka message timestamp because topics are
+    created with ``message.timestamp.type=LogAppendTime``
+    (/root/reference/src/utils/kafka.py:46-48) — broker append time, not
+    client event time (W1).
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    interval = duration_to_interval(time_window)
+    return df.withWatermark(ts_col, interval).dropDuplicatesWithinWatermark(keys)

@@ -1,0 +1,119 @@
+"""Pipeline-spec -> DataFrame DAG compiler.
+
+The reference has no parser/planner/optimizer — its "query language" is the
+pipeline JSON (SURVEY.md §3). Here that JSON compiles to a declarative
+DataFrame plan and Catalyst does analysis/optimization/codegen; zero custom
+optimizer rules are needed (SURVEY.md §4).
+
+Batch and streaming share this compiler: every transformation used (from_json,
+dedup, join, select/cast) is supported by Structured Streaming, so the same
+``PipelineConfig`` runs as a micro-batch query (see
+:mod:`clickhouse_etl_loadtest_spark.streaming.query`) or a bounded backfill.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config.durations import duration_to_interval
+from ..config.schemas import PipelineConfig, TopicConfig
+from ..operators.dedup import dedup_first_wins, streaming_dedup
+from ..operators.mapping import apply_table_mapping
+
+
+def decode_topic(df: DataFrame, topic: TopicConfig) -> DataFrame:
+    """JSON-decode a raw Kafka-shaped frame against the topic's declared
+    schema (S6, SURVEY.md §2.1; schema shape deduplication_pipeline.json:19-43).
+
+    Input columns: ``value`` (string/binary JSON payload) plus passthrough
+    metadata (``timestamp``, ``seq`` ...). Declared fields replace ``value``.
+    ``from_json`` runs JVM-side; with a fixed schema Catalyst prunes unneeded
+    struct fields all the way into the scan.
+    """
+    passthrough = [c for c in df.columns if c != "value"]
+    decoded = df.withColumn("_data", F.from_json(F.col("value").cast("string"), topic.schema_.to_struct()))
+    return decoded.select(*passthrough, "_data.*")
+
+
+def topic_transform(
+    df: DataFrame,
+    topic: TopicConfig,
+    streaming: bool = False,
+    order_col: str = "seq",
+    ts_col: str = "timestamp",
+) -> DataFrame:
+    """decode (if raw) -> dedup (if enabled) for one topic."""
+    if "value" in df.columns and topic.schema_.fields:
+        df = decode_topic(df, topic)
+    if topic.deduplication.enabled:
+        if streaming:
+            df = streaming_dedup(df, topic.deduplication.id_field, topic.deduplication.time_window, ts_col)
+        else:
+            df = dedup_first_wins(df, topic.deduplication.id_field, order_col)
+    return df
+
+
+def apply_temporal_join(
+    left: DataFrame,
+    right: DataFrame,
+    pipeline: PipelineConfig,
+    ts_col: str = "timestamp",
+    streaming: bool = False,
+) -> DataFrame:
+    """Temporal equi-join of the two pipeline sources (J1, SURVEY.md §2.4).
+
+    GlassFlow semantics [external]: left-oriented join of two topics on
+    per-source ``join_key`` within a ``time_window``. Streaming: watermarked
+    stream-stream interval join (state bounded by the watermark). Batch:
+    equi-join + time-range predicate — Catalyst picks sort-merge with the
+    range as a post-join filter; both sides shuffle on the join key only.
+    """
+    srcs = pipeline.join.sources
+    if len(srcs) < 2:
+        raise ValueError("temporal join requires two join sources")
+    lk, rk = srcs[0].join_key, srcs[1].join_key
+    window = duration_to_interval(srcs[0].time_window)
+
+    lts, rts = f"l_{ts_col}", f"r_{ts_col}"
+    left = left.withColumnRenamed(ts_col, lts)
+    right_cols = [c for c in right.columns if c != rk and c != ts_col]
+    right = right.select(
+        F.col(rk).alias(f"r_{rk}"),
+        F.col(ts_col).alias(rts),
+        *[F.col(c) for c in right_cols],
+    )
+    if streaming:
+        left = left.withWatermark(lts, window)
+        right = right.withWatermark(rts, window)
+    cond = (F.col(lk) == F.col(f"r_{rk}")) & (
+        F.col(rts).between(F.col(lts) - F.expr(f"INTERVAL {window}"), F.col(lts) + F.expr(f"INTERVAL {window}"))
+    )
+    how = "inner" if streaming else srcs[0].orientation
+    joined = left.join(right, cond, how)
+    return joined.withColumnRenamed(lts, ts_col).drop(f"r_{rk}", rts)
+
+
+def compile_batch(
+    pipeline: PipelineConfig,
+    sources: dict[str, DataFrame],
+    order_col: str = "seq",
+    ts_col: str = "timestamp",
+) -> DataFrame:
+    """Compile the pipeline over bounded source frames keyed by topic name.
+
+    Mirrors the reference dataflow: Kafka source -> JSON decode -> windowed
+    keyed dedup -> (optional temporal join) -> projection/rename/cast
+    (SURVEY.md §0 item b). Sink writing is the caller's job (sinks are
+    pluggable, SURVEY.md §7.0).
+    """
+    topics = pipeline.source.topics
+    if not topics:
+        raise ValueError("pipeline declares no topics")
+    frames = {t.name: topic_transform(sources[t.name], t, streaming=False, order_col=order_col) for t in topics}
+
+    primary = topics[0].name
+    df = frames[primary]
+    if pipeline.join.enabled and len(topics) > 1:
+        df = apply_temporal_join(df, frames[topics[1].name], pipeline, ts_col=ts_col, streaming=False)
+    return apply_table_mapping(df, pipeline.sink.table_mapping, source_id=None)

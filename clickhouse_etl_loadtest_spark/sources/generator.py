@@ -1,0 +1,138 @@
+"""Synthetic event generator with controlled duplication — the engine's
+replacement for the external ``glassgen`` package the reference drives
+(/root/reference/src/generate_events.py:7-72, D2 in SURVEY.md §2.3).
+
+Reference semantics (derived from the published results CSV,
+/root/reference/results/19_05_001_results.csv:2 — 5,000,000 published events
+contain 4,545,454 uniques at duplication_rate 0.1):
+
+    n_unique = floor(total / (1 + rate));  n_dup = total - n_unique
+
+i.e. the *ratio of duplicates to uniques* is ``rate``, duplicates re-send the
+FULL payload of an earlier unique event (same key, same created_at), and every
+duplicate is published after its original.
+
+Spark-first design: one ``spark.range`` per leg — embarrassingly parallel,
+no shuffle, no driver loop, no Python UDF. The reference fans out across OS
+processes (/root/reference/src/utils/publish.py:39-59); here ``num_partitions``
+(= Spark tasks) is the parallelism knob (C6 in SURVEY.md §2.10). At 100 TB
+this generates on executors at memory-bandwidth speed.
+
+Everything is seeded/deterministic, so :func:`generator_oracle_sql` can emit
+ANSI SQL that regenerates byte-identical data in DuckDB for correctness
+differencing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.genfuncs import EMAIL_DOMAINS, FIRST_NAMES, LAST_NAMES, gen_datetime, gen_email, gen_name, gen_uuid
+
+
+def unique_count(total_records: int, duplication_rate: float) -> int:
+    """Unique events among ``total_records`` published (see module docstring)."""
+    return int(total_records / (1.0 + duplication_rate))
+
+
+def generate_user_events(
+    spark: SparkSession,
+    total_records: int,
+    duplication_rate: float = 0.1,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Generate the reference's ``user_event`` stream as a DataFrame.
+
+    Columns: ``seq`` (publish order), ``event_id``/``user_id`` (uuid-shaped),
+    ``name``, ``email``, ``created_at`` (string ``%Y-%m-%d %H:%M:%S``, cf.
+    /root/reference/config/glassgen/user_event.json:6), ``is_duplicate``.
+
+    Duplicates re-send the full payload of unique #(h60('dup'||seq) % n_unique).
+    """
+    n_unique = unique_count(total_records, duplication_rate)
+    n_dup = total_records - n_unique
+
+    uniq = spark.range(0, n_unique, 1, num_partitions or spark.sparkContext.defaultParallelism)
+    uniq = uniq.select(
+        F.col("id").alias("seq"),
+        F.col("id").alias("_src"),
+        F.lit(False).alias("is_duplicate"),
+    )
+
+    if n_dup > 0:
+        dup = spark.range(n_unique, total_records, 1, num_partitions or spark.sparkContext.defaultParallelism)
+        # deterministic "earlier key" choice: h60('dup'||seq) % n_unique
+        src = (
+            F.conv(F.substring(F.md5(F.concat(F.lit("dup"), F.col("id").cast("string"))), 1, 15), 16, 10)
+            .cast("long")
+            % F.lit(n_unique)
+        )
+        dup = dup.select(
+            F.col("id").alias("seq"),
+            src.alias("_src"),
+            F.lit(True).alias("is_duplicate"),
+        )
+        base = uniq.unionAll(dup)
+    else:
+        base = uniq
+
+    src = F.col("_src")
+    return base.select(
+        "seq",
+        gen_uuid(src, "evt").alias("event_id"),
+        gen_uuid(src, "usr").alias("user_id"),
+        gen_name(src).alias("name"),
+        gen_email(src).alias("email"),
+        gen_datetime(src).alias("created_at"),
+        "is_duplicate",
+    )
+
+
+def _sql_array(values: list[str]) -> str:
+    return "[" + ", ".join(f"'{v}'" for v in values) + "]"
+
+
+def generator_oracle_sql(total_records: int, duplication_rate: float = 0.1) -> str:
+    """DuckDB SQL regenerating :func:`generate_user_events` byte-identically.
+
+    Used by the correctness harness to difference the whole generator+pipeline
+    against an independent engine.
+    """
+    n_unique = unique_count(total_records, duplication_rate)
+
+    def h60(expr: str) -> str:
+        return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS UBIGINT)::BIGINT"
+
+    def uuid_fmt(salt: str) -> str:
+        hx = f"md5('{salt}' || CAST(_src AS VARCHAR))"
+        return (
+            f"substr({hx},1,8) || '-' || substr({hx},9,4) || '-' || substr({hx},13,4)"
+            f" || '-' || substr({hx},17,4) || '-' || substr({hx},21,12)"
+        )
+
+    first = _sql_array(FIRST_NAMES)
+    last = _sql_array(LAST_NAMES)
+    dom = _sql_array(EMAIL_DOMAINS)
+    return f"""
+WITH base AS (
+    SELECT range AS seq, range AS _src, FALSE AS is_duplicate
+    FROM range(0, {n_unique})
+    UNION ALL
+    SELECT range AS seq,
+           {h60("'dup' || CAST(range AS VARCHAR)")} % {n_unique} AS _src,
+           TRUE AS is_duplicate
+    FROM range({n_unique}, {total_records})
+)
+SELECT
+    seq,
+    {uuid_fmt('evt')} AS event_id,
+    {uuid_fmt('usr')} AS user_id,
+    ({first})[CAST({h60("'first' || CAST(_src AS VARCHAR)")} % {len(FIRST_NAMES)} AS INT) + 1] || ' ' ||
+    ({last})[CAST({h60("'last' || CAST(_src AS VARCHAR)")} % {len(LAST_NAMES)} AS INT) + 1] AS name,
+    'user' || CAST(_src AS VARCHAR) || '@' ||
+    ({dom})[CAST({h60("'dom' || CAST(_src AS VARCHAR)")} % {len(EMAIL_DOMAINS)} AS INT) + 1] AS email,
+    strftime(TIMESTAMP '2024-01-01 00:00:00' + _src * INTERVAL 1 SECOND, '%Y-%m-%d %H:%M:%S') AS created_at,
+    is_duplicate
+FROM base
+"""

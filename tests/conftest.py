@@ -1,0 +1,19 @@
+import os
+
+import pytest
+
+os.environ.setdefault("SPARK_GRAFT_CPUS", "4")  # keep test JVMs small
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from clickhouse_etl_loadtest_spark.session import get_spark
+
+    s = get_spark(app_name="tests", shuffle_partitions=4)
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="session")
+def sf_dir():
+    return os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")

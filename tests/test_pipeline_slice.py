@@ -1,0 +1,122 @@
+"""End-to-end slice tests: generator -> dedup -> mapping (SURVEY.md §7.1).
+
+Verifies the reference's own correctness invariant — sink row count equals
+the number of unique generated records (/root/reference/src/pipeline_test.py:13-45)
+— plus row-level content the reference never checked (SURVEY.md §5).
+"""
+
+import duckdb
+import pytest
+
+from clickhouse_etl_loadtest_spark.config.schemas import PipelineConfig
+from clickhouse_etl_loadtest_spark.plans.compiler import compile_batch
+from clickhouse_etl_loadtest_spark.sources.generator import (
+    generate_user_events,
+    generator_oracle_sql,
+    unique_count,
+)
+
+PIPELINE_SPEC = {
+    "pipeline_id": "test-dedup-pipeline",
+    "source": {
+        "type": "values",
+        "topics": [
+            {
+                "name": "user_events_with_duplicates",
+                "schema": {
+                    "type": "json",
+                    "fields": [
+                        {"name": "event_id", "type": "string"},
+                        {"name": "user_id", "type": "string"},
+                        {"name": "name", "type": "string"},
+                        {"name": "email", "type": "string"},
+                        {"name": "created_at", "type": "string"},
+                    ],
+                },
+                "deduplication": {
+                    "enabled": True,
+                    "id_field": "event_id",
+                    "id_field_type": "string",
+                    "time_window": "8h",
+                },
+            }
+        ],
+    },
+    "join": {"enabled": False},
+    "sink": {
+        "type": "parquet",
+        "table": "user_events_deduplicated",
+        "max_batch_size": 5000,
+        "max_delay_time": "10s",
+        "table_mapping": [
+            {"source_id": "user_events_with_duplicates", "field_name": "event_id", "column_name": "event_id", "column_type": "uuid"},
+            {"source_id": "user_events_with_duplicates", "field_name": "user_id", "column_name": "user_id", "column_type": "uuid"},
+            {"source_id": "user_events_with_duplicates", "field_name": "created_at", "column_name": "created_at", "column_type": "datetime"},
+            {"source_id": "user_events_with_duplicates", "field_name": "name", "column_name": "user_name", "column_type": "string"},
+            {"source_id": "user_events_with_duplicates", "field_name": "email", "column_name": "user_email", "column_type": "string"},
+        ],
+    },
+}
+
+
+def test_unique_count_matches_reference_results():
+    # 5,000,000 records @ 0.1 -> 4,545,454 uniques (results/19_05_001_results.csv:2)
+    assert unique_count(5_000_000, 0.1) == 4_545_454
+    assert unique_count(20_000_000, 0.1) == 18_181_818
+
+
+def test_generator_cardinality_and_shape(spark):
+    total, rate = 1100, 0.1
+    df = generate_user_events(spark, total, rate).cache()
+    n_unique = unique_count(total, rate)
+    assert df.count() == total
+    assert df.select("event_id").distinct().count() == n_unique
+    assert df.filter("is_duplicate").count() == total - n_unique
+    row = df.filter("seq = 0").first()
+    assert len(row["event_id"]) == 36 and row["event_id"].count("-") == 4
+    assert "@" in row["email"]
+    df.unpersist()
+
+
+def test_generator_matches_duckdb_oracle(spark):
+    total = 500
+    got = {
+        tuple(r)
+        for r in generate_user_events(spark, total, 0.1)
+        .toPandas()
+        .itertuples(index=False)
+    }
+    want = {tuple(r) for r in duckdb.sql(generator_oracle_sql(total, 0.1)).fetchall()}
+    assert got == want
+
+
+def test_duplicates_follow_originals(spark):
+    df = generate_user_events(spark, 550, 0.1)
+    firsts = df.groupBy("event_id").agg({"seq": "min"}).withColumnRenamed("min(seq)", "first_seq")
+    joined = df.join(firsts, "event_id")
+    late_originals = joined.filter("is_duplicate = false AND seq > first_seq").count()
+    assert late_originals == 0
+
+
+def test_pipeline_end_to_end_invariant(spark):
+    pipeline = PipelineConfig.model_validate(PIPELINE_SPEC)
+    total, rate = 2200, 0.1
+    events = generate_user_events(spark, total, rate)
+    out = compile_batch(pipeline, {"user_events_with_duplicates": events}).cache()
+
+    # the reference's invariant: sink rows == unique records
+    assert out.count() == unique_count(total, rate)
+    # mapping parity: names, order, types (FIXTURES.md A2)
+    assert out.columns == ["event_id", "user_id", "created_at", "user_name", "user_email"]
+    assert dict(out.dtypes)["created_at"] == "timestamp"
+    out.unpersist()
+
+
+def test_pipeline_from_reference_shaped_json(tmp_path):
+    import json
+
+    p = tmp_path / "pipe.json"
+    p.write_text(json.dumps(PIPELINE_SPEC))
+    cfg = PipelineConfig.from_json_file(str(p))
+    assert cfg.sink.order_by_key(cfg.join) == "event_id"
+    assert cfg.source.topics[0].deduplication.time_window == "8h"
