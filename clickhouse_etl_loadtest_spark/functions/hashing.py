@@ -65,3 +65,35 @@ def perm_hash(col: Column, a: int, b: int) -> Column:
 def perm_hash_sql_duckdb(expr: str, a: int, b: int) -> str:
     """DuckDB fragment matching :func:`perm_hash` (HUGEINT is exact)."""
     return f"CAST((({a}::HUGEINT * ({expr})::HUGEINT + {b}::HUGEINT) % {MERSENNE_P}::HUGEINT) AS BIGINT)"
+
+
+# --- fast 32-bit variant (pure int64 arithmetic, no DECIMAL) -----------------
+# h32 < 2^32, a < 2^30, b < 2^31  =>  a*h32 + b < 2^62: no int64 overflow, so
+# both engines evaluate in plain BIGINT ops — ~10x faster than the DECIMAL(38)
+# path above and still an exact cross-engine match. P = 2^31-1 (Mersenne).
+MERSENNE_P31 = (1 << 31) - 1
+
+
+def h32(col: Column | str) -> Column:
+    """32-bit md5-derived hash (first 8 hex digits) of a string column."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast("long")
+
+
+def h32_sql_duckdb(expr: str) -> str:
+    return f"CAST(('0x' || substr(md5(CAST({expr} AS VARCHAR)), 1, 8)) AS UBIGINT)::BIGINT"
+
+
+def minhash_params32(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    import random
+
+    rng = random.Random(seed)
+    return [(rng.randrange(1, 1 << 30), rng.randrange(0, MERSENNE_P31)) for _ in range(num_hashes)]
+
+
+def perm_hash32(col: Column, a: int, b: int) -> Column:
+    return (F.lit(a) * col + F.lit(b)) % F.lit(MERSENNE_P31)
+
+
+def perm_hash32_sql(expr: str, a: int, b: int) -> str:
+    return f"(({a} * ({expr}) + {b}) % {MERSENNE_P31})"

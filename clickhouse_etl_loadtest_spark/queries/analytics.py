@@ -1,0 +1,406 @@
+"""Analytics query coverage: scan/filter/project, hash & broadcast joins,
+aggregation, window functions, sort/limit, set ops, scalar functions.
+
+The reference's own SQL surface is a single ``SELECT count()``
+(/root/reference/src/utils/clickhouse.py:54-56, A1 in SURVEY.md §2.5) — the
+rest of this module is the engine surface a user of a general ETL/analytics
+system needs, expressed declaratively so Catalyst provides pushdown, pruning,
+join selection and whole-stage codegen (SURVEY.md §4).
+
+Scale notes per query are in docstrings: every plan here is a pure
+DataFrame/SQL plan — no collect(), no Python UDFs — so it scales with
+executors; dimension tables (region/nation) are broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from . import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from ..sources.tables import load_table
+
+    return load_table(spark, sf_dir, name)
+
+
+def _dec(c) -> "F.Column":
+    """Fixture money/rate columns carry exactly 2 decimals; summing them in
+    DECIMAL makes aggregates order-independent — double sums diverge from the
+    oracle right at the 9th significant digit the driver rounds to."""
+    col = F.col(c) if isinstance(c, str) else c
+    return col.cast("decimal(12,2)")
+
+
+def _dsum(c) -> "F.Column":
+    return F.sum(_dec(c)).cast("double")
+
+
+# --- Q1: pricing summary (TPC-H Q1 shape) ----------------------------------
+
+_Q1_ORACLE = """
+SELECT
+    l_returnflag,
+    l_linestatus,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) * (1 + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE) AS sum_charge,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+    CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+    CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+@register("pricing_summary", _Q1_ORACLE, headline=True)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: one wide partial-aggregatable groupBy.
+
+    Scale: map-side partial aggregation reduces 100 TB of lineitem to
+    |flag x status| groups before the (tiny) shuffle; the shipdate filter and
+    7-column projection push into the parquet scan.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    n = F.count(F.lit(1))
+    disc_price = _dec("l_extendedprice") * (1 - _dec("l_discount"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum("l_quantity").alias("sum_qty"),
+            _dsum("l_extendedprice").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(disc_price * (1 + _dec("l_tax"))).cast("double").alias("sum_charge"),
+            (_dsum("l_quantity") / n).alias("avg_qty"),
+            (_dsum("l_extendedprice") / n).alias("avg_price"),
+            (_dsum("l_discount") / n).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# --- Q2: shipping priority (TPC-H Q3 shape) ---------------------------------
+
+_Q3_ORACLE = """
+SELECT
+    l_orderkey,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+    o_orderdate,
+    o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1996-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+"""
+
+
+@register("shipping_priority", _Q3_ORACLE, headline=True)
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join + agg + global top-k.
+
+    Scale: customer filter first (selective), orders/lineitem join shuffles on
+    orderkey only; top-10 is TakeOrderedAndProject (per-partition heap, no
+    global sort). Ties broken by (o_orderdate, l_orderkey) for determinism.
+    """
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp"))
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > F.lit("1996-03-15 00:00:00").cast("timestamp"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(_dec("l_extendedprice") * (1 - _dec("l_discount"))).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+# --- Q3: region revenue (TPC-H Q5 shape) ------------------------------------
+
+_Q5_ORACLE = """
+SELECT
+    n_name,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+    CAST(COUNT(*) AS BIGINT) AS n_lineitems
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+@register("region_revenue", _Q5_ORACLE, headline=True)
+def region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way star join through broadcast dimensions.
+
+    Scale: region/nation/supplier are tiny -> explicit ``broadcast()`` so the
+    100 TB fact side never shuffles for them; only customer./orders./lineitem
+    equi-joins shuffle, each on its key.
+    """
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(s),
+            (F.col("l_suppkey") == F.col("s_suppkey")) & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+            F.sum(_dec("l_extendedprice") * (1 - _dec("l_discount"))).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+# --- window functions --------------------------------------------------------
+
+_TOP_ORACLE = """
+WITH spend AS (
+    SELECT c_custkey, c_name, c_nationkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_spend
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_name, c_nationkey
+)
+SELECT c_custkey, c_name, n_name, total_spend, CAST(rnk AS INT) AS rnk
+FROM (
+    SELECT s.*, n_name,
+           RANK() OVER (PARTITION BY c_nationkey ORDER BY total_spend DESC, c_custkey) AS rnk
+    FROM spend s JOIN nation ON c_nationkey = n_nationkey
+)
+WHERE rnk <= 3
+ORDER BY n_name, rnk, c_custkey
+"""
+
+
+@register("top_spenders_per_nation", _TOP_ORACLE)
+def top_spenders_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking window: top-3 customers by spend per nation.
+
+    Scale: groupBy(custkey) partial-aggregates; the rank window partitions by
+    nation — bounded partitions. Spark 3.5 would use WindowGroupLimit to
+    short-circuit rank<=3.
+    """
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    spend = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy("c_custkey", "c_name", "c_nationkey")
+        .agg(_dsum("o_totalprice").alias("total_spend"))
+    )
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("total_spend"), F.col("c_custkey"))
+    return (
+        spend.join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .withColumn("rnk", F.rank().over(w).cast("int"))
+        .where(F.col("rnk") <= 3)
+        .select("c_custkey", "c_name", "n_name", "total_spend", "rnk")
+        .orderBy("n_name", "rnk", "c_custkey")
+    )
+
+
+_RUNNING_ORACLE = """
+SELECT o_custkey, o_orderkey, o_orderdate,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend,
+       CAST(ROW_NUMBER() OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS INT) AS order_seq
+FROM orders
+ORDER BY o_custkey, order_seq
+"""
+
+
+@register("running_customer_spend", _RUNNING_ORACLE)
+def running_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running-total window (frame ROWS UNBOUNDED PRECEDING..CURRENT)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(_dec("o_totalprice")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("double").alias("running_spend"),
+        F.row_number().over(w).cast("int").alias("order_seq"),
+    ).orderBy("o_custkey", "order_seq")
+
+
+# --- set operations ----------------------------------------------------------
+
+_SETOPS_ORACLE = """
+SELECT CAST(user_id AS BIGINT) AS user_id FROM (
+    (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+     INTERSECT
+     SELECT DISTINCT user_id FROM events WHERE event_type = 'click')
+    EXCEPT
+    SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+)
+ORDER BY user_id
+"""
+
+
+@register("engaged_users_setops", _SETOPS_ORACLE)
+def engaged_users_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT/EXCEPT coverage: purchasers who clicked but never errored."""
+    ev = _t(spark, sf_dir, "events")
+
+    def users(t: str) -> DataFrame:
+        return ev.where(F.col("event_type") == t).select("user_id").distinct()
+
+    return users("purchase").intersect(users("click")).exceptAll(users("error")).orderBy("user_id")
+
+
+# --- scalar function showcase -------------------------------------------------
+
+_SCALAR_ORACLE = """
+SELECT
+    p_partkey,
+    UPPER(p_brand) AS brand_upper,
+    substr(p_name, 1, 8) AS name_prefix,
+    CAST(length(p_name) AS INT) AS name_len,
+    regexp_extract(p_type, '^([A-Z]+)', 1) AS type_head,
+    CAST(floor(p_retailprice) AS DOUBLE) AS price_floor,
+    CAST(p_size % 7 AS INT) AS size_mod,
+    concat(p_brand, '#', CAST(p_size AS VARCHAR)) AS brand_size,
+    CASE WHEN p_retailprice > 1500 THEN 'premium'
+         WHEN p_retailprice > 800 THEN 'mid' ELSE 'budget' END AS tier
+FROM part
+ORDER BY p_partkey
+"""
+
+
+@register("scalar_functions", _SCALAR_ORACLE)
+def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar function surface: string/regex/math/conditional expressions —
+    all builtin (JVM, codegen), cross-engine-deterministic subset only
+    (no round(): Spark HALF_UP vs DuckDB half-even)."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.length("p_name").cast("int").alias("name_len"),
+        F.regexp_extract("p_type", r"^([A-Z]+)", 1).alias("type_head"),
+        F.floor("p_retailprice").cast("double").alias("price_floor"),
+        (F.col("p_size") % 7).cast("int").alias("size_mod"),
+        F.concat(F.col("p_brand"), F.lit("#"), F.col("p_size").cast("string")).alias("brand_size"),
+        F.when(F.col("p_retailprice") > 1500, "premium")
+        .when(F.col("p_retailprice") > 800, "mid")
+        .otherwise("budget")
+        .alias("tier"),
+    ).orderBy("p_partkey")
+
+
+# --- date/time functions ------------------------------------------------------
+
+_DATES_ORACLE = """
+SELECT
+    CAST(year(o_orderdate) AS INT) AS order_year,
+    CAST(month(o_orderdate) AS INT) AS order_month,
+    CAST(COUNT(*) AS BIGINT) AS n_orders,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS month_revenue,
+    CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS active_customers
+FROM orders
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@register("orders_by_month", _DATES_ORACLE)
+def orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-part extraction + distinct aggregate."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").cast("int").alias("order_year"),
+            F.month("o_orderdate").cast("int").alias("order_month"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _dsum("o_totalprice").alias("month_revenue"),
+            F.countDistinct("o_custkey").alias("active_customers"),
+        )
+        .orderBy("order_year", "order_month")
+    )
+
+
+# --- semi/anti joins -----------------------------------------------------------
+
+_ANTI_ORACLE = """
+SELECT c_custkey, c_name, c_acctbal
+FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+ORDER BY c_custkey
+"""
+
+
+@register("customers_without_orders", _ANTI_ORACLE)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (the reference has no join kinds at all — SURVEY.md §2.4
+    notes semi/anti come free with Spark)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy("c_custkey")
+    )
+
+
+# --- grouping sets / rollup ----------------------------------------------------
+
+_ROLLUP_ORACLE = """
+SELECT
+    COALESCE(l_returnflag, 'ALL') AS returnflag,
+    COALESCE(l_linestatus, 'ALL') AS linestatus,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+    CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY returnflag, linestatus
+"""
+
+
+@register("lineitem_rollup", _ROLLUP_ORACLE)
+def lineitem_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (subtotal + grand total rows)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(_dsum("l_quantity").alias("sum_qty"), F.count(F.lit(1)).alias("n_rows"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+            "n_rows",
+        )
+        .orderBy("returnflag", "linestatus")
+    )

@@ -1,0 +1,349 @@
+"""Pipeline-parity queries: the reference's own dataflow (generate -> decode ->
+dedup -> map/cast) plus the streaming-adjacent batch operators (tumbling /
+session windows, as-of join) exercised on the ``events`` fixture table.
+
+These are the batch analogues the correctness oracle can check; the true
+streaming forms live in :mod:`clickhouse_etl_loadtest_spark.streaming` and are
+covered by the pytest streaming suite (non-SQL-expressible, SURVEY.md §2.8).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..operators.dedup import dedup_first_wins, dedup_within_window
+from ..sources.generator import generate_user_events, generator_oracle_sql
+from . import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from ..sources.tables import load_table
+
+    return load_table(spark, sf_dir, name)
+
+
+# --- the reference pipeline end-to-end, oracle-checked -----------------------
+
+_E2E_TOTAL = 5500
+_E2E_RATE = 0.1
+
+_E2E_ORACLE = f"""
+WITH generated AS ({generator_oracle_sql(_E2E_TOTAL, _E2E_RATE)}),
+deduped AS (
+    SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY seq) AS _rn
+        FROM generated
+    ) WHERE _rn = 1
+)
+SELECT
+    event_id,
+    user_id,
+    strptime(created_at, '%Y-%m-%d %H:%M:%S') AS created_at,
+    name AS user_name,
+    email AS user_email
+FROM deduped
+ORDER BY event_id
+"""
+
+
+@register("dedup_pipeline_e2e", _E2E_ORACLE, headline=True)
+def dedup_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's whole job, oracle-checked end to end: glassgen-equivalent
+    generation with duplication_rate, first-wins keyed dedup (D1 batch
+    analogue), and the sink table_mapping projection/rename/cast (P1)
+    (/root/reference/config/glassflow/deduplication_pipeline.json:1-101).
+
+    The DuckDB oracle regenerates the SAME synthetic data from the seeded
+    generator SQL and applies SQL dedup + mapping — a row-level-value check
+    the reference itself never had (it only compared counts,
+    /root/reference/src/pipeline_test.py:13-45).
+    """
+    ev = generate_user_events(spark, _E2E_TOTAL, _E2E_RATE)
+    deduped = dedup_first_wins(ev, "event_id", order_col="seq")
+    return deduped.select(
+        "event_id",
+        "user_id",
+        F.to_timestamp("created_at", "yyyy-MM-dd HH:mm:ss").alias("created_at"),
+        F.col("name").alias("user_name"),
+        F.col("email").alias("user_email"),
+    ).orderBy("event_id")
+
+
+# --- dedup on the events fixture ---------------------------------------------
+
+_DEDUP_EVENTS_ORACLE = """
+SELECT user_id, event_type, event_id, ts, value
+FROM (
+    SELECT user_id, event_type, event_id, ts, value,
+           ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY event_id) AS _rn
+    FROM events
+) WHERE _rn = 1
+ORDER BY user_id, event_type
+"""
+
+
+@register("dedup_first_event_per_user_type", _DEDUP_EVENTS_ORACLE)
+def dedup_first_event_per_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-wins dedup on a composite key over the events table.
+
+    Scale: aggregate-then-rejoin instead of a row_number window — groupBy gets
+    map-side combine and AQE skew splitting; a window would sort every key
+    partition (see operators/dedup.py docstring).
+    """
+    ev = _t(spark, sf_dir, "events")
+    return (
+        dedup_first_wins(ev, ["user_id", "event_type"], order_col="event_id")
+        .select("user_id", "event_type", "event_id", "ts", "value")
+        .orderBy("user_id", "event_type")
+    )
+
+
+_DEDUP_WINDOWED_ORACLE = """
+SELECT user_id, event_type, event_id, ts
+FROM (
+    SELECT user_id, event_type, event_id, ts,
+           ROW_NUMBER() OVER (
+               PARTITION BY user_id, event_type, time_bucket(INTERVAL '1 hour', ts)
+               ORDER BY event_id) AS _rn
+    FROM events
+) WHERE _rn = 1
+ORDER BY event_id
+"""
+
+
+@register("dedup_within_window_events", _DEDUP_WINDOWED_ORACLE)
+def dedup_within_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed dedup (D1 batch analogue): first record per key per tumbling
+    1h window — the bounded-state form of the reference's ``time_window``
+    dedup (deduplication_pipeline.json:48)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        dedup_within_window(ev, ["user_id", "event_type"], "1h", ts_col="ts", order_col="event_id")
+        .select("user_id", "event_type", "event_id", "ts")
+        .orderBy("event_id")
+    )
+
+
+# --- table mapping on events ---------------------------------------------------
+
+_MAPPING_ORACLE = """
+SELECT
+    CAST(event_id AS VARCHAR) AS id,
+    ts AS event_time,
+    event_type AS type,
+    CAST(user_id AS VARCHAR) AS uid,
+    CAST(value AS DOUBLE) AS amount
+FROM events
+ORDER BY id
+"""
+
+
+@register("table_mapping_events", _MAPPING_ORACLE)
+def table_mapping_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 projection/rename/cast against the fixture: column subset, renames,
+    string casts — mirrors table_mapping semantics
+    (deduplication_pipeline.json:68-99) on real data."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        F.col("event_id").cast("string").alias("id"),
+        F.col("ts").alias("event_time"),
+        F.col("event_type").alias("type"),
+        F.col("user_id").cast("string").alias("uid"),
+        F.col("value").cast("double").alias("amount"),
+    ).orderBy("id")
+
+
+# --- JSON decode (S6) -----------------------------------------------------------
+
+_JSON_ORACLE = """
+SELECT event_id,
+       CAST(json_extract(props, '$.k') AS BIGINT) AS prop_k
+FROM events
+ORDER BY event_id
+"""
+
+
+@register("json_decode_props", _JSON_ORACLE)
+def json_decode_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON decode against a declared schema (S6): the events fixture carries
+    a JSON ``props`` payload, decoded with ``from_json`` (JVM-side) exactly as
+    the Kafka topic payload is (deduplication_pipeline.json:19-43)."""
+    ev = _t(spark, sf_dir, "events")
+    schema = "struct<k: bigint>"
+    return ev.select(
+        "event_id",
+        F.from_json(F.col("props"), schema)["k"].alias("prop_k"),
+    ).orderBy("event_id")
+
+
+# --- tumbling window aggregation (W2) -------------------------------------------
+
+_TUMBLING_ORACLE = """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS unique_users
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@register("events_tumbling_1h", _TUMBLING_ORACLE)
+def events_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time window aggregation — the batch form of the
+    streaming windowed agg (W2). ``F.window`` and DuckDB ``time_bucket`` are
+    both epoch-aligned so buckets match exactly."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total_value"),
+            F.countDistinct("user_id").alias("unique_users"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value", "unique_users")
+        .orderBy("window_start", "event_type")
+    )
+
+
+# --- session windows --------------------------------------------------------------
+
+_SESSION_GAP_MIN = 30
+
+_SESSION_ORACLE = f"""
+WITH flagged AS (
+    SELECT user_id, ts,
+           CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     > INTERVAL {_SESSION_GAP_MIN} MINUTE
+                OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+), numbered AS (
+    SELECT user_id, ts,
+           SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS session_no
+    FROM flagged
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) AS session_last,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM numbered
+GROUP BY user_id, session_no
+ORDER BY user_id, session_start
+"""
+
+
+@register("events_session_windows", _SESSION_ORACLE)
+def events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30 min inactivity gap) via ``F.session_window`` — the
+    operator Structured Streaming uses for session aggregation; the oracle
+    reproduces it with gaps-and-islands SQL."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", f"{_SESSION_GAP_MIN} minutes").alias("w"), "user_id")
+        .agg(F.min("ts").alias("session_start"), F.max("ts").alias("session_last"), F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", "session_start", "session_last", "n_events")
+        .orderBy("user_id", "session_start")
+    )
+
+
+# --- as-of join (temporal) ----------------------------------------------------------
+
+_ASOF_ORACLE = """
+SELECT p.event_id,
+       p.user_id,
+       p.ts,
+       p.value AS purchase_value,
+       c.ts AS last_click_ts,
+       c.event_id AS last_click_id
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+    ON p.user_id = c.user_id AND p.ts >= c.ts
+ORDER BY p.event_id
+"""
+
+
+@register("asof_join_purchase_click", _ASOF_ORACLE)
+def asof_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (temporal) join: each purchase matched to the user's most recent
+    click at-or-before it — the J1 temporal-join family (SURVEY.md §2.4).
+
+    Spark lacks a native ASOF join; implemented scale-first as union +
+    last-non-null window (one shuffle on (user_id), one local sort, zero
+    range-explosion) rather than an inequality join, which Catalyst would
+    execute as a broadcast-nested-loop at 100 TB.
+    """
+    ev = _t(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("p_event_id"), F.col("value").alias("purchase_value")
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("c_event_id")
+    )
+    unioned = p.withColumn("c_event_id", F.lit(None).cast("long")).withColumn("_is_p", F.lit(1)).unionByName(
+        c.withColumn("p_event_id", F.lit(None).cast("long"))
+        .withColumn("purchase_value", F.lit(None).cast("double"))
+        .withColumn("_is_p", F.lit(0))
+    )
+    # clicks sort before purchases at equal ts (ties: p.ts >= c.ts includes equality)
+    w = Window.partitionBy("user_id").orderBy("ts", "_is_p", "c_event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    enriched = unioned.select(
+        "user_id",
+        "ts",
+        "p_event_id",
+        "purchase_value",
+        "_is_p",
+        F.last("c_event_id", ignorenulls=True).over(w).alias("last_click_id"),
+        F.last(F.when(F.col("_is_p") == 0, F.col("ts")), ignorenulls=True).over(w).alias("last_click_ts"),
+    )
+    return (
+        enriched.where(F.col("_is_p") == 1)
+        .select(
+            F.col("p_event_id").alias("event_id"),
+            "user_id",
+            "ts",
+            "purchase_value",
+            "last_click_ts",
+            "last_click_id",
+        )
+        .orderBy("event_id")
+    )
+
+
+# --- interval join --------------------------------------------------------------------
+
+_INTERVAL_ORACLE = """
+SELECT e.event_id, e.user_id, e.ts, e.value,
+       o.o_orderkey, o.o_totalprice
+FROM (SELECT * FROM events WHERE event_type = 'purchase') e
+JOIN orders o
+  ON e.user_id = o.o_custkey
+ AND o.o_orderdate BETWEEN e.ts - INTERVAL 2000 DAY AND e.ts
+ORDER BY e.event_id, o.o_orderkey
+"""
+
+
+@register("interval_join_events_orders", _INTERVAL_ORACLE)
+def interval_join_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-join + time-range predicate — the batch analogue of the
+    watermarked stream-stream interval join (J1). The equi key carries the
+    shuffle; the range is a post-join filter, so no nested-loop blowup."""
+    ev = _t(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    o = _t(spark, sf_dir, "orders")
+    cond = (
+        (ev.user_id == o.o_custkey)
+        & (o.o_orderdate >= ev.ts - F.expr("INTERVAL 2000 DAYS"))
+        & (o.o_orderdate <= ev.ts)
+    )
+    return (
+        ev.join(o, cond)
+        .select("event_id", "user_id", "ts", "value", "o_orderkey", "o_totalprice")
+        .orderBy("event_id", "o_orderkey")
+    )

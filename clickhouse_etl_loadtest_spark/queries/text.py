@@ -1,0 +1,489 @@
+"""Text-analysis + document-dedup operators over the ``documents`` table —
+the LLM-training-data-pipeline extension (SURVEY.md §7.6; no counterpart in
+the reference, which only ever deduplicates by an exact key field).
+
+Every operator here is pure builtin column expressions (regexp_extract_all,
+higher-order array functions, md5 hashing) — JVM-side, whole-stage codegen, no
+Python UDFs — and each has an exact DuckDB oracle. Determinism comes from the
+md5-based h60 hash (functions/hashing.py) shared verbatim by both engines.
+
+Scale design (100 TB of documents):
+- everything is per-row array math until the moment a groupBy/join on
+  shingle/band keys is REQUIRED (candidate generation) — those shuffles carry
+  only (key, doc_id) pairs, never document text;
+- MinHash-LSH bounds candidate pairs to same-band collisions (O(n·bands)
+  shuffle rows), vs the exact Jaccard join's O(sum shingle-df^2) worst case —
+  both are provided: exact as the oracle-verifiable baseline, LSH as the
+  scale path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import (
+    h32,
+    h32_sql_duckdb,
+    h60,
+    h60_sql_duckdb,
+    minhash_params32,
+    perm_hash32,
+    perm_hash32_sql,
+)
+from . import register
+
+TOKEN_RE = "[a-z0-9]+"
+# BPE-ish pretokenizer: letter runs, digit runs, single punctuation marks
+BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+# tiny per-language marker vocabularies for the n-gram/stopword language
+# heuristic; tie-break = alphabetical language code
+LANG_MARKERS = {
+    "de": ("der", "die", "das", "und", "nicht", "ist"),
+    "en": ("the", "and", "of", "to", "is", "that"),
+    "es": ("el", "la", "de", "que", "los", "es"),
+    "fr": ("le", "la", "les", "des", "est", "une"),
+    "zh": ("de", "shi", "le", "bu", "wo", "zai"),
+}
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _tokens(col: str = "text", pattern: str = TOKEN_RE) -> Column:
+    return F.regexp_extract_all(F.lower(F.col(col)), F.lit(pattern), 0)
+
+
+def _sql_in(words: tuple[str, ...]) -> str:
+    return "(" + ", ".join(f"'{w}'" for w in words) + ")"
+
+
+# --- token counting + quality scoring -----------------------------------------
+
+_STATS_ORACLE = f"""
+WITH base AS (
+    SELECT doc_id, lang, text,
+           regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks,
+           regexp_extract_all(lower(text), '{BPE_RE}') AS bpe
+    FROM documents
+)
+SELECT doc_id, lang,
+    CAST(length(text) AS BIGINT) AS n_chars,
+    CAST(len(toks) AS BIGINT) AS n_tokens,
+    CAST(len(bpe) AS BIGINT) AS n_bpe_tokens,
+    CAST(len(list_distinct(toks)) AS BIGINT) AS n_unique_tokens,
+    CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS BIGINT) AS n_punct,
+    CAST(len(list_filter(toks, w -> w IN {_sql_in(STOPWORDS)})) AS BIGINT) AS n_stopwords
+FROM base
+ORDER BY doc_id
+"""
+
+
+@register("doc_token_stats", _STATS_ORACLE)
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace-ish + BPE-ish regex) and raw quality
+    counters per document. Single narrow projection — no shuffle at all."""
+    d = _docs(spark, sf_dir)
+    toks = _tokens()
+    bpe = _tokens(pattern=BPE_RE)
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    return d.select(
+        "doc_id",
+        "lang",
+        F.length("text").cast("bigint").alias("n_chars"),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(bpe).cast("bigint").alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_unique_tokens"),
+        (F.length("text") - F.length(F.regexp_replace("text", "[^a-zA-Z0-9 ]", ""))).cast("bigint").alias("n_punct"),
+        F.size(F.filter(toks, lambda w: F.array_contains(stop_arr, w))).cast("bigint").alias("n_stopwords"),
+    ).orderBy("doc_id")
+
+
+_QUALITY_ORACLE = f"""
+WITH stats AS (
+    SELECT doc_id, lang, n_chars,
+           len(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS n_tokens,
+           len(list_filter(regexp_extract_all(lower(text), '{TOKEN_RE}'),
+                           w -> w IN {_sql_in(STOPWORDS)})) AS n_stop,
+           length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS n_punct
+    FROM documents
+), scored AS (
+    SELECT doc_id, lang, n_chars,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           n_stop * 1.0 / NULLIF(n_tokens, 0) AS stopword_ratio,
+           n_punct * 1.0 / NULLIF(n_chars, 0) AS punct_ratio,
+           (CASE WHEN n_chars BETWEEN 100 AND 20000 THEN 1 ELSE 0 END
+            + CASE WHEN n_punct * 1.0 / NULLIF(n_chars, 0) < 0.1 THEN 1 ELSE 0 END
+            + CASE WHEN n_tokens >= 20 THEN 1 ELSE 0 END) AS quality_score
+    FROM stats
+)
+SELECT doc_id, lang, n_tokens, stopword_ratio, punct_ratio,
+       CAST(quality_score AS INT) AS quality_score,
+       quality_score >= 2 AS keep
+FROM scored
+ORDER BY doc_id
+"""
+
+
+@register("doc_quality_filter", _QUALITY_ORACLE)
+def doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring (length / punctuation / stopword signals)
+    with a keep/drop verdict — the C4/Gopher-style pre-training filter shape."""
+    d = _docs(spark, sf_dir)
+    toks = _tokens()
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda w: F.array_contains(stop_arr, w)))
+    n_punct = F.length("text") - F.length(F.regexp_replace("text", "[^a-zA-Z0-9 ]", ""))
+    stopword_ratio = n_stop * F.lit(1.0) / F.nullif(n_tokens.cast("double"), F.lit(0.0))
+    punct_ratio = n_punct * F.lit(1.0) / F.nullif(F.col("n_chars").cast("double"), F.lit(0.0))
+    quality = (
+        F.when(F.col("n_chars").between(100, 20000), 1).otherwise(0)
+        + F.when(punct_ratio < 0.1, 1).otherwise(0)
+        + F.when(n_tokens >= 20, 1).otherwise(0)
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        n_tokens.cast("bigint").alias("n_tokens"),
+        stopword_ratio.alias("stopword_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        quality.cast("int").alias("quality_score"),
+        (quality >= 2).alias("keep"),
+    ).orderBy("doc_id")
+
+
+# --- language identification -----------------------------------------------------
+
+_langs = sorted(LANG_MARKERS)
+_hits_sql = ",\n           ".join(
+    f"len(list_filter(toks, w -> w IN {_sql_in(LANG_MARKERS[lang])})) AS hits_{lang}" for lang in _langs
+)
+_greatest_sql = f"GREATEST({', '.join('hits_' + lang for lang in _langs)})"
+_case_sql = "CASE " + " ".join(f"WHEN hits_{lang} = {_greatest_sql} THEN '{lang}'" for lang in _langs) + " END"
+
+_LANGID_ORACLE = f"""
+WITH toked AS (
+    SELECT doc_id, lang AS actual_lang,
+           regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks
+    FROM documents
+), hits AS (
+    SELECT doc_id, actual_lang,
+           {_hits_sql}
+    FROM toked
+)
+SELECT doc_id, actual_lang, {_case_sql} AS predicted_lang
+FROM hits
+ORDER BY doc_id
+"""
+
+
+@register("doc_language_id", _LANGID_ORACLE)
+def doc_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language-ID heuristic: count hits against tiny per-language
+    vocabularies, argmax with alphabetical tie-break (deterministic)."""
+    d = _docs(spark, sf_dir)
+    toks = _tokens()
+
+    # NB: the lambda must take exactly one parameter — PySpark interprets a
+    # second parameter (even a defaulted one) as the array index.
+    def _hits(markers: tuple[str, ...]):
+        arr = F.array(*[F.lit(w) for w in markers])
+        return F.size(F.filter(toks, lambda w: F.array_contains(arr, w)))
+
+    hit_cols = [_hits(LANG_MARKERS[lang]).alias(f"hits_{lang}") for lang in _langs]
+    hits = d.select("doc_id", F.col("lang").alias("actual_lang"), *hit_cols)
+    best = F.greatest(*[F.col(f"hits_{lang}") for lang in _langs])
+    expr = None
+    for lang in _langs:
+        cond = F.col(f"hits_{lang}") == best
+        expr = F.when(cond, lang) if expr is None else expr.when(cond, lang)
+    return hits.select("doc_id", "actual_lang", expr.alias("predicted_lang")).orderBy("doc_id")
+
+
+# --- fingerprinting + exact dedup ---------------------------------------------------
+
+_FP_ORACLE = f"""
+WITH norm AS (
+    SELECT doc_id,
+           regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS norm_text
+    FROM documents
+)
+SELECT doc_id,
+       md5(norm_text) AS content_md5,
+       {h60_sql_duckdb("norm_text")} AS fingerprint
+FROM norm
+ORDER BY doc_id
+"""
+
+
+@register("doc_fingerprint", _FP_ORACLE)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprinting: whitespace-normalized md5 + 60-bit hash —
+    the join key for exact dedup at 100 TB (hash, not text, shuffles)."""
+    d = _docs(spark, sf_dir)
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    return d.select(
+        "doc_id",
+        F.md5(norm).alias("content_md5"),
+        h60(norm).alias("fingerprint"),
+    ).orderBy("doc_id")
+
+
+_NORM_TEXT_SQL = r"regexp_replace(trim(lower(text)), '\s+', ' ', 'g')"
+
+_EXACT_DEDUP_ORACLE = f"""
+WITH fp AS (
+    SELECT doc_id, lang, source,
+           {h60_sql_duckdb(_NORM_TEXT_SQL)} AS fingerprint
+    FROM documents
+)
+SELECT fingerprint, CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_copies
+FROM fp
+GROUP BY fingerprint
+ORDER BY fingerprint
+"""
+
+
+@register("doc_exact_dedup", _EXACT_DEDUP_ORACLE)
+def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash: keep lowest doc_id per fingerprint.
+
+    Scale: groupBy on a 60-bit hash — map-side combine, uniform key
+    distribution, and only (hash, id) pairs shuffle."""
+    d = _docs(spark, sf_dir)
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    return (
+        d.select("doc_id", h60(norm).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").cast("bigint").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .orderBy("fingerprint")
+    )
+
+
+# --- SimHash -------------------------------------------------------------------------
+
+_SIMHASH_BITS = 32
+
+_SIMHASH_ORACLE = f"""
+WITH tok AS (
+    SELECT doc_id, unnest(list_distinct(regexp_extract_all(lower(text), '{TOKEN_RE}'))) AS tok
+    FROM documents
+), hashed AS (
+    SELECT doc_id, {h60_sql_duckdb("tok")} AS h FROM tok
+), bits AS (
+    SELECT doc_id,
+           {", ".join(f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}" for j in range(_SIMHASH_BITS))}
+    FROM hashed GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST({" + ".join(f"CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(_SIMHASH_BITS))} AS BIGINT) AS simhash
+FROM bits
+ORDER BY doc_id
+"""
+
+
+@register("doc_simhash", _SIMHASH_ORACLE)
+def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash (Charikar 2002) over distinct tokens: near-dup docs get
+    fingerprints within small Hamming distance.
+
+    Scale: explode(distinct tokens) -> one groupBy(doc_id) with 32 SUM
+    aggregates — partial aggregation collapses each doc's tokens map-side, so
+    the shuffle carries one 32-int row per doc per mapper, not per token.
+    """
+    d = _docs(spark, sf_dir)
+    tok = d.select("doc_id", F.explode(F.array_distinct(_tokens())).alias("tok"))
+    hashed = tok.select("doc_id", h60(F.col("tok")).alias("h"))
+    bit_sums = [
+        F.sum(F.when(F.shiftright("h", j).bitwiseAND(1) == 1, 1).otherwise(-1)).alias(f"b{j}")
+        for j in range(_SIMHASH_BITS)
+    ]
+    bits = hashed.groupBy("doc_id").agg(*bit_sums)
+    fingerprint = None
+    for j in range(_SIMHASH_BITS):
+        term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        fingerprint = term if fingerprint is None else fingerprint + term
+    return bits.select("doc_id", fingerprint.cast("bigint").alias("simhash")).orderBy("doc_id")
+
+
+# --- n-gram Jaccard (exact) ------------------------------------------------------------
+
+_SHINGLE_K = 3
+_JACCARD_THRESHOLD = 0.10
+
+_SHINGLES_SQL = f"""
+    SELECT doc_id,
+           list_distinct(list_transform(
+               generate_series(1, len(toks) - {_SHINGLE_K - 1}),
+               i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]
+           )) AS shingles
+    FROM (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks FROM documents)
+    WHERE len(toks) >= {_SHINGLE_K}
+"""
+
+_JACCARD_ORACLE = f"""
+WITH sh AS ({_SHINGLES_SQL}),
+exploded AS (
+    SELECT doc_id, unnest(shingles) AS shingle FROM sh
+),
+sizes AS (
+    SELECT doc_id, len(shingles) AS n_sh FROM sh
+),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+    FROM exploded a JOIN exploded b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       CAST(n_common AS BIGINT) AS n_common,
+       n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) >= {_JACCARD_THRESHOLD}
+ORDER BY doc_a, doc_b
+"""
+
+
+def _shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id -> distinct word-3-gram array.
+
+    Built with ``zip_with`` over three shifted ``slice``s of the token array
+    rather than ``transform(sequence(...), i -> element_at(toks, i+k))`` —
+    positional array indexing inside a lambda defeats codegen and measured
+    ~8x slower (14s -> 1.6s for 260k shingles at sf0.1).
+    """
+    d = _docs(spark, sf_dir)
+    toks = _tokens()
+    with_toks = d.select("doc_id", toks.alias("toks")).where(F.size("toks") >= _SHINGLE_K)
+    n = F.size("toks") - (_SHINGLE_K - 1)
+    first_two = F.zip_with(
+        F.slice("toks", 1, n), F.slice(F.col("toks"), 2, n), lambda a, b: F.concat_ws(" ", a, b)
+    )
+    shingles = F.array_distinct(
+        F.zip_with(first_two, F.slice(F.col("toks"), 3, n), lambda ab, c: F.concat_ws(" ", ab, c))
+    )
+    return with_toks.select("doc_id", shingles.alias("shingles"))
+
+
+@register("doc_ngram_jaccard_pairs", _JACCARD_ORACLE)
+def doc_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs (threshold {=0.10}).
+
+    Candidate generation joins on the shingle value — only (shingle-hash,
+    doc_id) pairs shuffle. This is the exact baseline; MinHash-LSH below is
+    the 100 TB path (bounded candidates).
+    """
+    sh = _shingles_df(spark, sf_dir)
+    # shuffle h60(shingle) instead of the raw 3-gram string: fixed-width keys
+    exploded = sh.select("doc_id", F.explode("shingles").alias("shingle")).select(
+        "doc_id", h60(F.col("shingle")).alias("sh")
+    )
+    sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_common") * 1.0 / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .where(jac >= _JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "n_common", jac.alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# --- MinHash + LSH ------------------------------------------------------------------------
+
+_NUM_PERMS = 16
+_BAND_SIZE = 4  # 4 bands x 4 rows
+_PERMS = minhash_params32(_NUM_PERMS, seed=42)
+
+_minhash_exprs_sql = ",\n           ".join(
+    f"MIN({perm_hash32_sql('sh', a, b)}) AS mh{k}" for k, (a, b) in enumerate(_PERMS)
+)
+_band_sql = " UNION ALL ".join(
+    f"SELECT doc_id, {band} AS band, "
+    + " || '_' || ".join(f"CAST(mh{band * _BAND_SIZE + r} AS VARCHAR)" for r in range(_BAND_SIZE))
+    + " AS sig FROM mh"
+    for band in range(_NUM_PERMS // _BAND_SIZE)
+)
+
+_MINHASH_LSH_ORACLE = f"""
+WITH sh AS ({_SHINGLES_SQL}),
+hashed AS (
+    SELECT doc_id, {h32_sql_duckdb("unnest(shingles)")} AS sh FROM sh
+),
+mh AS (
+    SELECT doc_id,
+           {_minhash_exprs_sql}
+    FROM hashed GROUP BY doc_id
+),
+bands AS ({_band_sql})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+ORDER BY doc_a, doc_b
+"""
+
+
+@register("doc_minhash_lsh_pairs", _MINHASH_LSH_ORACLE, headline=True)
+def doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash (16 perms) + LSH banding (4x4) candidate pairs — the scalable
+    fuzzy-dedup path (Broder 1997 resemblance sketches + banding).
+
+    Scale: signatures are one groupBy(doc_id) with 16 MIN aggregates
+    (map-side combine); the LSH self-join only shuffles (band, 4-int
+    signature) keys, and candidate volume is controlled by band geometry, not
+    corpus size. 100 TB corpora tune (perms, band_size) — constants here
+    chosen so the sf0.01 fixture yields verifiable pairs.
+    """
+    sh = _shingles_df(spark, sf_dir)
+    hashed = sh.select("doc_id", F.explode("shingles").alias("shingle")).select(
+        "doc_id", h32(F.col("shingle")).alias("sh")
+    )
+    mins = hashed.groupBy("doc_id").agg(
+        *[F.min(perm_hash32(F.col("sh"), a, b)).alias(f"mh{k}") for k, (a, b) in enumerate(_PERMS)]
+    )
+    # (band, signature) rows via stack — one pass over the signature table
+    stack_expr = ", ".join(
+        f"{band}, concat_ws('_', {', '.join(f'mh{band * _BAND_SIZE + r}' for r in range(_BAND_SIZE))})"
+        for band in range(_NUM_PERMS // _BAND_SIZE)
+    )
+    bands = mins.selectExpr(
+        "doc_id", f"stack({_NUM_PERMS // _BAND_SIZE}, {stack_expr}) AS (band, sig)"
+    )
+    # bucket-collect + array-side pair expansion instead of a self-join: one
+    # shuffle on (band, sig), no recomputation of the minhash pipeline for a
+    # second join side, and candidate volume stays bounded by bucket size
+    buckets = (
+        bands.groupBy("band", "sig")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
+        .where(F.size("ids") >= 2)
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
+    return (
+        buckets.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )

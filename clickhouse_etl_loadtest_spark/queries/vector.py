@@ -1,0 +1,277 @@
+"""Vector similarity search over the ``embeddings`` table (64-dim float
+arrays) — the ANN part of the LLM-pipeline extension (SURVEY.md §7.6).
+
+Three tiers, mirroring how a 100 TB corpus would be served:
+- brute-force cosine top-k: the exact baseline. The query set is broadcast;
+  the corpus side streams through one narrow projection (no shuffle until the
+  per-query top-k, which TakeOrderedAndProject/window-limit bounds).
+- threshold near-dup pairs: set semantics (no ranking) — the robust
+  dedup-by-embedding operator.
+- random-hyperplane LSH buckets + IVF (nearest-centroid) assignment: the
+  scale paths that bound candidate generation.
+
+All math is double-precision builtin array expressions (``zip_with`` +
+``aggregate``) — JVM codegen, no UDFs; DuckDB oracles use the same fold order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from . import register
+
+DIM = 64
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Sequential-fold double dot product: sum_i a[i]*b[i]."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x.cast("double") * x.cast("double")), F.lit(0.0), lambda acc, x: acc + x))
+
+
+# DuckDB equivalents with the same sequential fold
+def _dot_sql(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_prepend(0.0, list_transform(generate_series(1, {DIM}), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), (acc, x) -> acc + x)"
+    )
+
+
+def _norm_sql(a: str) -> str:
+    return (
+        f"sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1, {DIM}), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))), (acc, x) -> acc + x))"
+    )
+
+
+# --- brute-force cosine top-k -----------------------------------------------------
+
+_TOPK = 5
+_N_QUERIES = 8  # vec_id < 8 are the query vectors
+
+_TOPK_ORACLE = f"""
+WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < {_N_QUERIES}),
+c AS (SELECT vec_id AS n_id, embedding AS n_emb, label AS n_label FROM embeddings),
+scored AS (
+    SELECT q_id, n_id, n_label,
+           {_dot_sql('q_emb', 'n_emb')} / ({_norm_sql('q_emb')} * {_norm_sql('n_emb')}) AS cosine
+    FROM q JOIN c ON q_id <> n_id
+),
+ranked AS (
+    SELECT q_id, n_id, n_label, cosine,
+           ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rnk
+    FROM scored
+)
+SELECT q_id, n_id, n_label, cosine, CAST(rnk AS INT) AS rnk
+FROM ranked WHERE rnk <= {_TOPK}
+ORDER BY q_id, rnk
+"""
+
+
+@register("ann_cosine_topk", _TOPK_ORACLE, headline=True)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k: the brute-force ANN baseline.
+
+    Scale: queries broadcast (small side), corpus never shuffles for the
+    join; per-query rank window partitions on q_id (bounded). At 100 TB the
+    LSH/IVF variants below pre-filter candidates; this operator remains the
+    reranker on the candidate set.
+    """
+    e = _emb(spark, sf_dir)
+    q = e.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    c = e.select(F.col("vec_id").alias("n_id"), F.col("embedding").alias("n_emb"), F.col("label").alias("n_label"))
+    cosine = _dot(F.col("q_emb"), F.col("n_emb")) / (_norm(F.col("q_emb")) * _norm(F.col("n_emb")))
+    scored = F.broadcast(q).join(c, F.col("q_id") != F.col("n_id")).select(
+        "q_id", "n_id", "n_label", cosine.alias("cosine")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), "n_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .where(F.col("rnk") <= _TOPK)
+        .orderBy("q_id", "rnk")
+    )
+
+
+# --- threshold near-duplicate pairs -------------------------------------------------
+
+_NEAR_DUP_THRESHOLD = 0.40  # fixture embeddings are near-orthogonal (max pair ~0.51)
+
+_NEARDUP_ORACLE = f"""
+WITH n AS (
+    SELECT vec_id, embedding, {_norm_sql('embedding')} AS nrm FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       {_dot_sql('a.embedding', 'b.embedding')} / (a.nrm * b.nrm) AS cosine
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE {_dot_sql('a.embedding', 'b.embedding')} / (a.nrm * b.nrm) >= {_NEAR_DUP_THRESHOLD}
+ORDER BY vec_a, vec_b
+"""
+
+
+@register("embedding_near_dup_pairs", _NEARDUP_ORACLE)
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (threshold set semantics — no
+    rank boundary, so float fold-order differences cannot change the result
+    set at any realistic threshold margin).
+
+    Scale note: the all-pairs form is O(n^2) — correct-but-small-data oracle
+    baseline. The LSH-bucket operator below is the candidate generator that
+    replaces the cross join at 100 TB; this exact scorer then runs per bucket.
+    """
+    e = _emb(spark, sf_dir)
+    n = e.select("vec_id", "embedding", _norm(F.col("embedding")).alias("nrm"))
+    a = n.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"), F.col("nrm").alias("nrm_a"))
+    b = n.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"), F.col("nrm").alias("nrm_b"))
+    cosine = _dot(F.col("emb_a"), F.col("emb_b")) / (F.col("nrm_a") * F.col("nrm_b"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cosine.alias("cosine"))
+        .where(F.col("cosine") >= _NEAR_DUP_THRESHOLD)
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+# --- random-hyperplane LSH buckets ----------------------------------------------------
+
+_N_PLANES = 12
+
+# deterministic rational hyperplane coefficients shared by both engines:
+# coeff(p, i) = (h60('hp<p>_<i>') % 2001 - 1000) / 1000  in [-1, 1]
+def _coeff_spark(p: int, i_col: Column) -> Column:
+    seed = F.concat(F.lit(f"hp{p}_"), i_col.cast("string"))
+    h = F.conv(F.substring(F.md5(seed), 1, 15), 16, 10).cast("long")
+    return (h % 2001 - 1000).cast("double") / 1000.0
+
+
+def _coeff_sql(p: int, i_expr: str) -> str:
+    h = f"CAST(('0x' || substr(md5('hp{p}_' || CAST({i_expr} AS VARCHAR)), 1, 15)) AS UBIGINT)::BIGINT"
+    return f"CAST({h} % 2001 - 1000 AS DOUBLE) / 1000.0"
+
+
+_LSH_ORACLE = f"""
+WITH proj AS (
+    SELECT vec_id, label,
+           {", ".join(
+               f"list_reduce(list_prepend(0.0, list_transform(generate_series(1, {DIM}), "
+               f"i -> CAST(embedding[i] AS DOUBLE) * ({_coeff_sql(p, 'i')}))), (acc, x) -> acc + x) AS d{p}"
+               for p in range(_N_PLANES)
+           )}
+    FROM embeddings
+)
+SELECT vec_id, label,
+       CAST({" + ".join(f"CASE WHEN d{p} > 0 THEN {1 << p} ELSE 0 END" for p in range(_N_PLANES))} AS INT) AS bucket
+FROM proj
+ORDER BY vec_id
+"""
+
+
+@register("ann_lsh_buckets", _LSH_ORACLE)
+def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH (Charikar 2002 SimHash for vectors): sign of the
+    projection onto {_N_PLANES} fixed hyperplanes packs into a bucket id.
+    Near-dup / ANN candidates = same-bucket vectors.
+
+    The hyperplane coefficients derive from md5 (rational arithmetic), so the
+    oracle reproduces them bit-exactly — no RNG state to share. Per-row map
+    only: embarrassingly parallel, no shuffle; downstream groupBy(bucket)
+    bounds candidate pairs at any corpus size.
+    """
+    e = _emb(spark, sf_dir)
+
+    # factory keeps the lambda single-parameter (a second, defaulted param
+    # would be interpreted by PySpark as the array-index lambda variable)
+    def _proj(p: int):
+        coeffs = F.transform(F.sequence(F.lit(1), F.lit(DIM)), lambda i: _coeff_spark(p, i))
+        prod = F.zip_with(F.col("embedding"), coeffs, lambda x, cfc: x.cast("double") * cfc)
+        return F.aggregate(prod, F.lit(0.0), lambda acc, x: acc + x)
+
+    projs = [_proj(p).alias(f"d{p}") for p in range(_N_PLANES)]
+    proj = e.select("vec_id", "label", *projs)
+    bucket = None
+    for p in range(_N_PLANES):
+        term = F.when(F.col(f"d{p}") > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bucket = term if bucket is None else bucket + term
+    return proj.select("vec_id", "label", bucket.cast("int").alias("bucket")).orderBy("vec_id")
+
+
+# --- IVF nearest-centroid assignment ----------------------------------------------------
+
+_IVF_ORACLE = f"""
+WITH expanded AS (
+    SELECT label, i, CAST(embedding[i] AS DOUBLE) AS v
+    FROM embeddings, generate_series(1, {DIM}) AS t(i)
+),
+centroids AS (
+    SELECT label AS c_label, i, AVG(v) AS cv
+    FROM expanded GROUP BY label, i
+),
+vec_expanded AS (
+    SELECT vec_id, label, i, CAST(embedding[i] AS DOUBLE) AS v
+    FROM embeddings, generate_series(1, {DIM}) AS t(i)
+),
+dists AS (
+    SELECT vec_id, ve.label, c_label,
+           SUM((v - cv) * (v - cv)) AS dist2
+    FROM vec_expanded ve JOIN centroids c ON ve.i = c.i
+    GROUP BY vec_id, ve.label, c_label
+),
+ranked AS (
+    SELECT vec_id, label, c_label, dist2,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2, c_label) AS rnk
+    FROM dists
+)
+SELECT vec_id, label, CAST(c_label AS INT) AS assigned_label
+FROM ranked WHERE rnk = 1
+ORDER BY vec_id
+"""
+
+
+@register("ivf_nearest_centroid", _IVF_ORACLE)
+def ivf_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style coarse quantization: per-label centroids (the "trained"
+    codebook), each vector assigned to its nearest centroid by squared L2.
+
+    Scale: centroids are a posexplode + groupBy(label, dim) — partial
+    aggregation makes the shuffle O(labels x dim); assignment broadcasts the
+    centroid table and is map-only per vector. This is exactly how an IVF
+    index build distributes.
+    """
+    e = _emb(spark, sf_dir)
+    expanded = e.select("label", F.posexplode("embedding").alias("i", "v")).select(
+        "label", (F.col("i") + 1).alias("i"), F.col("v").cast("double").alias("v")
+    )
+    centroids = expanded.groupBy(F.col("label").alias("c_label"), "i").agg(F.avg("v").alias("cv"))
+    # assemble centroid arrays (small: labels x dim) and broadcast
+    cent_arr = centroids.groupBy("c_label").agg(
+        F.array_sort(F.collect_list(F.struct("i", "cv"))).alias("pairs")
+    ).select("c_label", F.transform(F.col("pairs"), lambda s: s["cv"]).alias("c_emb"))
+    dist2 = F.aggregate(
+        F.zip_with(F.col("embedding"), F.col("c_emb"), lambda x, c: (x.cast("double") - c) * (x.cast("double") - c)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = e.crossJoin(F.broadcast(cent_arr)).select(
+        "vec_id", "label", "c_label", dist2.alias("dist2")
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist2", "c_label")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") == 1)
+        .select("vec_id", "label", F.col("c_label").cast("int").alias("assigned_label"))
+        .orderBy("vec_id")
+    )

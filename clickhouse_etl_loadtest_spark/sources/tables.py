@@ -1,0 +1,44 @@
+"""Fixture-table loader with schema normalization.
+
+The ``events`` parquet stores ``ts`` as TIMESTAMP(NANOS), which Spark's
+vectorized reader rejects. We read nanos as long
+(``spark.sql.legacy.parquet.nanosAsLong``) and truncate to microseconds with
+*integer* arithmetic (``div 1000``) — matching DuckDB's internal ns->us
+truncation exactly. A double-precision detour would corrupt the low
+microsecond (2024 epoch-nanos ~1.7e18 exceeds double's 53-bit mantissa).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> dict[str, DataFrame]:
+    out = {}
+    for name in names:
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
