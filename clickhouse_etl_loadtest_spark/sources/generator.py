@@ -32,8 +32,14 @@ from ..functions.genfuncs import EMAIL_DOMAINS, FIRST_NAMES, LAST_NAMES, gen_dat
 
 
 def unique_count(total_records: int, duplication_rate: float) -> int:
-    """Unique events among ``total_records`` published (see module docstring)."""
-    return int(total_records / (1.0 + duplication_rate))
+    """Unique events among ``total_records`` published (see module docstring).
+
+    Computed in exact rational arithmetic: ``int(1100 / 1.1)`` is 999 in
+    binary floating point, while floor(1100/(1+1/10)) is 1000.
+    """
+    from fractions import Fraction
+
+    return int(Fraction(total_records) / (1 + Fraction(str(duplication_rate))))
 
 
 def generate_user_events(

@@ -1,0 +1,50 @@
+"""Streaming sink with the reference's dual flush policy (W5, SURVEY.md §2.8).
+
+The reference sink flushes on ``max_batch_size`` rows OR ``max_delay_time``
+elapsed, whichever first (deduplication_pipeline.json:65-66; defaults
+/root/reference/src/models.py:39-50). Spark has one knob — the trigger
+interval — so the delay half maps to ``trigger(processingTime=...)`` and the
+row-cap half is enforced inside ``foreachBatch`` by chunking each micro-batch
+into <= max_batch_size inserts (the JDBC ``batchsize`` option for ClickHouse,
+plain partition-wise writes for files).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable
+
+from pyspark.sql import DataFrame
+
+
+def chunked_foreach_batch_writer(
+    write_chunk: Callable[[DataFrame, int], None],
+    max_batch_size: int = 5000,
+) -> Callable[[DataFrame, int], None]:
+    """Wrap a chunk writer into a foreachBatch callback enforcing the row cap.
+
+    Chunking is done by ``randomSplit``-free repartitioning: a micro-batch of
+    N rows becomes ceil(N / max_batch_size) partitions, and the inner writer
+    receives the whole repartitioned frame — each output task (= insert batch)
+    then carries <= ~max_batch_size rows. This keeps the work on executors
+    (no driver-side collect) at any scale.
+    """
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        n = batch_df.count()
+        if n == 0:
+            return
+        chunks = max(1, math.ceil(n / max_batch_size))
+        write_chunk(batch_df.repartition(chunks), batch_id)
+
+    return _write
+
+
+def parquet_chunk_writer(path: str) -> Callable[[DataFrame, int], None]:
+    """Hermetic sink: append each micro-batch to a parquet dir (stands in for
+    the ClickHouse table in env without a server, SURVEY.md §7.0)."""
+
+    def _write(df: DataFrame, batch_id: int) -> None:
+        df.write.mode("append").parquet(path)
+
+    return _write

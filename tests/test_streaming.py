@@ -1,0 +1,129 @@
+"""Streaming parity tests (SURVEY.md §7.2): the real D1 semantics —
+``dropDuplicatesWithinWatermark`` dedup with state carried across
+micro-batches AND across query restarts (checkpoint recovery) — plus the
+chunked sink flush policy (W5). Driven hermetically through file streams with
+AvailableNow waves (no Kafka broker in this environment; Kafka IO is
+config-gated in streaming/query.py)."""
+
+import json
+import os
+
+import pytest
+
+from clickhouse_etl_loadtest_spark.config.schemas import PipelineConfig
+from clickhouse_etl_loadtest_spark.streaming.query import (
+    run_streaming_pipeline,
+    run_until_drained,
+    stop_pipeline,
+)
+
+SPEC = {
+    "pipeline_id": "stream-test",
+    "source": {
+        "type": "files",
+        "topics": [
+            {
+                "name": "topic_a",
+                "schema": {
+                    "fields": [
+                        {"name": "event_id", "type": "string"},
+                        {"name": "payload", "type": "string"},
+                    ]
+                },
+                "deduplication": {
+                    "enabled": True,
+                    "id_field": "event_id",
+                    "time_window": "1h",
+                },
+            }
+        ],
+    },
+    "join": {"enabled": False},
+    "sink": {
+        "type": "parquet",
+        "table": "out",
+        "max_batch_size": 10,
+        "max_delay_time": "1s",
+        "table_mapping": [
+            {"source_id": "topic_a", "field_name": "event_id", "column_name": "event_id", "column_type": "string"},
+            {"source_id": "topic_a", "field_name": "payload", "column_name": "payload", "column_type": "string"},
+        ],
+    },
+}
+
+
+def _write_batch(dirpath: str, fname: str, records: list[dict]) -> None:
+    os.makedirs(dirpath, exist_ok=True)
+    with open(os.path.join(dirpath, fname), "w") as fh:
+        for r in records:
+            fh.write(json.dumps(r) + "\n")
+
+
+@pytest.fixture
+def stream_env(tmp_path):
+    src = tmp_path / "src"
+    sink = tmp_path / "sink"
+    ckpt = tmp_path / "ckpt"
+    (src / "topic_a").mkdir(parents=True)
+    yield str(src), str(sink), str(ckpt)
+    stop_pipeline("stream-test")
+
+
+def _rec(i: int, ts: str = "2024-01-01T00:00:00.000Z") -> dict:
+    return {"event_id": f"e{i}", "payload": f"p{i}", "timestamp": ts}
+
+
+def test_streaming_dedup_across_waves(spark, stream_env):
+    """Re-sent keys in a LATER wave are still suppressed: dedup state lives in
+    the checkpointed state store, exactly the reference's time-window dedup
+    behavior (a per-batch dropDuplicates would emit them again)."""
+    src, sink, ckpt = stream_env
+    pipeline = PipelineConfig.model_validate(SPEC)
+
+    _write_batch(f"{src}/topic_a", "b1.json", [_rec(i) for i in range(20)])
+    run_until_drained(spark, pipeline, sink, ckpt, files_path=src)
+
+    # wave 2: 10 duplicates of wave-1 keys + 5 fresh keys at the same event time
+    _write_batch(f"{src}/topic_a", "b2.json", [_rec(i) for i in range(10)] + [_rec(100 + i) for i in range(5)])
+    run_until_drained(spark, pipeline, sink, ckpt, files_path=src)
+
+    out = spark.read.parquet(sink)
+    assert out.count() == 25  # 20 + 5 fresh; all 10 re-sends suppressed
+    assert out.select("event_id").distinct().count() == 25
+    assert out.columns == ["event_id", "payload"]
+
+
+def test_streaming_duplicates_within_one_wave(spark, stream_env):
+    src, sink, ckpt = stream_env
+    pipeline = PipelineConfig.model_validate(SPEC)
+    records = [_rec(i) for i in range(10)] + [_rec(i) for i in range(10)] + [_rec(3)]
+    _write_batch(f"{src}/topic_a", "b1.json", records)
+    run_until_drained(spark, pipeline, sink, ckpt, files_path=src)
+    out = spark.read.parquet(sink)
+    assert out.count() == 10
+
+
+def test_streaming_sink_chunking(spark, stream_env):
+    """max_batch_size=10 with a 35-row wave -> every sink file (= insert
+    batch) carries <= ~max_batch_size rows (W5 row-cap half)."""
+    src, sink, ckpt = stream_env
+    pipeline = PipelineConfig.model_validate(SPEC)
+    _write_batch(f"{src}/topic_a", "b1.json", [_rec(i) for i in range(35)])
+    run_until_drained(spark, pipeline, sink, ckpt, files_path=src)
+
+    import pyarrow.parquet as pq
+
+    files = [f for f in os.listdir(sink) if f.endswith(".parquet")]
+    sizes = [pq.read_table(os.path.join(sink, f)).num_rows for f in files]
+    assert sum(sizes) == 35
+    assert max(sizes) <= 13  # ceil-split of 35 into 4 chunks, some slack
+
+
+def test_pipeline_registry_guard(spark, stream_env):
+    src, sink, ckpt = stream_env
+    pipeline = PipelineConfig.model_validate(SPEC)
+    _write_batch(f"{src}/topic_a", "b1.json", [_rec(0)])
+    run_streaming_pipeline(spark, pipeline, sink, ckpt, files_path=src, await_ready=False)
+    with pytest.raises(RuntimeError, match="already running"):
+        run_streaming_pipeline(spark, pipeline, sink, ckpt, files_path=src)
+    stop_pipeline("stream-test")
