@@ -1,0 +1,144 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` + typed metadata
+(the LLM-pipeline extension, SURVEY.md §7.6 scope; no reference counterpart).
+
+Design for 100 TB of media:
+- media rows live in parquet/Iceberg with the payload as a ``binary`` column
+  and a typed ``meta`` struct; Spark never interprets the bytes until an
+  explicit decode/feature stage.
+- decode / feature-extract / frame-sample run as ``mapInPandas`` stages:
+  Arrow-batched (one Python roundtrip per ~10k rows, not per row), schema
+  declared up front, partition-parallel. These are the ONLY Python-side
+  operators in the engine — everything else stays JVM-side.
+- the actual codec calls (PIL/librosa/ffmpeg) are import-gated: this
+  container has none of them, so each stage takes a ``decoder`` callable and
+  ships a deterministic fake (byte-level stats) as the default. The Spark
+  plumbing — schemas, batch shapes, partitioning — is real and tested; a real
+  deployment swaps the callable, nothing else changes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+from typing import Callable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MEDIA_KINDS = ("image", "audio", "video")
+
+MEDIA_SCHEMA = (
+    "media_id bigint, kind string, data binary, "
+    "meta struct<format: string, width: int, height: int, sample_rate: int, duration_ms: int>"
+)
+
+DECODED_SCHEMA = "media_id bigint, kind string, n_bytes bigint, checksum string, first_byte int"
+
+FEATURE_BINS = 16
+FEATURE_SCHEMA = f"media_id bigint, feature array<float>"
+
+FRAME_SCHEMA = "media_id bigint, frame_no int, frame binary"
+
+
+def build_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize a media table from the documents fixture: payload bytes =
+    utf-8 text (deterministic fake), kind round-robins, metadata derives from
+    doc stats. Stands in for `spark.read.parquet("s3://media/...")`."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kind = F.element_at(
+        F.array(*[F.lit(k) for k in MEDIA_KINDS]), (F.col("doc_id") % 3 + 1).cast("int")
+    )
+    return d.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        F.encode("text", "utf-8").alias("data"),
+        F.struct(
+            F.lit("fake").alias("format"),
+            (F.col("n_chars") % 640 + 1).cast("int").alias("width"),
+            (F.col("n_chars") % 480 + 1).cast("int").alias("height"),
+            F.lit(16000).alias("sample_rate"),
+            (F.col("n_chars") * 10).cast("int").alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
+# --- decoders (swap for PIL/librosa/ffmpeg in a real deployment) --------------
+
+
+def fake_decode(data: bytes) -> dict:
+    """Deterministic byte-level 'decode': md5 checksum + size + first byte."""
+    return {
+        "n_bytes": len(data),
+        "checksum": hashlib.md5(data).hexdigest(),
+        "first_byte": data[0] if data else None,
+    }
+
+
+def real_image_decode(data: bytes) -> dict:
+    """Placeholder for a PIL-based decoder; import-gated."""
+    try:
+        from PIL import Image  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "real image decode needs PIL, which is not available in this "
+            "environment; pass decoder=fake_decode or install pillow"
+        ) from e
+    raise NotImplementedError("wire PIL decode here when the lib is present")
+
+
+def decode_media(df: DataFrame, decoder: Callable[[bytes], dict] = fake_decode) -> DataFrame:
+    """Decode stage: binary -> structured metadata via Arrow-batched Python.
+
+    mapInPandas (not a scalar UDF) so one batch amortizes the Python
+    transfer, the decoder can drop/emit rows, and the 'data' column can be
+    pruned from the output without a second projection.
+    """
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pd.DataFrame({"media_id": pdf["media_id"], "kind": pdf["kind"]})
+            decoded = pdf["data"].map(lambda b: decoder(bytes(b)))
+            out["n_bytes"] = decoded.map(lambda d: d["n_bytes"]).astype("int64")
+            out["checksum"] = decoded.map(lambda d: d["checksum"])
+            out["first_byte"] = decoded.map(lambda d: d["first_byte"])
+            yield out
+
+    return df.mapInPandas(_decode, schema=DECODED_SCHEMA)
+
+
+def extract_features(df: DataFrame, bins: int = FEATURE_BINS) -> DataFrame:
+    """Feature-extract stage: byte-histogram 'embedding' (deterministic fake
+    for a CNN/CLIP encoder). Output shape array<float>[bins], L1-normalized."""
+    import numpy as np
+
+    def _feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for b in pdf["data"]:
+                arr = np.frombuffer(bytes(b), dtype=np.uint8)
+                hist = np.bincount(arr % bins, minlength=bins).astype("float64")
+                total = hist.sum() or 1.0
+                feats.append((hist / total).astype("float32").tolist())
+            yield pd.DataFrame({"media_id": pdf["media_id"], "feature": feats})
+
+    return df.mapInPandas(_feat, schema=FEATURE_SCHEMA)
+
+
+def sample_frames(df: DataFrame, frame_bytes: int = 64, max_frames: int = 4) -> DataFrame:
+    """Frame-sample stage (video analogue): split the payload into fixed-size
+    chunks, keep every chunk up to ``max_frames`` — the shape of an ffmpeg
+    keyframe sampler (1 input row -> N output rows)."""
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, nos, frames = [], [], []
+            for mid, b in zip(pdf["media_id"], pdf["data"]):
+                raw = bytes(b)
+                for i in range(min(max_frames, max(1, len(raw) // frame_bytes))):
+                    ids.append(mid)
+                    nos.append(i)
+                    frames.append(raw[i * frame_bytes : (i + 1) * frame_bytes])
+            yield pd.DataFrame({"media_id": ids, "frame_no": nos, "frame": frames})
+
+    return df.where(F.col("kind") == "video").mapInPandas(_frames, schema=FRAME_SCHEMA)

@@ -38,6 +38,6 @@ def register(name: str, oracle: str | None, headline: bool = False):
 
 def load_all() -> dict[str, Q]:
     """Import all query modules (side-effect: fills REGISTRY) and return it."""
-    from . import analytics, pipeline, text, vector  # noqa: F401
+    from . import analytics, multimodal, pipeline, text, vector  # noqa: F401
 
     return REGISTRY

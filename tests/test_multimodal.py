@@ -1,0 +1,67 @@
+"""Multimodal plumbing tests: schemas, Arrow batch shapes, 1->N frame
+expansion, decoder gating (SURVEY.md §7.6 / task spec multimodal bullet)."""
+
+import hashlib
+
+import pytest
+
+from clickhouse_etl_loadtest_spark.operators.multimodal import (
+    FEATURE_BINS,
+    build_media_table,
+    decode_media,
+    extract_features,
+    fake_decode,
+    real_image_decode,
+    sample_frames,
+)
+
+
+def test_media_table_schema(spark, sf_dir):
+    media = build_media_table(spark, sf_dir)
+    dtypes = dict(media.dtypes)
+    assert dtypes["data"] == "binary"
+    assert dtypes["kind"] == "string"
+    assert dtypes["meta"].startswith("struct<format:string,width:int")
+    kinds = {r.kind for r in media.select("kind").distinct().collect()}
+    assert kinds == {"image", "audio", "video"}
+
+
+def test_decode_matches_local_hash(spark, sf_dir):
+    media = build_media_table(spark, sf_dir)
+    row = media.orderBy("media_id").first()
+    decoded = decode_media(media).orderBy("media_id").first()
+    assert decoded.media_id == row.media_id
+    assert decoded.n_bytes == len(bytes(row.data))
+    assert decoded.checksum == hashlib.md5(bytes(row.data)).hexdigest()
+    assert decoded.first_byte == bytes(row.data)[0]
+
+
+def test_feature_shape_and_normalization(spark, sf_dir):
+    media = build_media_table(spark, sf_dir).limit(20)
+    feats = extract_features(media).collect()
+    assert len(feats) == 20
+    for r in feats:
+        assert len(r.feature) == FEATURE_BINS
+        assert abs(sum(r.feature) - 1.0) < 1e-3  # L1-normalized
+        assert all(v >= 0 for v in r.feature)
+
+
+def test_frame_sampling_expands_rows(spark, sf_dir):
+    media = build_media_table(spark, sf_dir)
+    n_videos = media.where("kind = 'video'").count()
+    frames = sample_frames(media, frame_bytes=64, max_frames=4)
+    got = frames.groupBy("media_id").count().collect()
+    assert len(got) == n_videos
+    assert all(1 <= r["count"] <= 4 for r in got)
+    one = frames.orderBy("media_id", "frame_no").first()
+    assert isinstance(bytes(one.frame), bytes) and len(bytes(one.frame)) <= 64
+
+
+def test_real_decoder_is_gated():
+    with pytest.raises(NotImplementedError, match="PIL"):
+        real_image_decode(b"\x89PNG")
+
+
+def test_fake_decode_empty_payload():
+    d = fake_decode(b"")
+    assert d["n_bytes"] == 0 and d["first_byte"] is None

@@ -1,0 +1,94 @@
+"""Physical-plan quality gates: the properties that make these plans survive
+a 100 TB scale-up, asserted on ``explain`` output so a regression (a lost
+pushdown, a broadcast that became a shuffle, a Python UDF sneaking into a hot
+path) fails CI — not just slows the bench.
+"""
+
+import contextlib
+import io
+
+import pytest
+
+from clickhouse_etl_loadtest_spark.queries import load_all
+
+REGISTRY = load_all()
+
+
+def plan_of(spark, sf_dir, name: str) -> str:
+    df = REGISTRY[name].fn(spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="formatted")
+    return buf.getvalue()
+
+
+def test_pricing_summary_pushdown_and_pruning(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "pricing_summary")
+    # shipdate predicate reaches the parquet scan
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: scan reads only the 7 needed columns, not all 11
+    read_schema = next(line for line in plan.splitlines() if "ReadSchema" in line)
+    assert "l_orderkey" not in read_schema and "l_partkey" not in read_schema
+    assert "l_quantity" in read_schema
+    # two-phase aggregation (map-side partial combine before the shuffle)
+    assert plan.count("HashAggregate") >= 2
+    # whole-stage codegen: with AQE the codegen markers only exist in the
+    # final (post-execution) plan, so run the query first
+    df = REGISTRY["pricing_summary"].fn(spark, sf_dir)
+    df.collect()
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="formatted")
+    final_plan = buf.getvalue()
+    assert "isFinalPlan=true" in final_plan
+    # codegen stages carry a "* " marker in the final plan (e.g. "* HashAggregate")
+    assert "* HashAggregate" in final_plan
+
+
+def test_region_revenue_broadcasts_dimensions(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "region_revenue")
+    assert plan.count("BroadcastHashJoin") >= 3  # supplier, nation, region
+    # the big fact-side joins shuffle on their keys, not nested-loop
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dedup_uses_partial_aggregation_not_global_window(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "dedup_first_event_per_user_type")
+    # first-wins via min-aggregate + co-partitioned rejoin: partial agg present
+    assert plan.count("HashAggregate") >= 2
+    # no Window operator (a row_number() window would sort entire partitions)
+    assert "Window" not in plan
+
+
+def test_doc_stats_prunes_unused_columns(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "doc_token_stats")
+    read_schema = next(line for line in plan.splitlines() if "ReadSchema" in line)
+    assert "source" not in read_schema  # never referenced -> never read
+
+
+def test_ann_topk_broadcasts_query_side(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "ann_cosine_topk")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    # corpus side must NOT shuffle for the join itself (rank window comes after)
+    scan_to_join = plan.split("Window")[0]
+    assert scan_to_join.count("Exchange") <= 2
+
+
+def test_no_python_udfs_in_jvm_operators(spark, sf_dir):
+    """Everything except the multimodal stages must stay JVM-side."""
+    for name in (
+        "pricing_summary",
+        "doc_token_stats",
+        "doc_minhash_lsh_pairs",
+        "ann_cosine_topk",
+        "dedup_pipeline_e2e",
+        "events_tumbling_1h",
+    ):
+        plan = plan_of(spark, sf_dir, name)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
+def test_multimodal_is_arrow_batched_not_row_python(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "multimodal_decode")
+    assert "MapInPandas" in plan  # Arrow-batched, not per-row BatchEvalPython
+    assert "BatchEvalPython" not in plan
