@@ -404,3 +404,150 @@ def lineitem_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("returnflag", "linestatus")
     )
+
+
+# --- semi join / EXISTS ---------------------------------------------------------
+
+_EXISTS_ORACLE = """
+SELECT c_custkey, c_name
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+ORDER BY c_custkey
+"""
+
+
+@register("customers_with_big_orders", _EXISTS_ORACLE)
+def customers_with_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS/semi-join: customers having any order above 400k."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 400000)
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+# --- correlated aggregate ---------------------------------------------------------
+
+_ABOVE_AVG_ORACLE = """
+WITH avgs AS (
+    SELECT o_custkey AS k, CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS cust_avg
+    FROM orders GROUP BY o_custkey
+)
+SELECT o_orderkey, o_custkey, o_totalprice, cust_avg
+FROM orders JOIN avgs ON o_custkey = k
+WHERE o_totalprice > cust_avg
+ORDER BY o_orderkey
+"""
+
+
+@register("orders_above_customer_avg", _ABOVE_AVG_ORACLE)
+def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-aggregate shape (each order vs its customer's average),
+    decorrelated to aggregate + co-partitioned rejoin — the same one-shuffle
+    plan Catalyst's decorrelation would emit for the subquery form."""
+    o = _t(spark, sf_dir, "orders")
+    n = F.count(F.lit(1))
+    avgs = o.groupBy(F.col("o_custkey").alias("k")).agg(
+        (_dsum("o_totalprice") / n).alias("cust_avg")
+    )
+    return (
+        o.join(avgs, F.col("o_custkey") == F.col("k"))
+        .where(F.col("o_totalprice") > F.col("cust_avg"))
+        .select("o_orderkey", "o_custkey", "o_totalprice", "cust_avg")
+        .orderBy("o_orderkey")
+    )
+
+
+# --- pivot -----------------------------------------------------------------------
+
+_PIVOT_ORACLE = """
+SELECT user_id,
+       CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+       CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+       CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register("events_pivot_by_type", _PIVOT_ORACLE)
+def events_pivot_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with an explicit value list — at scale always pass the values so
+    Spark skips the distinct-scan pre-pass and the plan stays one aggregation."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.coalesce(F.count(F.lit(1)), F.lit(0)))
+        .fillna(0, subset=_EVENT_TYPES)
+        .orderBy("user_id")
+    )
+
+
+# --- percentiles --------------------------------------------------------------------
+
+_PCTL_ORACLE = """
+SELECT l_returnflag,
+       quantile_cont(l_extendedprice, 0.25) AS p25,
+       quantile_cont(l_extendedprice, 0.50) AS p50,
+       quantile_cont(l_extendedprice, 0.90) AS p90,
+       quantile_cont(l_extendedprice, 0.99) AS p99
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@register("price_percentiles", _PCTL_ORACLE)
+def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark ``percentile`` == DuckDB
+    ``quantile_cont``, verified). At 100 TB swap to ``approx_percentile`` —
+    the exact form needs per-group sorted value buffers."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_extendedprice, 0.25)").alias("p25"),
+            F.expr("percentile(l_extendedprice, 0.50)").alias("p50"),
+            F.expr("percentile(l_extendedprice, 0.90)").alias("p90"),
+            F.expr("percentile(l_extendedprice, 0.99)").alias("p99"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --- ordered string aggregation -------------------------------------------------------
+
+_STRAGG_ORACLE = """
+SELECT n_name,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       string_agg(c_name, ',' ORDER BY c_name) AS customer_names
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE c_acctbal > 9000
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+
+@register("rich_customers_per_nation", _STRAGG_ORACLE)
+def rich_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation: collect_list is unordered in Spark, so
+    sort_array before joining — deterministic at any parallelism."""
+    c = _t(spark, sf_dir, "customer").where(F.col("c_acctbal") > 9000)
+    n = _t(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.array_join(F.sort_array(F.collect_list("c_name")), ",").alias("customer_names"),
+        )
+        .orderBy("n_name")
+    )

@@ -487,3 +487,145 @@ def doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .orderBy("doc_a", "doc_b")
     )
+
+
+# --- fuzzy dedup end-to-end: LSH candidates -> exact verify -> keep list -------
+
+_FUZZY_THRESHOLD = 0.5
+
+_FUZZY_KEEP_ORACLE = f"""
+WITH sh AS ({_SHINGLES_SQL}),
+hashed AS (
+    SELECT doc_id, {h32_sql_duckdb("unnest(shingles)")} AS sh FROM sh
+),
+mh AS (
+    SELECT doc_id,
+           {_minhash_exprs_sql}
+    FROM hashed GROUP BY doc_id
+),
+bands AS ({_band_sql}),
+candidates AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+),
+exploded AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+verified AS (
+    SELECT doc_a, doc_b
+    FROM (
+        SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+        FROM candidates c
+        JOIN exploded ea ON ea.doc_id = c.doc_a
+        JOIN exploded eb ON eb.doc_id = c.doc_b AND ea.shingle = eb.shingle
+        GROUP BY c.doc_a, c.doc_b
+    ) i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) >= {_FUZZY_THRESHOLD}
+)
+SELECT d.doc_id, d.doc_id NOT IN (SELECT doc_b FROM verified) AS keep
+FROM documents d
+ORDER BY d.doc_id
+"""
+
+
+@register("doc_fuzzy_dedup_keep", _FUZZY_KEEP_ORACLE)
+def doc_fuzzy_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fuzzy-dedup decision end-to-end — the operator a pre-training
+    pipeline actually runs: MinHash-LSH candidate generation (bounded
+    shuffle), exact Jaccard verification ONLY on candidates, drop the
+    higher doc_id of every verified near-dup pair.
+
+    Scale: verification cost is O(candidates), not O(n^2); the final keep
+    decision is a left-anti join on the (tiny) drop list.
+    """
+    candidates = doc_minhash_lsh_pairs(spark, sf_dir)
+    sh = _shingles_df(spark, sf_dir)
+    exploded = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
+
+    ea = exploded.select(F.col("doc_id").alias("doc_a"), "shingle")
+    eb = exploded.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        candidates.join(ea, "doc_a")
+        .join(eb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_common") * 1.0 / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    drop = (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .where(jac >= _FUZZY_THRESHOLD)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    d = _docs(spark, sf_dir).select("doc_id")
+    kept = d.join(drop.withColumn("_drop", F.lit(True)), "doc_id", "left")
+    return kept.select("doc_id", F.coalesce(~F.col("_drop"), F.lit(True)).alias("keep")).orderBy("doc_id")
+
+
+# --- top-k most similar docs per doc --------------------------------------------
+
+_TOP_SIMILAR_K = 3
+
+_TOP_SIMILAR_ORACLE = f"""
+WITH sh AS ({_SHINGLES_SQL}),
+exploded AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+    FROM exploded a JOIN exploded b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+    GROUP BY 1, 2
+),
+scored AS (
+    SELECT doc_a, doc_b,
+           n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+    FROM pairs JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+),
+ranked AS (
+    SELECT doc_a, doc_b, jaccard,
+           ROW_NUMBER() OVER (PARTITION BY doc_a ORDER BY jaccard DESC, doc_b) AS rnk
+    FROM scored WHERE jaccard >= 0.05
+)
+SELECT doc_a, doc_b, jaccard, CAST(rnk AS INT) AS rnk
+FROM ranked WHERE rnk <= {_TOP_SIMILAR_K}
+ORDER BY doc_a, rnk
+"""
+
+
+@register("doc_top_similar", _TOP_SIMILAR_ORACLE)
+def doc_top_similar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k most-similar documents per document by shingle Jaccard — the
+    near-dup *search* form (vs the pair/keep forms above)."""
+    from pyspark.sql.window import Window
+
+    sh = _shingles_df(spark, sf_dir)
+    exploded = sh.select("doc_id", F.explode("shingles").alias("shingle")).select(
+        "doc_id", h32(F.col("shingle")).alias("sh")
+    )
+    sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
+    a = exploded.select(F.col("doc_id").alias("doc_a"), "sh")
+    b = exploded.select(F.col("doc_id").alias("doc_b"), "sh")
+    pairs = (
+        a.join(b, "sh")
+        .where(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = (F.col("n_common") * 1.0 / (F.col("n_a") + F.col("n_b") - F.col("n_common"))).alias("jaccard")
+    w = Window.partitionBy("doc_a").orderBy(F.desc("jaccard"), "doc_b")
+    return (
+        pairs.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .select("doc_a", "doc_b", jac)
+        .where(F.col("jaccard") >= 0.05)
+        .withColumn("rnk", F.row_number().over(w).cast("int"))
+        .where(F.col("rnk") <= _TOP_SIMILAR_K)
+        .select("doc_a", "doc_b", "jaccard", "rnk")
+        .orderBy("doc_a", "rnk")
+    )
