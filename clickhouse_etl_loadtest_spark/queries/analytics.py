@@ -261,7 +261,7 @@ SELECT CAST(user_id AS BIGINT) AS user_id FROM (
      INTERSECT
      SELECT DISTINCT user_id FROM events WHERE event_type = 'click')
     EXCEPT
-    SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+    SELECT DISTINCT user_id FROM events WHERE event_type = 'error' AND value > 300
 )
 ORDER BY user_id
 """
@@ -269,13 +269,19 @@ ORDER BY user_id
 
 @register("engaged_users_setops", _SETOPS_ORACLE)
 def engaged_users_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """INTERSECT/EXCEPT coverage: purchasers who clicked but never errored."""
+    """INTERSECT/EXCEPT coverage: purchasers who clicked but never had a
+    high-value error (the value filter keeps both setop inputs non-empty on
+    the fixtures, so the oracle check is meaningful)."""
     ev = _t(spark, sf_dir, "events")
 
-    def users(t: str) -> DataFrame:
-        return ev.where(F.col("event_type") == t).select("user_id").distinct()
+    def users(t: str, pred=None) -> DataFrame:
+        df = ev.where(F.col("event_type") == t)
+        if pred is not None:
+            df = df.where(pred)
+        return df.select("user_id").distinct()
 
-    return users("purchase").intersect(users("click")).exceptAll(users("error")).orderBy("user_id")
+    bad = users("error", F.col("value") > 300)
+    return users("purchase").intersect(users("click")).exceptAll(bad).orderBy("user_id")
 
 
 # --- scalar function showcase -------------------------------------------------
@@ -357,7 +363,7 @@ def orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ANTI_ORACLE = """
 SELECT c_custkey, c_name, c_acctbal
 FROM customer
-WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 450000)
 ORDER BY c_custkey
 """
 
@@ -365,9 +371,10 @@ ORDER BY c_custkey
 @register("customers_without_orders", _ANTI_ORACLE)
 def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left-anti join (the reference has no join kinds at all — SURVEY.md §2.4
-    notes semi/anti come free with Spark)."""
+    notes semi/anti come free with Spark). Filtered to high-value orders so
+    the anti side is non-empty on the fixtures."""
     c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 450000)
     return (
         c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
         .select("c_custkey", "c_name", "c_acctbal")

@@ -325,7 +325,7 @@ SELECT e.event_id, e.user_id, e.ts, e.value,
 FROM (SELECT * FROM events WHERE event_type = 'purchase') e
 JOIN orders o
   ON e.user_id = o.o_custkey
- AND o.o_orderdate BETWEEN e.ts - INTERVAL 2000 DAY AND e.ts
+ AND o.o_orderdate BETWEEN e.ts - INTERVAL 10000 DAY AND e.ts
 ORDER BY e.event_id, o.o_orderkey
 """
 
@@ -339,7 +339,7 @@ def interval_join_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     cond = (
         (ev.user_id == o.o_custkey)
-        & (o.o_orderdate >= ev.ts - F.expr("INTERVAL 2000 DAYS"))
+        & (o.o_orderdate >= ev.ts - F.expr("INTERVAL 10000 DAYS"))
         & (o.o_orderdate <= ev.ts)
     )
     return (
