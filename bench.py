@@ -36,6 +36,11 @@ def main() -> None:
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
     total = round(time.perf_counter() - t_all, 3)
 
+    # Reference-comparable load test: 5M records / dup 0.1 — the exact workload
+    # + metric formulas of BASELINE.md row 1 (5M @ 2 procs: 8,705 kafka RPS,
+    # 8,547 glassflow RPS). num_processes here = Spark partitions (C6).
+    loadtest = run_loadtest(spark)
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -45,10 +50,43 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "loadtest_5m": loadtest,
             }
         )
     )
     spark.stop()
+
+
+def run_loadtest(spark, total_records: int = 5_000_000) -> dict:
+    import shutil
+    import tempfile
+
+    from clickhouse_etl_loadtest_spark.config.reference_pipeline import reference_pipeline
+    from clickhouse_etl_loadtest_spark.harness.executor import TestExecutor
+
+    n_proc = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    work = tempfile.mkdtemp(prefix="bench-loadtest-")
+    try:
+        ex = TestExecutor(spark, "bench", reference_pipeline(), work, f"{work}/results.csv")
+        r = ex.run_tests([{"total_records": total_records, "num_processes": n_proc}], resume=False)[0]
+        d = r.model_dump()
+        out = {
+            k: d[k]
+            for k in (
+                "result_num_records",
+                "result_total_generated",
+                "result_kafka_ingestion_rps",
+                "result_glassflow_rps",
+                "result_avg_latency_ms",
+                "result_lag_ms",
+                "result_success",
+                "duration_sec",
+            )
+        }
+        print(f"# loadtest 5M: {out}", file=sys.stderr)
+        return out
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 if __name__ == "__main__":

@@ -112,8 +112,10 @@ class TestExecutor:
 
         # publish phase: generation parallelism = partitions (C6)
         t0 = time.perf_counter()
+        # generator already emits exactly n_proc partitions (spark.range slices)
+        # — writing directly avoids a full round-robin shuffle of the payload.
         events = generate_user_events(self.spark, total, rate, num_partitions=n_proc)
-        events.repartition(n_proc).write.mode("overwrite").parquet(staging)
+        events.write.mode("overwrite").parquet(staging)
         publish_ms = (time.perf_counter() - t0) * 1000
         result.result_num_records = total
         result.result_total_generated = n_unique

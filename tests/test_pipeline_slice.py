@@ -16,47 +16,9 @@ from clickhouse_etl_loadtest_spark.sources.generator import (
     unique_count,
 )
 
-PIPELINE_SPEC = {
-    "pipeline_id": "test-dedup-pipeline",
-    "source": {
-        "type": "values",
-        "topics": [
-            {
-                "name": "user_events_with_duplicates",
-                "schema": {
-                    "type": "json",
-                    "fields": [
-                        {"name": "event_id", "type": "string"},
-                        {"name": "user_id", "type": "string"},
-                        {"name": "name", "type": "string"},
-                        {"name": "email", "type": "string"},
-                        {"name": "created_at", "type": "string"},
-                    ],
-                },
-                "deduplication": {
-                    "enabled": True,
-                    "id_field": "event_id",
-                    "id_field_type": "string",
-                    "time_window": "8h",
-                },
-            }
-        ],
-    },
-    "join": {"enabled": False},
-    "sink": {
-        "type": "parquet",
-        "table": "user_events_deduplicated",
-        "max_batch_size": 5000,
-        "max_delay_time": "10s",
-        "table_mapping": [
-            {"source_id": "user_events_with_duplicates", "field_name": "event_id", "column_name": "event_id", "column_type": "uuid"},
-            {"source_id": "user_events_with_duplicates", "field_name": "user_id", "column_name": "user_id", "column_type": "uuid"},
-            {"source_id": "user_events_with_duplicates", "field_name": "created_at", "column_name": "created_at", "column_type": "datetime"},
-            {"source_id": "user_events_with_duplicates", "field_name": "name", "column_name": "user_name", "column_type": "string"},
-            {"source_id": "user_events_with_duplicates", "field_name": "email", "column_name": "user_email", "column_type": "string"},
-        ],
-    },
-}
+from clickhouse_etl_loadtest_spark.config.reference_pipeline import (
+    REFERENCE_PIPELINE_SPEC as PIPELINE_SPEC,
+)
 
 
 def test_unique_count_matches_reference_results():

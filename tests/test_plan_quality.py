@@ -54,10 +54,12 @@ def test_region_revenue_broadcasts_dimensions(spark, sf_dir):
 
 def test_dedup_uses_partial_aggregation_not_global_window(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "dedup_first_event_per_user_type")
-    # first-wins via min-aggregate + co-partitioned rejoin: partial agg present
-    assert plan.count("HashAggregate") >= 2
+    # first-wins via one min_by aggregation: partial + final agg, ONE shuffle
+    assert plan.count("Aggregate(") >= 2 or plan.count("Aggregate") >= 2
     # no Window operator (a row_number() window would sort entire partitions)
     assert "Window" not in plan
+    # no self-join back onto the input (the old agg+rejoin shape)
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
 
 
 def test_doc_stats_prunes_unused_columns(spark, sf_dir):
