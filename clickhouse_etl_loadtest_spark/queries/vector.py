@@ -89,13 +89,24 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     join; per-query rank window partitions on q_id (bounded). At 100 TB the
     LSH/IVF variants below pre-filter candidates; this operator remains the
     reranker on the candidate set.
+
+    Norms are computed ONCE per side before the join (higher-order array
+    functions are interpreted, not codegen'd — recomputing both norms per
+    pair measured ~4x slower); only the dot product remains per-pair.
     """
     e = _emb(spark, sf_dir)
     q = e.where(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        _norm(F.col("embedding")).alias("q_nrm"),
     )
-    c = e.select(F.col("vec_id").alias("n_id"), F.col("embedding").alias("n_emb"), F.col("label").alias("n_label"))
-    cosine = _dot(F.col("q_emb"), F.col("n_emb")) / (_norm(F.col("q_emb")) * _norm(F.col("n_emb")))
+    c = e.select(
+        F.col("vec_id").alias("n_id"),
+        F.col("embedding").alias("n_emb"),
+        F.col("label").alias("n_label"),
+        _norm(F.col("embedding")).alias("n_nrm"),
+    )
+    cosine = _dot(F.col("q_emb"), F.col("n_emb")) / (F.col("q_nrm") * F.col("n_nrm"))
     scored = F.broadcast(q).join(c, F.col("q_id") != F.col("n_id")).select(
         "q_id", "n_id", "n_label", cosine.alias("cosine")
     )
