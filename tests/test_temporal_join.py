@@ -1,0 +1,149 @@
+"""Temporal two-source join tests (J1, SURVEY.md §2.4 / §7.4).
+
+The reference declares the join but never exercises it (`"join": {"enabled":
+false}` in config; only `join.sources[0].join_key` is read for sink ORDER BY,
+/root/reference/src/pre_process.py:9-12). GlassFlow docs describe a
+left-oriented temporal join of two topics within a time window — tested here
+in both forms: batch (equi join + time-range predicate) and streaming
+(watermarked stream-stream interval join with bounded state).
+"""
+
+import json
+import os
+
+import pytest
+
+from clickhouse_etl_loadtest_spark.config.schemas import PipelineConfig
+from clickhouse_etl_loadtest_spark.plans.compiler import compile_batch
+from clickhouse_etl_loadtest_spark.streaming.query import run_until_drained, stop_pipeline
+
+JOIN_SPEC = {
+    "pipeline_id": "join-test",
+    "source": {
+        "type": "files",
+        "topics": [
+            {
+                "name": "orders_topic",
+                "schema": {
+                    "fields": [
+                        {"name": "order_id", "type": "string"},
+                        {"name": "user_id", "type": "string"},
+                        {"name": "amount", "type": "string"},
+                    ]
+                },
+                "deduplication": {"enabled": False},
+            },
+            {
+                "name": "users_topic",
+                "schema": {
+                    "fields": [
+                        {"name": "user_id", "type": "string"},
+                        {"name": "user_name", "type": "string"},
+                    ]
+                },
+                "deduplication": {"enabled": False},
+            },
+        ],
+    },
+    "join": {
+        "enabled": True,
+        "type": "temporal",
+        "sources": [
+            {"source_id": "orders_topic", "join_key": "user_id", "time_window": "1h", "orientation": "left"},
+            {"source_id": "users_topic", "join_key": "user_id", "time_window": "1h"},
+        ],
+    },
+    "sink": {
+        "type": "parquet",
+        "table": "joined",
+        "max_batch_size": 1000,
+        "max_delay_time": "1s",
+        "table_mapping": [
+            {"source_id": "orders_topic", "field_name": "order_id", "column_name": "order_id", "column_type": "string"},
+            {"source_id": "orders_topic", "field_name": "user_id", "column_name": "user_id", "column_type": "string"},
+            {"source_id": "orders_topic", "field_name": "amount", "column_name": "amount", "column_type": "string"},
+            {"source_id": "users_topic", "field_name": "user_name", "column_name": "user_name", "column_type": "string"},
+        ],
+    },
+}
+
+T0 = "2024-01-01T12:00:00.000Z"
+IN_WINDOW = "2024-01-01T12:30:00.000Z"  # 30 min after user event
+OUT_WINDOW = "2024-01-01T14:00:00.000Z"  # 2 h after user event
+
+
+def _order(i, user, ts, amount="10"):
+    return {"order_id": f"o{i}", "user_id": user, "amount": amount, "timestamp": ts}
+
+
+def _user(user, name, ts):
+    return {"user_id": user, "user_name": name, "timestamp": ts}
+
+
+def _write(dirpath, fname, records):
+    os.makedirs(dirpath, exist_ok=True)
+    with open(os.path.join(dirpath, fname), "w") as fh:
+        for r in records:
+            fh.write(json.dumps(r) + "\n")
+
+
+def _frames(spark):
+    """The same records as in-memory batch DataFrames (ts typed timestamp)."""
+    from pyspark.sql import functions as F
+
+    orders = spark.createDataFrame(
+        [("o1", "u1", "10", IN_WINDOW), ("o2", "u1", "20", OUT_WINDOW), ("o3", "u2", "30", IN_WINDOW), ("o4", "u9", "40", IN_WINDOW)],
+        "order_id string, user_id string, amount string, timestamp string",
+    ).withColumn("timestamp", F.to_timestamp("timestamp"))
+    users = spark.createDataFrame(
+        [("u1", "Alice", T0), ("u2", "Bob", T0)],
+        "user_id string, user_name string, timestamp string",
+    ).withColumn("timestamp", F.to_timestamp("timestamp"))
+    return orders, users
+
+
+def test_batch_temporal_join(spark):
+    """Left orientation: in-window orders enriched; out-of-window and
+    unmatched-key orders survive with NULL right side."""
+    pipeline = PipelineConfig.model_validate(JOIN_SPEC)
+    orders, users = _frames(spark)
+    out = compile_batch(pipeline, {"orders_topic": orders, "users_topic": users})
+    rows = {r["order_id"]: r for r in out.collect()}
+    assert set(rows) == {"o1", "o2", "o3", "o4"}
+    assert rows["o1"]["user_name"] == "Alice"  # 30 min gap: joined
+    assert rows["o2"]["user_name"] is None  # 2 h gap: outside 1h window
+    assert rows["o3"]["user_name"] == "Bob"
+    assert rows["o4"]["user_name"] is None  # no matching user at all
+    assert out.columns == ["order_id", "user_id", "amount", "user_name"]
+
+
+def test_streaming_temporal_join(spark, tmp_path):
+    """Watermarked stream-stream interval join (inner in streaming mode —
+    outer stream joins need both watermarks to advance past the row before
+    emitting NULLs, which a single AvailableNow wave cannot guarantee)."""
+    src, sink, ckpt = str(tmp_path / "src"), str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    pipeline = PipelineConfig.model_validate(JOIN_SPEC)
+    _write(
+        f"{src}/orders_topic",
+        "b1.json",
+        [_order(1, "u1", IN_WINDOW), _order(2, "u1", OUT_WINDOW), _order(3, "u2", IN_WINDOW), _order(4, "u9", IN_WINDOW)],
+    )
+    _write(f"{src}/users_topic", "b1.json", [_user("u1", "Alice", T0), _user("u2", "Bob", T0)])
+    try:
+        run_until_drained(spark, pipeline, sink, ckpt, files_path=src)
+    finally:
+        stop_pipeline("join-test")
+    out = spark.read.parquet(sink)
+    rows = {r["order_id"]: r for r in out.collect()}
+    assert set(rows) == {"o1", "o3"}  # inner: only in-window matches emit
+    assert rows["o1"]["user_name"] == "Alice"
+    assert rows["o3"]["user_name"] == "Bob"
+
+
+def test_join_key_drives_sink_order_by():
+    """ORDER BY = join key when join enabled (S8 parity,
+    /root/reference/src/utils/clickhouse.py:34-36)."""
+    from clickhouse_etl_loadtest_spark.sources.clickhouse import order_by_key
+
+    pipeline = PipelineConfig.model_validate(JOIN_SPEC)
+    assert order_by_key(pipeline.sink, pipeline.join) == "user_id"
