@@ -558,3 +558,211 @@ def rich_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+# --- lead/lag windows -----------------------------------------------------------
+
+_LAG_ORACLE = """
+SELECT event_id, user_id, ts,
+       LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts,
+       CAST(date_diff('second', LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) AS BIGINT) AS gap_seconds,
+       LEAD(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_event_id
+FROM events
+ORDER BY user_id, ts, event_id
+"""
+
+
+@register("events_lead_lag", _LAG_ORACLE)
+def events_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lead/lag offset windows: per-user inter-event gaps.
+
+    Scale: one shuffle on user_id, per-partition sort — the minimal plan for
+    any offset window; no self-join (the naive formulation) needed."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        prev_ts.alias("prev_ts"),
+        (F.unix_timestamp("ts") - F.unix_timestamp(prev_ts)).cast("bigint").alias("gap_seconds"),
+        F.lead("event_id").over(w).alias("next_event_id"),
+    ).orderBy("user_id", "ts", "event_id")
+
+
+# --- CUBE -----------------------------------------------------------------------
+
+_CUBE_ORACLE = """
+SELECT
+    COALESCE(l_returnflag, 'ALL') AS returnflag,
+    COALESCE(l_linestatus, 'ALL') AS linestatus,
+    CAST(COUNT(*) AS BIGINT) AS n_rows,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY returnflag, linestatus
+"""
+
+
+@register("lineitem_cube", _CUBE_ORACLE)
+def lineitem_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all grouping-set combinations in one pass (Spark expands to a
+    single Expand + aggregate — one shuffle regardless of set count)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n_rows"), _dsum("l_extendedprice").alias("sum_price"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n_rows",
+            "sum_price",
+        )
+        .orderBy("returnflag", "linestatus")
+    )
+
+
+# --- hopping (sliding) windows ---------------------------------------------------
+
+_HOP_ORACLE = """
+WITH assigned AS (
+    SELECT time_bucket(INTERVAL '30 minutes', ts) AS window_start, user_id FROM events
+    UNION ALL
+    SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes' AS window_start, user_id FROM events
+)
+SELECT window_start,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM assigned
+GROUP BY window_start
+ORDER BY window_start
+"""
+
+
+@register("events_hopping_1h_30m", _HOP_ORACLE)
+def events_hopping_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping window: 1h length sliding every 30m (each event lands in
+    exactly 2 windows). Streaming analogue is identical syntax plus a
+    watermark; the oracle expands the window assignment by hand."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.countDistinct("user_id").alias("n_users"))
+        .select(F.col("w.start").alias("window_start"), "n_events", "n_users")
+        .orderBy("window_start")
+    )
+
+
+# --- conditional aggregation over a join (TPC-H Q12 shape) -----------------------
+
+_PRIORITY_ORACLE = """
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@register("priority_line_counts", _PRIORITY_ORACLE)
+def priority_line_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: fact-fact equi-join + conditional aggregation.
+    Only (l_orderkey, l_returnflag) and (o_orderkey, o_orderpriority) are
+    read — the scans prune to 2 columns each before the shuffle."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_returnflag")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --- ratio-of-sums over a join (TPC-H Q14 shape) ---------------------------------
+
+_PROMO_ORACLE = """
+SELECT CAST(strftime(l_shipdate, '%Y-%m') AS VARCHAR) AS ship_month,
+       CAST(100.0 * SUM(CASE WHEN p_type LIKE 'PROMO%'
+                             THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))
+                             ELSE CAST(0 AS DECIMAL(12,2)) END) /
+            SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@register("promo_revenue_by_month", _PROMO_ORACLE)
+def promo_revenue_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: ratio of conditional sums over a fact-dim join.
+    part is the small side — broadcast, so lineitem never shuffles."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    disc_price = _dec("l_extendedprice") * (1 - _dec("l_discount"))
+    promo = F.when(F.col("p_type").like("PROMO%"), disc_price).otherwise(F.lit(0).cast("decimal(12,2)"))
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"))
+        .agg((F.lit(100.0) * F.sum(promo) / F.sum(disc_price)).cast("double").alias("promo_revenue_pct"))
+        .orderBy("ship_month")
+    )
+
+
+# --- global top-N ----------------------------------------------------------------
+
+_TOPN_ORACLE = """
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 20
+"""
+
+
+@register("top_orders_global", _TOPN_ORACLE)
+def top_orders_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global ORDER BY .. LIMIT: compiles to TakeOrderedAndProject — each
+    partition keeps its local top-20, the driver merges; no global sort."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(20)
+    )
+
+
+# --- union of branches -----------------------------------------------------------
+
+_UNION_ORACLE = """
+SELECT kind, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM (
+    SELECT 'big_purchase' AS kind, value FROM events WHERE event_type = 'purchase' AND value > 250
+    UNION ALL
+    SELECT 'any_error' AS kind, value FROM events WHERE event_type = 'error'
+)
+GROUP BY kind
+ORDER BY kind
+"""
+
+
+@register("event_branches_union", _UNION_ORACLE)
+def event_branches_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL of tagged branches + aggregate. Both branches scan the same
+    table; Spark keeps them as one union node with per-branch pushed filters."""
+    ev = _t(spark, sf_dir, "events")
+    big = ev.where((F.col("event_type") == "purchase") & (F.col("value") > 250)).select(
+        F.lit("big_purchase").alias("kind"), "value"
+    )
+    err = ev.where(F.col("event_type") == "error").select(F.lit("any_error").alias("kind"), "value")
+    return (
+        big.unionByName(err)
+        .groupBy("kind")
+        .agg(F.count(F.lit(1)).alias("n"), _dsum("value").alias("total_value"))
+        .orderBy("kind")
+    )
