@@ -127,3 +127,36 @@ def test_cli_single_config(tmp_path, spark):
     assert rc == 0
     rows = TestResultsHandler(str(tmp_path / "results" / "cli1_results.csv")).read_validated_results()
     assert len(rows) == 1 and rows[0].result_success
+
+
+def test_results_analyzer_cli(tmp_path, capsys):
+    """results.py parity (C8/§3.3): validated read + per-variant display."""
+    import results as results_cli
+    from clickhouse_etl_loadtest_spark.harness.metrics import TestResult, TestResultsHandler
+
+    f = str(tmp_path / "r.csv")
+    h = TestResultsHandler(f)
+    h.write_result(
+        TestResult(
+            test_id="t",
+            variant_id="load_abc12345",
+            param_num_processes=2,
+            param_total_records=1000,
+            param_duplication_rate=0.1,
+            param_deduplication_window="1h",
+            param_max_batch_size=100,
+            param_max_delay_time="1s",
+            result_num_records=1000,
+            result_total_generated=909,
+            result_total_duplicates=91,
+            result_num_processes=2,
+            result_time_taken_publish_ms=100.0,
+            result_time_taken_ms=200.0,
+            result_lag_ms=5.0,
+            result_success=True,
+            duration_sec=1.0,
+        ).with_derived_rates()
+    )
+    assert results_cli.main(["--results-file", f]) == 0
+    out = capsys.readouterr().out
+    assert "load_abc12345" in out and "1/1 variants succeeded" in out
