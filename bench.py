@@ -19,12 +19,24 @@ def main() -> None:
     from clickhouse_etl_loadtest_spark.queries import load_all
     from clickhouse_etl_loadtest_spark.session import get_spark
 
+    from pyspark.sql import functions as F
+
     registry = load_all()
     headline = {name: q for name, q in sorted(registry.items()) if q.headline}
 
     spark = get_spark(app_name="bench")
-    # JVM + codegen warmup so per-query timings measure the plan, not startup
-    spark.range(1000).selectExpr("sum(id)").collect()
+    # JVM + codegen + shuffle + parquet-reader + higher-order-function warmup
+    # so per-query timings measure the plan, not class loading. Touches a
+    # non-fixture path and generated data only — no headline query pre-runs.
+    spark.range(10_000).selectExpr("sum(id)").collect()
+    warm = spark.range(1_000).selectExpr(
+        "id % 7 AS k", "array_repeat(cast(id as double), 8) AS arr"
+    )
+    warm.groupBy("k").agg(
+        F.sum(F.aggregate("arr", F.lit(0.0), lambda a, x: a + x))
+    ).collect()
+    warm.write.mode("overwrite").parquet("/tmp/bench-warmup")
+    spark.read.parquet("/tmp/bench-warmup").count()
 
     timings: dict[str, float] = {}
     t_all = time.perf_counter()

@@ -51,7 +51,9 @@ LANG_MARKERS = {
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from ..sources.tables import parallelize_scan
+
+    return parallelize_scan(spark, spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 def _tokens(col: str = "text", pattern: str = TOKEN_RE) -> Column:

@@ -26,7 +26,9 @@ DIM = 64
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    from ..sources.tables import parallelize_scan
+
+    return parallelize_scan(spark, spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
 
 
 def _dot(a: Column, b: Column) -> Column:
