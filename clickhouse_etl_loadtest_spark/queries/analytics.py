@@ -766,3 +766,40 @@ def event_branches_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), _dsum("value").alias("total_value"))
         .orderBy("kind")
     )
+
+
+# --- column profiling -------------------------------------------------------------
+
+_PROFILE_ORACLE = """
+SELECT
+    CAST(COUNT(*) AS BIGINT) AS n_rows,
+    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS user_id_distinct,
+    CAST(COUNT(DISTINCT event_type) AS BIGINT) AS event_type_distinct,
+    CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS props_nulls,
+    CAST(MIN(value) AS DOUBLE) AS value_min,
+    CAST(MAX(value) AS DOUBLE) AS value_max,
+    CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS value_mean,
+    CAST(MIN(ts) AS TIMESTAMP) AS ts_min,
+    CAST(MAX(ts) AS TIMESTAMP) AS ts_max
+FROM events
+"""
+
+
+@register("events_profile", _PROFILE_ORACLE)
+def events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data profiling in ONE pass: row count, per-column distincts, null
+    counts, numeric min/max/mean, time range. The single-aggregation shape is
+    what a 100 TB profiling job must be — never one pass per column."""
+    ev = _t(spark, sf_dir, "events")
+    n = F.count(F.lit(1))
+    return ev.agg(
+        n.alias("n_rows"),
+        F.countDistinct("user_id").alias("user_id_distinct"),
+        F.countDistinct("event_type").alias("event_type_distinct"),
+        F.sum(F.when(F.col("props").isNull(), 1).otherwise(0)).alias("props_nulls"),
+        F.min("value").cast("double").alias("value_min"),
+        F.max("value").cast("double").alias("value_max"),
+        (F.sum(_dec("value")).cast("double") / n).alias("value_mean"),
+        F.min("ts").alias("ts_min"),
+        F.max("ts").alias("ts_max"),
+    )

@@ -631,3 +631,136 @@ def doc_top_similar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", "jaccard", "rnk")
         .orderBy("doc_a", "rnk")
     )
+
+
+# --- vocabulary build (global term frequencies) ------------------------------------
+
+_VOCAB_ORACLE = f"""
+SELECT token,
+       CAST(COUNT(*) AS BIGINT) AS term_freq,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq
+FROM (
+    SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS token
+    FROM documents
+)
+GROUP BY token
+ORDER BY term_freq DESC, token
+LIMIT 100
+"""
+
+
+@register("vocab_top_terms", _VOCAB_ORACLE)
+def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary build: global term + document frequencies, top 100.
+
+    Scale: explode happens AFTER tokenization projects away the text body, so
+    the shuffle carries (token, doc_id); partial aggregation collapses
+    repeated tokens map-side; top-100 is TakeOrdered, no global sort."""
+    d = _docs(spark, sf_dir)
+    tok = d.select("doc_id", F.explode(_tokens()).alias("token"))
+    return (
+        tok.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("term_freq"),
+            F.countDistinct("doc_id").alias("doc_freq"),
+        )
+        .orderBy(F.desc("term_freq"), "token")
+        .limit(100)
+    )
+
+
+# --- deterministic train/test split ----------------------------------------------
+
+_SPLIT_PCT_TRAIN = 90
+
+_SPLIT_ORACLE = f"""
+SELECT doc_id,
+       CASE WHEN {h60_sql_duckdb("'split' || CAST(doc_id AS VARCHAR)")} % 100 < {_SPLIT_PCT_TRAIN}
+            THEN 'train' ELSE 'eval' END AS split
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@register("doc_train_test_split", _SPLIT_ORACLE)
+def doc_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/eval split (90/10).
+
+    The split is a pure function of doc_id — stable across runs, machines and
+    engines (no RNG state), which is what a reproducible training-data
+    pipeline needs; re-running on grown data never reassigns an existing doc."""
+    d = _docs(spark, sf_dir)
+    bucket = h60(F.concat(F.lit("split"), F.col("doc_id").cast("string"))) % 100
+    return d.select(
+        "doc_id",
+        F.when(bucket < _SPLIT_PCT_TRAIN, "train").otherwise("eval").alias("split"),
+    ).orderBy("doc_id")
+
+
+# --- sequence-length bucketing ----------------------------------------------------
+
+_LENBUCKET_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, len(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS n_tokens
+    FROM documents
+)
+SELECT CAST(CASE WHEN n_tokens >= 512 THEN 512
+            ELSE CAST(pow(2, CAST(ceil(log2(GREATEST(n_tokens, 1))) AS INT)) AS BIGINT)
+       END AS BIGINT) AS len_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+FROM toks
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@register("doc_length_buckets", _LENBUCKET_ORACLE)
+def doc_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length bucketing (power-of-two buckets, capped at 512) — the
+    batching prep for training: group docs of similar token length so padding
+    waste is bounded. Pure map + one tiny aggregation."""
+    d = _docs(spark, sf_dir)
+    n_tokens = F.size(_tokens())
+    bucket = F.when(n_tokens >= 512, F.lit(512)).otherwise(
+        F.pow(F.lit(2), F.ceil(F.log2(F.greatest(n_tokens, F.lit(1))))).cast("bigint")
+    )
+    return (
+        d.select(bucket.cast("bigint").alias("len_bucket"), n_tokens.alias("n_tokens"))
+        .groupBy("len_bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").cast("bigint").alias("total_tokens"))
+        .orderBy("len_bucket")
+    )
+
+
+# --- PII scrubbing ------------------------------------------------------------------
+
+_EMAIL_RE = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+_PHONE_RE = "\\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"
+
+_PII_ORACLE = f"""
+SELECT doc_id,
+       regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                      '{_PHONE_RE}', '<PHONE>', 'g') AS clean_text,
+       CAST(len(regexp_extract_all(text, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{_PHONE_RE}')) AS BIGINT) AS n_phones
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@register("doc_pii_scrub", _PII_ORACLE)
+def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: replace emails/phone numbers with placeholder tokens and
+    count redactions. Pure per-row regexp — JVM codegen, embarrassingly
+    parallel; the redaction counts feed a quality dashboard at scale."""
+    d = _docs(spark, sf_dir)
+    clean = F.regexp_replace(
+        F.regexp_replace("text", _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+    return d.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        F.size(F.regexp_extract_all("text", F.lit(_EMAIL_RE), 0)).cast("bigint").alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(_PHONE_RE), 0)).cast("bigint").alias("n_phones"),
+    ).orderBy("doc_id")
