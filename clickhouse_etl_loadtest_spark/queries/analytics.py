@@ -803,3 +803,26 @@ def events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("ts_min"),
         F.max("ts").alias("ts_max"),
     )
+
+
+# --- approximate sketches (rows-only: HLL/KLL values differ across engines) ------
+
+
+@register("approx_events_sketch", oracle=None)
+def approx_events_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of distinct-count + percentile analytics: HLL++
+    ``approx_count_distinct`` and KLL-style ``approx_percentile`` — fixed-size
+    sketches, mergeable map-side, vs the exact forms' per-group value
+    buffers. No DuckDB oracle (sketch internals differ across engines);
+    tests/test_approx.py bounds the error against the exact answers instead.
+    """
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.expr("approx_percentile(value, array(0.5, 0.95), 5000)").alias("value_p50_p95"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type")
+    )

@@ -62,16 +62,25 @@ def _open_stream(
     pipeline: PipelineConfig,
     topic: TopicConfig,
     files_path: str | None,
+    source_options: dict[str, str] | None = None,
 ) -> DataFrame:
+    """``source_options`` is the backpressure/rate-control surface (W6,
+    SURVEY.md §2.8): ``maxOffsetsPerTrigger`` for Kafka,
+    ``maxFilesPerTrigger`` for file streams — caps per-micro-batch intake the
+    way the reference throttles its generator (rps=20000/process,
+    /root/reference/src/utils/publish.py:13)."""
     if pipeline.source.type == "kafka":
         reader = spark.readStream.format("kafka")
-        for k, v in kafka_source_options(pipeline, topic).items():
+        for k, v in {**kafka_source_options(pipeline, topic), **(source_options or {})}.items():
             reader = reader.option(k, v)
         return reader.load()  # value/timestamp columns: decoded by topic_transform
     if files_path is None:
         raise ValueError(f"source type {pipeline.source.type!r} needs files_path or explicit sources")
     schema = topic.schema_.to_struct().add("timestamp", "timestamp")
-    return spark.readStream.schema(schema).json(f"{files_path}/{topic.name}")
+    reader = spark.readStream.schema(schema)
+    for k, v in (source_options or {}).items():
+        reader = reader.option(k, v)
+    return reader.json(f"{files_path}/{topic.name}")
 
 
 def run_streaming_pipeline(
@@ -83,6 +92,7 @@ def run_streaming_pipeline(
     files_path: str | None = None,
     await_ready: bool = True,
     trigger: str = "processing_time",
+    source_options: dict[str, str] | None = None,
 ) -> StreamingQuery:
     """Compile and start the pipeline as a Structured Streaming query.
 
@@ -97,7 +107,7 @@ def run_streaming_pipeline(
     for topic in pipeline.source.topics:
         raw = (sources or {}).get(topic.name)
         if raw is None:
-            raw = _open_stream(spark, pipeline, topic, files_path)
+            raw = _open_stream(spark, pipeline, topic, files_path, source_options)
         frames[topic.name] = topic_transform(raw, topic, streaming=True, ts_col="timestamp")
 
     topics = pipeline.source.topics

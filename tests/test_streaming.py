@@ -127,3 +127,39 @@ def test_pipeline_registry_guard(spark, stream_env):
     with pytest.raises(RuntimeError, match="already running"):
         run_streaming_pipeline(spark, pipeline, sink, ckpt, files_path=src)
     stop_pipeline("stream-test")
+
+
+def test_source_rate_limit_max_files_per_trigger(spark, stream_env):
+    """W6 rate control: maxFilesPerTrigger=1 makes each input file its own
+    micro-batch — 3 files -> 3 foreachBatch invocations even under
+    AvailableNow (intake capped per trigger, the file-source analogue of
+    Kafka's maxOffsetsPerTrigger)."""
+    src, sink, ckpt = stream_env
+    pipeline = PipelineConfig.model_validate(SPEC)
+    for b in range(3):
+        _write_batch(f"{src}/topic_a", f"b{b}.json", [_rec(b * 10 + i) for i in range(5)])
+
+    seen_batches = []
+    import clickhouse_etl_loadtest_spark.streaming.query as q
+
+    orig = q.parquet_chunk_writer
+
+    def counting_writer(path):
+        inner = orig(path)
+
+        def _w(df, batch_id):
+            seen_batches.append(batch_id)
+            inner(df, batch_id)
+
+        return _w
+
+    q.parquet_chunk_writer = counting_writer
+    try:
+        run_until_drained(
+            spark, pipeline, sink, ckpt, files_path=src,
+            source_options={"maxFilesPerTrigger": "1"},
+        )
+    finally:
+        q.parquet_chunk_writer = orig
+    assert len(seen_batches) == 3
+    assert spark.read.parquet(sink).count() == 15
