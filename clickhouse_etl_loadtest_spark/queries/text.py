@@ -764,3 +764,50 @@ def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.regexp_extract_all("text", F.lit(_EMAIL_RE), 0)).cast("bigint").alias("n_emails"),
         F.size(F.regexp_extract_all("text", F.lit(_PHONE_RE), 0)).cast("bigint").alias("n_phones"),
     ).orderBy("doc_id")
+
+
+# --- sequence packing ---------------------------------------------------------------
+
+_PACK_LIMIT = 2048
+
+_PACK_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, len(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS n_tokens
+    FROM documents
+),
+cum AS (
+    SELECT doc_id, n_tokens,
+           SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum_tokens
+    FROM toks
+)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(FLOOR((cum_tokens - n_tokens) / {_PACK_LIMIT}) AS BIGINT) AS seq_id
+FROM cum
+ORDER BY doc_id
+"""
+
+
+@register("doc_pack_sequences", _PACK_ORACLE)
+def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign docs (in stable doc_id order) to training
+    sequences of ~{_PACK_LIMIT} tokens via a cumulative-sum window — the
+    standard pretraining packing prep.
+
+    Scale: a single global ordering window is fine for metadata-sized rows
+    (doc_id + count, not text); at 100 TB shard first (e.g. by
+    doc_train_test_split bucket or date) and pack within shards so no single
+    ordered partition exceeds a task."""
+    d = _docs(spark, sf_dir)
+    n_tokens = F.size(_tokens())
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base = d.select("doc_id", n_tokens.alias("n_tokens"))
+    return base.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / _PACK_LIMIT)
+        .cast("bigint")
+        .alias("seq_id"),
+    ).orderBy("doc_id")

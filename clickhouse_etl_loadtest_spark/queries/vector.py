@@ -288,3 +288,17 @@ def ivf_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "label", F.col("c_label").cast("int").alias("assigned_label"))
         .orderBy("vec_id")
     )
+
+
+# --- k-means clustering (iterative; rows-only check) ---------------------------------
+
+
+@register("kmeans_clusters", oracle=None)
+def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means over the embedding corpus (operators/clustering.py) —
+    the iterative-algorithm entry of the driver contract (no single-statement
+    SQL oracle exists; invariants are pinned in tests/test_clustering.py:
+    determinism, full coverage, non-increasing cost)."""
+    from ..operators.clustering import kmeans_fit_assign
+
+    return kmeans_fit_assign(_emb(spark, sf_dir), k=8, iterations=3).orderBy("vec_id")
