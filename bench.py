@@ -53,6 +53,11 @@ def main() -> None:
     # 8,547 glassflow RPS). num_processes here = Spark partitions (C6).
     loadtest = run_loadtest(spark)
 
+    # Streaming-mode run of the same pipeline (Structured Streaming dedup via
+    # dropDuplicatesWithinWatermark + chunked foreachBatch sink) — the
+    # reference's actual execution model; baseline 8.0-9.4k rec/s.
+    streaming = run_streaming_loadtest(spark)
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -63,6 +68,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "loadtest_5m": loadtest,
+                "streaming_loadtest_1m": streaming,
             }
         )
     )
@@ -96,6 +102,46 @@ def run_loadtest(spark, total_records: int = 5_000_000) -> dict:
             )
         }
         print(f"# loadtest 5M: {out}", file=sys.stderr)
+        return out
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def run_streaming_loadtest(spark, total_records: int = 1_000_000) -> dict:
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from clickhouse_etl_loadtest_spark.config.reference_pipeline import reference_pipeline
+    from clickhouse_etl_loadtest_spark.sources.generator import generate_user_events, unique_count
+    from clickhouse_etl_loadtest_spark.streaming.query import run_until_drained, stop_pipeline
+
+    p = reference_pipeline()
+    topic = p.source.topics[0].name
+    work = tempfile.mkdtemp(prefix="bench-stream-")
+    try:
+        ev = generate_user_events(spark, total_records, 0.1, num_partitions=32)
+        ev.withColumn(
+            "timestamp", F.lit("2024-01-01 00:00:00").cast("timestamp")
+        ).write.mode("overwrite").parquet(f"{work}/staging")
+
+        stream = spark.readStream.schema(
+            spark.read.parquet(f"{work}/staging").schema
+        ).parquet(f"{work}/staging")
+        t0 = time.perf_counter()
+        try:
+            run_until_drained(spark, p, f"{work}/sink", f"{work}/ckpt", sources={topic: stream})
+        finally:
+            stop_pipeline(p.pipeline_id)
+        dt = time.perf_counter() - t0
+        got = spark.read.parquet(f"{work}/sink").count()
+        out = {
+            "result_num_records": total_records,
+            "result_glassflow_rps": int(total_records / dt),
+            "result_success": got == unique_count(total_records, 0.1),
+        }
+        print(f"# streaming loadtest 1M: {out}", file=sys.stderr)
         return out
     finally:
         shutil.rmtree(work, ignore_errors=True)
