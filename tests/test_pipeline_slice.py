@@ -7,8 +7,11 @@ the number of unique generated records (/root/reference/src/pipeline_test.py:13-
 
 import duckdb
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 from clickhouse_etl_loadtest_spark.config.schemas import PipelineConfig
+from clickhouse_etl_loadtest_spark.operators.dedup import dedup_first_wins
 from clickhouse_etl_loadtest_spark.plans.compiler import compile_batch
 from clickhouse_etl_loadtest_spark.sources.generator import (
     generate_user_events,
@@ -82,3 +85,27 @@ def test_pipeline_from_reference_shaped_json(tmp_path):
     cfg = PipelineConfig.from_json_file(str(p))
     assert cfg.sink.order_by_key(cfg.join) == "event_id"
     assert cfg.source.topics[0].deduplication.time_window == "8h"
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    total=st.integers(min_value=1, max_value=2000),
+    rate=st.sampled_from([0.0, 0.05, 0.1, 0.25, 0.5, 1.0]),
+)
+def test_dedup_invariant_property(total, rate):
+    """Property (SURVEY.md §5 item 5): for ANY (total, duplication_rate),
+    first-wins dedup of the generator output yields exactly unique_count rows,
+    every key once, and every kept row is an original (is_duplicate=False)."""
+    spark = _property_spark()
+    ev = generate_user_events(spark, total, rate)
+    out = dedup_first_wins(ev, "event_id", order_col="seq")
+    n_unique = unique_count(total, rate)
+    assert out.count() == n_unique
+    assert out.select("event_id").distinct().count() == n_unique
+    assert out.where("is_duplicate").count() == 0
+
+
+def _property_spark():
+    from clickhouse_etl_loadtest_spark.session import get_spark
+
+    return get_spark()

@@ -94,3 +94,51 @@ def test_multimodal_is_arrow_batched_not_row_python(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "multimodal_decode")
     assert "MapInPandas" in plan  # Arrow-batched, not per-row BatchEvalPython
     assert "BatchEvalPython" not in plan
+
+
+def exec_plan_of(spark, sf_dir, name: str) -> str:
+    """Executed-plan string: exactly one line per physical node (the
+    formatted mode lists every node twice — tree + detail block)."""
+    df = REGISTRY[name].fn(spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_vocab_text_never_crosses_a_shuffle(spark, sf_dir):
+    """Everything above the explode must be text-free: the aggregation
+    shuffles carry (token, doc_id), never document bodies."""
+    plan = exec_plan_of(spark, sf_dir, "vocab_top_terms")
+    above_generate = plan.split("Generate")[0]
+    assert "text#" not in above_generate
+    # top-100 is TakeOrdered, not a global sort
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_profile_is_single_pass(spark, sf_dir):
+    """One scan, Expand-based multi-distinct — never one job per column."""
+    plan = exec_plan_of(spark, sf_dir, "events_profile")
+    assert plan.count("FileScan") == 1
+    assert "Expand" in plan
+    assert "Join" not in plan
+
+
+def test_promo_broadcasts_part_dimension(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "promo_revenue_by_month")
+    assert "BroadcastHashJoin" in plan
+    # lineitem reads only the 3 referenced columns
+    read_schema = next(
+        line for line in plan.splitlines() if "ReadSchema" in line and "l_partkey" in line
+    )
+    assert "l_orderkey" not in read_schema and "l_quantity" not in read_schema
+
+
+def test_top_orders_is_take_ordered(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "top_orders_global")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan  # no global sort
+
+
+def test_priority_join_prunes_both_scans(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "priority_line_counts")
+    schemas = [line for line in plan.splitlines() if "ReadSchema" in line]
+    joined = "\n".join(schemas)
+    assert "l_extendedprice" not in joined and "o_totalprice" not in joined
