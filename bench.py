@@ -30,11 +30,14 @@ def main() -> None:
     # non-fixture path and generated data only — no headline query pre-runs.
     spark.range(10_000).selectExpr("sum(id)").collect()
     warm = spark.range(1_000).selectExpr(
-        "id % 7 AS k", "array_repeat(cast(id as double), 8) AS arr"
+        "id % 7 AS k",
+        "array_repeat(cast(id as double), 8) AS arr",
+        "repeat(concat('w', cast(id as string), ' '), 5) AS txt",
     )
     warm.groupBy("k").agg(
         F.sum(F.aggregate("arr", F.lit(0.0), lambda a, x: a + x))
     ).collect()
+    warm.select(F.explode(F.regexp_extract_all("txt", F.lit("[a-z0-9]+"), 0))).count()
     warm.write.mode("overwrite").parquet("/tmp/bench-warmup")
     spark.read.parquet("/tmp/bench-warmup").count()
 

@@ -48,3 +48,23 @@ def parquet_chunk_writer(path: str) -> Callable[[DataFrame, int], None]:
         df.write.mode("append").parquet(path)
 
     return _write
+
+
+def idempotent_parquet_chunk_writer(path: str) -> Callable[[DataFrame, int], None]:
+    """Exactly-once file sink (W7, SURVEY.md §2.8): each micro-batch writes to
+    a ``batch_id``-keyed subdirectory with overwrite semantics, so a replayed
+    batch (checkpoint recovery re-delivers the last uncommitted batch —
+    foreachBatch is at-least-once) lands on top of its own partial output
+    instead of appending duplicates. Read the sink with
+    ``spark.read.parquet(f"{path}/batch=*")``.
+
+    This is the file-sink analogue of the ClickHouse mitigation in
+    SURVEY.md §7.5 (ReplacingMergeTree + count(DISTINCT key) — see
+    sources/clickhouse.py create_table_ddl/count_query): dedup-by-batch at
+    the storage layer because delivery is at-least-once.
+    """
+
+    def _write(df: DataFrame, batch_id: int) -> None:
+        df.write.mode("overwrite").parquet(f"{path}/batch={batch_id}")
+
+    return _write

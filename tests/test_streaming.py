@@ -163,3 +163,20 @@ def test_source_rate_limit_max_files_per_trigger(spark, stream_env):
         q.parquet_chunk_writer = orig
     assert len(seen_batches) == 3
     assert spark.read.parquet(sink).count() == 15
+
+
+def test_idempotent_sink_survives_batch_replay(spark, tmp_path):
+    """W7: foreachBatch is at-least-once after checkpoint recovery; the
+    idempotent writer makes a replayed micro-batch overwrite itself instead
+    of appending duplicates."""
+    from clickhouse_etl_loadtest_spark.streaming.sink import idempotent_parquet_chunk_writer
+
+    sink = str(tmp_path / "sink")
+    w = idempotent_parquet_chunk_writer(sink)
+    df = spark.range(100).selectExpr("id", "id * 2 AS v")
+    w(df, 0)
+    w(df, 0)  # replay of batch 0 (recovery path)
+    w(spark.range(100, 150).selectExpr("id", "id * 2 AS v"), 1)
+    out = spark.read.parquet(f"{sink}/batch=*")
+    assert out.count() == 150
+    assert out.select("id").distinct().count() == 150
