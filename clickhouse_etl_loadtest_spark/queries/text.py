@@ -811,3 +811,64 @@ def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("seq_id"),
     ).orderBy("doc_id")
+
+
+# --- TF-IDF -------------------------------------------------------------------------
+
+_TFIDF_TOPK = 3
+
+_TFIDF_ORACLE = f"""
+WITH tok AS (
+    SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS token
+    FROM documents
+),
+tf AS (
+    SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token
+),
+df AS (
+    SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY token
+),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+    SELECT tf.doc_id, tf.token,
+           tf * ln(CAST(n_docs AS DOUBLE) / df) AS tfidf
+    FROM tf JOIN df USING (token) CROSS JOIN n
+),
+ranked AS (
+    SELECT doc_id, token, tfidf,
+           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rnk
+    FROM scored
+)
+SELECT doc_id, token, tfidf, CAST(rnk AS INT) AS rnk
+FROM ranked WHERE rnk <= {_TFIDF_TOPK}
+ORDER BY doc_id, rnk
+"""
+
+
+@register("doc_tfidf_top_terms", _TFIDF_ORACLE)
+def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF feature extraction: top-{_TFIDF_TOPK} characteristic terms per
+    document.
+
+    Scale: tf is one (doc_id, token) aggregation; df is one (token)
+    aggregation whose result — |vocab| rows — broadcasts back onto tf, so
+    the corpus-sized side shuffles exactly once (for tf). The per-doc rank
+    window partitions by doc_id (bounded, no global sort)."""
+    d = _docs(spark, sf_dir)
+    n_docs = d.count()  # one scalar job; literal folds into the plan
+    tok = d.select("doc_id", F.explode(_tokens()).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(F.broadcast(df), "token").select(
+        "doc_id",
+        "token",
+        (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias("tfidf"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "token")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .where(F.col("rnk") <= _TFIDF_TOPK)
+        .orderBy("doc_id", "rnk")
+    )

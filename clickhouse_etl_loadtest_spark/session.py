@@ -66,24 +66,10 @@ def get_spark(
 def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None = None):
     """Register the fixture parquet tables as temp views and return them.
 
-    Tables: region nation customer supplier part orders lineitem events
-    documents embeddings (see TESTDATA.md).
+    Delegates to :mod:`.sources.tables` so every caller gets the same schema
+    normalization (the ``events.ts`` nano-timestamp handling) — do not read
+    the fixture parquet directly.
     """
-    names = names or (
-        "region",
-        "nation",
-        "customer",
-        "supplier",
-        "part",
-        "orders",
-        "lineitem",
-        "events",
-        "documents",
-        "embeddings",
-    )
-    out = {}
-    for name in names:
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        df.createOrReplaceTempView(name)
-        out[name] = df
-    return out
+    from .sources.tables import TABLES, load_tables as _load
+
+    return _load(spark, sf_dir, names or TABLES)
