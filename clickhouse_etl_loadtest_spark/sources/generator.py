@@ -36,10 +36,17 @@ def unique_count(total_records: int, duplication_rate: float) -> int:
 
     Computed in exact rational arithmetic: ``int(1100 / 1.1)`` is 999 in
     binary floating point, while floor(1100/(1+1/10)) is 1000.
+
+    Any non-empty stream has at least one unique record — a duplicate can
+    only re-send an earlier original — so the floor is clamped to 1 for
+    ``total_records >= 1`` (only reachable at degenerate tiny totals; at the
+    reference's scales the floor is already millions).
     """
     from fractions import Fraction
 
-    return int(Fraction(total_records) / (1 + Fraction(str(duplication_rate))))
+    if total_records <= 0:
+        return 0
+    return max(1, int(Fraction(total_records) / (1 + Fraction(str(duplication_rate)))))
 
 
 def generate_user_events(
