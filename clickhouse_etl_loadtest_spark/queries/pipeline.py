@@ -347,3 +347,36 @@ def interval_join_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", "ts", "value", "o_orderkey", "o_totalprice")
         .orderBy("event_id", "o_orderkey")
     )
+
+
+# --- dedup with duplicate accounting (batch analogue of the stateful op) ----------
+
+_DEDUP_COUNTS_ORACLE = """
+SELECT user_id, event_type,
+       MIN(ts) AS first_ts,
+       CAST(COUNT(*) - 1 AS BIGINT) AS n_duplicates
+FROM events
+GROUP BY user_id, event_type
+ORDER BY user_id, event_type
+"""
+
+
+@register("dedup_counts_events", _DEDUP_COUNTS_ORACLE)
+def dedup_counts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup with duplicate ACCOUNTING: per key, the first-seen timestamp and
+    how many re-sends were suppressed — the batch analogue of the custom
+    stateful streaming operator ``streaming/stateful.py::dedup_with_counts``
+    (applyInPandasWithState), whose semantics neither ``dropDuplicates`` nor
+    ``dropDuplicatesWithinWatermark`` can express (they drop silently).
+
+    Scale: one partially-aggregated groupBy — the counting rides the same
+    shuffle the dedup itself needs."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", "event_type")
+        .agg(
+            F.min("ts").alias("first_ts"),
+            (F.count(F.lit(1)) - 1).cast("bigint").alias("n_duplicates"),
+        )
+        .orderBy("user_id", "event_type")
+    )

@@ -160,3 +160,24 @@ def test_results_analyzer_cli(tmp_path, capsys):
     assert results_cli.main(["--results-file", f]) == 0
     out = capsys.readouterr().out
     assert "load_abc12345" in out and "1/1 variants succeeded" in out
+
+
+def test_executor_failure_path_records_result(spark, tmp_path):
+    """A failing variant still writes its CSV row with result_success=False
+    before re-raising (C3 parity: the reference records the error panel and
+    continues, /root/reference/src/test_executor.py:35-67)."""
+    import pytest
+
+    from clickhouse_etl_loadtest_spark.config.reference_pipeline import reference_pipeline
+    from clickhouse_etl_loadtest_spark.harness.executor import TestExecutor
+
+    broken = reference_pipeline()
+    # dedup key that does not exist in the generated schema -> analysis error
+    broken.source.topics[0].deduplication.id_field = "no_such_column"
+    f = str(tmp_path / "r.csv")
+    ex = TestExecutor(spark, "t", broken, str(tmp_path / "work"), f)
+    with pytest.raises(Exception):
+        ex.run_tests([{"total_records": 100}], resume=False)
+    rows = ex.results.read_validated_results()
+    assert len(rows) == 1
+    assert rows[0].result_success is False
