@@ -19,7 +19,7 @@ from typing import Any
 from pyspark.sql import SparkSession
 
 from ..config.schemas import PipelineConfig
-from ..plans.compiler import compile_batch
+from ..plans.compiler import compile_batch, write_sink_batch
 from ..sources.generator import generate_user_events, unique_count
 from .metrics import TestResult, TestResultsHandler
 from .variants import variant_id
@@ -127,7 +127,7 @@ class TestExecutor:
         t1 = time.perf_counter()
         published = self.spark.read.parquet(staging)
         out = compile_batch(pipeline, {topic: published})
-        out.write.mode("overwrite").parquet(sink)
+        write_sink_batch(out, pipeline, sink)  # clustered by the ORDER BY key (S8 rule)
         etl_ms = (time.perf_counter() - t1) * 1000
         result.result_time_taken_ms = round(publish_ms + etl_ms, 1)
 

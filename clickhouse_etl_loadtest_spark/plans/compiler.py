@@ -117,3 +117,16 @@ def compile_batch(
     if pipeline.join.enabled and len(topics) > 1:
         df = apply_temporal_join(df, frames[topics[1].name], pipeline, ts_col=ts_col, streaming=False)
     return apply_table_mapping(df, pipeline.sink.table_mapping, source_id=None)
+
+
+def write_sink_batch(out: DataFrame, pipeline: PipelineConfig, sink_path: str) -> None:
+    """Write the compiled batch to the parquet sink CLUSTERED by the sink's
+    ORDER BY key — the same layout rule as the reference's MergeTree table
+    (first mapped column, or the join key when joined;
+    /root/reference/src/utils/clickhouse.py:34-46). Sorting within partitions
+    (not globally) keeps the write shuffle-free while giving parquet
+    row-group min/max statistics that let later scans on the key skip pages —
+    the parquet analogue of MergeTree's primary-key index.
+    """
+    key = pipeline.sink.order_by_key(pipeline.join)
+    out.sortWithinPartitions(key).write.mode("overwrite").parquet(sink_path)

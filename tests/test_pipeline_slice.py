@@ -109,3 +109,31 @@ def _property_spark():
     from clickhouse_etl_loadtest_spark.session import get_spark
 
     return get_spark()
+
+
+def test_sink_files_clustered_by_order_key(spark, tmp_path):
+    """write_sink_batch sorts within partitions on the sink ORDER BY key —
+    MergeTree-layout parity: every sink file is internally ordered so parquet
+    row-group stats support key-range skipping."""
+    from clickhouse_etl_loadtest_spark.plans.compiler import write_sink_batch
+
+    pipeline = PipelineConfig.model_validate(PIPELINE_SPEC)
+    ev = generate_user_events(spark, 2_000, 0.1, num_partitions=4)
+    out = compile_batch(pipeline, {pipeline.source.topics[0].name: ev})
+    sink = str(tmp_path / "sink")
+    write_sink_batch(out, pipeline, sink)
+
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    key = pipeline.sink.order_by_key(pipeline.join)
+    files = _glob.glob(f"{sink}/*.parquet")
+    assert files
+    checked = 0
+    for f in files:
+        vals = pq.read_table(f, columns=[key]).column(key).to_pylist()
+        if len(vals) > 1:
+            assert vals == sorted(vals), f
+            checked += 1
+    assert checked >= 1
