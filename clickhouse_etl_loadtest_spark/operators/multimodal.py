@@ -144,3 +144,36 @@ def sample_frames(df: DataFrame, frame_bytes: int = 64, max_frames: int = 4) -> 
             yield pd.DataFrame({"media_id": ids, "frame_no": nos, "frame": frames})
 
     return df.where(F.col("kind") == "video").mapInPandas(_frames, schema=FRAME_SCHEMA)
+
+
+RESIZED_SCHEMA = "media_id bigint, kind string, data binary, orig_bytes bigint, resized_bytes bigint"
+
+
+def resize_media(df: DataFrame, target_bytes: int = 256) -> DataFrame:
+    """Resize stage (image analogue): downsample the payload to
+    ``target_bytes`` by stride sampling — the deterministic stand-in for a
+    PIL ``Image.resize`` (the real decoder is gated, see real_image_decode).
+    Keeps the binary column + size metadata so downstream stages (feature
+    extraction, dedup-by-checksum) run on bounded payloads — at 100 TB the
+    resize is what makes the multimodal corpus shuffle-able."""
+    import numpy as np
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_rows = {"media_id": [], "kind": [], "data": [], "orig_bytes": [], "resized_bytes": []}
+            for mid, kind, b in zip(pdf["media_id"], pdf["kind"], pdf["data"]):
+                raw = bytes(b)
+                if len(raw) <= target_bytes:
+                    resized = raw
+                else:
+                    stride = len(raw) / target_bytes
+                    arr = np.frombuffer(raw, dtype=np.uint8)
+                    resized = arr[(np.arange(target_bytes) * stride).astype(np.int64)].tobytes()
+                out_rows["media_id"].append(mid)
+                out_rows["kind"].append(kind)
+                out_rows["data"].append(resized)
+                out_rows["orig_bytes"].append(len(raw))
+                out_rows["resized_bytes"].append(len(resized))
+            yield pd.DataFrame(out_rows)
+
+    return df.mapInPandas(_resize, schema=RESIZED_SCHEMA)

@@ -49,3 +49,14 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame sampling (1 row -> N frames): rows-only driver check."""
     media = build_media_table(spark, sf_dir)
     return sample_frames(media).orderBy("media_id", "frame_no")
+
+
+@register("multimodal_resize", None)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Payload resize/downsample (stride sampling standing in for the gated
+    PIL path): rows-only driver check; determinism + size bounds pinned in
+    tests/test_multimodal.py."""
+    from ..operators.multimodal import resize_media
+
+    media = build_media_table(spark, sf_dir)
+    return resize_media(media).drop("data").orderBy("media_id")

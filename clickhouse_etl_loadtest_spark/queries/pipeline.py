@@ -271,50 +271,27 @@ ORDER BY p.event_id
 @register("asof_join_purchase_click", _ASOF_ORACLE)
 def asof_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of (temporal) join: each purchase matched to the user's most recent
-    click at-or-before it — the J1 temporal-join family (SURVEY.md §2.4).
+    click at-or-before it — the J1 temporal-join family (SURVEY.md §2.4),
+    via the generic :func:`..operators.asof.asof_join` operator (union +
+    running last-non-null window: one shuffle, no range explosion — Spark
+    has no native ASOF join and the inequality-join formulation goes
+    nested-loop at scale)."""
+    from ..operators.asof import asof_join
 
-    Spark lacks a native ASOF join; implemented scale-first as union +
-    last-non-null window (one shuffle on (user_id), one local sort, zero
-    range-explosion) rather than an inequality join, which Catalyst would
-    execute as a broadcast-nested-loop at 100 TB.
-    """
     ev = _t(spark, sf_dir, "events")
     p = ev.where(F.col("event_type") == "purchase").select(
-        "user_id", "ts", F.col("event_id").alias("p_event_id"), F.col("value").alias("purchase_value")
+        "event_id", "user_id", "ts", F.col("value").alias("purchase_value")
     )
     c = ev.where(F.col("event_type") == "click").select(
-        "user_id", "ts", F.col("event_id").alias("c_event_id")
+        "user_id", F.col("ts").alias("last_click_ts"), F.col("event_id").alias("last_click_id")
     )
-    unioned = p.withColumn("c_event_id", F.lit(None).cast("long")).withColumn("_is_p", F.lit(1)).unionByName(
-        c.withColumn("p_event_id", F.lit(None).cast("long"))
-        .withColumn("purchase_value", F.lit(None).cast("double"))
-        .withColumn("_is_p", F.lit(0))
-    )
-    # clicks sort before purchases at equal ts (ties: p.ts >= c.ts includes equality)
-    w = Window.partitionBy("user_id").orderBy("ts", "_is_p", "c_event_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    enriched = unioned.select(
-        "user_id",
-        "ts",
-        "p_event_id",
-        "purchase_value",
-        "_is_p",
-        F.last("c_event_id", ignorenulls=True).over(w).alias("last_click_id"),
-        F.last(F.when(F.col("_is_p") == 0, F.col("ts")), ignorenulls=True).over(w).alias("last_click_ts"),
-    )
-    return (
-        enriched.where(F.col("_is_p") == 1)
-        .select(
-            F.col("p_event_id").alias("event_id"),
-            "user_id",
-            "ts",
-            "purchase_value",
-            "last_click_ts",
-            "last_click_id",
-        )
-        .orderBy("event_id")
-    )
+    out = asof_join(p, c, "user_id", left_ts="ts", right_ts="last_click_ts",
+                    right_cols=["last_click_id"])
+    return out.select(
+        "event_id", "user_id", "ts", "purchase_value",
+        F.col("last_click_ts_asof").alias("last_click_ts"),
+        F.col("last_click_id_asof").alias("last_click_id"),
+    ).orderBy("event_id")
 
 
 # --- interval join --------------------------------------------------------------------

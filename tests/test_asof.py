@@ -1,0 +1,86 @@
+"""Generic as-of join operator tests (operators/asof.py): backward/forward,
+exact-match control, tolerance, and DuckDB ASOF JOIN equivalence."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from clickhouse_etl_loadtest_spark.operators.asof import asof_join
+
+TS = "2024-01-01 00:{m:02d}:00"
+
+
+def _frames(spark):
+    quotes = spark.createDataFrame(
+        [("A", TS.format(m=1), 10.0), ("A", TS.format(m=5), 11.0), ("B", TS.format(m=2), 20.0)],
+        "sym string, ts string, px double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    trades = spark.createDataFrame(
+        [("A", TS.format(m=0), 100), ("A", TS.format(m=5), 200), ("A", TS.format(m=9), 300), ("B", TS.format(m=3), 400), ("C", TS.format(m=4), 500)],
+        "sym string, ts string, qty int",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    return trades, quotes
+
+
+def test_backward_exact(spark):
+    trades, quotes = _frames(spark)
+    out = {(r["sym"], r["qty"]): r for r in asof_join(trades, quotes, "sym", right_cols=["px"]).collect()}
+    assert out[("A", 100)]["px_asof"] is None  # trade before any quote
+    assert out[("A", 200)]["px_asof"] == 11.0  # exact-ts quote matches
+    assert out[("A", 300)]["px_asof"] == 11.0
+    assert out[("B", 400)]["px_asof"] == 20.0
+    assert out[("C", 500)]["px_asof"] is None  # no quotes for key at all
+
+
+def test_backward_strict(spark):
+    trades, quotes = _frames(spark)
+    out = {
+        (r["sym"], r["qty"]): r
+        for r in asof_join(trades, quotes, "sym", right_cols=["px"], allow_exact_matches=False).collect()
+    }
+    assert out[("A", 200)]["px_asof"] == 10.0  # equal-ts quote excluded
+
+
+def test_forward(spark):
+    trades, quotes = _frames(spark)
+    out = {
+        (r["sym"], r["qty"]): r
+        for r in asof_join(trades, quotes, "sym", right_cols=["px"], direction="forward").collect()
+    }
+    assert out[("A", 100)]["px_asof"] == 10.0  # next quote at :01
+    assert out[("A", 300)]["px_asof"] is None  # nothing after :09
+
+
+def test_tolerance(spark):
+    trades, quotes = _frames(spark)
+    out = {
+        (r["sym"], r["qty"]): r
+        for r in asof_join(trades, quotes, "sym", right_cols=["px"], tolerance_seconds=120).collect()
+    }
+    assert out[("A", 300)]["px_asof"] is None  # :05 quote is 4 min old > 2 min
+    assert out[("B", 400)]["px_asof"] == 20.0  # 1 min old
+
+
+def test_matches_duckdb_asof(spark):
+    """Differential check against DuckDB's native ASOF JOIN on a bigger input."""
+    trades, quotes = _frames(spark)
+    got = sorted(
+        (r["sym"], r["qty"], r["px_asof"])
+        for r in asof_join(trades, quotes, "sym", right_cols=["px"]).collect()
+    )
+    con = duckdb.connect()
+    con.sql("CREATE TABLE trades AS SELECT * FROM (VALUES ('A', TIMESTAMP '2024-01-01 00:00:00', 100), ('A', TIMESTAMP '2024-01-01 00:05:00', 200), ('A', TIMESTAMP '2024-01-01 00:09:00', 300), ('B', TIMESTAMP '2024-01-01 00:03:00', 400), ('C', TIMESTAMP '2024-01-01 00:04:00', 500)) t(sym, ts, qty)")
+    con.sql("CREATE TABLE quotes AS SELECT * FROM (VALUES ('A', TIMESTAMP '2024-01-01 00:01:00', 10.0), ('A', TIMESTAMP '2024-01-01 00:05:00', 11.0), ('B', TIMESTAMP '2024-01-01 00:02:00', 20.0)) q(sym, ts, px)")
+    want = sorted(
+        tuple(r)
+        for r in con.sql(
+            "SELECT t.sym, t.qty, q.px FROM trades t ASOF LEFT JOIN quotes q ON t.sym = q.sym AND t.ts >= q.ts"
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_rejects_bad_direction(spark):
+    trades, quotes = _frames(spark)
+    with pytest.raises(ValueError):
+        asof_join(trades, quotes, "sym", direction="sideways")

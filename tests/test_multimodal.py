@@ -65,3 +65,20 @@ def test_real_decoder_is_gated():
 def test_fake_decode_empty_payload():
     d = fake_decode(b"")
     assert d["n_bytes"] == 0 and d["first_byte"] is None
+
+
+def test_resize_bounds_payload_and_is_deterministic(spark, sf_dir):
+    from clickhouse_etl_loadtest_spark.operators.multimodal import build_media_table, resize_media
+
+    media = build_media_table(spark, sf_dir)
+    out = resize_media(media, target_bytes=128)
+    rows = out.collect()
+    assert len(rows) == media.count()
+    for r in rows:
+        assert r["resized_bytes"] <= 128
+        assert r["resized_bytes"] == len(r["data"])
+        assert r["orig_bytes"] >= r["resized_bytes"]
+    # deterministic across runs
+    a = {r["media_id"]: bytes(r["data"]) for r in rows}
+    b = {r["media_id"]: bytes(r["data"]) for r in resize_media(media, target_bytes=128).collect()}
+    assert a == b
