@@ -826,3 +826,64 @@ def approx_events_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --- EXISTS + aggregate (TPC-H Q4 shape) -----------------------------------------
+
+_Q4_ORACLE = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders
+WHERE EXISTS (
+    SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity > 45
+)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register("priority_orders_with_big_lines", _Q4_ORACLE)
+def priority_orders_with_big_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS decorrelated to a left-semi join, then
+    aggregate. The semi join shuffles only (orderkey) pairs and
+    short-circuits per key — never materializing the match multiplicity."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_quantity") > 45).select("l_orderkey")
+    return (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# --- HAVING vs a global scalar (TPC-H Q11 shape) ---------------------------------
+
+_Q11_ORACLE = """
+WITH per_part AS (
+    SELECT l_partkey,
+           SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS rev
+    FROM lineitem GROUP BY l_partkey
+)
+SELECT l_partkey, CAST(rev AS DOUBLE) AS part_revenue
+FROM per_part
+WHERE rev > (SELECT SUM(rev) * 0.0005 FROM per_part)
+ORDER BY part_revenue DESC, l_partkey
+"""
+
+
+@register("top_revenue_parts", _Q11_ORACLE)
+def top_revenue_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: HAVING against a global scalar (0.05% of total
+    revenue). The scalar comes from a second aggregation over the SAME
+    grouped result — Spark reuses the shuffle (ReusedExchange), so lineitem
+    aggregates once; the threshold side reduces to one row and broadcasts."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = _dec("l_extendedprice") * (1 - _dec("l_discount"))
+    per_part = li.groupBy("l_partkey").agg(F.sum(disc_price).alias("rev"))
+    threshold = per_part.agg((F.sum("rev") * 0.0005).alias("thr"))
+    return (
+        per_part.crossJoin(F.broadcast(threshold))
+        .where(F.col("rev") > F.col("thr"))
+        .select("l_partkey", F.col("rev").cast("double").alias("part_revenue"))
+        .orderBy(F.desc("part_revenue"), "l_partkey")
+    )
