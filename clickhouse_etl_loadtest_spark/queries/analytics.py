@@ -887,3 +887,79 @@ def top_revenue_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_partkey", F.col("rev").cast("double").alias("part_revenue"))
         .orderBy(F.desc("part_revenue"), "l_partkey")
     )
+
+
+# --- ranking window functions ----------------------------------------------------
+
+_RANKFN_ORACLE = """
+SELECT c_custkey, c_acctbal,
+       CAST(NTILE(4) OVER w AS INT) AS balance_quartile,
+       PERCENT_RANK() OVER w AS pct_rank,
+       CUME_DIST() OVER w AS cume,
+       CAST(RANK() OVER w AS BIGINT) AS rnk,
+       CAST(DENSE_RANK() OVER w AS BIGINT) AS dense_rnk
+FROM customer
+WINDOW w AS (ORDER BY c_acctbal DESC, c_custkey)
+ORDER BY c_custkey
+"""
+
+
+@register("customer_balance_ranks", _RANKFN_ORACLE)
+def customer_balance_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-function surface: ntile / percent_rank / cume_dist / rank /
+    dense_rank in one window.
+
+    Scale note: this is a GLOBAL ordering window (single-partition sort) —
+    correct for ranking a dimension table; for a 100 TB fact, rank within
+    partitions (add partitionBy) or use approx quantiles for the quartile."""
+    c = _t(spark, sf_dir, "customer")
+    w = Window.orderBy(F.desc("c_acctbal"), "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_acctbal",
+        F.ntile(4).over(w).cast("int").alias("balance_quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.rank().over(w).cast("bigint").alias("rnk"),
+        F.dense_rank().over(w).cast("bigint").alias("dense_rnk"),
+    ).orderBy("c_custkey")
+
+
+# --- grouped collection aggregates ------------------------------------------------
+
+_COLLECT_ORACLE = """
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       (list_sort(list(doc_id)))[1:3] AS sample_doc_ids,
+       array_to_string((list_sort(list(DISTINCT quality_tier))), ',') AS tiers
+FROM (
+    SELECT lang, doc_id,
+           CASE WHEN length(text) > 600 THEN 'long' ELSE 'short' END AS quality_tier
+    FROM documents
+)
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@register("docs_by_lang_collected", _COLLECT_ORACLE)
+def docs_by_lang_collected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collection aggregates: collect_list/collect_set with deterministic
+    post-sort (collection order is nondeterministic in ANY distributed
+    engine — always sort before comparing or depending on it)."""
+    d = _docs_t(spark, sf_dir)
+    tier = F.when(F.length("text") > 600, "long").otherwise("short")
+    return (
+        d.select("lang", "doc_id", tier.alias("quality_tier"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.slice(F.array_sort(F.collect_list("doc_id")), 1, 3).alias("sample_doc_ids"),
+            F.concat_ws(",", F.array_sort(F.collect_set("quality_tier"))).alias("tiers"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _docs_t(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")

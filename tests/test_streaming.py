@@ -180,3 +180,59 @@ def test_idempotent_sink_survives_batch_replay(spark, tmp_path):
     out = spark.read.parquet(f"{sink}/batch=*")
     assert out.count() == 150
     assert out.select("id").distinct().count() == 150
+
+
+def test_rate_source_pipeline(spark, tmp_path):
+    """Unbounded `rate` source driven through the pipeline via the sources=
+    hook — the generator-as-stream shape (D2 streaming analogue): synthesize
+    user_events from rate ticks, dedup, map, sink one micro-batch."""
+    from pyspark.sql import functions as F
+
+    pipeline = PipelineConfig.model_validate(SPEC)
+    rate = (
+        spark.readStream.format("rate").option("rowsPerSecond", "500").load()
+        .select(
+            # every 5th tick repeats the previous key -> guaranteed duplicates
+            F.concat(F.lit("e"), (F.col("value") - (F.col("value") % 5 == 4).cast("long")).cast("string")).alias("event_id"),
+            F.concat(F.lit("p"), F.col("value").cast("string")).alias("payload"),
+            F.col("timestamp"),
+        )
+    )
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    q = run_streaming_pipeline(
+        spark, pipeline, sink, ckpt,
+        sources={"topic_a": rate}, await_ready=False,
+    )
+    try:
+        # wait until at least one non-empty micro-batch has been committed
+        import time as _t
+
+        deadline = _t.time() + 60
+        while _t.time() < deadline:
+            if os.path.isdir(sink) and any(f.endswith(".parquet") for f in os.listdir(sink)):
+                break
+            _t.sleep(0.5)
+    finally:
+        stop_pipeline(pipeline.pipeline_id)
+    out = spark.read.parquet(sink)
+    n, uniq = out.count(), out.select("event_id").distinct().count()
+    assert n > 0
+    assert n == uniq  # duplicates suppressed within the stream
+
+
+def test_decode_tolerates_malformed_json(spark, stream_env):
+    """Malformed payloads decode to NULL fields (from_json PERMISSIVE
+    default) — one bad producer record must not kill a 100 TB pipeline."""
+    from clickhouse_etl_loadtest_spark.plans.compiler import decode_topic
+
+    pipeline = PipelineConfig.model_validate(SPEC)
+    topic = pipeline.source.topics[0]
+    raw = spark.createDataFrame(
+        [('{"event_id": "a", "payload": "ok"}', 1), ("NOT JSON {{{", 2), ("", 3)],
+        "value string, seq long",
+    )
+    out = decode_topic(raw, topic).collect()
+    by_seq = {r["seq"]: r for r in out}
+    assert by_seq[1]["event_id"] == "a"
+    assert by_seq[2]["event_id"] is None  # malformed -> nulls, row survives
+    assert by_seq[3]["event_id"] is None
