@@ -1,0 +1,76 @@
+"""Streaming windowed aggregation + late-data semantics (W2/W3):
+windows finalize in append mode only after the watermark passes; rows later
+than the threshold are dropped, not retro-applied."""
+
+import json
+import os
+
+from clickhouse_etl_loadtest_spark.streaming.windows import tumbling_counts
+
+SCHEMA = "event_id string, timestamp timestamp"
+
+
+def _write(src, fname, records):
+    os.makedirs(src, exist_ok=True)
+    with open(os.path.join(src, fname), "w") as fh:
+        for r in records:
+            fh.write(json.dumps(r) + "\n")
+
+
+def _rec(i, hhmm):
+    return {"event_id": f"e{i}", "timestamp": f"2024-01-01T{hhmm}:00.000Z"}
+
+
+def _run_wave(spark, src, sink_dir, ckpt):
+    stream = spark.readStream.schema(SCHEMA).json(src)
+    out = tumbling_counts(stream, "1h")
+
+    def collect(df, batch_id):
+        df.write.mode("append").parquet(sink_dir)
+
+    q = (
+        out.writeStream.foreachBatch(collect)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
+def test_windows_finalize_on_watermark_and_drop_late(spark, tmp_path):
+    src, sink, ckpt = str(tmp_path / "src"), str(tmp_path / "sink"), str(tmp_path / "ckpt")
+
+    # The watermark a micro-batch USES is the one committed by the previous
+    # batch (Spark's global watermark lags one batch) — hence three waves.
+
+    # wave 1: 3 events in the 10:00 window, 1 in 11:00. Batch runs with
+    # watermark=epoch -> emits nothing; commits watermark 11:30-1h = 10:30.
+    _write(src, "b1.json", [_rec(1, "10:05"), _rec(2, "10:20"), _rec(3, "10:50"), _rec(4, "11:30")])
+    _run_wave(spark, src, sink, ckpt)
+    assert not os.path.isdir(sink) or not spark.read.parquet(sink).count()
+
+    # wave 2: advance event time to 13:00; batch still runs with watermark
+    # 10:30 (nothing finalizes), commits watermark 12:00.
+    _write(src, "b2.json", [_rec(6, "13:00")])
+    _run_wave(spark, src, sink, ckpt)
+
+    # wave 3: a VERY late 10:15 event — its window ends 11:00 <= watermark
+    # 12:00 -> DROPPED (windowed aggs drop rows whose window the watermark
+    # has closed) — plus a 14:00 event. The batch finalizes the 10:00 window
+    # (3 events, NOT 4) and the 11:00 window (its original single event).
+    _write(src, "b3.json", [_rec(5, "10:15"), _rec(7, "14:00")])
+    _run_wave(spark, src, sink, ckpt)
+    rows = {(r["window_start"].hour, r["n_events"]) for r in spark.read.parquet(sink).collect()}
+    assert (10, 3) in rows and (10, 4) not in rows  # late e5 never retro-counted
+    assert (11, 1) in rows  # finalized exactly once, original content
+
+
+def test_window_bounds_are_aligned(spark, tmp_path):
+    src, sink, ckpt = str(tmp_path / "src"), str(tmp_path / "sink2"), str(tmp_path / "ckpt2")
+    _write(src, "b1.json", [_rec(1, "10:05"), _rec(2, "12:10")])
+    _run_wave(spark, src, sink, ckpt)
+    rows = spark.read.parquet(sink).collect()
+    for r in rows:
+        assert r["window_start"].minute == 0
+        assert (r["window_end"] - r["window_start"]).total_seconds() == 3600
