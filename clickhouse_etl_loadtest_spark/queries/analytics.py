@@ -963,3 +963,37 @@ def docs_by_lang_collected(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _docs_t(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# --- disjunctive predicate join (TPC-H Q19 shape) --------------------------------
+
+_Q19_ORACLE = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 40)
+   OR (p_brand = 'Brand#5' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 50)
+"""
+
+
+@register("promo_disjunctive_revenue", _Q19_ORACLE)
+def promo_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs mixing predicates from both join sides.
+    Catalyst splits the disjunction: single-side conjuncts (p_brand IN (...),
+    l_quantity <= 50) are inferred and pushed below the join, so the
+    broadcast join sees pre-filtered inputs; the full OR applies after."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    branch = lambda brand, s_lo, s_hi, q_lo, q_hi: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & F.col("p_size").between(s_lo, s_hi)
+        & F.col("l_quantity").between(q_lo, q_hi)
+    )
+    cond = branch("Brand#1", 1, 15, 1, 20) | branch("Brand#3", 10, 30, 10, 40) | branch("Brand#5", 20, 50, 20, 50)
+    disc_price = _dec("l_extendedprice") * (1 - _dec("l_discount"))
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .where(cond)
+        .agg(F.sum(disc_price).cast("double").alias("revenue"), F.count(F.lit(1)).alias("n_lines"))
+    )
