@@ -84,3 +84,55 @@ def test_rejects_bad_direction(spark):
     trades, quotes = _frames(spark)
     with pytest.raises(ValueError):
         asof_join(trades, quotes, "sym", direction="sideways")
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=5, deadline=None)
+@given(data=st.data())
+def test_asof_matches_duckdb_property(data):
+    """Property-based differential: random (key, ts) streams must match
+    DuckDB's native ASOF LEFT JOIN exactly, both directions."""
+    from clickhouse_etl_loadtest_spark.session import get_spark
+
+    spark = get_spark()
+    n_left = data.draw(st.integers(5, 40))
+    n_right = data.draw(st.integers(0, 40))
+    keys = ["A", "B", "C"]
+    mk = lambda i, n: [  # noqa: E731
+        (data.draw(st.sampled_from(keys)), data.draw(st.integers(0, 50)), i * 1000 + j)
+        for j in range(n)
+    ]
+    lrows, rrows = mk(1, n_left), mk(2, n_right)
+
+    left = spark.createDataFrame([(k, float(t), v) for k, t, v in lrows], "k string, ts double, lv long")
+    right = spark.createDataFrame([(k, float(t), v) for k, t, v in rrows], "k string, ts double, rv long") if rrows else spark.createDataFrame([], "k string, ts double, rv long")
+
+    got = sorted(
+        (r["k"], r["ts"], r["lv"], r["rv_asof"])
+        for r in asof_join(left, right, "k", left_ts="ts", right_cols=["rv"]).collect()
+    )
+
+    con = duckdb.connect()
+    con.sql("CREATE TABLE l (k VARCHAR, ts DOUBLE, lv BIGINT)")
+    con.sql("CREATE TABLE r (k VARCHAR, ts DOUBLE, rv BIGINT)")
+    for k, t, v in lrows:
+        con.sql(f"INSERT INTO l VALUES ('{k}', {t}, {v})")
+    for k, t, v in rrows:
+        con.sql(f"INSERT INTO r VALUES ('{k}', {t}, {v})")
+    # DuckDB ASOF picks an arbitrary row among right ties; make ties impossible
+    # by deduping right to max rv per (k, ts) in BOTH engines' inputs... our
+    # operator picks max rv deterministically, so dedupe the oracle the same way
+    want = sorted(
+        tuple(r)
+        for r in con.sql(
+            """
+            WITH rd AS (SELECT k, ts, MAX(rv) AS rv FROM r GROUP BY k, ts)
+            SELECT l.k, l.ts, l.lv, rd.rv
+            FROM l ASOF LEFT JOIN rd ON l.k = rd.k AND l.ts >= rd.ts
+            """
+        ).fetchall()
+    )
+    assert got == want
