@@ -872,3 +872,97 @@ def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= _TFIDF_TOPK)
         .orderBy("doc_id", "rnk")
     )
+
+
+# --- repetition detection (Gopher-style quality signal) ---------------------------
+
+_REPETITION_ORACLE = """
+WITH lines AS (
+    SELECT doc_id,
+           list_filter(string_split(text, '.'), s -> length(trim(s)) > 0) AS segs
+    FROM documents
+)
+SELECT doc_id,
+       CAST(len(segs) AS BIGINT) AS n_segments,
+       CAST(len(list_distinct(segs)) AS BIGINT) AS n_distinct_segments,
+       CASE WHEN len(segs) = 0 THEN 0.0
+            ELSE 1.0 - len(list_distinct(segs)) * 1.0 / len(segs) END AS dup_segment_ratio
+FROM lines
+ORDER BY doc_id
+"""
+
+
+@register("doc_repetition_stats", _REPETITION_ORACLE)
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition (the Gopher/MassiveText quality signal:
+    docs dominated by repeated segments are boilerplate/spam): segment on
+    sentence boundaries, measure the duplicate-segment ratio. Pure per-row
+    array math — no shuffle at all."""
+    d = _docs(spark, sf_dir)
+    segs = F.filter(
+        F.split(F.col("text"), r"\."),
+        lambda s: F.length(F.trim(s)) > 0,
+    )
+    n = F.size(segs)
+    nd = F.size(F.array_distinct(segs))
+    return d.select(
+        "doc_id",
+        n.cast("bigint").alias("n_segments"),
+        nd.cast("bigint").alias("n_distinct_segments"),
+        F.when(n == 0, F.lit(0.0)).otherwise(1.0 - nd * 1.0 / n).alias("dup_segment_ratio"),
+    ).orderBy("doc_id")
+
+
+# --- token entropy (perplexity proxy) ----------------------------------------------
+
+_ENTROPY_ORACLE = f"""
+WITH tok AS (
+    SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS token
+    FROM documents
+),
+tf AS (
+    SELECT doc_id, token, COUNT(*) AS c FROM tok GROUP BY doc_id, token
+),
+tot AS (
+    SELECT doc_id, SUM(c) AS n FROM tf GROUP BY doc_id
+)
+SELECT tf.doc_id,
+       CAST(n AS BIGINT) AS n_tokens,
+       -SUM((c * 1.0 / n) * ln(c * 1.0 / n)) AS token_entropy
+FROM tf JOIN tot ON tf.doc_id = tot.doc_id
+GROUP BY tf.doc_id, n
+ORDER BY tf.doc_id
+"""
+
+
+@register("doc_token_entropy", _ENTROPY_ORACLE)
+def doc_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram token entropy per document — the cheap perplexity proxy
+    (low entropy = repetitive/templated text, a standard pretraining
+    filter signal).
+
+    Scale: computed entirely within the row via array ops (group the token
+    array in-place, no explode/shuffle): 100 TB of docs = map-only."""
+    base = (
+        _docs(spark, sf_dir)
+        .select("doc_id", _tokens().alias("_toks"))
+        .where(F.size("_toks") > 0)
+    )
+    toks = F.col("_toks")
+    # counts per distinct token, computed in-row: for each distinct token,
+    # count occurrences in the full array
+    counts = F.transform(
+        F.array_distinct(toks),
+        lambda t: F.size(F.filter(toks, lambda x: x == t)),
+    )
+    n = F.size(toks)
+    entropy = -F.aggregate(
+        F.transform(counts, lambda c: (c * 1.0 / n) * F.log(c * 1.0 / n)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return base.select(
+        "doc_id",
+        n.cast("bigint").alias("n_tokens"),
+        entropy.alias("token_entropy"),
+    ).orderBy("doc_id")
