@@ -74,3 +74,41 @@ def test_window_bounds_are_aligned(spark, tmp_path):
     for r in rows:
         assert r["window_start"].minute == 0
         assert (r["window_end"] - r["window_start"]).total_seconds() == 3600
+
+
+def test_keyed_windows(spark, tmp_path):
+    """Per-key tumbling windows (the groupBy(window, key) form)."""
+    from pyspark.sql import functions as F
+
+    src, sink, ckpt = str(tmp_path / "src"), str(tmp_path / "sink3"), str(tmp_path / "ckpt3")
+    _write(src, "b1.json", [
+        {"event_id": "a1", "timestamp": "2024-01-01T10:05:00.000Z", "user": "u1"},
+        {"event_id": "a2", "timestamp": "2024-01-01T10:40:00.000Z", "user": "u1"},
+        {"event_id": "b1", "timestamp": "2024-01-01T10:10:00.000Z", "user": "u2"},
+    ])
+    _write(src, "b2.json", [{"event_id": "zz", "timestamp": "2024-01-01T13:00:00.000Z", "user": "u9"}])
+    _write(src, "b3.json", [{"event_id": "zz2", "timestamp": "2024-01-01T15:00:00.000Z", "user": "u9"}])
+
+    stream = spark.readStream.schema("event_id string, timestamp timestamp, user string").json(src)
+    out = tumbling_counts(
+        stream, "1h", keys=["user"],
+        aggs=[F.count(F.lit(1)).alias("n"), F.min("event_id").alias("first_id")],
+    )
+
+    def collect(df, batch_id):
+        df.write.mode("append").parquet(sink)
+
+    # three sequential AvailableNow runs so the watermark advances past 11:00
+    for _ in range(3):
+        q = (
+            out.writeStream.foreachBatch(collect)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    rows = {(r["user"], r["window_start"].hour): (r["n"], r["first_id"]) for r in spark.read.parquet(sink).collect()}
+    assert rows[("u1", 10)] == (2, "a1")
+    assert rows[("u2", 10)] == (1, "b1")
