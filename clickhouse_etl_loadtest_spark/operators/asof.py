@@ -52,43 +52,58 @@ def asof_join(
     keys = [on] if isinstance(on, str) else list(on)
     right_ts = right_ts or left_ts
     right_cols = [c for c in (right_cols or []) if c != right_ts]
+    for c in right_cols:
+        if f"{c}{suffix}" in left.columns:
+            raise ValueError(
+                f"output column {c}{suffix!r} collides with a left column; pick another suffix"
+            )
 
+    # right payload rides under internal names so a right_col sharing a name
+    # with a left column (e.g. both sides have 'px') cannot collide
+    internal = {c: f"_r{i}" for i, c in enumerate(right_cols)}
     lhs = left.withColumn("_ts", F.col(left_ts)).withColumn("_side", F.lit(1))
     rhs = right.select(
         *[F.col(k) for k in keys],
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_side"),
-        *[F.col(c) for c in right_cols],
+        *[F.col(c).alias(internal[c]) for c in right_cols],
     )
     # align schemas for the union
     for c in left.columns:
         if c not in keys and c != left_ts:
             rhs = rhs.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
     rhs = rhs.withColumn(left_ts, F.col("_ts"))
+    rtypes = dict(right.dtypes)
     for c in right_cols:
-        lhs = lhs.withColumn(c, F.lit(None).cast(dict(right.dtypes)[c]))
+        lhs = lhs.withColumn(internal[c], F.lit(None).cast(rtypes[c]))
     unioned = lhs.select(rhs.columns).unionByName(rhs)
 
     # ordering: right rows must sort before a left row exactly when they are
     # visible to it. backward+exact: right first at equal ts; backward+strict:
     # right last at equal ts. forward mirrors via negated time.
-    t = F.unix_micros(F.col("_ts")) if dict(unioned.dtypes)["_ts"] == "timestamp" else F.col("_ts").cast("double")
+    is_timestamp = dict(unioned.dtypes)["_ts"] == "timestamp"
+
+    def _numeric(col: "Column") -> "Column":
+        """Seconds-scale numeric form of a ts value (ordering + tolerance)."""
+        return F.unix_micros(col) / 1e6 if is_timestamp else col.cast("double")
+
+    t = _numeric(F.col("_ts"))
     if direction == "forward":
         t = -t
     side_rank = F.col("_side") if allow_exact_matches else (1 - F.col("_side"))
     w = (
         Window.partitionBy(*keys)
-        .orderBy(t.asc(), side_rank.asc(), *[F.col(c).asc_nulls_first() for c in right_cols])
+        .orderBy(t.asc(), side_rank.asc(), *[F.col(internal[c]).asc_nulls_first() for c in right_cols])
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     right_val = lambda c: F.last(F.when(F.col("_side") == 0, F.col(c)), ignorenulls=True).over(w)  # noqa: E731
 
     matched_ts = right_val("_ts").alias("_m_ts")
-    carried = [right_val(c).alias(f"{c}{suffix}") for c in right_cols]
+    carried = [right_val(internal[c]).alias(f"{c}{suffix}") for c in right_cols]
     out = unioned.select("*", matched_ts, *carried).where(F.col("_side") == 1)
 
     if tolerance_seconds is not None:
-        age = F.abs(F.unix_micros(F.col(left_ts)) - F.unix_micros(F.col("_m_ts"))) / 1e6
+        age = F.abs(_numeric(F.col(left_ts)) - _numeric(F.col("_m_ts")))
         in_tol = F.col("_m_ts").isNotNull() & (age <= tolerance_seconds)
         out = out.select(
             *[c for c in out.columns if c not in ("_m_ts", *[f"{c}{suffix}" for c in right_cols])],

@@ -31,7 +31,7 @@ from ..config.durations import parse_duration
 from ..config.schemas import PipelineConfig, TopicConfig
 from ..operators.mapping import apply_table_mapping
 from ..plans.compiler import apply_temporal_join, topic_transform
-from .sink import chunked_foreach_batch_writer, parquet_chunk_writer
+from .sink import chunked_foreach_batch_writer, idempotent_parquet_chunk_writer
 
 _RUNNING: dict[str, StreamingQuery] = {}
 
@@ -50,9 +50,20 @@ def kafka_source_options(pipeline: PipelineConfig, topic: TopicConfig) -> dict[s
         if cp.mechanism:
             opts["kafka.sasl.mechanism"] = cp.mechanism
         if cp.username:
+            mechanism = (cp.mechanism or "PLAIN").upper()
+            module = (
+                "org.apache.kafka.common.security.scram.ScramLoginModule"
+                if mechanism.startswith("SCRAM")
+                else "org.apache.kafka.common.security.plain.PlainLoginModule"
+            )
+
+            def _jaas_escape(s: str) -> str:
+                return s.replace("\\", "\\\\").replace('"', '\\"')
+
             opts["kafka.sasl.jaas.config"] = (
-                "org.apache.kafka.common.security.plain.PlainLoginModule required "
-                f'username="{cp.username}" password="{cp.password or ""}";'
+                f"{module} required "
+                f'username="{_jaas_escape(cp.username)}" '
+                f'password="{_jaas_escape(cp.password or "")}";'
             )
     return opts
 
@@ -100,8 +111,11 @@ def run_streaming_pipeline(
     foreachBatch writer (swap the chunk writer for the ClickHouse JDBC one
     when a server is configured — sources/clickhouse.py).
     """
-    if pipeline.pipeline_id in _RUNNING:
-        raise RuntimeError(f"pipeline {pipeline.pipeline_id!r} already running")
+    existing = _RUNNING.get(pipeline.pipeline_id)
+    if existing is not None:
+        if existing.isActive:
+            raise RuntimeError(f"pipeline {pipeline.pipeline_id!r} already running")
+        _RUNNING.pop(pipeline.pipeline_id)  # crashed/terminated: allow restart
 
     frames: dict[str, DataFrame] = {}
     for topic in pipeline.source.topics:
@@ -116,8 +130,12 @@ def run_streaming_pipeline(
         df = apply_temporal_join(df, frames[topics[1].name], pipeline, streaming=True)
     out = apply_table_mapping(df, pipeline.sink.table_mapping)
 
+    # replay-safe by default: foreachBatch is at-least-once after checkpoint
+    # recovery, so each micro-batch overwrites its own batch_id-keyed subdir
+    # (W7) — a re-delivered batch lands on its partial output instead of
+    # appending duplicates. Readers see `batch` as a partition column.
     writer = chunked_foreach_batch_writer(
-        parquet_chunk_writer(sink_path), pipeline.sink.max_batch_size
+        idempotent_parquet_chunk_writer(sink_path), pipeline.sink.max_batch_size
     )
     stream_writer = (
         out.writeStream.foreachBatch(writer)
@@ -154,7 +172,11 @@ def run_until_drained(
         spark, pipeline, sink_path, checkpoint_dir, trigger="available_now", **kwargs
     )
     try:
-        query.awaitTermination(int(timeout_s))
+        if not query.awaitTermination(timeout_s):
+            raise TimeoutError(
+                f"pipeline {pipeline.pipeline_id!r} did not drain within {timeout_s}s"
+                " — sink contents are partial"
+            )
     finally:
         stop_pipeline(pipeline.pipeline_id)
 
@@ -180,18 +202,3 @@ def stop_pipeline(pipeline_id: str) -> None:
         query.stop()
 
 
-def process_all_available(query: StreamingQuery, idle_rounds: int = 3, poll_s: float = 0.5) -> None:
-    """Test helper: block until the query has drained available input (no new
-    progress batches for ``idle_rounds`` polls)."""
-    idle = 0
-    last_batch = -1
-    while idle < idle_rounds:
-        time.sleep(poll_s)
-        p = query.lastProgress
-        bid = p["batchId"] if p else -1
-        rows = p["numInputRows"] if p else 0
-        if bid == last_batch or rows == 0:
-            idle += 1
-        else:
-            idle = 0
-        last_batch = bid

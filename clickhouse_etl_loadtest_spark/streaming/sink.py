@@ -31,11 +31,17 @@ def chunked_foreach_batch_writer(
     """
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
-        n = batch_df.count()
-        if n == 0:
-            return
-        chunks = max(1, math.ceil(n / max_batch_size))
-        write_chunk(batch_df.repartition(chunks), batch_id)
+        # persist: count + write would otherwise EACH recompute the batch
+        # from the source (double Kafka/file reads per trigger)
+        batch_df.persist()
+        try:
+            n = batch_df.count()
+            if n == 0:
+                return
+            chunks = max(1, math.ceil(n / max_batch_size))
+            write_chunk(batch_df.repartition(chunks), batch_id)
+        finally:
+            batch_df.unpersist()
 
     return _write
 

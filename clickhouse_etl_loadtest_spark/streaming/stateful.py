@@ -97,7 +97,14 @@ def dedup_with_counts(
             first_us, dups = min_ts_us, n_rows - 1  # first row kept
             first_emit = 1
         state.update((first_us, dups))
-        state.setTimeoutTimestamp((first_us + window_us) // 1_000)  # millis
+        # event-time timeouts must be strictly later than the current
+        # watermark — a re-send arriving after other keys advanced the
+        # watermark past first_ts+window would otherwise crash the query
+        timeout_ms = max(
+            (first_us + window_us) // 1_000,
+            state.getCurrentWatermarkMs() + 1,
+        )
+        state.setTimeoutTimestamp(timeout_ms)
 
         yield pd.DataFrame(
             {
@@ -108,7 +115,9 @@ def dedup_with_counts(
             }
         )
 
-    watermarked = df.withWatermark(ts_col, _as_interval(time_window))
+    from ..config.durations import duration_to_interval
+
+    watermarked = df.withWatermark(ts_col, duration_to_interval(time_window))
     return watermarked.groupBy(key).applyInPandasWithState(
         fn,
         _output_schema(),
@@ -117,7 +126,3 @@ def dedup_with_counts(
         GroupStateTimeout.EventTimeTimeout,
     )
 
-
-def _as_interval(duration: str) -> str:
-    secs = parse_duration(duration)
-    return f"{int(secs)} seconds"

@@ -17,11 +17,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..config.durations import parse_duration
-
-
-def _interval(duration: str) -> str:
-    return f"{int(parse_duration(duration))} seconds"
+from ..config.durations import duration_to_interval as _interval
 
 
 def tumbling_counts(

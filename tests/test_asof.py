@@ -136,3 +136,33 @@ def test_asof_matches_duckdb_property(data):
         ).fetchall()
     )
     assert got == want
+
+
+def test_shared_payload_column_name(spark):
+    """Regression: a right_cols name that also exists on the left must not
+    corrupt either side (both used to be nulled by the schema-align loops)."""
+    trades, quotes = _frames(spark)
+    trades_px = trades.withColumn("px", F.col("qty") * 1.0)  # left has its own px
+    out = {r["qty"]: r for r in asof_join(trades_px, quotes, "sym", right_cols=["px"]).collect()}
+    assert out[400]["px"] == 400.0  # left's own px intact
+    assert out[400]["px_asof"] == 20.0  # right payload carried
+    assert out[100]["px"] == 100.0 and out[100]["px_asof"] is None
+
+
+def test_suffix_collision_rejected(spark):
+    trades, quotes = _frames(spark)
+    trades_bad = trades.withColumn("px_asof", F.lit(0.0))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="collides"):
+        asof_join(trades_bad, quotes, "sym", right_cols=["px"])
+
+
+def test_tolerance_on_numeric_timestamps(spark):
+    """Regression: tolerance used unix_micros unconditionally and blew up on
+    double ts columns (which the join path supports)."""
+    left = spark.createDataFrame([("A", 10.0, 1), ("A", 100.0, 2)], "k string, ts double, lv int")
+    right = spark.createDataFrame([("A", 8.0, 7)], "k string, ts double, rv int")
+    out = {r["lv"]: r for r in asof_join(left, right, "k", right_cols=["rv"], tolerance_seconds=5).collect()}
+    assert out[1]["rv_asof"] == 7  # 2s old: within tolerance
+    assert out[2]["rv_asof"] is None  # 92s old: nulled

@@ -90,7 +90,7 @@ def test_streaming_dedup_across_waves(spark, stream_env):
     out = spark.read.parquet(sink)
     assert out.count() == 25  # 20 + 5 fresh; all 10 re-sends suppressed
     assert out.select("event_id").distinct().count() == 25
-    assert out.columns == ["event_id", "payload"]
+    assert sorted(set(out.columns) - {"batch"}) == ["event_id", "payload"]
 
 
 def test_streaming_duplicates_within_one_wave(spark, stream_env):
@@ -113,8 +113,10 @@ def test_streaming_sink_chunking(spark, stream_env):
 
     import pyarrow.parquet as pq
 
-    files = [f for f in os.listdir(sink) if f.endswith(".parquet")]
-    sizes = [pq.read_table(os.path.join(sink, f)).num_rows for f in files]
+    import glob as _glob
+
+    files = _glob.glob(f"{sink}/**/*.parquet", recursive=True)
+    sizes = [pq.read_table(f).num_rows for f in files]
     assert sum(sizes) == 35
     assert max(sizes) <= 13  # ceil-split of 35 into 4 chunks, some slack
 
@@ -142,7 +144,7 @@ def test_source_rate_limit_max_files_per_trigger(spark, stream_env):
     seen_batches = []
     import clickhouse_etl_loadtest_spark.streaming.query as q
 
-    orig = q.parquet_chunk_writer
+    orig = q.idempotent_parquet_chunk_writer
 
     def counting_writer(path):
         inner = orig(path)
@@ -153,14 +155,14 @@ def test_source_rate_limit_max_files_per_trigger(spark, stream_env):
 
         return _w
 
-    q.parquet_chunk_writer = counting_writer
+    q.idempotent_parquet_chunk_writer = counting_writer
     try:
         run_until_drained(
             spark, pipeline, sink, ckpt, files_path=src,
             source_options={"maxFilesPerTrigger": "1"},
         )
     finally:
-        q.parquet_chunk_writer = orig
+        q.idempotent_parquet_chunk_writer = orig
     assert len(seen_batches) == 3
     assert spark.read.parquet(sink).count() == 15
 
@@ -204,17 +206,26 @@ def test_rate_source_pipeline(spark, tmp_path):
         sources={"topic_a": rate}, await_ready=False,
     )
     try:
-        # wait until at least one non-empty micro-batch has been committed
+        # wait for a COMMITTED non-empty micro-batch (progress is posted only
+        # after foreachBatch returns, so its sink files are durable; polling
+        # the filesystem instead races against in-flight writes)
         import time as _t
 
         deadline = _t.time() + 60
         while _t.time() < deadline:
-            if os.path.isdir(sink) and any(f.endswith(".parquet") for f in os.listdir(sink)):
+            p = q.lastProgress
+            if p and p["numInputRows"] > 0:
                 break
             _t.sleep(0.5)
     finally:
         stop_pipeline(pipeline.pipeline_id)
-    out = spark.read.parquet(sink)
+    import glob as _glob
+
+    files = [
+        f for f in _glob.glob(f"{sink}/**/*.parquet", recursive=True)
+        if "_temporary" not in f
+    ]
+    out = spark.read.parquet(*files)
     n, uniq = out.count(), out.select("event_id").distinct().count()
     assert n > 0
     assert n == uniq  # duplicates suppressed within the stream
