@@ -65,6 +65,9 @@ class TestExecutor:
         self.results = TestResultsHandler(results_file)
 
     def run_tests(self, combinations: list[dict[str, Any]], resume: bool = True) -> list[TestResult]:
+        """One failing variant does not abort the grid (C3 parity: the
+        reference records the error and continues,
+        /root/reference/src/test_executor.py:35-67)."""
         completed = self.results.completed_variant_ids() if resume else set()
         out = []
         for combo in combinations:
@@ -72,7 +75,10 @@ class TestExecutor:
             vid = variant_id(params)
             if vid in completed:
                 continue
-            out.append(self.run_variant_test(vid, params))
+            try:
+                out.append(self.run_variant_test(vid, params))
+            except Exception as exc:  # recorded by run_variant_test; keep going
+                print(f"variant {vid} failed: {exc}")
         return out
 
     def run_variant_test(self, vid: str, params: dict[str, Any]) -> TestResult:
@@ -91,6 +97,7 @@ class TestExecutor:
             result = self._run_variant(vid, params, result)
         except Exception:
             result.result_success = False
+            result.duration_sec = round(time.perf_counter() - t_variant, 2)
             self.results.write_result(result.with_derived_rates())
             raise
         result.duration_sec = round(time.perf_counter() - t_variant, 2)

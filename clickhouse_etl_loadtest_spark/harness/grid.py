@@ -20,7 +20,7 @@ from pydantic import BaseModel, Field
 class ParameterRange(BaseModel):
     min: float
     max: float
-    step: float
+    step: float = Field(gt=0)  # step <= 0 would walk forever
 
 
 class ParameterValues(BaseModel):
@@ -34,7 +34,10 @@ def expand_range(r: ParameterRange) -> list[float | int]:
     v = r.min
     while v <= r.max + 1e-12:
         v = round(v, 10)
-        out.append(int(v) if float(v).is_integer() and isinstance(r.min, (int, float)) and r.step >= 1 else v)
+        # integral values emit as int so variant_id hashing cannot split on
+        # 5000 vs 5000.0 (json.dumps distinguishes them; resume identity
+        # must not) — variants.variant_id applies the same normalization
+        out.append(int(v) if float(v).is_integer() else v)
         v += r.step
     return out
 

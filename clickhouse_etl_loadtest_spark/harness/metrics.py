@@ -93,8 +93,10 @@ class TestResultsHandler:
             return [TestResult.model_validate(row) for row in reader]
 
     def completed_variant_ids(self) -> set[str]:
-        """Resume set (A4; /root/reference/src/test_executor.py:73-74)."""
-        try:
-            return {r.variant_id for r in self.read_validated_results() if r.result_success}
-        except (ValueError, FileNotFoundError):
-            return set()
+        """Resume set (A4; /root/reference/src/test_executor.py:73-74).
+
+        Header drift propagates as ValueError: swallowing it would re-run
+        everything AND then append rows misaligned with the old header,
+        corrupting both schemas' data. Fail fast; the operator moves or
+        deletes the stale file."""
+        return {r.variant_id for r in self.read_validated_results() if r.result_success}

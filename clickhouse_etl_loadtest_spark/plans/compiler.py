@@ -77,11 +77,16 @@ def apply_temporal_join(
 
     lts, rts = f"l_{ts_col}", f"r_{ts_col}"
     left = left.withColumnRenamed(ts_col, lts)
+    # every right column colliding with a left name gets an r_ prefix (not
+    # just key/ts) — shared payload field names would otherwise make the
+    # joined frame ambiguous for the table_mapping select
+    taken = set(left.columns)
     right_cols = [c for c in right.columns if c != rk and c != ts_col]
+    renames = {c: (f"r_{c}" if c in taken else c) for c in right_cols}
     right = right.select(
         F.col(rk).alias(f"r_{rk}"),
         F.col(ts_col).alias(rts),
-        *[F.col(c) for c in right_cols],
+        *[F.col(c).alias(renames[c]) for c in right_cols],
     )
     if streaming:
         left = left.withWatermark(lts, window)
@@ -89,7 +94,10 @@ def apply_temporal_join(
     cond = (F.col(lk) == F.col(f"r_{rk}")) & (
         F.col(rts).between(F.col(lts) - F.expr(f"INTERVAL {window}"), F.col(lts) + F.expr(f"INTERVAL {window}"))
     )
-    how = "inner" if streaming else srcs[0].orientation
+    # orientation is honored in BOTH modes (Spark supports watermarked
+    # left-outer stream-stream joins; unmatched rows emit once the watermark
+    # closes their window) so batch and streaming runs of one pipeline agree
+    how = {"left": "leftOuter"}.get(srcs[0].orientation, srcs[0].orientation) if streaming else srcs[0].orientation
     joined = left.join(right, cond, how)
     return joined.withColumnRenamed(lts, ts_col).drop(f"r_{rk}", rts)
 

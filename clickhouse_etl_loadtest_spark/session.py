@@ -33,8 +33,16 @@ def get_spark(
     on a real cluster pass ``None`` and let spark-submit supply it.
     """
     if master is None:
-        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
-        master = f"local[{cpus}]"
+        from pyspark import SparkConf
+
+        if SparkConf().contains("spark.master"):
+            # spark-submit --master (or spark-defaults) already decided;
+            # overriding it with local[] would silently pull a cluster job
+            # back onto the driver machine
+            master = ""
+        else:
+            cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+            master = f"local[{cpus}]"
 
     builder = (
         SparkSession.builder.appName(app_name)

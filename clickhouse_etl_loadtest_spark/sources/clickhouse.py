@@ -61,9 +61,15 @@ class ClickHouseTarget:
             password = base64.b64decode(password).decode()
         except Exception:
             pass  # already plaintext
+        # the reference's configs carry the NATIVE-protocol port (9000/9440,
+        # clickhouse-driver); this engine speaks JDBC/HTTP — remap the two
+        # well-known native ports to their HTTP(S) equivalents
+        port_str = str(sink.port)
+        port = int(port_str) if port_str.isdigit() else 8123
+        port = {9000: 8123, 9440: 8443}.get(port, port)
         return cls(
             host=sink.host,
-            port=int(sink.port) if str(sink.port).isdigit() else 8123,
+            port=port,
             database=sink.database,
             username=sink.username,
             password=password,

@@ -66,7 +66,14 @@ def generate_user_events(
     n_unique = unique_count(total_records, duplication_rate)
     n_dup = total_records - n_unique
 
-    uniq = spark.range(0, n_unique, 1, num_partitions or spark.sparkContext.defaultParallelism)
+    # the two range legs SHARE the partition budget (proportional to their
+    # row counts) so the union really has num_partitions tasks — the C6
+    # "publisher process count = Spark tasks" contract
+    n_parts = num_partitions or spark.sparkContext.defaultParallelism
+    uniq_parts = max(1, round(n_parts * n_unique / total_records)) if n_dup > 0 else n_parts
+    dup_parts = max(1, n_parts - uniq_parts)
+
+    uniq = spark.range(0, n_unique, 1, uniq_parts)
     uniq = uniq.select(
         F.col("id").alias("seq"),
         F.col("id").alias("_src"),
@@ -74,7 +81,7 @@ def generate_user_events(
     )
 
     if n_dup > 0:
-        dup = spark.range(n_unique, total_records, 1, num_partitions or spark.sparkContext.defaultParallelism)
+        dup = spark.range(n_unique, total_records, 1, dup_parts)
         # deterministic "earlier key" choice: h60('dup'||seq) % n_unique
         src = (
             F.conv(F.substring(F.md5(F.concat(F.lit("dup"), F.col("id").cast("string"))), 1, 15), 16, 10)

@@ -81,6 +81,40 @@ class KafkaAdmin:
         return topics
 
 
+def _jaas_escape(s: str) -> str:
+    return s.replace("\\", "\\\\").replace('"', '\\"')
+
+
+def spark_kafka_auth_options(cp: ConnectionParams) -> dict[str, str]:
+    """Spark ``kafka.*`` auth options from connection params (S3) — the ONE
+    place the JAAS config is assembled (login module per SASL mechanism,
+    escaped credentials, base64 root CA), shared by the streaming source
+    (streaming/query.kafka_source_options) and the producer sink below."""
+    opts: dict[str, str] = {"kafka.bootstrap.servers": ",".join(cp.brokers)}
+    if cp.protocol and cp.protocol.upper() != "PLAINTEXT":
+        opts["kafka.security.protocol"] = cp.protocol
+        if cp.mechanism:
+            opts["kafka.sasl.mechanism"] = cp.mechanism
+        if cp.username:
+            mechanism = (cp.mechanism or "PLAIN").upper()
+            module = (
+                "org.apache.kafka.common.security.scram.ScramLoginModule"
+                if mechanism.startswith("SCRAM")
+                else "org.apache.kafka.common.security.plain.PlainLoginModule"
+            )
+            opts["kafka.sasl.jaas.config"] = (
+                f"{module} required "
+                f'username="{_jaas_escape(cp.username)}" '
+                f'password="{_jaas_escape(cp.password or "")}";'
+            )
+    if cp.root_ca:
+        f = tempfile.NamedTemporaryFile(suffix=".pem", delete=False)
+        f.write(base64.b64decode(cp.root_ca))
+        f.close()
+        opts["kafka.ssl.ca.location"] = f.name
+    return opts
+
+
 def write_to_kafka(df: DataFrame, cp: ConnectionParams, topic: str) -> None:
     """Producer sink (S4): all columns packed as the JSON value — the Spark
     replacement for glassgen's Kafka sink (generate_events.py:60-71). The
@@ -89,16 +123,7 @@ def write_to_kafka(df: DataFrame, cp: ConnectionParams, topic: str) -> None:
         df.select(F.to_json(F.struct(*df.columns)).alias("value"))
         .write.format("kafka")
         .option("topic", topic)
-        .option("kafka.bootstrap.servers", ",".join(cp.brokers))
     )
-    if cp.protocol and cp.protocol.upper() != "PLAINTEXT":
-        writer = writer.option("kafka.security.protocol", cp.protocol)
-        if cp.mechanism:
-            writer = writer.option("kafka.sasl.mechanism", cp.mechanism)
-        if cp.username:
-            writer = writer.option(
-                "kafka.sasl.jaas.config",
-                "org.apache.kafka.common.security.plain.PlainLoginModule required "
-                f'username="{cp.username}" password="{cp.password or ""}";',
-            )
+    for k, v in spark_kafka_auth_options(cp).items():
+        writer = writer.option(k, v)
     writer.save()

@@ -38,34 +38,17 @@ _RUNNING: dict[str, StreamingQuery] = {}
 
 def kafka_source_options(pipeline: PipelineConfig, topic: TopicConfig) -> dict[str, str]:
     """Kafka reader options from the pipeline's connection_params (S3:
-    /root/reference/src/utils/kafka.py:13-36 builds the same auth surface)."""
+    /root/reference/src/utils/kafka.py:13-36 builds the same auth surface).
+    Auth assembly is shared with the producer sink
+    (sources/kafka.py::spark_kafka_auth_options)."""
+    from ..sources.kafka import spark_kafka_auth_options
+
     cp = pipeline.source.connection_params
-    opts = {
+    return {
         "subscribe": topic.name,
         "startingOffsets": topic.consumer_group_initial_offset,
-        "kafka.bootstrap.servers": ",".join(cp.brokers),
+        **spark_kafka_auth_options(cp),
     }
-    if cp.protocol and cp.protocol.upper() != "PLAINTEXT":
-        opts["kafka.security.protocol"] = cp.protocol
-        if cp.mechanism:
-            opts["kafka.sasl.mechanism"] = cp.mechanism
-        if cp.username:
-            mechanism = (cp.mechanism or "PLAIN").upper()
-            module = (
-                "org.apache.kafka.common.security.scram.ScramLoginModule"
-                if mechanism.startswith("SCRAM")
-                else "org.apache.kafka.common.security.plain.PlainLoginModule"
-            )
-
-            def _jaas_escape(s: str) -> str:
-                return s.replace("\\", "\\\\").replace('"', '\\"')
-
-            opts["kafka.sasl.jaas.config"] = (
-                f"{module} required "
-                f'username="{_jaas_escape(cp.username)}" '
-                f'password="{_jaas_escape(cp.password or "")}";'
-            )
-    return opts
 
 
 def _open_stream(

@@ -163,11 +163,10 @@ def test_results_analyzer_cli(tmp_path, capsys):
 
 
 def test_executor_failure_path_records_result(spark, tmp_path):
-    """A failing variant still writes its CSV row with result_success=False
-    before re-raising (C3 parity: the reference records the error panel and
-    continues, /root/reference/src/test_executor.py:35-67)."""
-    import pytest
-
+    """A failing variant writes its CSV row with result_success=False and a
+    real duration, and the grid CONTINUES past it (C3 parity: the reference
+    records the error panel and moves on,
+    /root/reference/src/test_executor.py:35-67)."""
     from clickhouse_etl_loadtest_spark.config.reference_pipeline import reference_pipeline
     from clickhouse_etl_loadtest_spark.harness.executor import TestExecutor
 
@@ -176,8 +175,11 @@ def test_executor_failure_path_records_result(spark, tmp_path):
     broken.source.topics[0].deduplication.id_field = "no_such_column"
     f = str(tmp_path / "r.csv")
     ex = TestExecutor(spark, "t", broken, str(tmp_path / "work"), f)
-    with pytest.raises(Exception):
-        ex.run_tests([{"total_records": 100}], resume=False)
+    ok_results = ex.run_tests(
+        [{"total_records": 100}, {"total_records": 200}], resume=False
+    )
+    assert ok_results == []  # both variants failed, none aborted the loop
     rows = ex.results.read_validated_results()
-    assert len(rows) == 1
-    assert rows[0].result_success is False
+    assert len(rows) == 2  # every failure recorded
+    assert all(r.result_success is False for r in rows)
+    assert all(r.duration_sec > 0 for r in rows)

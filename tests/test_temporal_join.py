@@ -118,9 +118,10 @@ def test_batch_temporal_join(spark):
 
 
 def test_streaming_temporal_join(spark, tmp_path):
-    """Watermarked stream-stream interval join (inner in streaming mode —
-    outer stream joins need both watermarks to advance past the row before
-    emitting NULLs, which a single AvailableNow wave cannot guarantee)."""
+    """Watermarked stream-stream interval join, left orientation. Matched
+    rows emit immediately; NULL-extended unmatched rows emit only after the
+    watermark closes their window, which a single AvailableNow wave cannot
+    reach — so this wave's sink holds exactly the in-window matches."""
     src, sink, ckpt = str(tmp_path / "src"), str(tmp_path / "sink"), str(tmp_path / "ckpt")
     pipeline = PipelineConfig.model_validate(JOIN_SPEC)
     _write(
