@@ -55,6 +55,9 @@ def kmeans_fit_assign(
         [float(x) for x in r[vec_col]]
         for r in vectors.orderBy(id_col).limit(k).collect()
     ]
+    if not centroids:
+        raise ValueError("kmeans_fit_assign: empty input")
+    k = len(centroids)  # corpus smaller than k: fit what exists
 
     for _ in range(iterations):
         assigned = _assign(vectors, centroids, vec_col)

@@ -137,7 +137,8 @@ def sample_frames(df: DataFrame, frame_bytes: int = 64, max_frames: int = 4) -> 
             ids, nos, frames = [], [], []
             for mid, b in zip(pdf["media_id"], pdf["data"]):
                 raw = bytes(b)
-                for i in range(min(max_frames, max(1, len(raw) // frame_bytes))):
+                n_chunks = -(-len(raw) // frame_bytes) if raw else 1  # ceil: tail partial chunk kept
+                for i in range(min(max_frames, max(1, n_chunks))):
                     ids.append(mid)
                     nos.append(i)
                     frames.append(raw[i * frame_bytes : (i + 1) * frame_bytes])

@@ -492,7 +492,7 @@ def events_pivot_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.groupBy("user_id")
         .pivot("event_type", _EVENT_TYPES)
-        .agg(F.coalesce(F.count(F.lit(1)), F.lit(0)))
+        .agg(F.count(F.lit(1)))
         .fillna(0, subset=_EVENT_TYPES)
         .orderBy("user_id")
     )
@@ -947,7 +947,9 @@ def docs_by_lang_collected(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collection aggregates: collect_list/collect_set with deterministic
     post-sort (collection order is nondeterministic in ANY distributed
     engine — always sort before comparing or depending on it)."""
-    d = _docs_t(spark, sf_dir)
+    from .text import _docs
+
+    d = _docs(spark, sf_dir)
     tier = F.when(F.length("text") > 600, "long").otherwise("short")
     return (
         d.select("lang", "doc_id", tier.alias("quality_tier"))
@@ -960,9 +962,6 @@ def docs_by_lang_collected(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("lang")
     )
 
-
-def _docs_t(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
 # --- disjunctive predicate join (TPC-H Q19 shape) --------------------------------

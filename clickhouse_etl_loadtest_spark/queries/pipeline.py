@@ -216,7 +216,7 @@ _SESSION_GAP_MIN = 30
 
 _SESSION_ORACLE = f"""
 WITH flagged AS (
-    SELECT user_id, ts,
+    SELECT user_id, ts, event_id,
            CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                      > INTERVAL {_SESSION_GAP_MIN} MINUTE
                 OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
@@ -224,7 +224,7 @@ WITH flagged AS (
     FROM events
 ), numbered AS (
     SELECT user_id, ts,
-           SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+           SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                   ROWS UNBOUNDED PRECEDING) AS session_no
     FROM flagged
 )

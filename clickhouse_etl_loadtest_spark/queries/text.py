@@ -605,8 +605,11 @@ def doc_top_similar(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     sh = _shingles_df(spark, sf_dir)
+    # join on h60 (not h32): the oracle joins exact strings, and 32-bit
+    # hashes collide with near-certainty once the shingle vocabulary grows
+    # past ~10^5 — 60 bits keeps the collision odds negligible at any SF
     exploded = sh.select("doc_id", F.explode("shingles").alias("shingle")).select(
-        "doc_id", h32(F.col("shingle")).alias("sh")
+        "doc_id", h60(F.col("shingle")).alias("sh")
     )
     sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
     a = exploded.select(F.col("doc_id").alias("doc_a"), "sh")
