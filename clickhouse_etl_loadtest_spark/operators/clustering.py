@@ -3,12 +3,14 @@ a driver-side loop of DataFrame operations (the "iterative algorithms" tier
 of the driver contract: genuinely non-SQL-expressible, rows-only checked).
 
 Per iteration: assign each vector to its nearest centroid (map-only — the
-codebook enters the plan as literals, exactly a broadcast), then recompute
-centroids with posexplode + groupBy(cluster, dim): partial aggregation makes
-the shuffle O(k x dim) rows, never O(corpus). Only the k x dim centroid
-table (8 x 64 doubles here) ever reaches the driver between iterations —
-the same contract as ``spark.ml`` KMeans, and the only non-distributed data
-movement in the loop.
+codebook rides in the Pandas-UDF closure, exactly a broadcast; one numpy
+``(n, k, dim)`` broadcast-subtract per Arrow batch, so plan size and
+analysis cost are O(1) in k, not a k x dim literal tree re-analyzed every
+iteration), then recompute centroids with posexplode + groupBy(cluster, dim):
+partial aggregation makes the shuffle O(k x dim) rows, never O(corpus). Only
+the k x dim centroid table (8 x 64 doubles here) ever reaches the driver
+between iterations — the same contract as ``spark.ml`` KMeans, and the only
+non-distributed data movement in the loop.
 
 Initialization is deterministic (the k lowest ``id_col`` vectors) and
 nearest-centroid ties resolve to the lowest cluster id, so runs are
@@ -16,29 +18,30 @@ reproducible across restarts and cluster sizes."""
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _sq_dist(a: Column, b: Column) -> Column:
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-
-
 def _assign(vectors: DataFrame, centroids: list[list[float]], vec_col: str) -> DataFrame:
-    """Map-only nearest-centroid assignment against a literal codebook."""
-    dists = F.array(
-        *[_sq_dist(F.col(vec_col), F.array(*[F.lit(float(x)) for x in c])) for c in centroids]
-    )
-    return vectors.withColumn("_dists", dists).select(
+    """Map-only nearest-centroid assignment; the codebook travels in the UDF
+    closure (a broadcast), ``argmin`` ties resolve to the lowest cluster id."""
+    codebook = np.asarray(centroids, dtype=np.float64)
+
+    @F.pandas_udf("struct<cluster:int,dist2:double>")
+    def nearest(v: pd.Series) -> pd.DataFrame:
+        x = np.asarray(v.tolist(), dtype=np.float64)  # (batch, dim)
+        d = ((x[:, None, :] - codebook[None, :, :]) ** 2).sum(axis=2)  # (batch, k)
+        cl = d.argmin(axis=1)
+        return pd.DataFrame(
+            {"cluster": cl.astype("int32"), "dist2": d[np.arange(len(cl)), cl]}
+        )
+
+    return vectors.withColumn("_nc", nearest(F.col(vec_col))).select(
         *vectors.columns,
-        (F.array_position(F.col("_dists"), F.array_min(F.col("_dists"))) - 1)
-        .cast("int")
-        .alias("cluster"),
-        F.array_min(F.col("_dists")).alias("dist2"),
+        F.col("_nc.cluster").alias("cluster"),
+        F.col("_nc.dist2").alias("dist2"),
     )
 
 
