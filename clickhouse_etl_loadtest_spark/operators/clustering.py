@@ -31,6 +31,8 @@ def _assign(vectors: DataFrame, centroids: list[list[float]], vec_col: str) -> D
 
     @F.pandas_udf("struct<cluster:int,dist2:double>")
     def nearest(v: pd.Series) -> pd.DataFrame:
+        if len(v) == 0:  # empty Arrow batch: tolist() gives a (0,) array that breaks the 3-D indexing
+            return pd.DataFrame({"cluster": pd.Series(dtype="int32"), "dist2": pd.Series(dtype="float64")})
         x = np.asarray(v.tolist(), dtype=np.float64)  # (batch, dim)
         d = ((x[:, None, :] - codebook[None, :, :]) ** 2).sum(axis=2)  # (batch, k)
         cl = d.argmin(axis=1)

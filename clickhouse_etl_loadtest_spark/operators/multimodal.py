@@ -36,7 +36,8 @@ MEDIA_SCHEMA = (
 DECODED_SCHEMA = "media_id bigint, kind string, n_bytes bigint, checksum string, first_byte int"
 
 FEATURE_BINS = 16
-FEATURE_SCHEMA = f"media_id bigint, feature array<float>"
+FEATURE_SCHEMA = "media_id bigint, feature array<float>"
+FEATURE_COUNTS_SCHEMA = "media_id bigint, feature array<bigint>"
 
 FRAME_SCHEMA = "media_id bigint, frame_no int, frame binary"
 
@@ -109,9 +110,12 @@ def decode_media(df: DataFrame, decoder: Callable[[bytes], dict] = fake_decode) 
     return df.mapInPandas(_decode, schema=DECODED_SCHEMA)
 
 
-def extract_features(df: DataFrame, bins: int = FEATURE_BINS) -> DataFrame:
+def extract_features(df: DataFrame, bins: int = FEATURE_BINS, normalize: bool = True) -> DataFrame:
     """Feature-extract stage: byte-histogram 'embedding' (deterministic fake
-    for a CNN/CLIP encoder). Output shape array<float>[bins], L1-normalized."""
+    for a CNN/CLIP encoder). Output shape array<float>[bins], L1-normalized;
+    with ``normalize=False`` emits the raw int64 bin counts instead (exact
+    integers — cross-engine hash-comparable, used by the oracle-checked
+    driver query)."""
     import numpy as np
 
     def _feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -119,12 +123,15 @@ def extract_features(df: DataFrame, bins: int = FEATURE_BINS) -> DataFrame:
             feats = []
             for b in pdf["data"]:
                 arr = np.frombuffer(bytes(b), dtype=np.uint8)
-                hist = np.bincount(arr % bins, minlength=bins).astype("float64")
-                total = hist.sum() or 1.0
-                feats.append((hist / total).astype("float32").tolist())
+                hist = np.bincount(arr % bins, minlength=bins)
+                if normalize:
+                    total = hist.sum() or 1.0
+                    feats.append((hist / total).astype("float32").tolist())
+                else:
+                    feats.append(hist.astype("int64").tolist())
             yield pd.DataFrame({"media_id": pdf["media_id"], "feature": feats})
 
-    return df.mapInPandas(_feat, schema=FEATURE_SCHEMA)
+    return df.mapInPandas(_feat, schema=FEATURE_SCHEMA if normalize else FEATURE_COUNTS_SCHEMA)
 
 
 def sample_frames(df: DataFrame, frame_bytes: int = 64, max_frames: int = 4) -> DataFrame:

@@ -817,11 +817,13 @@ def approx_events_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_approx.py bounds the error against the exact answers instead.
     """
     ev = _t(spark, sf_dir, "events")
+    pcts = F.expr("approx_percentile(value, array(0.5, 0.95), 5000)")
     return (
         ev.groupBy("event_type")
         .agg(
             F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-            F.expr("approx_percentile(value, array(0.5, 0.95), 5000)").alias("value_p50_p95"),
+            pcts.getItem(0).alias("value_p50"),
+            pcts.getItem(1).alias("value_p95"),
             F.count(F.lit(1)).alias("n_events"),
         )
         .orderBy("event_type")
@@ -930,7 +932,7 @@ def customer_balance_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
 _COLLECT_ORACLE = """
 SELECT lang,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
-       (list_sort(list(doc_id)))[1:3] AS sample_doc_ids,
+       array_to_string((list_sort(list(doc_id)))[1:3], ',') AS sample_doc_ids,
        array_to_string((list_sort(list(DISTINCT quality_tier))), ',') AS tiers
 FROM (
     SELECT lang, doc_id,
@@ -956,7 +958,7 @@ def docs_by_lang_collected(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.slice(F.array_sort(F.collect_list("doc_id")), 1, 3).alias("sample_doc_ids"),
+            F.concat_ws(",", F.slice(F.array_sort(F.collect_list("doc_id")), 1, 3)).alias("sample_doc_ids"),
             F.concat_ws(",", F.array_sort(F.collect_set("quality_tier"))).alias("tiers"),
         )
         .orderBy("lang")

@@ -39,12 +39,33 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_media(media).orderBy("media_id")
 
 
-@register("multimodal_features", None)
+# The bin of each byte is byte % 16 == its low nibble == the 2nd hex digit of
+# that byte in hex(encode(text)). regexp_replace keeps every 2nd char, then
+# each bin count is an occurrence count of one hex digit — exact integers,
+# hash-comparable across engines (arrays would crash the driver canonicalizer).
+_FEATURES_ORACLE = (
+    "WITH h AS (SELECT doc_id AS media_id, "
+    "regexp_replace(hex(encode(text)), '.(.)', '\\1', 'g') AS nib FROM documents) "
+    "SELECT media_id, "
+    + ", ".join(
+        f"CAST(length(nib) - length(replace(nib, '{d}', '')) AS BIGINT) AS c{i:02d}"
+        for i, d in enumerate("0123456789ABCDEF")
+    )
+    + " FROM h ORDER BY media_id"
+)
+
+
+@register("multimodal_features", _FEATURES_ORACLE)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Feature extraction (byte-histogram embedding): rows-only driver check;
-    value-level coverage in tests/test_multimodal.py."""
+    """Feature extraction (byte-histogram embedding) through the Arrow-batched
+    mapInPandas stage, surfaced as 16 integer bin-count columns so the driver
+    can value-check it (the normalized float32 array form stays internal —
+    see operators/multimodal.py::extract_features)."""
     media = build_media_table(spark, sf_dir)
-    return extract_features(media).orderBy("media_id")
+    feats = extract_features(media, normalize=False)
+    return feats.select(
+        "media_id", *[F.col("feature").getItem(i).alias(f"c{i:02d}") for i in range(16)]
+    ).orderBy("media_id")
 
 
 @register("multimodal_frame_sample", None)

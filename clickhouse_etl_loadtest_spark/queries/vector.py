@@ -290,15 +290,63 @@ def ivf_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- k-means clustering (iterative; rows-only check) ---------------------------------
+# --- k-means clustering (iterative; oracle = Lloyd unrolled in SQL) ------------------
+
+_KMEANS_K = 8
+_KMEANS_ITERS = 3
 
 
-@register("kmeans_clusters", oracle=None)
+def _kmeans_oracle(k: int, iters: int) -> str:
+    """Unroll the deterministic Lloyd loop as chained CTEs: init = k lowest
+    vec_id vectors, per iteration assign (argmin dist2, ties to lowest
+    cluster) then per-cluster per-dim AVG (empty clusters keep their previous
+    centroid via COALESCE) — bit-for-bit the operators/clustering.py
+    semantics; float noise from differing summation order is absorbed by the
+    driver's 9-significant-digit rounding."""
+    ctes = [
+        f"ve AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v "
+        f"FROM embeddings, generate_series(1, {DIM}) AS t(i))",
+        f"init AS (SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster "
+        f"FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k}))",
+        "c0 AS (SELECT cluster, i, v AS cv FROM init JOIN ve USING (vec_id))",
+    ]
+    for n in range(1, iters + 1):
+        ctes.append(
+            f"d{n} AS (SELECT ve.vec_id, c.cluster, SUM((ve.v - c.cv) * (ve.v - c.cv)) AS dist2 "
+            f"FROM ve JOIN c{n - 1} c ON ve.i = c.i GROUP BY ve.vec_id, c.cluster)"
+        )
+        ctes.append(
+            f"a{n} AS (SELECT vec_id, cluster FROM (SELECT vec_id, cluster, "
+            f"ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2, cluster) AS rnk FROM d{n}) WHERE rnk = 1)"
+        )
+        ctes.append(
+            f"c{n} AS (SELECT p.cluster, p.i, COALESCE(m.cv, p.cv) AS cv FROM c{n - 1} p "
+            f"LEFT JOIN (SELECT a.cluster, ve.i, AVG(ve.v) AS cv FROM a{n} a "
+            f"JOIN ve ON a.vec_id = ve.vec_id GROUP BY a.cluster, ve.i) m "
+            f"ON p.cluster = m.cluster AND p.i = m.i)"
+        )
+    final = iters + 1
+    ctes.append(
+        f"d{final} AS (SELECT ve.vec_id, c.cluster, SUM((ve.v - c.cv) * (ve.v - c.cv)) AS dist2 "
+        f"FROM ve JOIN c{iters} c ON ve.i = c.i GROUP BY ve.vec_id, c.cluster)"
+    )
+    return (
+        "WITH "
+        + ", ".join(ctes)
+        + f" SELECT vec_id, CAST(cluster AS INT) AS cluster, dist2 FROM "
+        f"(SELECT vec_id, cluster, dist2, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2, cluster) AS rnk "
+        f"FROM d{final}) WHERE rnk = 1 ORDER BY vec_id"
+    )
+
+
+@register("kmeans_clusters", _kmeans_oracle(_KMEANS_K, _KMEANS_ITERS))
 def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Lloyd's k-means over the embedding corpus (operators/clustering.py) —
-    the iterative-algorithm entry of the driver contract (no single-statement
-    SQL oracle exists; invariants are pinned in tests/test_clustering.py:
-    determinism, full coverage, non-increasing cost)."""
+    """Lloyd's k-means over the embedding corpus (operators/clustering.py).
+    The init and every step are deterministic (k lowest vec_id seeds, argmin
+    ties to the lowest cluster id, empty clusters keep their centroid), so
+    the iteration unrolls to a single SQL statement for the DuckDB oracle;
+    invariants (determinism, coverage, non-increasing cost) are additionally
+    pinned in tests/test_clustering.py."""
     from ..operators.clustering import kmeans_fit_assign
 
-    return kmeans_fit_assign(_emb(spark, sf_dir), k=8, iterations=3).orderBy("vec_id")
+    return kmeans_fit_assign(_emb(spark, sf_dir), k=_KMEANS_K, iterations=_KMEANS_ITERS).orderBy("vec_id")
