@@ -15,9 +15,9 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from clickhouse_etl_loadtest_spark.queries import load_all
+from clickhouse_etl_loadtest_spark.queries import driver_registry
 
-_REGISTRY = load_all()
+_REGISTRY = driver_registry()
 
 
 def entry(spark: SparkSession) -> DataFrame:

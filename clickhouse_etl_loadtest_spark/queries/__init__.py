@@ -23,21 +23,35 @@ class Q:
     fn: Callable[[SparkSession, str], DataFrame]
     oracle: str | None  # ANSI SQL for DuckDB; None -> rows-only check
     headline: bool = False  # included in bench.py
+    extra: bool = False  # pytest-verified but not exposed through __spark_entry__
 
 
 REGISTRY: dict[str, Q] = {}
 
 
-def register(name: str, oracle: str | None, headline: bool = False):
+def register(name: str, oracle: str | None, headline: bool = False, extra: bool = False):
     def deco(fn):
-        REGISTRY[name] = Q(fn=fn, oracle=oracle, headline=headline)
+        REGISTRY[name] = Q(fn=fn, oracle=oracle, headline=headline, extra=extra)
         return fn
 
     return deco
 
 
 def load_all() -> dict[str, Q]:
-    """Import all query modules (side-effect: fills REGISTRY) and return it."""
+    """Import all query modules (side-effect: fills REGISTRY) and return the
+    FULL registry, extras included (the pytest oracle sweep covers everything)."""
     from . import analytics, multimodal, pipeline, text, vector  # noqa: F401
 
     return REGISTRY
+
+
+def driver_registry() -> dict[str, Q]:
+    """The registry slice exposed through ``__spark_entry__``: one entry per
+    SURVEY.md §2 / LLM-pipeline operator, capped at 50 entries because the
+    external driver's correctness check truncates at 50 (alphabetical) — a
+    larger registry silently loses verdicts for the tail. Near-duplicate
+    coverage queries stay registered as ``extra`` and keep their value-level
+    DuckDB check in tests/test_query_oracles.py."""
+    reg = {name: q for name, q in load_all().items() if not q.extra}
+    assert len(reg) <= 50, f"driver registry has {len(reg)} entries; driver truncates at 50"
+    return reg

@@ -110,7 +110,9 @@ LIMIT 10
 
 @register("shipping_priority", _Q3_ORACLE, headline=True)
 def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3 shape: 3-way join + agg + global top-k.
+    """TPC-H Q3 shape: 3-way join + agg + global top-k. Also the
+    driver-visible entry for global ORDER BY..LIMIT (SURVEY §2 O1; the plain
+    ``top_orders_global`` form is extra).
 
     Scale: customer filter first (selective), orders/lineitem join shuffles on
     orderkey only; top-10 is TakeOrderedAndProject (per-partition heap, no
@@ -201,7 +203,7 @@ ORDER BY n_name, rnk, c_custkey
 """
 
 
-@register("top_spenders_per_nation", _TOP_ORACLE)
+@register("top_spenders_per_nation", _TOP_ORACLE, extra=True)
 def top_spenders_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ranking window: top-3 customers by spend per nation.
 
@@ -239,7 +241,7 @@ ORDER BY o_custkey, order_seq
 """
 
 
-@register("running_customer_spend", _RUNNING_ORACLE)
+@register("running_customer_spend", _RUNNING_ORACLE, extra=True)
 def running_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running-total window (frame ROWS UNBOUNDED PRECEDING..CURRENT)."""
     o = _t(spark, sf_dir, "orders")
@@ -303,7 +305,7 @@ ORDER BY p_partkey
 """
 
 
-@register("scalar_functions", _SCALAR_ORACLE)
+@register("scalar_functions", _SCALAR_ORACLE, extra=True)
 def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar function surface: string/regex/math/conditional expressions —
     all builtin (JVM, codegen), cross-engine-deterministic subset only
@@ -340,7 +342,7 @@ ORDER BY 1, 2
 """
 
 
-@register("orders_by_month", _DATES_ORACLE)
+@register("orders_by_month", _DATES_ORACLE, extra=True)
 def orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Date-part extraction + distinct aggregate."""
     o = _t(spark, sf_dir, "orders")
@@ -396,7 +398,7 @@ ORDER BY returnflag, linestatus
 """
 
 
-@register("lineitem_rollup", _ROLLUP_ORACLE)
+@register("lineitem_rollup", _ROLLUP_ORACLE, extra=True)
 def lineitem_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP hierarchy totals (subtotal + grand total rows)."""
     li = _t(spark, sf_dir, "lineitem")
@@ -423,7 +425,7 @@ ORDER BY c_custkey
 """
 
 
-@register("customers_with_big_orders", _EXISTS_ORACLE)
+@register("customers_with_big_orders", _EXISTS_ORACLE, extra=True)
 def customers_with_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXISTS/semi-join: customers having any order above 400k."""
     c = _t(spark, sf_dir, "customer")
@@ -449,7 +451,7 @@ ORDER BY o_orderkey
 """
 
 
-@register("orders_above_customer_avg", _ABOVE_AVG_ORACLE)
+@register("orders_above_customer_avg", _ABOVE_AVG_ORACLE, extra=True)
 def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated-aggregate shape (each order vs its customer's average),
     decorrelated to aggregate + co-partitioned rejoin — the same one-shuffle
@@ -512,7 +514,7 @@ ORDER BY l_returnflag
 """
 
 
-@register("price_percentiles", _PCTL_ORACLE)
+@register("price_percentiles", _PCTL_ORACLE, extra=True)
 def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles (Spark ``percentile`` == DuckDB
     ``quantile_cont``, verified). At 100 TB swap to ``approx_percentile`` —
@@ -543,7 +545,7 @@ ORDER BY n_name
 """
 
 
-@register("rich_customers_per_nation", _STRAGG_ORACLE)
+@register("rich_customers_per_nation", _STRAGG_ORACLE, extra=True)
 def rich_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered string aggregation: collect_list is unordered in Spark, so
     sort_array before joining — deterministic at any parallelism."""
@@ -564,20 +566,27 @@ def rich_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _LAG_ORACLE = """
 SELECT event_id, user_id, ts,
-       LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts,
-       CAST(date_diff('second', LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) AS BIGINT) AS gap_seconds,
-       LEAD(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_event_id
+       LAG(ts) OVER w AS prev_ts,
+       CAST(date_diff('second', LAG(ts) OVER w, ts) AS BIGINT) AS gap_seconds,
+       LEAD(event_id) OVER w AS next_event_id,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
 FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ORDER BY user_id, ts, event_id
 """
 
 
 @register("events_lead_lag", _LAG_ORACLE)
 def events_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """lead/lag offset windows: per-user inter-event gaps.
+    """lead/lag offset windows + running-total frame (ROWS UNBOUNDED
+    PRECEDING..CURRENT ROW) in one window spec: per-user inter-event gaps and
+    cumulative value. Also the driver-visible entry for frame-based running
+    aggregation (the orders-table twin ``running_customer_spend`` is extra).
 
     Scale: one shuffle on user_id, per-partition sort — the minimal plan for
-    any offset window; no self-join (the naive formulation) needed."""
+    any offset/frame window; no self-join (the naive formulation) needed."""
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev_ts = F.lag("ts").over(w)
@@ -588,6 +597,10 @@ def events_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         prev_ts.alias("prev_ts"),
         (F.unix_timestamp("ts") - F.unix_timestamp(prev_ts)).cast("bigint").alias("gap_seconds"),
         F.lead("event_id").over(w).alias("next_event_id"),
+        F.sum(_dec("value"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("double")
+        .alias("running_value"),
     ).orderBy("user_id", "ts", "event_id")
 
 
@@ -699,7 +712,7 @@ ORDER BY 1
 """
 
 
-@register("promo_revenue_by_month", _PROMO_ORACLE)
+@register("promo_revenue_by_month", _PROMO_ORACLE, extra=True)
 def promo_revenue_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape: ratio of conditional sums over a fact-dim join.
     part is the small side — broadcast, so lineitem never shuffles."""
@@ -725,7 +738,7 @@ LIMIT 20
 """
 
 
-@register("top_orders_global", _TOPN_ORACLE)
+@register("top_orders_global", _TOPN_ORACLE, extra=True)
 def top_orders_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global ORDER BY .. LIMIT: compiles to TakeOrderedAndProject — each
     partition keeps its local top-20, the driver merges; no global sort."""
@@ -751,7 +764,7 @@ ORDER BY kind
 """
 
 
-@register("event_branches_union", _UNION_ORACLE)
+@register("event_branches_union", _UNION_ORACLE, extra=True)
 def event_branches_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNION ALL of tagged branches + aggregate. Both branches scan the same
     table; Spark keeps them as one union node with per-branch pushed filters."""

@@ -68,19 +68,69 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
-@register("multimodal_frame_sample", None)
+@register("multimodal_frame_sample", None, extra=True)
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Video frame sampling (1 row -> N frames): rows-only driver check."""
+    """Video frame sampling (1 row -> N frames): extra (driver-visible
+    coverage lives in the chained ``multimodal_resize_frames``)."""
     media = build_media_table(spark, sf_dir)
     return sample_frames(media).orderBy("media_id", "frame_no")
 
 
-@register("multimodal_resize", None)
+@register("multimodal_resize", None, extra=True)
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Payload resize/downsample (stride sampling standing in for the gated
-    PIL path): rows-only driver check; determinism + size bounds pinned in
+    PIL path): extra (driver-visible coverage lives in the chained
+    ``multimodal_resize_frames``); determinism + size bounds pinned in
     tests/test_multimodal.py."""
     from ..operators.multimodal import resize_media
 
     media = build_media_table(spark, sf_dir)
     return resize_media(media).drop("data").orderBy("media_id")
+
+
+# Chained resize -> frame-sample, fully value-checked: the stride resize picks
+# byte floor(i * (n/256.0)) for i in 0..255 (the SQL repeats numpy's exact
+# multiply-then-floor order so IEEE doubles agree bit-for-bit), each frame is a
+# 64-byte chunk, and frames are compared as hex strings (byte j of a payload is
+# hex chars [2j+1, 2j+2] of hex(encode(text))). 'video' kind <=> doc_id % 3 = 2
+# (see MEDIA_KINDS round-robin in operators/multimodal.py::build_media_table).
+_RESIZE_FRAMES_ORACLE = """
+WITH v AS (
+    SELECT doc_id AS media_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+    FROM documents WHERE doc_id % 3 = 2
+),
+resz AS (
+    SELECT media_id,
+           string_agg(substr(hx, 2 * CAST(floor(i * (n / 256.0)) AS INT) + 1, 2), '' ORDER BY i) AS rhx
+    FROM v, generate_series(0, 255) AS t(i)
+    WHERE n > 256
+    GROUP BY media_id
+    UNION ALL
+    SELECT media_id, hx AS rhx FROM v WHERE n <= 256
+)
+SELECT media_id, CAST(k AS INT) AS frame_no,
+       CAST(length(substr(rhx, 128 * k + 1, 128)) / 2 AS BIGINT) AS frame_bytes,
+       substr(rhx, 128 * k + 1, 128) AS frame_hex
+FROM resz, generate_series(0, 3) AS s(k)
+WHERE 128 * k < length(rhx)
+ORDER BY media_id, frame_no
+"""
+
+
+@register("multimodal_resize_frames", _RESIZE_FRAMES_ORACLE)
+def multimodal_resize_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The media-transform pipeline chained end-to-end: stride resize to 256
+    bytes, then frame-sample the video payloads into 64-byte chunks — two
+    Arrow-batched mapInPandas stages back to back, value-checked against a
+    SQL twin that replays the stride arithmetic on hex strings. Frames are
+    emitted as hex so the comparison is scalar (arrays/binary stay internal)."""
+    from ..operators.multimodal import resize_media
+
+    media = build_media_table(spark, sf_dir)
+    frames = sample_frames(resize_media(media))
+    return frames.select(
+        "media_id",
+        "frame_no",
+        F.length("frame").cast("bigint").alias("frame_bytes"),
+        F.hex("frame").alias("frame_hex"),
+    ).orderBy("media_id", "frame_no")

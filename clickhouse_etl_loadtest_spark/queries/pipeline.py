@@ -192,7 +192,7 @@ ORDER BY 1, 2
 """
 
 
-@register("events_tumbling_1h", _TUMBLING_ORACLE)
+@register("events_tumbling_1h", _TUMBLING_ORACLE, extra=True)
 def events_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling event-time window aggregation — the batch form of the
     streaming windowed agg (W2). ``F.window`` and DuckDB ``time_bucket`` are

@@ -718,7 +718,7 @@ ORDER BY 1
 """
 
 
-@register("doc_length_buckets", _LENBUCKET_ORACLE)
+@register("doc_length_buckets", _LENBUCKET_ORACLE, extra=True)
 def doc_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence-length bucketing (power-of-two buckets, capped at 512) — the
     batching prep for training: group docs of similar token length so padding
@@ -938,7 +938,7 @@ ORDER BY tf.doc_id
 """
 
 
-@register("doc_token_entropy", _ENTROPY_ORACLE)
+@register("doc_token_entropy", _ENTROPY_ORACLE, extra=True)
 def doc_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram token entropy per document — the cheap perplexity proxy
     (low entropy = repetitive/templated text, a standard pretraining
