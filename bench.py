@@ -38,6 +38,27 @@ def main() -> None:
         F.sum(F.aggregate("arr", F.lit(0.0), lambda a, x: a + x))
     ).collect()
     warm.select(F.explode(F.regexp_extract_all("txt", F.lit("[a-z0-9]+"), 0))).count()
+    # md5/conv hashing, zip_with shingling, stack + collect_set: the expression
+    # classes the text-dedup headliners load first. (Measured: the remaining
+    # first-run premium on doc_minhash_lsh_pairs is Janino compilation of that
+    # query's own whole-stage-codegen units — not reachable generically, and
+    # pre-running headline queries would no longer measure cold plans.)
+    w2 = warm.select("k", F.regexp_extract_all("txt", F.lit("[a-z0-9]+"), 0).alias("toks"))
+    n3 = F.size("toks") - 2
+    shingles = F.array_distinct(
+        F.zip_with(
+            F.zip_with(F.slice("toks", 1, n3), F.slice(F.col("toks"), 2, n3), lambda a, b: F.concat_ws(" ", a, b)),
+            F.slice(F.col("toks"), 3, n3),
+            lambda ab, c: F.concat_ws(" ", ab, c),
+        )
+    )
+    hashed = w2.select("k", F.explode(shingles).alias("s")).select(
+        "k", F.conv(F.substring(F.md5(F.col("s").cast("string")), 1, 8), 16, 10).cast("long").alias("h")
+    )
+    sig = hashed.groupBy("k").agg(F.min((F.lit(7) * F.col("h") + 3) % 2147483647).alias("m"))
+    sig.selectExpr("k", "stack(2, 0, cast(m as string), 1, cast(m as string)) as (b, s)").groupBy(
+        "b", "s"
+    ).agg(F.sort_array(F.collect_set("k"))).count()
     warm.write.mode("overwrite").parquet("/tmp/bench-warmup")
     spark.read.parquet("/tmp/bench-warmup").count()
 
