@@ -940,6 +940,69 @@ def customer_balance_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("c_custkey")
 
 
+_RANKFN_SCALED_ORACLE = """
+WITH thr AS (
+    SELECT quantile_cont(c_acctbal, 0.25) AS p25,
+           quantile_cont(c_acctbal, 0.50) AS p50,
+           quantile_cont(c_acctbal, 0.75) AS p75
+    FROM customer
+)
+SELECT c_custkey, c_acctbal,
+       CAST(n_nationkey AS INT) AS nation_key,
+       CAST(RANK() OVER w AS BIGINT) AS nation_rnk,
+       CAST(DENSE_RANK() OVER w AS BIGINT) AS nation_dense_rnk,
+       PERCENT_RANK() OVER w AS nation_pct_rank,
+       CAST(CASE WHEN c_acctbal >= p75 THEN 1
+                 WHEN c_acctbal >= p50 THEN 2
+                 WHEN c_acctbal >= p25 THEN 3
+                 ELSE 4 END AS INT) AS balance_quartile
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+CROSS JOIN thr
+WINDOW w AS (PARTITION BY n_nationkey ORDER BY c_acctbal DESC, c_custkey)
+ORDER BY c_custkey
+"""
+
+
+@register("customer_balance_ranks_scaled", _RANKFN_SCALED_ORACLE, extra=True)
+def customer_balance_ranks_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fact-scale form of ``customer_balance_ranks``: rank functions
+    partition by nation (bounded partitions — no single-partition global
+    sort), and the quartile comes from value thresholds computed once and
+    broadcast (1-row cross join, the Q11 threshold pattern) instead of a
+    global NTILE. At 100 TB swap the exact ``percentile`` for
+    ``approx_percentile`` — identical plan shape, sketch-mergeable map side.
+    tests/test_plan_quality.py asserts the plan has no Exchange
+    SinglePartition."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    thr = c.agg(
+        F.expr("percentile(c_acctbal, 0.25)").alias("p25"),
+        F.expr("percentile(c_acctbal, 0.50)").alias("p50"),
+        F.expr("percentile(c_acctbal, 0.75)").alias("p75"),
+    )
+    w = Window.partitionBy("n_nationkey").orderBy(F.desc("c_acctbal"), "c_custkey")
+    quartile = (
+        F.when(F.col("c_acctbal") >= F.col("p75"), 1)
+        .when(F.col("c_acctbal") >= F.col("p50"), 2)
+        .when(F.col("c_acctbal") >= F.col("p25"), 3)
+        .otherwise(4)
+    )
+    return (
+        c.join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .crossJoin(F.broadcast(thr))
+        .select(
+            "c_custkey",
+            "c_acctbal",
+            F.col("n_nationkey").cast("int").alias("nation_key"),
+            F.rank().over(w).cast("bigint").alias("nation_rnk"),
+            F.dense_rank().over(w).cast("bigint").alias("nation_dense_rnk"),
+            F.percent_rank().over(w).alias("nation_pct_rank"),
+            quartile.cast("int").alias("balance_quartile"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
 # --- grouped collection aggregates ------------------------------------------------
 
 _COLLECT_ORACLE = """

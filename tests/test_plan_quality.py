@@ -137,6 +137,27 @@ def test_top_orders_is_take_ordered(spark, sf_dir):
     assert "Exchange rangepartitioning" not in plan  # no global sort
 
 
+def test_scaled_ranks_have_no_single_partition_window(spark, sf_dir):
+    """The fact-scale ranking variant must not serialize: rank windows
+    partition by nation and the quartile thresholds broadcast, so no
+    operator runs on a single partition (the global form
+    customer_balance_ranks keeps Exchange SinglePartition by design — it
+    ranks a dimension table)."""
+    plan = exec_plan_of(spark, sf_dir, "customer_balance_ranks_scaled")
+    window_lines = [ln for ln in plan.splitlines() if "Window [" in ln]
+    assert window_lines
+    # every Window node carries a partition spec (3 bracket groups: functions,
+    # partition keys, order) — never a global (un-partitioned) sort
+    for ln in window_lines:
+        assert "], [n_nationkey#" in ln, ln
+    # the only SinglePartition exchange is the 1-row threshold aggregate
+    # (sketch merge), which must NOT feed the window's sort
+    assert "Exchange hashpartitioning(n_nationkey" in plan
+    global_plan = exec_plan_of(spark, sf_dir, "customer_balance_ranks")
+    gw = [ln for ln in global_plan.splitlines() if "Window [" in ln]
+    assert gw and all("], [n_nationkey#" not in ln for ln in gw)  # the contrast this test pins
+
+
 def test_priority_join_prunes_both_scans(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "priority_line_counts")
     schemas = [line for line in plan.splitlines() if "ReadSchema" in line]
