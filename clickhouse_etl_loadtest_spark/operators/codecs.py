@@ -1,0 +1,202 @@
+"""Dependency-free real media codecs: PCM16 WAV (RIFF) and binary PPM (P6).
+
+The multimodal stages (operators/multimodal.py) default to a deterministic
+byte-level fake because this environment ships no media libraries; these two
+formats need nothing beyond ``struct``/numpy, so the decode / resize stages
+can exercise at least one GENUINE binary format end-to-end (header parse,
+payload reinterpretation, format-aware resample) while PIL/librosa/ffmpeg
+stay import-gated for the rest.
+
+All functions are plain bytes -> dict/bytes transforms, called from Arrow
+batches inside ``mapInPandas`` — one Python roundtrip per batch, never per
+row (same execution contract as the fake path).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+WAV_MAGIC = b"RIFF"
+PPM_MAGIC = b"P6"
+
+
+# --- WAV (PCM16 mono/stereo) --------------------------------------------------
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """Minimal RIFF/WAVE writer: PCM16, (n,) mono or (n, ch) interleaved."""
+    arr = np.asarray(samples, dtype=np.int16)
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    n, ch = arr.shape
+    data = arr.reshape(-1).tobytes()
+    byte_rate = sample_rate * ch * 2
+    hdr = b"".join(
+        [
+            b"RIFF",
+            struct.pack("<I", 36 + len(data)),
+            b"WAVE",
+            b"fmt ",
+            struct.pack("<IHHIIHH", 16, 1, ch, sample_rate, byte_rate, ch * 2, 16),
+            b"data",
+            struct.pack("<I", len(data)),
+        ]
+    )
+    return hdr + data
+
+
+def decode_wav(data: bytes) -> dict:
+    """Parse RIFF chunks; returns format metadata + the sample array.
+
+    Walks the chunk list (not fixed offsets) so files with extra chunks
+    (LIST/INFO) parse correctly — the part a naive 44-byte-header reader
+    gets wrong."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, raw = 12, None, None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        body = data[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            raw = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or raw is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, ch, sample_rate, _, _, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise ValueError(f"only PCM16 supported (format={audio_format}, bits={bits})")
+    samples = np.frombuffer(raw[: (len(raw) // (2 * ch)) * 2 * ch], dtype="<i2").reshape(-1, ch)
+    return {
+        "format": "wav",
+        "sample_rate": sample_rate,
+        "n_channels": ch,
+        "bit_depth": bits,
+        "n_samples": samples.shape[0],
+        "duration_ms": int(samples.shape[0] * 1000 / sample_rate) if sample_rate else 0,
+        "samples": samples,
+    }
+
+
+def resize_wav(data: bytes, target_samples: int) -> bytes:
+    """Resample by stride selection (nearest-neighbor in time): keeps the
+    format valid — the output decodes with the same parser."""
+    d = decode_wav(data)
+    s = d["samples"]
+    n = s.shape[0]
+    if n <= target_samples:
+        return data
+    idx = (np.arange(target_samples) * (n / target_samples)).astype(np.int64)
+    return encode_wav(s[idx], sample_rate=d["sample_rate"])
+
+
+# --- PPM (P6 binary RGB) ------------------------------------------------------
+
+
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """P6 writer: (h, w, 3) uint8."""
+    arr = np.asarray(pixels, dtype=np.uint8)
+    h, w, c = arr.shape
+    assert c == 3, "PPM is RGB"
+    return f"P6\n{w} {h}\n255\n".encode("ascii") + arr.tobytes()
+
+
+def decode_ppm(data: bytes) -> dict:
+    """P6 parser: whitespace-separated header tokens (with # comments), then
+    raw RGB bytes."""
+    if data[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    tokens: list[int] = []
+    pos = 2
+    while len(tokens) < 3:
+        while pos < len(data) and data[pos : pos + 1].isspace():
+            pos += 1
+        if data[pos : pos + 1] == b"#":  # comment to end of line
+            while pos < len(data) and data[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(data) and not data[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(data[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = tokens
+    pixels = np.frombuffer(data[pos : pos + w * h * 3], dtype=np.uint8).reshape(h, w, 3)
+    return {"format": "ppm", "width": w, "height": h, "maxval": maxval, "pixels": pixels}
+
+
+def resize_ppm(data: bytes, target_w: int, target_h: int) -> bytes:
+    """Nearest-neighbor resize; output is a valid P6 payload."""
+    d = decode_ppm(data)
+    px = d["pixels"]
+    h, w = px.shape[:2]
+    yi = (np.arange(target_h) * (h / target_h)).astype(np.int64)
+    xi = (np.arange(target_w) * (w / target_w)).astype(np.int64)
+    return encode_ppm(px[yi][:, xi])
+
+
+# --- magic-byte dispatch (used by the mapInPandas stages) ---------------------
+
+
+def sniff_format(data: bytes) -> str:
+    if data[:4] == WAV_MAGIC:
+        return "wav"
+    if data[:2] == PPM_MAGIC:
+        return "ppm"
+    return "raw"
+
+
+def real_decode(data: bytes) -> dict:
+    """Typed decode by magic bytes; raw payloads fall back to byte stats.
+
+    Returns a uniform dict (missing fields None) so one mapInPandas schema
+    covers all formats."""
+    kind = sniff_format(data)
+    out = {
+        "format": kind,
+        "n_bytes": len(data),
+        "sample_rate": None,
+        "n_samples": None,
+        "n_channels": None,
+        "width": None,
+        "height": None,
+        "duration_ms": None,
+    }
+    if kind == "wav":
+        d = decode_wav(data)
+        out.update(
+            sample_rate=d["sample_rate"],
+            n_samples=d["n_samples"],
+            n_channels=d["n_channels"],
+            duration_ms=d["duration_ms"],
+        )
+    elif kind == "ppm":
+        d = decode_ppm(data)
+        out.update(width=d["width"], height=d["height"])
+    return out
+
+
+def real_resize(data: bytes, target_bytes: int = 256) -> bytes:
+    """Format-aware resize: WAV resamples in time, PPM in space; raw payloads
+    stride-sample bytes (the fake-path behavior). Always returns a payload
+    that still decodes under the same format."""
+    kind = sniff_format(data)
+    if kind == "wav":
+        d = decode_wav(data)
+        per_sample = 2 * d["n_channels"]
+        return resize_wav(data, max(1, (target_bytes - 44) // per_sample))
+    if kind == "ppm":
+        d = decode_ppm(data)
+        side = max(1, int((target_bytes // 3) ** 0.5))
+        if d["width"] * d["height"] <= side * side:
+            return data
+        return resize_ppm(data, min(side, d["width"]), min(side, d["height"]))
+    if len(data) <= target_bytes:
+        return data
+    arr = np.frombuffer(data, dtype=np.uint8)
+    idx = (np.arange(target_bytes) * (len(data) / target_bytes)).astype(np.int64)
+    return arr[idx].tobytes()

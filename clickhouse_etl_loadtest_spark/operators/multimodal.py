@@ -154,24 +154,58 @@ def sample_frames(df: DataFrame, frame_bytes: int = 64, max_frames: int = 4) -> 
     return df.where(F.col("kind") == "video").mapInPandas(_frames, schema=FRAME_SCHEMA)
 
 
+REAL_DECODED_SCHEMA = (
+    "media_id bigint, kind string, format string, n_bytes bigint, sample_rate int, "
+    "n_samples bigint, n_channels int, width int, height int, duration_ms int"
+)
+
+
+def decode_media_typed(df: DataFrame) -> DataFrame:
+    """Format-aware decode stage: real header parsing for the dependency-free
+    formats (PCM16 WAV, P6 PPM — operators/codecs.py), byte stats for
+    anything else. Same Arrow-batched mapInPandas contract as decode_media;
+    a real deployment extends codecs.real_decode's dispatch with PIL/ffmpeg
+    instead of swapping the Spark stage."""
+    from .codecs import real_decode
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [real_decode(bytes(b)) for b in pdf["data"]]
+            out = pd.DataFrame(rows)
+            out.insert(0, "kind", pdf["kind"].values)
+            out.insert(0, "media_id", pdf["media_id"].values)
+            yield out
+
+    return df.mapInPandas(_decode, schema=REAL_DECODED_SCHEMA)
+
+
 RESIZED_SCHEMA = "media_id bigint, kind string, data binary, orig_bytes bigint, resized_bytes bigint"
 
 
-def resize_media(df: DataFrame, target_bytes: int = 256) -> DataFrame:
+def resize_media(df: DataFrame, target_bytes: int = 256, format_aware: bool = False) -> DataFrame:
     """Resize stage (image analogue): downsample the payload to
     ``target_bytes`` by stride sampling — the deterministic stand-in for a
     PIL ``Image.resize`` (the real decoder is gated, see real_image_decode).
     Keeps the binary column + size metadata so downstream stages (feature
     extraction, dedup-by-checksum) run on bounded payloads — at 100 TB the
-    resize is what makes the multimodal corpus shuffle-able."""
+    resize is what makes the multimodal corpus shuffle-able.
+
+    ``format_aware=True`` routes through codecs.real_resize: WAV payloads
+    resample in time, PPM in space (both stay decodable), raw bytes fall back
+    to the stride path below."""
     import numpy as np
+
+    if format_aware:
+        from .codecs import real_resize
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out_rows = {"media_id": [], "kind": [], "data": [], "orig_bytes": [], "resized_bytes": []}
             for mid, kind, b in zip(pdf["media_id"], pdf["kind"], pdf["data"]):
                 raw = bytes(b)
-                if len(raw) <= target_bytes:
+                if format_aware:
+                    resized = real_resize(raw, target_bytes)
+                elif len(raw) <= target_bytes:
                     resized = raw
                 else:
                     stride = len(raw) / target_bytes
