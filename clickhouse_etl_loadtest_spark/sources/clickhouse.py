@@ -138,6 +138,102 @@ def drop_prefixed_tables_queries(tables: list[str], prefix: str = "load_", datab
     return [f"DROP TABLE IF EXISTS {database}.{t}" for t in tables if t.startswith(prefix)]
 
 
+class ClickHouseHttpClient:
+    """Admin + insert surface over ClickHouse's HTTP interface (port 8123) —
+    zero dependencies (stdlib urllib), so S7–S13 are executable against a real
+    server without the JDBC driver jar, and textually verifiable against an
+    in-process HTTP stub (tests/test_connectors.py). The reference speaks the
+    native protocol via clickhouse-driver (clickhouse.py:10-20); semantics and
+    SQL strings are identical, only the transport differs."""
+
+    def __init__(self, target: ClickHouseTarget, timeout: float = 30.0):
+        self.target = target
+        self.timeout = timeout
+
+    def execute(self, sql: str, data: str | None = None) -> str:
+        """POST a statement; with ``data``, the statement rides the query
+        string and the body carries the payload (the INSERT ... FORMAT shape
+        of the HTTP protocol)."""
+        import urllib.parse
+        import urllib.request
+
+        t = self.target
+        params = {"database": t.database}
+        if data is not None:
+            params["query"] = sql
+            body = data.encode()
+        else:
+            body = sql.encode()
+        url = f"http://{t.host}:{t.port}/?{urllib.parse.urlencode(params)}"
+        req = urllib.request.Request(
+            url,
+            data=body,
+            headers={"X-ClickHouse-User": t.username, "X-ClickHouse-Key": t.password},
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+            return resp.read().decode()
+
+    # --- S7-S13 admin surface -------------------------------------------------
+
+    def create_table(self, sink: SinkConfig, join: JoinConfig | None = None, engine: str | None = None) -> None:
+        self.execute(create_table_ddl(sink, join, engine))  # S8
+
+    def count(self, database: str, table: str, distinct_key: str | None = None) -> int:
+        return int(self.execute(count_query(database, table, distinct_key)).strip())  # S9
+
+    def last_rows_json(self, database: str, table: str, key: str, n: int) -> list[dict]:
+        import json
+
+        out = self.execute(last_rows_query(database, table, key, n) + " FORMAT JSONEachRow")  # S10
+        return [json.loads(line) for line in out.splitlines() if line.strip()]
+
+    def truncate(self, database: str, table: str) -> None:
+        self.execute(truncate_query(database, table))  # S11
+
+    def exists(self, database: str, table: str) -> bool:
+        return self.execute(exists_query(database, table)).strip() == "1"  # S13
+
+    def drop_prefixed_tables(self, prefix: str = "load_", database: str = "default") -> list[str]:
+        names = self.execute(
+            f"SELECT name FROM system.tables WHERE database = '{database}' FORMAT TSV"
+        ).splitlines()  # S12
+        stmts = drop_prefixed_tables_queries([n.strip() for n in names if n.strip()], prefix, database)
+        for stmt in stmts:
+            self.execute(stmt)
+        return stmts
+
+    def insert_json_rows(self, database: str, table: str, rows: list[dict]) -> None:
+        """Driver-side insert for small/admin payloads; bulk data goes through
+        write_batch_jdbc / clickhouse_http_chunk_writer."""
+        import json
+
+        if rows:
+            self.execute(
+                f"INSERT INTO {database}.{table} FORMAT JSONEachRow",
+                data="\n".join(json.dumps(r, default=str) for r in rows),
+            )
+
+
+def clickhouse_http_chunk_writer(target: ClickHouseTarget, table: str, max_batch_size: int):
+    """foreachBatch writer over the HTTP client (JDBC-jar-free deployments):
+    same ReplacingMergeTree replay-collapse contract as
+    clickhouse_chunk_writer. Rows move via mapInPandas-free toJSON on the
+    executor-collected batch — intended for the smoke path, not 100 TB bulk
+    (that is the JDBC writer's job)."""
+
+    def _write(df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        client = ClickHouseHttpClient(target)
+        stamped = df.withColumn("_batch_id", F.lit(batch_id))
+        rows = [r.asDict(recursive=True) for r in stamped.collect()]
+        for i in range(0, len(rows), max_batch_size):
+            client.insert_json_rows(target.database, table, rows[i : i + max_batch_size])
+
+    return _write
+
+
 def write_batch_jdbc(df: DataFrame, target: ClickHouseTarget, table: str, max_batch_size: int) -> None:
     """Batched insert (S14): JDBC ``batchsize`` carries the row cap; numPartitions
     stays the frame's own (executor-parallel inserts)."""

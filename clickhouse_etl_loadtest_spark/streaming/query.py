@@ -87,12 +87,15 @@ def run_streaming_pipeline(
     await_ready: bool = True,
     trigger: str = "processing_time",
     source_options: dict[str, str] | None = None,
+    chunk_writer=None,
 ) -> StreamingQuery:
     """Compile and start the pipeline as a Structured Streaming query.
 
     ``sink_path`` receives parquet micro-batches through the chunked
-    foreachBatch writer (swap the chunk writer for the ClickHouse JDBC one
-    when a server is configured — sources/clickhouse.py).
+    foreachBatch writer; pass ``chunk_writer`` (a (df, batch_id) callable,
+    e.g. sources/clickhouse.py::clickhouse_chunk_writer or
+    clickhouse_http_chunk_writer) to sink into ClickHouse instead —
+    sink_path is then unused.
     """
     existing = _RUNNING.get(pipeline.pipeline_id)
     if existing is not None:
@@ -118,7 +121,8 @@ def run_streaming_pipeline(
     # (W7) — a re-delivered batch lands on its partial output instead of
     # appending duplicates. Readers see `batch` as a partition column.
     writer = chunked_foreach_batch_writer(
-        idempotent_parquet_chunk_writer(sink_path), pipeline.sink.max_batch_size
+        chunk_writer if chunk_writer is not None else idempotent_parquet_chunk_writer(sink_path),
+        pipeline.sink.max_batch_size,
     )
     stream_writer = (
         out.writeStream.foreachBatch(writer)
