@@ -82,6 +82,14 @@ def main() -> None:
     # reference's actual execution model; baseline 8.0-9.4k rec/s.
     streaming = run_streaming_loadtest(spark)
 
+    # Reference max-scale wave: 20M records (BASELINE.md's largest variant,
+    # 2,333 s there) with RocksDB state + state-store metrics recorded.
+    streaming_20m = (
+        run_streaming_loadtest(spark, total_records=20_000_000, state_metrics=True)
+        if os.environ.get("SPARK_GRAFT_STREAM_20M", "1") == "1"
+        else None
+    )
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -93,6 +101,7 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "loadtest_5m": loadtest,
                 "streaming_loadtest_1m": streaming,
+                "streaming_loadtest_20m": streaming_20m,
             }
         )
     )
@@ -131,7 +140,7 @@ def run_loadtest(spark, total_records: int = 5_000_000) -> dict:
         shutil.rmtree(work, ignore_errors=True)
 
 
-def run_streaming_loadtest(spark, total_records: int = 1_000_000) -> dict:
+def run_streaming_loadtest(spark, total_records: int = 1_000_000, state_metrics: bool = False) -> dict:
     import shutil
     import tempfile
 
@@ -139,11 +148,20 @@ def run_streaming_loadtest(spark, total_records: int = 1_000_000) -> dict:
 
     from clickhouse_etl_loadtest_spark.config.reference_pipeline import reference_pipeline
     from clickhouse_etl_loadtest_spark.sources.generator import generate_user_events, unique_count
-    from clickhouse_etl_loadtest_spark.streaming.query import run_until_drained, stop_pipeline
+    from clickhouse_etl_loadtest_spark.streaming.query import run_streaming_pipeline, stop_pipeline
+
+    # RocksDB state store (W4): the reference's 8h x 18M-key dedup window
+    # doesn't fit an in-memory store at scale; runtime-settable SQL conf, so
+    # it applies even though bench shares one session across phases.
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
 
     p = reference_pipeline()
     topic = p.source.topics[0].name
     work = tempfile.mkdtemp(prefix="bench-stream-")
+    label = f"{total_records // 1_000_000}M"
     try:
         ev = generate_user_events(spark, total_records, 0.1, num_partitions=32)
         ev.withColumn(
@@ -154,8 +172,19 @@ def run_streaming_loadtest(spark, total_records: int = 1_000_000) -> dict:
             spark.read.parquet(f"{work}/staging").schema
         ).parquet(f"{work}/staging")
         t0 = time.perf_counter()
+        query = run_streaming_pipeline(
+            spark,
+            p,
+            f"{work}/sink",
+            f"{work}/ckpt",
+            sources={topic: stream},
+            trigger="available_now",
+            await_ready=False,
+        )
         try:
-            run_until_drained(spark, p, f"{work}/sink", f"{work}/ckpt", sources={topic: stream})
+            if not query.awaitTermination(1800):
+                raise TimeoutError("20M streaming wave did not drain in 1800s")
+            progress = query.lastProgress
         finally:
             stop_pipeline(p.pipeline_id)
         dt = time.perf_counter() - t0
@@ -164,8 +193,19 @@ def run_streaming_loadtest(spark, total_records: int = 1_000_000) -> dict:
             "result_num_records": total_records,
             "result_glassflow_rps": int(total_records / dt),
             "result_success": got == unique_count(total_records, 0.1),
+            "duration_sec": round(dt, 1),
         }
-        print(f"# streaming loadtest 1M: {out}", file=sys.stderr)
+        if state_metrics and progress and progress.get("stateOperators"):
+            so = progress["stateOperators"][0]
+            out["state_store"] = {
+                "provider": "RocksDB",
+                "num_keys": so.get("numRowsTotal"),
+                "memory_used_bytes": so.get("memoryUsedBytes"),
+                "rocksdb_total_sst_bytes": (so.get("customMetrics") or {}).get(
+                    "rocksdbSstFileSize"
+                ),
+            }
+        print(f"# streaming loadtest {label}: {out}", file=sys.stderr)
         return out
     finally:
         shutil.rmtree(work, ignore_errors=True)
