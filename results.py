@@ -26,29 +26,57 @@ def _fmt_ms(ms: float) -> str:
 
 
 def display(rows: list[dict]) -> None:
+    """Per-variant bordered panels (Parameters/Results JSON body) + a summary
+    line — the reference's display shape (results.py:37-84), rendered by the
+    dependency-free panel/log helpers (harness/console.py)."""
+    from clickhouse_etl_loadtest_spark.harness.console import log, panel, style, supports_color
+
+    print(style("Test Results:", "blue", bold=True))
+    print(style(f"Total Variants: {len(rows)}", "green", bold=True))
     for r in rows:
-        print(f"--- variant {r['variant_id']} ({'OK' if r['result_success'] else 'FAILED'}) ---")
-        print(
-            f"  params : records={r['param_total_records']:,} procs={r['param_num_processes']}"
-            f" dup={r['param_duplication_rate']} window={r['param_deduplication_window']}"
-            f" batch={r['param_max_batch_size']} delay={r['param_max_delay_time']}"
+        body = json.dumps(
+            {
+                "Parameters": {
+                    "Variant ID": r["variant_id"],
+                    "Total Records": f"{r['param_total_records']:,}",
+                    "Processes": r["param_num_processes"],
+                    "Duplication Rate": r["param_duplication_rate"],
+                    "Deduplication Window": r["param_deduplication_window"],
+                    "Max Batch Size": r["param_max_batch_size"],
+                    "Max Delay Time": r["param_max_delay_time"],
+                },
+                "Results": {
+                    "Success": str(r["result_success"]),
+                    "Published": f"{r['result_num_records']:,}",
+                    "Uniques": f"{r['result_total_generated']:,}",
+                    "Duplicates": f"{r['result_total_duplicates']:,}",
+                    "Source RPS in Kafka": f"{r['result_kafka_ingestion_rps']:,} records/s",
+                    "End-to-end RPS": f"{r['result_glassflow_rps']:,} records/s",
+                    "Average Latency": f"{r['result_avg_latency_ms']:.4f} ms",
+                    "Lag": _fmt_ms(r["result_lag_ms"]),
+                    "Wall": f"{r['duration_sec']}s",
+                },
+            },
+            indent=2,
         )
-        print(
-            f"  volume : published={r['result_num_records']:,} uniques={r['result_total_generated']:,}"
-            f" duplicates={r['result_total_duplicates']:,}"
+        ok = bool(r["result_success"])
+        panel(
+            body,
+            title=f"Test Results for {r['variant_id']} - {'Success' if ok else 'Failed'}",
+            border_color="blue" if ok else "red",
         )
-        print(
-            f"  rates  : ingest={r['result_kafka_ingestion_rps']:,} rps"
-            f" e2e={r['result_glassflow_rps']:,} rps"
-            f" avg_latency={r['result_avg_latency_ms']:.4f}ms"
-            f" lag={_fmt_ms(r['result_lag_ms'])}"
-            f" wall={r['duration_sec']}s"
-        )
+        print()
     if rows:
-        ok = sum(1 for r in rows if r["result_success"])
+        ok_n = sum(1 for r in rows if r["result_success"])
         best = max(rows, key=lambda r: r["result_glassflow_rps"])
-        print(f"=== {ok}/{len(rows)} variants succeeded;"
-              f" best e2e {best['result_glassflow_rps']:,} rps ({best['variant_id']}) ===")
+        log(
+            f"{ok_n}/{len(rows)} variants succeeded; best e2e "
+            f"{best['result_glassflow_rps']:,} rps ({best['variant_id']})",
+            status="Success" if ok_n == len(rows) else f"{len(rows) - ok_n} failed",
+            is_success=ok_n == len(rows),
+            is_failure=ok_n < len(rows),
+            component="Results",
+        )
 
 
 def main(argv: list[str] | None = None) -> int:
