@@ -969,3 +969,103 @@ def doc_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.cast("bigint").alias("n_tokens"),
         entropy.alias("token_entropy"),
     ).orderBy("doc_id")
+
+
+# --- benchmark-contamination screening ---------------------------------------------
+
+_EVAL_SET_MAX_DOC = 25  # docs below this id stand in for a held-out eval set
+_CONTAM_MIN_OVERLAP = 3
+
+_CONTAM_ORACLE = f"""
+WITH sh AS ({_SHINGLES_SQL}),
+ex AS (
+    SELECT doc_id, {h60_sql_duckdb("unnest(shingles)")} AS shingle FROM sh
+),
+eval_sh AS (SELECT DISTINCT shingle FROM ex WHERE doc_id < {_EVAL_SET_MAX_DOC}),
+overlap AS (
+    SELECT doc_id, COUNT(DISTINCT shingle) AS n_overlap
+    FROM ex
+    WHERE doc_id >= {_EVAL_SET_MAX_DOC} AND shingle IN (SELECT shingle FROM eval_sh)
+    GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(n_overlap, 0) AS BIGINT) AS n_overlap,
+       COALESCE(n_overlap, 0) >= {_CONTAM_MIN_OVERLAP} AS contaminated
+FROM documents d LEFT JOIN overlap USING (doc_id)
+WHERE d.doc_id >= {_EVAL_SET_MAX_DOC}
+ORDER BY d.doc_id
+"""
+
+
+@register("doc_contamination_check", _CONTAM_ORACLE, extra=True)
+def doc_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination screening: flag training documents sharing at
+    least _CONTAM_MIN_OVERLAP distinct 3-gram shingles with a held-out eval
+    set (stand-in: the lowest doc_ids) — the decontamination pass every
+    pre-training pipeline runs against its benchmark suites.
+
+    Scale: the eval side reduces to distinct 60-bit shingle hashes and
+    BROADCASTS (eval suites are small by definition — MBs, not TBs); the
+    corpus side explodes to fixed-width keys, joins map-side, and aggregates
+    with partial combine. The corpus never shuffles document text, and
+    nothing here is O(corpus x eval)."""
+    d = _docs(spark, sf_dir)
+    sh = _shingles_df(spark, sf_dir)
+    ex = sh.select("doc_id", F.explode("shingles").alias("shingle")).select(
+        "doc_id", h60(F.col("shingle")).alias("shingle")
+    )
+    eval_sh = ex.where(F.col("doc_id") < _EVAL_SET_MAX_DOC).select("shingle").distinct()
+    overlap = (
+        ex.where(F.col("doc_id") >= _EVAL_SET_MAX_DOC)
+        .join(F.broadcast(eval_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("shingle").alias("n_overlap"))
+    )
+    n_ov = F.coalesce(F.col("n_overlap"), F.lit(0))
+    return (
+        d.where(F.col("doc_id") >= _EVAL_SET_MAX_DOC)
+        .select("doc_id")
+        .join(overlap, "doc_id", "left")
+        .select(
+            "doc_id",
+            n_ov.cast("bigint").alias("n_overlap"),
+            (n_ov >= _CONTAM_MIN_OVERLAP).alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --- stratified (language-balanced) sampling ---------------------------------------
+
+_STRAT_ORACLE = f"""
+WITH c AS (SELECT lang, COUNT(*) AS n_lang FROM documents GROUP BY lang),
+t AS (SELECT MIN(n_lang) AS tgt FROM c)
+SELECT doc_id, lang,
+       ({h60_sql_duckdb("'strat-' || CAST(doc_id AS VARCHAR)")} % n_lang) < tgt AS keep
+FROM documents JOIN c USING (lang) CROSS JOIN t
+ORDER BY doc_id
+"""
+
+
+@register("doc_stratified_sample", _STRAT_ORACLE, extra=True)
+def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-balanced downsampling: keep each document with probability
+    target/|lang| where target = the smallest language's count, so every
+    language contributes ~equally to the training mix. The keep decision is
+    a deterministic hash threshold (h60 of a salted doc_id) — reproducible
+    across runs, engines, and corpus growth, unlike ``df.sample``.
+
+    Scale: per-group counts are one partial-aggregated groupBy on a tiny key
+    domain; counts and the global min broadcast back; the keep decision is
+    then map-only over the corpus — no shuffle of document rows at all."""
+    d = _docs(spark, sf_dir)
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
+    tgt = counts.agg(F.min("n_lang").alias("tgt"))
+    keep = (h60(F.concat(F.lit("strat-"), F.col("doc_id").cast("string"))) % F.col("n_lang")) < F.col("tgt")
+    return (
+        d.select("doc_id", "lang")
+        .join(F.broadcast(counts), "lang")
+        .crossJoin(F.broadcast(tgt))
+        .select("doc_id", "lang", keep.alias("keep"))
+        .orderBy("doc_id")
+    )
