@@ -150,13 +150,15 @@ def run_streaming_loadtest(spark, total_records: int = 1_000_000, state_metrics:
     from clickhouse_etl_loadtest_spark.sources.generator import generate_user_events, unique_count
     from clickhouse_etl_loadtest_spark.streaming.query import run_streaming_pipeline, stop_pipeline
 
-    # RocksDB state store (W4): the reference's 8h x 18M-key dedup window
-    # doesn't fit an in-memory store at scale; runtime-settable SQL conf, so
-    # it applies even though bench shares one session across phases.
-    spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-    )
+    if state_metrics:
+        # RocksDB state store (W4) for the max-scale wave: the reference's
+        # 8h x 18M-key dedup window doesn't fit an in-memory store at scale.
+        # Runtime-settable SQL conf; applied ONLY here so the 1M wave keeps
+        # the default provider and stays comparable round-over-round.
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
 
     p = reference_pipeline()
     topic = p.source.topics[0].name
@@ -183,7 +185,7 @@ def run_streaming_loadtest(spark, total_records: int = 1_000_000, state_metrics:
         )
         try:
             if not query.awaitTermination(1800):
-                raise TimeoutError("20M streaming wave did not drain in 1800s")
+                raise TimeoutError(f"{label} streaming wave did not drain in 1800s")
             progress = query.lastProgress
         finally:
             stop_pipeline(p.pipeline_id)

@@ -65,9 +65,12 @@ def log(
         ("✔", "green") if is_success else ("✗", "red") if is_failure else ("△", "yellow")
     )
     tag_color = _COMPONENT_COLORS.get(component, "magenta")
+    # pad the PLAIN text, then style: ANSI escapes inflate len() and would
+    # defeat the format-width alignment in color mode
+    tag = f"[{component}]".ljust(13)
     print(
         f"{style(icon, color, enable=enable)} "
-        f"{style(f'[{component}]', tag_color, bold=True, enable=enable):<14} "
+        f"{style(tag, tag_color, bold=True, enable=enable)} "
         f"{message:<60} {style(status, color, enable=enable)}",
         file=stream,
     )

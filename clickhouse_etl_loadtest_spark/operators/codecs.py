@@ -68,8 +68,8 @@ def decode_wav(data: bytes) -> dict:
     if fmt is None or raw is None:
         raise ValueError("missing fmt/data chunk")
     audio_format, ch, sample_rate, _, _, bits = fmt
-    if audio_format != 1 or bits != 16:
-        raise ValueError(f"only PCM16 supported (format={audio_format}, bits={bits})")
+    if audio_format != 1 or bits != 16 or ch < 1:
+        raise ValueError(f"only PCM16 supported (format={audio_format}, bits={bits}, channels={ch})")
     samples = np.frombuffer(raw[: (len(raw) // (2 * ch)) * 2 * ch], dtype="<i2").reshape(-1, ch)
     return {
         "format": "wav",
@@ -150,14 +150,21 @@ def sniff_format(data: bytes) -> str:
     return "raw"
 
 
+# malformed-payload fallback: a magic-prefix match is a hint, not a guarantee
+# (RIFF-but-not-WAVE, PCM24 WAV, text starting "P6x", truncated headers) — one
+# bad row must degrade to byte stats, never kill the whole mapInPandas stage
+_DECODE_ERRORS = (ValueError, struct.error, ZeroDivisionError, IndexError)
+
+
 def real_decode(data: bytes) -> dict:
-    """Typed decode by magic bytes; raw payloads fall back to byte stats.
+    """Typed decode by magic bytes; raw AND malformed payloads fall back to
+    byte stats (format="raw").
 
     Returns a uniform dict (missing fields None) so one mapInPandas schema
     covers all formats."""
     kind = sniff_format(data)
     out = {
-        "format": kind,
+        "format": "raw",
         "n_bytes": len(data),
         "sample_rate": None,
         "n_samples": None,
@@ -166,35 +173,42 @@ def real_decode(data: bytes) -> dict:
         "height": None,
         "duration_ms": None,
     }
-    if kind == "wav":
-        d = decode_wav(data)
-        out.update(
-            sample_rate=d["sample_rate"],
-            n_samples=d["n_samples"],
-            n_channels=d["n_channels"],
-            duration_ms=d["duration_ms"],
-        )
-    elif kind == "ppm":
-        d = decode_ppm(data)
-        out.update(width=d["width"], height=d["height"])
+    try:
+        if kind == "wav":
+            d = decode_wav(data)
+            out.update(
+                format="wav",
+                sample_rate=d["sample_rate"],
+                n_samples=d["n_samples"],
+                n_channels=d["n_channels"],
+                duration_ms=d["duration_ms"],
+            )
+        elif kind == "ppm":
+            d = decode_ppm(data)
+            out.update(format="ppm", width=d["width"], height=d["height"])
+    except _DECODE_ERRORS:
+        pass  # keep the raw byte stats
     return out
 
 
 def real_resize(data: bytes, target_bytes: int = 256) -> bytes:
-    """Format-aware resize: WAV resamples in time, PPM in space; raw payloads
-    stride-sample bytes (the fake-path behavior). Always returns a payload
-    that still decodes under the same format."""
+    """Format-aware resize: WAV resamples in time, PPM in space; raw and
+    malformed payloads stride-sample bytes (the fake-path behavior). Always
+    returns a payload that still decodes under the same format."""
     kind = sniff_format(data)
-    if kind == "wav":
-        d = decode_wav(data)
-        per_sample = 2 * d["n_channels"]
-        return resize_wav(data, max(1, (target_bytes - 44) // per_sample))
-    if kind == "ppm":
-        d = decode_ppm(data)
-        side = max(1, int((target_bytes // 3) ** 0.5))
-        if d["width"] * d["height"] <= side * side:
-            return data
-        return resize_ppm(data, min(side, d["width"]), min(side, d["height"]))
+    try:
+        if kind == "wav":
+            d = decode_wav(data)
+            per_sample = 2 * d["n_channels"]
+            return resize_wav(data, max(1, (target_bytes - 44) // per_sample))
+        if kind == "ppm":
+            d = decode_ppm(data)
+            side = max(1, int((target_bytes // 3) ** 0.5))
+            if d["width"] * d["height"] <= side * side:
+                return data
+            return resize_ppm(data, min(side, d["width"]), min(side, d["height"]))
+    except _DECODE_ERRORS:
+        pass  # malformed: fall through to byte-stride
     if len(data) <= target_bytes:
         return data
     arr = np.frombuffer(data, dtype=np.uint8)

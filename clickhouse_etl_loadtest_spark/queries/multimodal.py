@@ -126,7 +126,11 @@ def multimodal_resize_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     emitted as hex so the comparison is scalar (arrays/binary stay internal)."""
     from ..operators.multimodal import resize_media
 
-    media = build_media_table(spark, sf_dir)
+    # empty payloads: the operator emits one empty frame (sample_frames'
+    # contract) but the SQL twin naturally emits no row — align by filtering
+    # empties out of this oracle-checked query (none exist in the fixtures;
+    # this guards regenerated/scaled data)
+    media = build_media_table(spark, sf_dir).where(F.length("data") > 0)
     frames = sample_frames(resize_media(media))
     return frames.select(
         "media_id",

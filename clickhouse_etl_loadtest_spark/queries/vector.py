@@ -300,9 +300,12 @@ def _kmeans_oracle(k: int, iters: int) -> str:
     """Unroll the deterministic Lloyd loop as chained CTEs: init = k lowest
     vec_id vectors, per iteration assign (argmin dist2, ties to lowest
     cluster) then per-cluster per-dim AVG (empty clusters keep their previous
-    centroid via COALESCE) — bit-for-bit the operators/clustering.py
-    semantics; float noise from differing summation order is absorbed by the
-    driver's 9-significant-digit rounding."""
+    centroid via COALESCE) — the operators/clustering.py semantics. dist2
+    noise from differing float summation order (~1e-15 relative) is absorbed
+    by the driver's 9-significant-digit rounding; a near-exact distance TIE
+    between two centroids could still flip the discrete argmin across
+    engines — accepted residual risk, vanishingly unlikely on real-valued
+    embeddings (same class as the accepted centroid-average tolerance)."""
     ctes = [
         f"ve AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v "
         f"FROM embeddings, generate_series(1, {DIM}) AS t(i))",

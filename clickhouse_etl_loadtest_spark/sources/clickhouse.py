@@ -154,6 +154,7 @@ class ClickHouseHttpClient:
         """POST a statement; with ``data``, the statement rides the query
         string and the body carries the payload (the INSERT ... FORMAT shape
         of the HTTP protocol)."""
+        import urllib.error
         import urllib.parse
         import urllib.request
 
@@ -171,8 +172,14 @@ class ClickHouseHttpClient:
             headers={"X-ClickHouse-User": t.username, "X-ClickHouse-Key": t.password},
             method="POST",
         )
-        with urllib.request.urlopen(req, timeout=self.timeout) as resp:
-            return resp.read().decode()
+        try:
+            with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+                return resp.read().decode()
+        except urllib.error.HTTPError as e:
+            # ClickHouse puts the DB::Exception text in the response body —
+            # surface it, or every SQL error reads as a bare "HTTP Error 400"
+            detail = e.read().decode(errors="replace").strip()
+            raise RuntimeError(f"ClickHouse HTTP {e.code} for {sql!r}: {detail}") from e
 
     # --- S7-S13 admin surface -------------------------------------------------
 

@@ -48,10 +48,10 @@ def main() -> int:
     from clickhouse_etl_loadtest_spark.sources.generator import generate_user_events, unique_count
     from clickhouse_etl_loadtest_spark.sources.kafka import KafkaAdmin, write_to_kafka
     from clickhouse_etl_loadtest_spark.streaming.query import run_until_drained, stop_pipeline
-    from clickhouse_etl_loadtest_spark.streaming.sink import chunked_foreach_batch_writer
 
     run_id = uuid.uuid4().hex[:8]
     p = reference_pipeline()
+    p.source.type = "kafka"  # reference_pipeline defaults to the hermetic "values" source
     p.source.connection_params.brokers = [os.environ.get("SPARK_GRAFT_KAFKA", "localhost:9093")]
     p.source.connection_params.protocol = "SASL_PLAINTEXT"
     p.source.connection_params.mechanism = "PLAIN"
@@ -59,6 +59,9 @@ def main() -> int:
     p.source.connection_params.password = "admin-secret"
     topic = p.source.topics[0]
     topic.name = f"load_smoke_{run_id}"
+    # records are produced BEFORE the stream starts; "latest" would snapshot
+    # end-of-topic and drain nothing
+    topic.consumer_group_initial_offset = "earliest"
     p.sink.host = os.environ.get("SPARK_GRAFT_CH_HOST", "localhost")
     p.sink.port = os.environ.get("SPARK_GRAFT_CH_PORT", "8123")
     p.sink.username = "default"
@@ -81,10 +84,10 @@ def main() -> int:
     client.create_table(p.sink, p.join)
 
     print("[S5/S6/D1/P1/S14] stream: Kafka -> decode -> dedup -> mapping -> ClickHouse")
-    writer = chunked_foreach_batch_writer(
-        clickhouse_http_chunk_writer(target, p.sink.table, p.sink.max_batch_size),
-        p.sink.max_batch_size,
-    )
+    # bare chunk writer: run_streaming_pipeline wraps it in
+    # chunked_foreach_batch_writer itself (double-wrapping would persist/count
+    # every micro-batch twice)
+    writer = clickhouse_http_chunk_writer(target, p.sink.table, p.sink.max_batch_size)
     with tempfile.TemporaryDirectory(prefix="smoke-ckpt-") as ckpt:
         try:
             run_until_drained(

@@ -105,6 +105,28 @@ def test_invalid_payloads_raise():
         decode_ppm(b"P3\n1 1\n255\n0 0 0")  # ASCII PPM unsupported
 
 
+def test_malformed_magic_matches_fall_back_to_raw():
+    """A magic-prefix match is a hint, not a guarantee: malformed payloads
+    must degrade to byte stats, never raise out of the dispatch (one bad row
+    would otherwise abort the whole mapInPandas stage)."""
+    malformed = [
+        b"RIFFxxxxNOPEjunk",          # RIFF but not WAVE
+        b"RIFF\x00\x00\x00\x00WAVE",  # WAVE with no fmt/data chunks
+        b"P6xnot really a ppm",       # P6 prefix, garbage header
+        b"P6\n3 2\n255\n",            # P6 header, truncated pixels -> reshape fails
+    ]
+    for data in malformed:
+        d = real_decode(data)
+        assert d["format"] == "raw" and d["n_bytes"] == len(data), data
+        out = real_resize(data, 8)
+        assert len(out) <= 8 or out == data  # byte-stride fallback applied
+    # non-PCM16 WAV (bits=8) also degrades instead of raising
+    s, wav = _ramp_wav(n=16)
+    bad_bits = bytearray(wav)
+    bad_bits[34] = 8  # fmt chunk bit-depth field
+    assert real_decode(bytes(bad_bits))["format"] == "raw"
+
+
 def test_spark_typed_decode_and_format_aware_resize(spark):
     """End-to-end through the Arrow-batched stages: real WAV + PPM + raw
     payloads in one binary column, decoded and resized by magic bytes."""
