@@ -1,0 +1,151 @@
+"""Pipeline control-plane service tests (reference remote-API parity):
+the reference harness drives a remote pipeline service over HTTP — create /
+get-running / delete, one pipeline at a time, typed errors
+(/root/reference/src/utils/pipeline.py:27-123). Here the same client workflow
+runs against the in-process service, end-to-end through a real streaming
+query over a file-stream source."""
+
+import copy
+import json
+import os
+import time
+
+import pytest
+
+from clickhouse_etl_loadtest_spark.service import (
+    PipelineAlreadyExistsError,
+    PipelineNotFoundError,
+    PipelineService,
+    PipelineServiceClient,
+    ServiceConnectionError,
+)
+
+SPEC = {
+    "pipeline_id": "svc-test",
+    "source": {
+        "type": "files",
+        "topics": [
+            {
+                "name": "svc_topic",
+                "schema": {
+                    "fields": [
+                        {"name": "event_id", "type": "string"},
+                        {"name": "payload", "type": "string"},
+                    ]
+                },
+                "deduplication": {
+                    "enabled": True,
+                    "id_field": "event_id",
+                    "time_window": "1h",
+                },
+            }
+        ],
+    },
+    "join": {"enabled": False},
+    "sink": {
+        "type": "parquet",
+        "table": "out",
+        "max_batch_size": 100,
+        "max_delay_time": "1s",
+        "table_mapping": [
+            {"source_id": "svc_topic", "field_name": "event_id", "column_name": "event_id", "column_type": "string"},
+            {"source_id": "svc_topic", "field_name": "payload", "column_name": "payload", "column_type": "string"},
+        ],
+    },
+}
+
+
+@pytest.fixture
+def service(spark, tmp_path):
+    src = tmp_path / "src"
+    (src / "svc_topic").mkdir(parents=True)
+    svc = PipelineService(spark, str(tmp_path / "work"), files_path=str(src))
+    url = svc.start()
+    yield PipelineServiceClient(url), str(src), str(tmp_path / "work")
+    svc.stop()
+
+
+def _write_batch(dirpath: str, fname: str, records: list[dict]) -> None:
+    os.makedirs(dirpath, exist_ok=True)
+    with open(os.path.join(dirpath, fname), "w") as fh:
+        for r in records:
+            fh.write(json.dumps(r) + "\n")
+
+
+def test_full_lifecycle_over_http(spark, service):
+    """create -> ready -> data flows through dedup to the sink -> delete."""
+    client, src, work = service
+
+    with pytest.raises(PipelineNotFoundError):
+        client.get_running_pipeline()
+    assert client.check_if_pipeline_exists(SPEC) == (False, None)
+
+    # seed a first wave so the query has data for its first progress event
+    recs = [
+        {"event_id": f"e{i}", "payload": f"p{i}", "timestamp": "2024-01-01T00:00:00.000Z"}
+        for i in range(10)
+    ]
+    _write_batch(f"{src}/svc_topic", "b1.json", recs + recs)  # every key duplicated
+    pid = client.create_pipeline(SPEC)
+    assert pid == "svc-test"
+    assert client.get_running_pipeline() == "svc-test"
+    assert client.check_if_pipeline_exists(SPEC) == (True, "svc-test")
+    assert client.pipeline_health()["active"]
+
+    with pytest.raises(PipelineAlreadyExistsError):
+        client.create_pipeline(SPEC)
+
+    # duplicated wave dedups to 10 rows at the parquet sink
+    deadline = time.monotonic() + 60
+    sink = f"{work}/svc-test/sink"
+    n = -1
+    while time.monotonic() < deadline:
+        try:
+            n = spark.read.parquet(sink).count()
+        except Exception:  # sink dir not written yet
+            n = -1
+        if n == 10:
+            break
+        time.sleep(0.5)
+    assert n == 10
+
+    client.delete_pipeline()
+    with pytest.raises(PipelineNotFoundError):
+        client.get_running_pipeline()
+    with pytest.raises(PipelineNotFoundError):
+        client.delete_pipeline()
+    client.stop_pipeline_if_running()  # no-op without a running pipeline
+
+
+def test_recreate_after_delete(spark, service):
+    """The reference's cleanup->create cycle: a deleted id can be created
+    again (delete clears the one-pipeline slot)."""
+    client, src, work = service
+    _write_batch(
+        f"{src}/svc_topic",
+        "b1.json",
+        [{"event_id": "e1", "payload": "p", "timestamp": "2024-01-01T00:00:00.000Z"}],
+    )
+    client.create_pipeline(SPEC)
+    client.cleanup_pipeline()
+    other = copy.deepcopy(SPEC)
+    other["pipeline_id"] = "svc-test-2"
+    assert client.create_pipeline(other) == "svc-test-2"
+    assert client.check_if_pipeline_exists(SPEC) == (False, "svc-test-2")
+    client.delete_pipeline()
+
+
+def test_invalid_config_rejected(service):
+    client, _, _ = service
+    from clickhouse_etl_loadtest_spark.service import InvalidPipelineConfigError
+
+    with pytest.raises(InvalidPipelineConfigError):
+        client.create_pipeline({"pipeline_id": "bad", "source": {"topics": "not-a-list"}})
+    with pytest.raises(PipelineNotFoundError):
+        client.get_running_pipeline()  # the failed create left no running pipeline
+
+
+def test_connection_error_surface():
+    client = PipelineServiceClient("http://127.0.0.1:9", timeout_s=2.0)  # port 9: discard
+    with pytest.raises(ServiceConnectionError):
+        client.get_running_pipeline()
