@@ -1,0 +1,242 @@
+"""Corpus-curation operators: the passes a training-data pipeline runs AFTER
+per-document scoring/dedup — incremental ingestion, mixture balancing,
+boilerplate span detection (SURVEY.md §7.6 extension; no reference
+counterpart — the reference only dedups by an exact key field).
+
+All four are pure JVM column expressions + one keyed shuffle each, with exact
+DuckDB oracles via the shared md5-based ``h60`` hash. Registered as ``extra``
+(pytest value-checked; the driver-exposed registry stays at its 50-entry cap).
+
+Scale notes (100 TB):
+- ``doc_incremental_dedup``: hash-key shuffle anti-join — the snapshot side is
+  a corpus, not a dimension, so no broadcast; both sides shuffle 60-bit
+  content hashes only, never text.
+- ``doc_token_budget_sample``: window cumsum PARTITIONED by lang — each
+  language sorts independently; no global sort, no single-partition window.
+- ``source_mixing_weights``: two-level aggregation; the grand total joins back
+  via a 1-row broadcast (same pattern as analytics.py's global-threshold
+  queries).
+- ``doc_boilerplate_ngrams``: the gram->doc-count shuffle carries 60-bit
+  hashes; per-doc coverage joins on (hash) then re-aggregates by doc_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import h60, h60_sql_duckdb
+from . import register
+from .text import TOKEN_RE, _docs, _tokens
+
+# --- incremental dedup vs a prior snapshot ------------------------------------------
+
+# deterministic snapshot split: docs with doc_id % 10 < 3 are "already
+# ingested"; the incremental batch is everything else
+_SNAPSHOT_MOD, _SNAPSHOT_KEEP = 10, 3
+
+_INCREMENTAL_ORACLE = f"""
+WITH snapshot AS (
+    SELECT {h60_sql_duckdb("text")} AS content_hash
+    FROM documents WHERE doc_id % {_SNAPSHOT_MOD} < {_SNAPSHOT_KEEP}
+),
+batch AS (
+    SELECT doc_id, lang, source, {h60_sql_duckdb("text")} AS content_hash
+    FROM documents WHERE doc_id % {_SNAPSHOT_MOD} >= {_SNAPSHOT_KEEP}
+)
+SELECT doc_id, lang, source FROM batch
+WHERE content_hash NOT IN (SELECT content_hash FROM snapshot)
+ORDER BY doc_id
+"""
+
+
+@register("doc_incremental_dedup", _INCREMENTAL_ORACLE, extra=True)
+def doc_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion dedup: drop new documents whose exact content
+    already exists in a prior corpus snapshot.
+
+    The anti-join runs on 60-bit content hashes, so the shuffle carries
+    (hash, doc_id) pairs — document text never moves. At 100 TB both sides are
+    corpus-scale: this stays a shuffle hash anti-join (no broadcast), one
+    shuffle total, and the snapshot side can be a pre-bucketed hash table on
+    disk for repeated nightly runs.
+    """
+    d = _docs(spark, sf_dir).withColumn("content_hash", h60(F.col("text")))
+    snapshot = d.where(F.col("doc_id") % _SNAPSHOT_MOD < _SNAPSHOT_KEEP).select("content_hash")
+    batch = d.where(F.col("doc_id") % _SNAPSHOT_MOD >= _SNAPSHOT_KEEP)
+    return (
+        batch.join(snapshot, "content_hash", "left_anti")
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )
+
+
+# --- token-budget sampling per language ---------------------------------------------
+
+_TOKEN_BUDGET = 600  # tokens per language; truncates every lang at sf0.01
+
+_BUDGET_ORACLE = f"""
+WITH counted AS (
+    SELECT doc_id, lang,
+           CAST(len(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS BIGINT) AS n_tokens
+    FROM documents
+),
+cum AS (
+    SELECT doc_id, lang, n_tokens,
+           SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                               ROWS UNBOUNDED PRECEDING) AS cum_tokens
+    FROM counted
+)
+SELECT doc_id, lang, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM cum WHERE cum_tokens <= {_TOKEN_BUDGET}
+ORDER BY lang, doc_id
+"""
+
+
+@register("doc_token_budget_sample", _BUDGET_ORACLE, extra=True)
+def doc_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Take documents per language (in deterministic doc_id order) until the
+    language's token budget is exhausted — the "fill the training mix to N
+    tokens per language" pass.
+
+    The window is PARTITIONED by lang: each language's cumsum sorts only its
+    own partition, so the plan scales with the largest language, not the
+    corpus. (A global take-until-budget would be a single-partition sort —
+    exactly the shape tests/test_plan_quality.py forbids on fact tables.)
+    """
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "lang", F.size(_tokens()).cast("long").alias("n_tokens")
+    )
+    w = Window.partitionBy("lang").orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        d.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .where(F.col("cum_tokens") <= _TOKEN_BUDGET)
+        .orderBy("lang", "doc_id")
+    )
+
+
+# --- source mixing weights ----------------------------------------------------------
+
+_MIX_ORACLE = f"""
+WITH per_source AS (
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(regexp_extract_all(lower(text), '{TOKEN_RE}'))) AS BIGINT) AS n_tokens
+    FROM documents GROUP BY source
+),
+tot AS (SELECT SUM(n_tokens) AS total_tokens, COUNT(*) AS n_sources FROM per_source)
+SELECT source, n_docs, n_tokens,
+       n_tokens * 1.0 / total_tokens AS token_share,
+       (1.0 / n_sources) / (n_tokens * 1.0 / total_tokens) AS mix_weight
+FROM per_source, tot
+ORDER BY source
+"""
+
+
+@register("source_mixing_weights", _MIX_ORACLE, extra=True)
+def source_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source sampling weights that rebalance the corpus to a uniform
+    token mix (weight = target_share / actual_share) — the knob a data-mixture
+    recipe multiplies into its sampler.
+
+    Two-level aggregation: the per-source rollup is one shuffle on ``source``;
+    the grand total is a 1-row aggregate joined back by broadcast. Source
+    cardinality is domains, not documents, so the second level is always tiny.
+    """
+    d = _docs(spark, sf_dir).select("source", F.size(_tokens()).cast("long").alias("n_toks"))
+    per_source = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_toks").alias("n_tokens")
+    )
+    totals = per_source.agg(
+        F.sum("n_tokens").alias("total_tokens"), F.count(F.lit(1)).alias("n_sources")
+    )
+    share = F.col("n_tokens") * 1.0 / F.col("total_tokens")
+    return (
+        per_source.crossJoin(F.broadcast(totals))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            share.alias("token_share"),
+            ((1.0 / F.col("n_sources")) / share).alias("mix_weight"),
+        )
+        .orderBy("source")
+    )
+
+
+# --- cross-document repeated n-gram (boilerplate) coverage ---------------------------
+
+_GRAM_K = 5
+_GRAM_MIN_DOCS = 2
+
+_BOILERPLATE_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS t FROM documents
+),
+grams AS (
+    SELECT doc_id, {h60_sql_duckdb("unnest(list_distinct(list_transform(" +
+        f"generate_series(1, len(t) - {_GRAM_K - 1}), i -> array_to_string(t[i:i+{_GRAM_K - 1}], ' '))))")} AS gh
+    FROM toks WHERE len(t) >= {_GRAM_K}
+),
+rep AS (SELECT gh FROM grams GROUP BY gh HAVING COUNT(DISTINCT doc_id) >= {_GRAM_MIN_DOCS}),
+per_doc AS (
+    SELECT g.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(COUNT(*) FILTER (WHERE g.gh IN (SELECT gh FROM rep)) AS BIGINT) AS n_repeated
+    FROM grams g GROUP BY g.doc_id
+)
+SELECT doc_id, n_grams, n_repeated, n_repeated * 1.0 / n_grams AS boilerplate_ratio
+FROM per_doc
+ORDER BY doc_id
+"""
+
+
+def _gram_hashes(toks: Column, k: int) -> Column:
+    """Distinct word-k-gram 60-bit hashes via a zip_with chain over shifted
+    slices (same construction as text.py::_shingles_df, generalized to any k —
+    positional indexing in a lambda defeats codegen, slices don't)."""
+    n = F.size(toks) - (k - 1)
+    acc = F.slice(toks, 1, n)
+    for j in range(1, k):
+        acc = F.zip_with(acc, F.slice(toks, j + 1, n), lambda a, b: F.concat_ws(" ", a, b))
+    return F.array_distinct(F.transform(acc, h60))
+
+
+@register("doc_boilerplate_ngrams", _BOILERPLATE_ORACLE, extra=True)
+def doc_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document boilerplate coverage: the fraction of a document's
+    distinct word-5-grams that also appear in >= 2 distinct documents —
+    the span-level signal behind "remove repeated header/footer text" filters.
+
+    The only data that shuffles is (gram-hash, doc_id): once to count
+    documents per gram, once to re-aggregate per document. Gram strings are
+    hashed BEFORE the explode, so exploded rows are 16 bytes of key, not text.
+    """
+    d = _docs(spark, sf_dir)
+    toks = _tokens()
+    grams = d.select("doc_id", _gram_hashes(toks, _GRAM_K).alias("ghs")).where(
+        F.size(toks) >= _GRAM_K
+    )
+    exploded = grams.select("doc_id", F.explode("ghs").alias("gh"))
+    rep = (
+        exploded.groupBy("gh")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= _GRAM_MIN_DOCS)
+        .select("gh")
+    )
+    flagged = exploded.join(rep, "gh", "left_semi")
+    per_doc = exploded.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    rep_per_doc = flagged.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_repeated"))
+    return (
+        per_doc.join(rep_per_doc, "doc_id", "left")
+        .na.fill({"n_repeated": 0})
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_repeated",
+            (F.col("n_repeated") * 1.0 / F.col("n_grams")).alias("boilerplate_ratio"),
+        )
+        .orderBy("doc_id")
+    )

@@ -158,6 +158,60 @@ def test_scaled_ranks_have_no_single_partition_window(spark, sf_dir):
     assert gw and all("], [n_nationkey#" not in ln for ln in gw)  # the contrast this test pins
 
 
+def test_token_budget_window_is_partitioned_by_lang(spark, sf_dir):
+    """The cumsum window must partition by lang — a global take-until-budget
+    would be a single-partition sort over the whole corpus."""
+    plan = exec_plan_of(spark, sf_dir, "doc_token_budget_sample")
+    window_lines = [ln for ln in plan.splitlines() if "Window [" in ln]
+    assert window_lines
+    for ln in window_lines:
+        assert "], [lang#" in ln, ln
+
+
+def test_incremental_dedup_shuffles_hashes_not_text(spark, sf_dir):
+    """The anti-join runs on 60-bit content hashes: no operator above the
+    first shuffle may reference the text column, and the join must be a
+    hash join, never nested-loop."""
+    plan = exec_plan_of(spark, sf_dir, "doc_incremental_dedup")
+    above_first_exchange = plan.split("Exchange")[0]
+    assert "text#" not in above_first_exchange
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_boilerplate_grams_hash_before_explode(spark, sf_dir):
+    """Exploded rows carry 16-byte gram hashes, not text: nothing above the
+    Generate (explode) may reference the text column."""
+    plan = exec_plan_of(spark, sf_dir, "doc_boilerplate_ngrams")
+    above_generate = plan.split("Generate")[0]
+    assert "text#" not in above_generate
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_mixing_weights_totals_broadcast(spark, sf_dir):
+    """The grand-total join must be the 1-row broadcast pattern — no
+    shuffle join for a scalar."""
+    plan = exec_plan_of(spark, sf_dir, "source_mixing_weights")
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_contamination_broadcasts_eval_side(spark, sf_dir):
+    """Eval-set shingle hashes broadcast (eval suites are MBs); the corpus
+    side must not shuffle for the overlap join."""
+    plan = exec_plan_of(spark, sf_dir, "doc_contamination_check")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_stratified_sample_keep_decision_is_map_only(spark, sf_dir):
+    """Per-lang counts broadcast back; the keep decision itself must not
+    shuffle document rows — every Exchange in the plan belongs to the tiny
+    lang-count aggregate, none to the corpus scan side."""
+    plan = exec_plan_of(spark, sf_dir, "doc_stratified_sample")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
 def test_priority_join_prunes_both_scans(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "priority_line_counts")
     schemas = [line for line in plan.splitlines() if "ReadSchema" in line]
