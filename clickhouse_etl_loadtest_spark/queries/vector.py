@@ -254,39 +254,177 @@ ORDER BY vec_id
 """
 
 
+def _codebook(e: DataFrame) -> DataFrame:
+    """1-row frame holding the whole trained codebook as
+    ``cells: array<struct<c_label, c_emb>>`` (labels x dim doubles — KBs).
+
+    Centroid build is a posexplode + groupBy(label, dim) with partial
+    aggregation (shuffle is O(labels x dim), independent of corpus size);
+    the collect into one row is over the already-tiny centroid table."""
+    expanded = e.select("label", F.posexplode("embedding").alias("i", "v")).select(
+        "label", (F.col("i") + 1).alias("i"), F.col("v").cast("double").alias("v")
+    )
+    centroids = expanded.groupBy(F.col("label").alias("c_label"), "i").agg(F.avg("v").alias("cv"))
+    cent_arr = (
+        centroids.groupBy("c_label")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "cv"))).alias("pairs"))
+        .select("c_label", F.transform(F.col("pairs"), lambda s: s["cv"]).alias("c_emb"))
+    )
+    return cent_arr.agg(
+        F.array_sort(F.collect_list(F.struct("c_label", "c_emb"))).alias("cells")
+    )
+
+
+def _cell_dists(cells: Column, emb: Column) -> Column:
+    """Per-row distances to every cell, sorted ascending: array of
+    struct(dist2, cell) — array_sort on structs compares field-by-field, so
+    ties break to the lowest cell id, matching the oracles' ORDER BY."""
+    return F.array_sort(
+        F.transform(
+            cells,
+            lambda c: F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        emb, c["c_emb"], lambda x, cv: (x.cast("double") - cv) * (x.cast("double") - cv)
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("dist2"),
+                c["c_label"].alias("cell"),
+            ),
+        )
+    )
+
+
 @register("ivf_nearest_centroid", _IVF_ORACLE)
 def ivf_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style coarse quantization: per-label centroids (the "trained"
     codebook), each vector assigned to its nearest centroid by squared L2.
 
-    Scale: centroids are a posexplode + groupBy(label, dim) — partial
-    aggregation makes the shuffle O(labels x dim); assignment broadcasts the
-    centroid table and is map-only per vector. This is exactly how an IVF
-    index build distributes.
+    Scale: the codebook collapses to ONE broadcast row; the argmin is a
+    per-row array_sort over the cell-distance structs — pure map-side, so
+    corpus rows NEVER shuffle for assignment (the earlier shape ranked a
+    corpus x labels frame through a vec_id window, which shuffles the whole
+    corpus once per assignment pass; tests/test_plan_quality.py now pins the
+    window-free form). This is exactly how an IVF index build distributes.
     """
     e = _emb(spark, sf_dir)
-    expanded = e.select("label", F.posexplode("embedding").alias("i", "v")).select(
-        "label", (F.col("i") + 1).alias("i"), F.col("v").cast("double").alias("v")
-    )
-    centroids = expanded.groupBy(F.col("label").alias("c_label"), "i").agg(F.avg("v").alias("cv"))
-    # assemble centroid arrays (small: labels x dim) and broadcast
-    cent_arr = centroids.groupBy("c_label").agg(
-        F.array_sort(F.collect_list(F.struct("i", "cv"))).alias("pairs")
-    ).select("c_label", F.transform(F.col("pairs"), lambda s: s["cv"]).alias("c_emb"))
-    dist2 = F.aggregate(
-        F.zip_with(F.col("embedding"), F.col("c_emb"), lambda x, c: (x.cast("double") - c) * (x.cast("double") - c)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    scored = e.crossJoin(F.broadcast(cent_arr)).select(
-        "vec_id", "label", "c_label", dist2.alias("dist2")
-    )
-    w = Window.partitionBy("vec_id").orderBy("dist2", "c_label")
+    best = _cell_dists(F.col("cells"), F.col("embedding"))[0]["cell"]
     return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") == 1)
-        .select("vec_id", "label", F.col("c_label").cast("int").alias("assigned_label"))
+        e.crossJoin(F.broadcast(_codebook(e)))
+        .select("vec_id", "label", best.cast("int").alias("assigned_label"))
         .orderBy("vec_id")
+    )
+
+
+# --- IVF probe search: coarse quantize -> probe cells -> exact rerank ----------------
+
+_NPROBE = 3
+
+_IVF_DISTS_SQL = f"""
+    SELECT ve.vec_id, c.c_label, SUM((ve.v - c.cv) * (ve.v - c.cv)) AS dist2
+    FROM vec_expanded ve JOIN centroids c ON ve.i = c.i
+    GROUP BY ve.vec_id, c.c_label
+"""
+
+_IVF_SEARCH_ORACLE = f"""
+WITH expanded AS (
+    SELECT label, i, CAST(embedding[i] AS DOUBLE) AS v
+    FROM embeddings, generate_series(1, {DIM}) AS t(i)
+),
+centroids AS (
+    SELECT label AS c_label, i, AVG(v) AS cv FROM expanded GROUP BY label, i
+),
+vec_expanded AS (
+    SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+    FROM embeddings, generate_series(1, {DIM}) AS t(i)
+),
+dists AS ({_IVF_DISTS_SQL}),
+assign AS (
+    SELECT vec_id, c_label AS cell FROM (
+        SELECT vec_id, c_label,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2, c_label) AS rnk
+        FROM dists
+    ) WHERE rnk = 1
+),
+probes AS (
+    SELECT vec_id AS q_id, c_label AS cell FROM (
+        SELECT vec_id, c_label,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2, c_label) AS rnk
+        FROM dists WHERE vec_id < {_N_QUERIES}
+    ) WHERE rnk <= {_NPROBE}
+),
+cand AS (
+    SELECT p.q_id, a.vec_id AS n_id
+    FROM probes p JOIN assign a ON p.cell = a.cell
+    WHERE a.vec_id <> p.q_id
+),
+scored AS (
+    SELECT c.q_id, c.n_id, ce.label AS n_label,
+           {_dot_sql('qe.embedding', 'ce.embedding')}
+             / ({_norm_sql('qe.embedding')} * {_norm_sql('ce.embedding')}) AS cosine
+    FROM cand c
+    JOIN embeddings qe ON qe.vec_id = c.q_id
+    JOIN embeddings ce ON ce.vec_id = c.n_id
+)
+SELECT q_id, n_id, n_label, cosine, CAST(rnk AS INT) AS rnk
+FROM (
+    SELECT q_id, n_id, n_label, cosine,
+           ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rnk
+    FROM scored
+) WHERE rnk <= {_TOPK}
+ORDER BY q_id, rnk
+"""
+
+
+@register("ivf_search_topk", _IVF_SEARCH_ORACLE, extra=True)
+def ivf_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end IVF search: coarse-quantize the corpus into centroid cells,
+    probe each query's {_NPROBE} nearest cells, exact-cosine-rerank ONLY the
+    candidates in those cells — the composition that replaces brute force at
+    100 TB (ann_cosine_topk stays the exact recall baseline).
+
+    Scale: the centroid codebook broadcasts (labels x dim floats), so corpus
+    cell assignment is map-only; the probe table (queries x nprobe rows)
+    broadcasts onto the assigned corpus, so candidate generation never
+    shuffles corpus vectors; per-query candidate counts are bounded by cell
+    sizes, and the final rank window partitions by q_id. Compared to the
+    brute-force scorer, the scored pair count drops from |corpus| x |queries|
+    to the probed cells' population only.
+    """
+    e = _emb(spark, sf_dir)
+    with_cells = e.crossJoin(F.broadcast(_codebook(e))).withColumn(
+        "cell_dists", _cell_dists(F.col("cells"), F.col("embedding"))
+    )
+    assign = with_cells.select(
+        F.col("vec_id").alias("n_id"),
+        F.col("cell_dists")[0]["cell"].alias("cell"),
+        F.col("label").alias("n_label"),
+        F.col("embedding").alias("n_emb"),
+        _norm(F.col("embedding")).alias("n_nrm"),
+    )
+    probes = (
+        with_cells.where(F.col("vec_id") < _N_QUERIES)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.explode(
+                F.transform(F.slice("cell_dists", 1, _NPROBE), lambda s: s["cell"])
+            ).alias("cell"),
+            F.col("embedding").alias("q_emb"),
+            _norm(F.col("embedding")).alias("q_nrm"),
+        )
+    )
+    cosine = _dot(F.col("q_emb"), F.col("n_emb")) / (F.col("q_nrm") * F.col("n_nrm"))
+    cand = (
+        assign.join(F.broadcast(probes), "cell")
+        .where(F.col("n_id") != F.col("q_id"))
+        .select("q_id", "n_id", "n_label", cosine.alias("cosine"))
+    )
+    topk = Window.partitionBy("q_id").orderBy(F.desc("cosine"), "n_id")
+    return (
+        cand.withColumn("rnk", F.row_number().over(topk).cast("int"))
+        .where(F.col("rnk") <= _TOPK)
+        .orderBy("q_id", "rnk")
     )
 
 

@@ -212,6 +212,24 @@ def test_stratified_sample_keep_decision_is_map_only(spark, sf_dir):
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
 
 
+def test_ivf_assignment_is_map_only(spark, sf_dir):
+    """Cell assignment must never shuffle corpus rows: the codebook is a
+    1-row broadcast and the argmin is a per-row array_sort — no Window, no
+    shuffle join anywhere in the plan."""
+    plan = exec_plan_of(spark, sf_dir, "ivf_nearest_centroid")
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_ivf_search_shuffles_only_bounded_candidates(spark, sf_dir):
+    """Probe search: corpus vectors reach the rerank through broadcast joins
+    only; the single Window is the per-query top-k over probed candidates."""
+    plan = exec_plan_of(spark, sf_dir, "ivf_search_topk")
+    assert plan.count("Window [") == 1
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
 def test_priority_join_prunes_both_scans(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "priority_line_counts")
     schemas = [line for line in plan.splitlines() if "ReadSchema" in line]
