@@ -428,6 +428,50 @@ def ivf_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- ANN quality: recall@k of the probe search vs the exact baseline -----------------
+
+_RECALL_ORACLE = f"""
+WITH bf AS ({_TOPK_ORACLE.replace("ORDER BY q_id, rnk", "")}),
+ivf AS ({_IVF_SEARCH_ORACLE.replace("ORDER BY q_id, rnk", "")})
+SELECT bf.q_id,
+       CAST(COUNT(ivf.n_id) AS BIGINT) AS n_hit,
+       COUNT(ivf.n_id) * 1.0 / {_TOPK} AS recall_at_{_TOPK}
+FROM bf LEFT JOIN ivf ON bf.q_id = ivf.q_id AND bf.n_id = ivf.n_id
+GROUP BY bf.q_id
+ORDER BY bf.q_id
+"""
+
+
+@register("ann_recall_eval", _RECALL_ORACLE, extra=True)
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{_TOPK} of the IVF probe search against the exact brute-force
+    top-k — the quality dial every ANN deployment tunes (nprobe up = recall
+    up = cost up). Composes the two registered operators, so the number
+    measures exactly what users of those operators get.
+
+    Scale: both inputs end at |queries| x k rows regardless of corpus size;
+    the recall join and per-query aggregate are driver-negligible.
+    """
+    exact = ann_cosine_topk(spark, sf_dir).select("q_id", "n_id")
+    approx = ivf_search_topk(spark, sf_dir).select(
+        F.col("q_id").alias("a_q_id"), F.col("n_id").alias("a_n_id")
+    )
+    hit = (F.col("a_n_id").isNotNull()).cast("int")
+    return (
+        exact.join(
+            approx,
+            (F.col("q_id") == F.col("a_q_id")) & (F.col("n_id") == F.col("a_n_id")),
+            "left",
+        )
+        .groupBy("q_id")
+        .agg(
+            F.sum(hit).cast("bigint").alias("n_hit"),
+            (F.sum(hit) * 1.0 / _TOPK).alias(f"recall_at_{_TOPK}"),
+        )
+        .orderBy("q_id")
+    )
+
+
 # --- k-means clustering (iterative; oracle = Lloyd unrolled in SQL) ------------------
 
 _KMEANS_K = 8
