@@ -45,3 +45,34 @@ def tumbling_counts(
         *(keys or []),
         *agg_cols,
     )
+
+
+def session_counts(
+    df: DataFrame,
+    gap: str,
+    late_threshold: str | None = None,
+    ts_col: str = "timestamp",
+    keys: list[str] | None = None,
+    aggs: list[Column] | None = None,
+) -> DataFrame:
+    """Event-time session windows (``F.session_window``): events closer than
+    ``gap`` merge into one session; a session finalizes (append mode) once
+    the watermark passes its end + gap. The batch twin is the lag/cumsum
+    sessionization in queries/analytics.py::events_session_windows — same
+    gap semantics, value-checked against DuckDB.
+
+    State: one open session per key inside the watermark horizon — merged
+    in-place as events arrive, evicted on watermark advance, so state is
+    O(active keys), independent of stream length.
+    """
+    wm = _interval(late_threshold or gap)
+    grouped_keys = [F.session_window(F.col(ts_col), _interval(gap)).alias("w"), *(keys or [])]
+    aggregates = aggs or [F.count(F.lit(1)).alias("n_events")]
+    out = df.withWatermark(ts_col, wm).groupBy(*grouped_keys).agg(*aggregates)
+    agg_cols = [c for c in out.columns if c != "w" and c not in (keys or [])]
+    return out.select(
+        F.col("w.start").alias("session_start"),
+        F.col("w.end").alias("session_end"),
+        *(keys or []),
+        *agg_cols,
+    )

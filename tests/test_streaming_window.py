@@ -76,6 +76,61 @@ def test_window_bounds_are_aligned(spark, tmp_path):
         assert (r["window_end"] - r["window_start"]).total_seconds() == 3600
 
 
+def test_session_windows_merge_and_finalize(spark, tmp_path):
+    """Streaming session windows (W2 family): events within the gap merge
+    into one session per key; sessions finalize once the watermark passes
+    their end. Mirrors the batch lag/cumsum sessionization semantics."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_etl_loadtest_spark.streaming.windows import session_counts
+
+    src, sink, ckpt = str(tmp_path / "src"), str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    # u1: 10:00 + 10:20 merge (gap 30m), 11:30 starts a new session;
+    # u2: one event
+    _write(src, "b1.json", [
+        {"event_id": "a1", "timestamp": "2024-01-01T10:00:00.000Z", "user": "u1"},
+        {"event_id": "a2", "timestamp": "2024-01-01T10:20:00.000Z", "user": "u1"},
+        {"event_id": "a3", "timestamp": "2024-01-01T11:30:00.000Z", "user": "u1"},
+        {"event_id": "b1", "timestamp": "2024-01-01T10:05:00.000Z", "user": "u2"},
+    ])
+    # later waves push the watermark far past every session's end
+    _write(src, "b2.json", [{"event_id": "z1", "timestamp": "2024-01-01T15:00:00.000Z", "user": "u9"}])
+    _write(src, "b3.json", [{"event_id": "z2", "timestamp": "2024-01-01T18:00:00.000Z", "user": "u9"}])
+
+    stream = spark.readStream.schema("event_id string, timestamp timestamp, user string").json(src)
+    out = session_counts(
+        stream, "30m", keys=["user"],
+        aggs=[F.count(F.lit(1)).alias("n"), F.min("event_id").alias("first_id")],
+    )
+
+    def collect(df, batch_id):
+        df.write.mode("append").parquet(sink)
+
+    for _ in range(3):
+        q = (
+            out.writeStream.foreachBatch(collect)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    rows = {
+        (r["user"], r["session_start"].strftime("%H:%M")): (
+            r["n"],
+            r["first_id"],
+            r["session_end"].strftime("%H:%M"),
+        )
+        for r in spark.read.parquet(sink).collect()
+    }
+    # merged session: [10:00, 10:20+gap) = ends 10:50
+    assert rows[("u1", "10:00")] == (2, "a1", "10:50")
+    # separate later session for the same key
+    assert rows[("u1", "11:30")] == (1, "a3", "12:00")
+    assert rows[("u2", "10:05")] == (1, "b1", "10:35")
+
+
 def test_keyed_windows(spark, tmp_path):
     """Per-key tumbling windows (the groupBy(window, key) form)."""
     from pyspark.sql import functions as F
