@@ -1,11 +1,15 @@
 """CLI entry point — the reference's ``main.py`` surface (C1, SURVEY.md §2.10)
-on Spark: grid benchmark, single-variant run, resume.
+on Spark: grid benchmark, single-variant run, resume, plus a ``serve`` mode
+that runs the pipeline control-plane the reference assumes as an external
+docker service.
 
 Usage:
     python main.py --test-id T --config load_test_params.json \
         --pipeline-config pipeline.json [--results-dir results] [--no-resume] \
         [--master local[32]] [--work-dir /tmp/etl-work]
     python main.py --test-id T --single-config '{"total_records": 100000}' ...
+    python main.py serve [--host 127.0.0.1] [--port 8080] \
+        [--work-dir /tmp/etl-service] [--files-path DIR] [--master local[32]]
 """
 
 from __future__ import annotations
@@ -28,7 +32,45 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     return p.parse_args(argv)
 
 
+def serve(argv: list[str], block: bool = True):
+    """Run the pipeline control-plane service (service/server.py): the HTTP
+    surface the reference drives remotely, here served by the engine itself.
+    ``block=False`` returns (service, url) for in-process callers/tests."""
+    p = argparse.ArgumentParser(prog="main.py serve")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8080)
+    p.add_argument("--work-dir", default="/tmp/etl-service")
+    p.add_argument("--files-path", default=None, help="resolve non-Kafka topic sources to JSON file streams under this dir")
+    p.add_argument("--master", default=None)
+    args = p.parse_args(argv)
+
+    from clickhouse_etl_loadtest_spark.service import PipelineService
+    from clickhouse_etl_loadtest_spark.session import get_spark
+
+    spark = get_spark(app_name="pipeline-service", master=args.master)
+    svc = PipelineService(
+        spark, args.work_dir, files_path=args.files_path, host=args.host, port=args.port
+    )
+    url = svc.start()
+    print(f"pipeline service listening on {url}", flush=True)
+    if not block:
+        return svc, url
+    import threading
+
+    try:
+        threading.Event().wait()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        svc.stop()
+        spark.stop()
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    if argv and argv[0] == "serve":
+        return serve(argv[1:])
     args = parse_args(argv)
     from clickhouse_etl_loadtest_spark.config.schemas import PipelineConfig
     from clickhouse_etl_loadtest_spark.harness.executor import TestExecutor

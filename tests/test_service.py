@@ -145,6 +145,23 @@ def test_invalid_config_rejected(service):
         client.get_running_pipeline()  # the failed create left no running pipeline
 
 
+def test_cli_serve_mode(spark, tmp_path):
+    """`python main.py serve` wires the same service; block=False returns the
+    handle for in-process use."""
+    import main as cli
+
+    svc, url = cli.serve(
+        ["--port", "0", "--work-dir", str(tmp_path / "w"), "--files-path", str(tmp_path / "s")],
+        block=False,
+    )
+    try:
+        client = PipelineServiceClient(url)
+        with pytest.raises(PipelineNotFoundError):
+            client.get_running_pipeline()
+    finally:
+        svc.stop()
+
+
 def test_connection_error_surface():
     client = PipelineServiceClient("http://127.0.0.1:9", timeout_s=2.0)  # port 9: discard
     with pytest.raises(ServiceConnectionError):
