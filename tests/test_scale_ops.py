@@ -73,3 +73,40 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bcast)
         spark.sql("DROP TABLE IF EXISTS bkt_a")
         spark.sql("DROP TABLE IF EXISTS bkt_b")
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """session.py claims AQE skew-join splitting handles moderate skew; pin
+    it: with one hot key dominating a shuffle join, the adaptive final plan
+    must mark the sort-merge join skew=true (split into subpartitions)."""
+    confs = {
+        # force a shuffle join (no broadcast) and make the test-sized skew
+        # cross AQE's thresholds
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        # skew on the LEFT only (hot key 0); the right side stays 1 row/key
+        # so the join output equals the left size
+        left = spark.range(100_000).select(
+            F.when(F.col("id") < 95_000, F.lit(0)).otherwise(F.col("id") % 64).alias("k"),
+            F.concat(F.lit("payload-"), F.col("id")).alias("pl"),
+        )
+        right = spark.range(64).select(F.col("id").alias("k"), F.col("id").alias("w"))
+        # no keyed agg downstream: AQE declines to split a skewed join whose
+        # output partitioning a later stage would reuse
+        joined = left.join(right, "k").select("pl", "w")
+        joined.collect()  # adaptive plan finalizes only after execution
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
