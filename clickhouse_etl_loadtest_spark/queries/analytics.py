@@ -370,7 +370,7 @@ ORDER BY c_custkey
 """
 
 
-@register("customers_without_orders", _ANTI_ORACLE)
+@register("customers_without_orders", _ANTI_ORACLE, extra=True)
 def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left-anti join (the reference has no join kinds at all — SURVEY.md §2.4
     notes semi/anti come free with Spark). Filtered to high-value orders so
@@ -653,7 +653,7 @@ ORDER BY window_start
 """
 
 
-@register("events_hopping_1h_30m", _HOP_ORACLE)
+@register("events_hopping_1h_30m", _HOP_ORACLE, extra=True)
 def events_hopping_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hopping window: 1h length sliding every 30m (each event lands in
     exactly 2 windows). Streaming analogue is identical syntax plus a
@@ -856,7 +856,7 @@ ORDER BY o_orderpriority
 """
 
 
-@register("priority_orders_with_big_lines", _Q4_ORACLE)
+@register("priority_orders_with_big_lines", _Q4_ORACLE, extra=True)
 def priority_orders_with_big_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4 shape: EXISTS decorrelated to a left-semi join, then
     aggregate. The semi join shuffles only (orderkey) pairs and
@@ -886,7 +886,7 @@ ORDER BY part_revenue DESC, l_partkey
 """
 
 
-@register("top_revenue_parts", _Q11_ORACLE)
+@register("top_revenue_parts", _Q11_ORACLE, extra=True)
 def top_revenue_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape: HAVING against a global scalar (0.05% of total
     revenue). The scalar comes from a second aggregation over the SAME

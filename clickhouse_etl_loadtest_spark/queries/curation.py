@@ -4,8 +4,9 @@ boilerplate span detection (SURVEY.md §7.6 extension; no reference
 counterpart — the reference only dedups by an exact key field).
 
 All four are pure JVM column expressions + one keyed shuffle each, with exact
-DuckDB oracles via the shared md5-based ``h60`` hash. Registered as ``extra``
-(pytest value-checked; the driver-exposed registry stays at its 50-entry cap).
+DuckDB oracles via the shared md5-based ``h60`` hash. ``doc_incremental_dedup``
+and ``doc_token_budget_sample`` are driver-visible; the other two are
+pytest-verified extras (the driver registry caps at 50 entries).
 
 Scale notes (100 TB):
 - ``doc_incremental_dedup``: hash-key shuffle anti-join — the snapshot side is
@@ -50,7 +51,7 @@ ORDER BY doc_id
 """
 
 
-@register("doc_incremental_dedup", _INCREMENTAL_ORACLE, extra=True)
+@register("doc_incremental_dedup", _INCREMENTAL_ORACLE)
 def doc_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental ingestion dedup: drop new documents whose exact content
     already exists in a prior corpus snapshot.
@@ -93,7 +94,7 @@ ORDER BY lang, doc_id
 """
 
 
-@register("doc_token_budget_sample", _BUDGET_ORACLE, extra=True)
+@register("doc_token_budget_sample", _BUDGET_ORACLE)
 def doc_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Take documents per language (in deterministic doc_id order) until the
     language's token budget is exhausted — the "fill the training mix to N

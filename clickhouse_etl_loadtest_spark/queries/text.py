@@ -598,7 +598,7 @@ ORDER BY doc_a, rnk
 """
 
 
-@register("doc_top_similar", _TOP_SIMILAR_ORACLE)
+@register("doc_top_similar", _TOP_SIMILAR_ORACLE, extra=True)
 def doc_top_similar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k most-similar documents per document by shingle Jaccard — the
     near-dup *search* form (vs the pair/keep forms above)."""
@@ -997,7 +997,7 @@ ORDER BY d.doc_id
 """
 
 
-@register("doc_contamination_check", _CONTAM_ORACLE, extra=True)
+@register("doc_contamination_check", _CONTAM_ORACLE)
 def doc_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark-contamination screening: flag training documents sharing at
     least _CONTAM_MIN_OVERLAP distinct 3-gram shingles with a held-out eval

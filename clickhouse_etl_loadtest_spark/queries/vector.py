@@ -377,7 +377,7 @@ ORDER BY q_id, rnk
 """
 
 
-@register("ivf_search_topk", _IVF_SEARCH_ORACLE, extra=True)
+@register("ivf_search_topk", _IVF_SEARCH_ORACLE)
 def ivf_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end IVF search: coarse-quantize the corpus into centroid cells,
     probe each query's {_NPROBE} nearest cells, exact-cosine-rerank ONLY the
@@ -442,7 +442,7 @@ ORDER BY bf.q_id
 """
 
 
-@register("ann_recall_eval", _RECALL_ORACLE, extra=True)
+@register("ann_recall_eval", _RECALL_ORACLE)
 def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@{_TOPK} of the IVF probe search against the exact brute-force
     top-k — the quality dial every ANN deployment tunes (nprobe up = recall
