@@ -159,6 +159,103 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- semantic dedup keep-list (embedding analogue of doc_fuzzy_dedup_keep) ----------
+
+_SEMANTIC_KEEP_ORACLE = f"""
+WITH n AS (
+    SELECT vec_id, embedding, {_norm_sql('embedding')} AS nrm FROM embeddings
+),
+dropped AS (
+    SELECT DISTINCT b.vec_id
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE {_dot_sql('a.embedding', 'b.embedding')} / (a.nrm * b.nrm) >= {_NEAR_DUP_THRESHOLD}
+)
+SELECT e.vec_id, e.vec_id NOT IN (SELECT vec_id FROM dropped) AS keep
+FROM embeddings e
+ORDER BY e.vec_id
+"""
+
+
+@register("semantic_dedup_keep", _SEMANTIC_KEEP_ORACLE, extra=True)
+def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-based semantic dedup end-to-end: of every near-duplicate
+    pair (cosine >= threshold), the lower vec_id survives — the vector twin
+    of doc_fuzzy_dedup_keep's keep/drop decision.
+
+    Scale: candidate pairs come from embedding_near_dup_pairs' scorer (the
+    all-pairs form is the oracle baseline; LSH buckets bound candidates at
+    100 TB); the keep decision is then one semi-join of corpus ids against
+    the dropped set — ids only, vectors never shuffle twice.
+    """
+    e = _emb(spark, sf_dir)
+    dropped = (
+        embedding_near_dup_pairs(spark, sf_dir)
+        .select(F.col("vec_b").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        e.select("vec_id")
+        .join(dropped.withColumn("_drop", F.lit(True)), "vec_id", "left")
+        .select("vec_id", F.coalesce(~F.col("_drop"), F.lit(True)).alias("keep"))
+        .orderBy("vec_id")
+    )
+
+
+# --- int8 symmetric quantization (the storage path for embedding corpora) ------------
+
+_QUANT_ORACLE = f"""
+WITH q AS (
+    SELECT vec_id, label,
+           list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale,
+           embedding
+    FROM embeddings
+),
+err AS (
+    SELECT vec_id, label, scale,
+           list_transform(generate_series(1, {DIM}),
+               i -> abs(floor(CAST(embedding[i] AS DOUBLE) / scale + 0.5) * scale
+                        - CAST(embedding[i] AS DOUBLE))) AS errs
+    FROM q
+)
+SELECT vec_id, label, scale,
+       list_max(errs) AS max_abs_err,
+       list_reduce(list_prepend(0.0, errs), (acc, x) -> acc + x * x) / {DIM} AS mse
+FROM err
+ORDER BY vec_id
+"""
+
+
+@register("embedding_quantize_int8", _QUANT_ORACLE, extra=True)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization audit: scale = max|x|/127,
+    code = floor(x/scale + 0.5) (explicit half-up — identical in both
+    engines, unlike round()'s mode differences), reporting reconstruction
+    error. The storage pass that shrinks an embedding corpus 4x before
+    ANN serving.
+
+    Scale: pure per-row array math, map-only, no shuffle at all; the int8
+    codes themselves stay internal here (arrays would defeat the driver's
+    canonicalizer) — this query emits the quality audit a deployment reviews.
+    """
+    e = _emb(spark, sf_dir)
+    emb_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    scale = F.array_max(F.transform(emb_d, lambda x: F.abs(x))) / 127.0
+    q = e.select("vec_id", "label", scale.alias("scale"), emb_d.alias("emb"))
+    errs = F.transform(
+        F.col("emb"),
+        lambda x: F.abs(F.floor(x / F.col("scale") + 0.5) * F.col("scale") - x),
+    )
+    w = q.select("vec_id", "label", "scale", errs.alias("errs"))
+    mse = (
+        F.aggregate(F.col("errs"), F.lit(0.0), lambda acc, x: acc + x * x) / DIM
+    )
+    return w.select(
+        "vec_id", "label", "scale",
+        F.array_max("errs").alias("max_abs_err"),
+        mse.alias("mse"),
+    ).orderBy("vec_id")
+
+
 # --- random-hyperplane LSH buckets ----------------------------------------------------
 
 _N_PLANES = 12
