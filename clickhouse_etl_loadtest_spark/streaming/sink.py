@@ -74,3 +74,42 @@ def idempotent_parquet_chunk_writer(path: str) -> Callable[[DataFrame, int], Non
         df.write.mode("overwrite").parquet(f"{path}/batch={batch_id}")
 
     return _write
+
+
+def compact_sink(
+    spark,
+    path: str,
+    key: str,
+    target_rows_per_file: int = 1_000_000,
+    out_path: str | None = None,
+) -> str:
+    """Coalesce a chunk/batch-partitioned streaming sink into few large,
+    key-clustered parquet files — the maintenance pass every continuously-fed
+    table needs (each micro-batch leaves ceil(rows/max_batch_size) small
+    files; at 100 TB that is millions of files and a metadata-bound scan).
+
+    ``repartitionByRange(key)`` + ``sortWithinPartitions(key)`` restores the
+    MergeTree-style ORDER BY layout of write_sink_batch — range-partitioned
+    files whose row-group min/max on ``key`` enable page skipping. The
+    ``batch`` replay-dedup column is dropped: compaction runs on settled data
+    (no in-flight replays), producing a plain table for readers.
+
+    Writes OUT-OF-PLACE (default ``<path>_compacted``) and returns the output
+    dir: without a transactional table format an in-place rewrite could race
+    a concurrent reader, so the atomic swap is the caller's move/rename.
+    """
+    import math as _math
+
+    df = spark.read.parquet(path)
+    if "batch" in df.columns:
+        df = df.drop("batch")
+    n = df.count()
+    parts = max(1, _math.ceil(n / target_rows_per_file))
+    out = out_path or f"{path.rstrip('/')}_compacted"
+    (
+        df.repartitionByRange(parts, key)
+        .sortWithinPartitions(key)
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    return out

@@ -247,3 +247,43 @@ def test_decode_tolerates_malformed_json(spark, stream_env):
     assert by_seq[1]["event_id"] == "a"
     assert by_seq[2]["event_id"] is None  # malformed -> nulls, row survives
     assert by_seq[3]["event_id"] is None
+
+
+def test_compact_sink_coalesces_and_clusters(spark, stream_env):
+    """After a chunked streaming run, compaction must preserve every row,
+    cut the file count, and leave files range-clustered on the key (disjoint
+    per-file min/max -> parquet page skipping works again)."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    from clickhouse_etl_loadtest_spark.config.schemas import PipelineConfig
+    from clickhouse_etl_loadtest_spark.streaming.sink import compact_sink
+
+    src, sink, ckpt = stream_env
+    pipeline = PipelineConfig.model_validate(SPEC)  # max_batch_size=10
+    _write_batch(f"{src}/topic_a", "b1.json", [_rec(i) for i in range(40)])
+    run_until_drained(spark, pipeline, sink, ckpt, files_path=src)
+
+    before = _glob.glob(f"{sink}/**/*.parquet", recursive=True)
+    assert len(before) >= 4  # 40 rows / 10-row chunks
+
+    out = compact_sink(spark, sink, key="event_id", target_rows_per_file=20)
+    after = sorted(_glob.glob(f"{out}/*.parquet"))
+    assert 0 < len(after) < len(before)
+
+    compacted = spark.read.parquet(out)
+    assert compacted.count() == 40
+    assert "batch" not in compacted.columns
+    assert {r.event_id for r in compacted.collect()} == {f"e{i}" for i in range(40)}
+
+    # range clustering: per-file [min, max] intervals on the key are disjoint
+    spans = []
+    for f in after:
+        t = pq.read_table(f, columns=["event_id"])
+        vals = t.column("event_id").to_pylist()
+        if vals:
+            spans.append((min(vals), max(vals)))
+    spans.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2
