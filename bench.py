@@ -167,13 +167,16 @@ def run_streaming_loadtest(spark, total_records: int = 1_000_000, state_metrics:
     from clickhouse_etl_loadtest_spark.sources.generator import generate_user_events, unique_count
     from clickhouse_etl_loadtest_spark.streaming.query import run_streaming_pipeline, stop_pipeline
 
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    saved_provider = spark.conf.get(provider_key, None)
     if state_metrics:
         # RocksDB state store (W4) for the max-scale wave: the reference's
         # 8h x 18M-key dedup window doesn't fit an in-memory store at scale.
-        # Runtime-settable SQL conf; applied ONLY here so the 1M wave keeps
-        # the default provider and stays comparable round-over-round.
+        # Runtime-settable SQL conf; restored in the finally below so only
+        # THIS wave uses RocksDB and other waves stay comparable
+        # round-over-round regardless of call order.
         spark.conf.set(
-            "spark.sql.streaming.stateStore.providerClass",
+            provider_key,
             "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
         )
 
@@ -227,6 +230,11 @@ def run_streaming_loadtest(spark, total_records: int = 1_000_000, state_metrics:
         print(f"# streaming loadtest {label}: {out}", file=sys.stderr)
         return out
     finally:
+        if state_metrics:
+            if saved_provider is None:
+                spark.conf.unset(provider_key)
+            else:
+                spark.conf.set(provider_key, saved_provider)
         shutil.rmtree(work, ignore_errors=True)
 
 

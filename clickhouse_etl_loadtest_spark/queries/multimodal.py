@@ -21,7 +21,8 @@ SELECT doc_id AS media_id,
        ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
        CAST(strlen(text) AS BIGINT) AS n_bytes,
        md5(text) AS checksum,
-       CAST(CASE WHEN unicode(substr(text, 1, 1)) < 128 THEN unicode(substr(text, 1, 1))
+       CAST(CASE WHEN strlen(text) = 0 THEN NULL
+                 WHEN unicode(substr(text, 1, 1)) < 128 THEN unicode(substr(text, 1, 1))
                  WHEN unicode(substr(text, 1, 1)) < 2048 THEN 192 + unicode(substr(text, 1, 1)) // 64
                  WHEN unicode(substr(text, 1, 1)) < 65536 THEN 224 + unicode(substr(text, 1, 1)) // 4096
                  ELSE 240 + unicode(substr(text, 1, 1)) // 262144 END AS INT) AS first_byte

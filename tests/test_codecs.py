@@ -119,7 +119,10 @@ def test_malformed_magic_matches_fall_back_to_raw():
         d = real_decode(data)
         assert d["format"] == "raw" and d["n_bytes"] == len(data), data
         out = real_resize(data, 8)
-        assert len(out) <= 8 or out == data  # byte-stride fallback applied
+        # byte-stride fallback applied: every malformed payload here is
+        # longer than 8 bytes, so the fallback must hit the target exactly
+        # (a silent no-op returning the input would fail this)
+        assert len(out) == 8, data
     # non-PCM16 WAV (bits=8) also degrades instead of raising
     s, wav = _ramp_wav(n=16)
     bad_bits = bytearray(wav)
