@@ -24,7 +24,7 @@ _COLORS = {
 
 
 def supports_color(stream=None) -> bool:
-    if os.environ.get("NO_COLOR") is not None:
+    if os.environ.get("NO_COLOR"):  # no-color.org: present AND non-empty
         return False
     if os.environ.get("FORCE_COLOR"):
         return True

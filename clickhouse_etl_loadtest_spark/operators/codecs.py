@@ -191,6 +191,18 @@ def real_decode(data: bytes) -> dict:
     return out
 
 
+def stride_sample(data: bytes, target_bytes: int) -> bytes:
+    """Byte-level stride downsample to ``target_bytes`` — the single source of
+    truth for the format-unaware resize path (shared by real_resize's fallback
+    and operators/multimodal.resize_media; the multimodal_resize_frames DuckDB
+    oracle replays this exact arithmetic)."""
+    if len(data) <= target_bytes:
+        return data
+    arr = np.frombuffer(data, dtype=np.uint8)
+    idx = (np.arange(target_bytes) * (len(data) / target_bytes)).astype(np.int64)
+    return arr[idx].tobytes()
+
+
 def real_resize(data: bytes, target_bytes: int = 256) -> bytes:
     """Format-aware resize: WAV resamples in time, PPM in space; raw and
     malformed payloads stride-sample bytes (the fake-path behavior). Always
@@ -209,8 +221,4 @@ def real_resize(data: bytes, target_bytes: int = 256) -> bytes:
             return resize_ppm(data, min(side, d["width"]), min(side, d["height"]))
     except _DECODE_ERRORS:
         pass  # malformed: fall through to byte-stride
-    if len(data) <= target_bytes:
-        return data
-    arr = np.frombuffer(data, dtype=np.uint8)
-    idx = (np.arange(target_bytes) * (len(data) / target_bytes)).astype(np.int64)
-    return arr[idx].tobytes()
+    return stride_sample(data, target_bytes)

@@ -168,10 +168,17 @@ def decode_media_typed(df: DataFrame) -> DataFrame:
     instead of swapping the Spark stage."""
     from .codecs import real_decode
 
+    _DECODE_COLS = (
+        "format", "n_bytes", "sample_rate", "n_samples", "n_channels",
+        "width", "height", "duration_ms",
+    )
+
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = [real_decode(bytes(b)) for b in pdf["data"]]
-            out = pd.DataFrame(rows)
+            # dict-of-lists keeps all columns present on an empty batch;
+            # pd.DataFrame([]) would drop them and break the Arrow schema.
+            out = pd.DataFrame({c: [r[c] for r in rows] for c in _DECODE_COLS})
             out.insert(0, "kind", pdf["kind"].values)
             out.insert(0, "media_id", pdf["media_id"].values)
             yield out
@@ -192,11 +199,8 @@ def resize_media(df: DataFrame, target_bytes: int = 256, format_aware: bool = Fa
 
     ``format_aware=True`` routes through codecs.real_resize: WAV payloads
     resample in time, PPM in space (both stay decodable), raw bytes fall back
-    to the stride path below."""
-    import numpy as np
-
-    if format_aware:
-        from .codecs import real_resize
+    to the same codecs.stride_sample this path uses directly."""
+    from .codecs import real_resize, stride_sample
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -205,12 +209,8 @@ def resize_media(df: DataFrame, target_bytes: int = 256, format_aware: bool = Fa
                 raw = bytes(b)
                 if format_aware:
                     resized = real_resize(raw, target_bytes)
-                elif len(raw) <= target_bytes:
-                    resized = raw
                 else:
-                    stride = len(raw) / target_bytes
-                    arr = np.frombuffer(raw, dtype=np.uint8)
-                    resized = arr[(np.arange(target_bytes) * stride).astype(np.int64)].tobytes()
+                    resized = stride_sample(raw, target_bytes)
                 out_rows["media_id"].append(mid)
                 out_rows["kind"].append(kind)
                 out_rows["data"].append(resized)

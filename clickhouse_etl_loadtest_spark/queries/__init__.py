@@ -53,5 +53,6 @@ def driver_registry() -> dict[str, Q]:
     coverage queries stay registered as ``extra`` and keep their value-level
     DuckDB check in tests/test_query_oracles.py."""
     reg = {name: q for name, q in load_all().items() if not q.extra}
-    assert len(reg) <= 50, f"driver registry has {len(reg)} entries; driver truncates at 50"
+    if len(reg) > 50:  # not an assert: must survive python -O
+        raise RuntimeError(f"driver registry has {len(reg)} entries; driver truncates at 50")
     return reg

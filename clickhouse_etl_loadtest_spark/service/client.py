@@ -117,6 +117,8 @@ class PipelineServiceClient:
             if health.get("ready"):
                 return
             if not health.get("active"):
-                raise InvalidPipelineConfigError("pipeline terminated before first progress")
+                # Runtime death after a valid create is an infrastructure
+                # failure, not a config one — keep the error surfaces distinct.
+                raise PipelineServiceError("pipeline terminated before first progress")
             time.sleep(0.2)
         raise TimeoutError(f"pipeline produced no progress within {timeout_s}s")

@@ -238,6 +238,9 @@ def clickhouse_http_chunk_writer(target: ClickHouseTarget, table: str, max_batch
         for i in range(0, len(rows), max_batch_size):
             client.insert_json_rows(target.database, table, rows[i : i + max_batch_size])
 
+    # tells chunked_foreach_batch_writer not to repartition: this writer
+    # collects, so an executor-side shuffle buys nothing
+    _write.driver_side = True
     return _write
 
 

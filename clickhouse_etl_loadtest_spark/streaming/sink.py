@@ -28,6 +28,10 @@ def chunked_foreach_batch_writer(
     receives the whole repartitioned frame — each output task (= insert batch)
     then carries <= ~max_batch_size rows. This keeps the work on executors
     (no driver-side collect) at any scale.
+
+    Writers that chunk on the driver anyway (``driver_side = True`` attribute,
+    e.g. clickhouse_http_chunk_writer) skip the repartition — its shuffle
+    would be pure waste the moment the writer collects.
     """
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
@@ -38,8 +42,11 @@ def chunked_foreach_batch_writer(
             n = batch_df.count()
             if n == 0:
                 return
-            chunks = max(1, math.ceil(n / max_batch_size))
-            write_chunk(batch_df.repartition(chunks), batch_id)
+            if getattr(write_chunk, "driver_side", False):
+                write_chunk(batch_df, batch_id)
+            else:
+                chunks = max(1, math.ceil(n / max_batch_size))
+                write_chunk(batch_df.repartition(chunks), batch_id)
         finally:
             batch_df.unpersist()
 

@@ -82,3 +82,15 @@ def test_resize_bounds_payload_and_is_deterministic(spark, sf_dir):
     a = {r["media_id"]: bytes(r["data"]) for r in rows}
     b = {r["media_id"]: bytes(r["data"]) for r in resize_media(media, target_bytes=128).collect()}
     assert a == b
+
+
+def test_typed_decode_empty_batch_keeps_schema(spark, sf_dir):
+    # an empty micro-batch must still yield all REAL_DECODED_SCHEMA columns
+    # (pd.DataFrame([]) would drop them and fail Arrow conversion)
+    from clickhouse_etl_loadtest_spark.operators.multimodal import decode_media_typed
+    import pyspark.sql.functions as F
+
+    media = build_media_table(spark, sf_dir).where(F.lit(False))
+    out = decode_media_typed(media)
+    assert out.count() == 0
+    assert len(out.columns) == 10
