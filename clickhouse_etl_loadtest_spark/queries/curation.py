@@ -3,10 +3,10 @@ per-document scoring/dedup — incremental ingestion, mixture balancing,
 boilerplate span detection (SURVEY.md §7.6 extension; no reference
 counterpart — the reference only dedups by an exact key field).
 
-All four are pure JVM column expressions + one keyed shuffle each, with exact
-DuckDB oracles via the shared md5-based ``h60`` hash. ``doc_incremental_dedup``
-and ``doc_token_budget_sample`` are driver-visible; the other two are
-pytest-verified extras (the driver registry caps at 50 entries).
+All are pure JVM column expressions + at most one keyed shuffle each, with
+exact DuckDB oracles via the shared md5-based ``h60`` hash.
+``doc_incremental_dedup`` and ``doc_token_budget_sample`` are driver-visible;
+the rest are pytest-verified extras (the driver registry caps at 50 entries).
 
 Scale notes (100 TB):
 - ``doc_incremental_dedup``: hash-key shuffle anti-join — the snapshot side is
@@ -19,6 +19,8 @@ Scale notes (100 TB):
   queries).
 - ``doc_boilerplate_ngrams``: the gram->doc-count shuffle carries 60-bit
   hashes; per-doc coverage joins on (hash) then re-aggregates by doc_id.
+- ``doc_export_shards``: map-only hash assignment + an 8-group manifest agg;
+  the writer itself (operators/sharding.py) is one range repartition.
 """
 
 from __future__ import annotations
@@ -240,4 +242,55 @@ def doc_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_repeated") * 1.0 / F.col("n_grams")).alias("boilerplate_ratio"),
         )
         .orderBy("doc_id")
+    )
+
+
+# --- deterministic training-shard export ---------------------------------------------
+
+_N_SHARDS = 8
+
+_SHARD_ORACLE = f"""
+WITH assigned AS (
+    SELECT doc_id,
+           {h60_sql_duckdb("'shard' || CAST(doc_id AS VARCHAR)")} % {_N_SHARDS} AS shard,
+           {h60_sql_duckdb("'order' || CAST(doc_id AS VARCHAR)")} AS order_key,
+           len(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS n_tokens
+    FROM documents
+)
+SELECT CAST(shard AS BIGINT) AS shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
+       CAST(arg_min(doc_id, order_key) AS BIGINT) AS first_doc_id,
+       CAST(arg_max(doc_id, order_key) AS BIGINT) AS last_doc_id
+FROM assigned
+GROUP BY shard
+ORDER BY shard
+"""
+
+
+@register("doc_export_shards", _SHARD_ORACLE, extra=True)
+def doc_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard manifest for the deterministic training export
+    (operators/sharding.py): per-shard doc/token totals plus the first and
+    last documents of the pseudo-shuffle order. first/last_doc_id pin the
+    ORDER of each shard, not just its membership — if either drifts, a rerun
+    would feed training a different sequence.
+
+    Assignment is map-only (hash of doc_id); the manifest itself is one
+    8-group aggregation with map-side combine."""
+    from ..operators.sharding import shard_assignment
+
+    d = _docs(spark, sf_dir)
+    assigned = shard_assignment(
+        d.select("doc_id", F.size(_tokens()).alias("n_tokens")), _N_SHARDS
+    )
+    return (
+        assigned.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("shard_tokens"),
+            F.min_by("doc_id", "order_key").alias("first_doc_id"),
+            F.max_by("doc_id", "order_key").alias("last_doc_id"),
+        )
+        .orderBy("shard")
     )
