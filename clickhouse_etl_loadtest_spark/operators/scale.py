@@ -71,3 +71,34 @@ def bucketed_join(spark: SparkSession, left_table: str, right_table: str, on: st
     """Join two same-bucketed tables; with matching bucket specs Catalyst
     plans SortMergeJoin with ZERO Exchange operators."""
     return spark.table(left_table).join(spark.table(right_table), on=on, how=how)
+
+
+def snapshot_dedup_index(
+    df: DataFrame,
+    table_name: str,
+    hash_col: str = "content_hash",
+    num_buckets: int = 32,
+) -> None:
+    """Persist a corpus snapshot's content hashes as a bucketed dedup index.
+
+    The incremental-dedup anti-join (queries/curation.py::doc_incremental_dedup)
+    shuffles BOTH sides when the snapshot is a plain table. The snapshot is
+    the side that never changes between ingests — bucketing it by hash at
+    write time means every subsequent batch anti-join shuffles only the NEW
+    data: at 100 TB that converts a petabyte-scale snapshot re-shuffle per
+    ingest into zero. (Runtime bloom filters don't cover this case: Spark
+    injects them only when the build side is small, and a corpus snapshot
+    isn't.)"""
+    bucket_table(df.select(hash_col).distinct(), table_name, hash_col, num_buckets, sort_col=hash_col)
+
+
+def anti_join_snapshot_index(
+    spark: SparkSession,
+    batch: DataFrame,
+    index_table: str,
+    hash_col: str = "content_hash",
+) -> DataFrame:
+    """Anti-join a new batch against a bucketed snapshot index: the index
+    scan arrives pre-hash-distributed, so the only Exchange in the plan is
+    the batch side (plan-asserted in tests/test_scale_ops.py)."""
+    return batch.join(spark.table(index_table), on=hash_col, how="left_anti")

@@ -110,3 +110,34 @@ def test_aqe_splits_skewed_join_partitions(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_snapshot_index_anti_join_shuffles_only_the_batch(spark, sf_dir):
+    """Incremental dedup against a bucketed snapshot index: the snapshot scan
+    is pre-hash-distributed, so the anti-join plan carries exactly ONE
+    Exchange (the new batch) — the at-scale shape where only new data
+    shuffles per ingest."""
+    from clickhouse_etl_loadtest_spark.functions.hashing import h60
+    from clickhouse_etl_loadtest_spark.operators.scale import (
+        anti_join_snapshot_index,
+        snapshot_dedup_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    hashed = docs.select("doc_id", h60(F.col("text")).alias("content_hash"))
+    snapshot = hashed.where(F.col("doc_id") % 10 < 3)
+    batch = hashed.where(F.col("doc_id") % 10 >= 3)
+    prev_bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        snapshot_dedup_index(snapshot, "snap_idx", num_buckets=8)
+        kept = anti_join_snapshot_index(spark, batch, "snap_idx")
+        plan = kept._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 1, plan[:2000]
+        assert "SortMergeJoin" in plan and "LeftAnti" in plan
+        # semantics match the plain anti-join
+        plain = batch.join(snapshot.select("content_hash"), "content_hash", "left_anti")
+        assert kept.count() == plain.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bcast)
+        spark.sql("DROP TABLE IF EXISTS snap_idx")
