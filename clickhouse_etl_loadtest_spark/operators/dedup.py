@@ -105,3 +105,28 @@ def streaming_dedup(
     keys = [key] if isinstance(key, str) else list(key)
     interval = duration_to_interval(time_window)
     return df.withWatermark(ts_col, interval).dropDuplicatesWithinWatermark(keys)
+
+
+def streaming_dedup_against_snapshot(
+    stream_df: DataFrame,
+    snapshot_df: DataFrame,
+    hash_col: str,
+    key: str | list[str],
+    time_window: str,
+    ts_col: str = "timestamp",
+) -> DataFrame:
+    """Two-layer streaming ingest dedup — the streaming twin of
+    queries/curation.py::doc_incremental_dedup:
+
+    1. stream-static LEFT ANTI join drops records whose content hash already
+       exists in the corpus snapshot (pass ``spark.table(index)`` from
+       operators/scale.py::snapshot_dedup_index so the static side scans
+       pre-bucketed — per micro-batch only the small stream side moves);
+    2. :func:`streaming_dedup` then suppresses re-sends WITHIN the stream via
+       watermark-bounded state.
+
+    Snapshot membership is checked per micro-batch against the table as of
+    that batch (Spark re-plans the static side each trigger), so a snapshot
+    refreshed between triggers is picked up without a restart."""
+    fresh = stream_df.join(snapshot_df, on=hash_col, how="left_anti")
+    return streaming_dedup(fresh, key, time_window, ts_col=ts_col)

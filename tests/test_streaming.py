@@ -287,3 +287,45 @@ def test_compact_sink_coalesces_and_clusters(spark, stream_env):
     spans.sort()
     for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
         assert hi1 <= lo2
+
+
+def test_streaming_dedup_against_snapshot(spark, tmp_path):
+    """Two-layer ingest dedup: the stream-static anti-join drops hashes the
+    corpus snapshot already holds (via the bucketed index), and watermark
+    state suppresses in-stream re-sends — the streaming twin of
+    doc_incremental_dedup."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_etl_loadtest_spark.operators.dedup import streaming_dedup_against_snapshot
+    from clickhouse_etl_loadtest_spark.operators.scale import snapshot_dedup_index
+
+    # snapshot holds the even hashes 0..18
+    snap = spark.range(10).select((F.col("id") * 2).alias("content_hash"))
+    src, sink, ckpt = tmp_path / "src", str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    try:
+        snapshot_dedup_index(snap, "snap_stream_idx", num_buckets=4)
+        # docs 0..9 with content_hash == doc_id (evens collide with the
+        # snapshot), plus an in-stream re-send of doc 1
+        recs = [
+            {"doc_id": i, "content_hash": i, "timestamp": "2024-01-01T00:00:00.000Z"}
+            for i in range(10)
+        ] + [{"doc_id": 1, "content_hash": 1, "timestamp": "2024-01-01T00:10:00.000Z"}]
+        _write_batch(str(src), "b1.json", recs)
+        stream = spark.readStream.schema("doc_id long, content_hash long, timestamp timestamp").json(
+            str(src)
+        )
+        out = streaming_dedup_against_snapshot(
+            stream, spark.table("snap_stream_idx"), "content_hash", "doc_id", "1h"
+        )
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        result = spark.read.parquet(sink)
+        assert sorted(r.doc_id for r in result.select("doc_id").collect()) == [1, 3, 5, 7, 9]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS snap_stream_idx")
