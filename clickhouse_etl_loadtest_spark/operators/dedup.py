@@ -125,8 +125,11 @@ def streaming_dedup_against_snapshot(
     2. :func:`streaming_dedup` then suppresses re-sends WITHIN the stream via
        watermark-bounded state.
 
-    Snapshot membership is checked per micro-batch against the table as of
-    that batch (Spark re-plans the static side each trigger), so a snapshot
-    refreshed between triggers is picked up without a restart."""
+    Note on snapshot refreshes: a plain parquet-backed index is resolved ONCE
+    at query start (the static relation's file listing is cached) — an
+    overwrite between triggers is NOT picked up and can fail the next batch
+    with stale-file errors. Refresh by restarting the query (cheap: state
+    lives in the checkpoint), or back the index with a transactional table
+    format that supports in-place refresh."""
     fresh = stream_df.join(snapshot_df, on=hash_col, how="left_anti")
     return streaming_dedup(fresh, key, time_window, ts_col=ts_col)

@@ -168,10 +168,9 @@ def decode_media_typed(df: DataFrame) -> DataFrame:
     instead of swapping the Spark stage."""
     from .codecs import real_decode
 
-    _DECODE_COLS = (
-        "format", "n_bytes", "sample_rate", "n_samples", "n_channels",
-        "width", "height", "duration_ms",
-    )
+    # decode column names derived from the schema itself (skip the two
+    # id columns prepended below) — no second hand-maintained list
+    _DECODE_COLS = tuple(f.strip().split()[0] for f in REAL_DECODED_SCHEMA.split(","))[2:]
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -34,7 +34,12 @@ def shard_assignment(df: DataFrame, n_shards: int, id_col: str = "doc_id") -> Da
     ``shard`` buckets uniformly into ``n_shards``; ``order_key`` is the
     position key of the pseudo-shuffle — sorting a shard by it yields an
     order uncorrelated with ingest order, which is what SGD wants."""
-    sid = F.col(id_col).cast("string")
+    # fail fast on null ids: a null would hash to a null shard and land in
+    # shard=__HIVE_DEFAULT_PARTITION__, invisible to read_shard — silent loss
+    sid = F.when(
+        F.col(id_col).isNull(),
+        F.raise_error(F.lit(f"shard_assignment: null {id_col}")),
+    ).otherwise(F.col(id_col).cast("string"))
     return df.withColumn(
         "shard", (h60(F.concat(F.lit("shard"), sid)) % n_shards).cast("bigint")
     ).withColumn("order_key", h60(F.concat(F.lit("order"), sid)))
@@ -52,8 +57,11 @@ def export_shards(
 
     ``repartitionByRange(shard, order_key)`` gives contiguous sorted slices
     (one shuffle); ``partitionBy("shard")`` routes rows to their shard dir.
-    Total output tasks = n_shards * files_per_shard — size files_per_shard so
-    each task's slice fits executor memory at the target corpus size."""
+    Total output tasks = n_shards * files_per_shard. Range boundaries are
+    sample-derived and need not align to shard edges, so a task can straddle
+    two shards (a shard then spans files_per_shard + 1 files and a task can
+    hold up to ~2x the average slice) — size files_per_shard with that slack;
+    the read path is unaffected (read_shard re-sorts on order_key)."""
     assigned = shard_assignment(df, n_shards, id_col)
     (
         assigned.repartitionByRange(n_shards * files_per_shard, "shard", "order_key")

@@ -21,6 +21,7 @@ from .errors import (
     InvalidPipelineConfigError,
     PipelineAlreadyExistsError,
     PipelineNotFoundError,
+    PipelineServiceError,
     ServiceConnectionError,
 )
 

@@ -81,3 +81,11 @@ def test_files_per_shard_splits_output(spark, docs, tmp_path_factory):
     ]
     assert order == expected
     assert glob.glob(f"{path}/shard=1/*.parquet")
+
+
+def test_null_ids_are_rejected(spark):
+    from pyspark.sql.utils import PythonException
+
+    bad = spark.createDataFrame([(1,), (None,)], "doc_id bigint")
+    with pytest.raises(Exception, match="null doc_id|USER_RAISED_EXCEPTION|RaiseError"):
+        shard_assignment(bad, N_SHARDS).collect()

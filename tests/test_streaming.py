@@ -324,7 +324,10 @@ def test_streaming_dedup_against_snapshot(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        try:
+            assert q.awaitTermination(120), "availableNow drain did not finish in 120s"
+        finally:
+            q.stop()
         result = spark.read.parquet(sink)
         assert sorted(r.doc_id for r in result.select("doc_id").collect()) == [1, 3, 5, 7, 9]
     finally:
