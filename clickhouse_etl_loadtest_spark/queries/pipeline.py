@@ -84,13 +84,18 @@ ORDER BY user_id, event_type
 """
 
 
-@register("dedup_first_event_per_user_type", _DEDUP_EVENTS_ORACLE)
+@register("dedup_first_event_per_user_type", _DEDUP_EVENTS_ORACLE, extra=True)
 def dedup_first_event_per_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-wins dedup on a composite key over the events table.
 
     Scale: aggregate-then-rejoin instead of a row_number window — groupBy gets
     map-side combine and AQE skew splitting; a window would sort every key
     partition (see operators/dedup.py docstring).
+
+    ``extra``: D1's batch analogue keeps two driver-visible entries
+    (dedup_pipeline_e2e, dedup_within_window_events); this plain-composite-key
+    twin yields its registry slot to doc_dup_clusters (50-entry driver cap)
+    and stays value-checked in the pytest oracle sweep.
     """
     ev = _t(spark, sf_dir, "events")
     return (

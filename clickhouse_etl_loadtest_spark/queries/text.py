@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.graph import connected_components
 from ..functions.hashing import (
     h32,
     h32_sql_duckdb,
@@ -495,8 +496,9 @@ def doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _FUZZY_THRESHOLD = 0.5
 
-_FUZZY_KEEP_ORACLE = f"""
-WITH sh AS ({_SHINGLES_SQL}),
+# shared CTE chain ending in `verified` (the Jaccard-verified near-dup pairs):
+# reused by the keep-list oracle below and the cluster oracle (doc_dup_clusters)
+_VERIFIED_CTES = f"""sh AS ({_SHINGLES_SQL}),
 hashed AS (
     SELECT doc_id, {h32_sql_duckdb("unnest(shingles)")} AS sh FROM sh
 ),
@@ -524,23 +526,20 @@ verified AS (
     JOIN sizes sa ON sa.doc_id = i.doc_a
     JOIN sizes sb ON sb.doc_id = i.doc_b
     WHERE n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) >= {_FUZZY_THRESHOLD}
-)
+)"""
+
+_FUZZY_KEEP_ORACLE = f"""
+WITH {_VERIFIED_CTES}
 SELECT d.doc_id, d.doc_id NOT IN (SELECT doc_b FROM verified) AS keep
 FROM documents d
 ORDER BY d.doc_id
 """
 
 
-@register("doc_fuzzy_dedup_keep", _FUZZY_KEEP_ORACLE)
-def doc_fuzzy_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The fuzzy-dedup decision end-to-end — the operator a pre-training
-    pipeline actually runs: MinHash-LSH candidate generation (bounded
-    shuffle), exact Jaccard verification ONLY on candidates, drop the
-    higher doc_id of every verified near-dup pair.
-
-    Scale: verification cost is O(candidates), not O(n^2); the final keep
-    decision is a left-anti join on the (tiny) drop list.
-    """
+def _verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard-verified near-dup pairs ``(doc_a < doc_b)``: MinHash-LSH
+    candidates, then exact shingle-Jaccard computed ONLY on candidates —
+    verification cost is O(candidates), never O(n^2)."""
     candidates = doc_minhash_lsh_pairs(spark, sf_dir)
     sh = _shingles_df(spark, sf_dir)
     exploded = sh.select("doc_id", F.explode("shingles").alias("shingle"))
@@ -557,16 +556,77 @@ def doc_fuzzy_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
     jac = F.col("n_common") * 1.0 / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
-    drop = (
+    return (
         inter.join(F.broadcast(sa), "doc_a")
         .join(F.broadcast(sb), "doc_b")
         .where(jac >= _FUZZY_THRESHOLD)
-        .select(F.col("doc_b").alias("doc_id"))
-        .distinct()
+        .select("doc_a", "doc_b")
     )
+
+
+@register("doc_fuzzy_dedup_keep", _FUZZY_KEEP_ORACLE)
+def doc_fuzzy_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fuzzy-dedup decision end-to-end — the operator a pre-training
+    pipeline actually runs: MinHash-LSH candidate generation (bounded
+    shuffle), exact Jaccard verification ONLY on candidates, drop the
+    higher doc_id of every verified near-dup pair.
+
+    Scale: verification cost is O(candidates), not O(n^2); the final keep
+    decision is a left-anti join on the (tiny) drop list. Pairwise
+    semantics — see :func:`doc_dup_clusters` for the transitive form.
+    """
+    drop = _verified_pairs(spark, sf_dir).select(F.col("doc_b").alias("doc_id")).distinct()
     d = _docs(spark, sf_dir).select("doc_id")
     kept = d.join(drop.withColumn("_drop", F.lit(True)), "doc_id", "left")
     return kept.select("doc_id", F.coalesce(~F.col("_drop"), F.lit(True)).alias("keep")).orderBy("doc_id")
+
+
+# --- duplicate-cluster resolution: transitive closure over verified pairs --------
+
+_DUP_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE {_VERIFIED_CTES},
+edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM verified
+    UNION
+    SELECT doc_b AS src, doc_a AS dst FROM verified
+),
+reach(src, dst) AS (
+    SELECT src, src FROM edges
+    UNION
+    SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+comp AS (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src)
+SELECT doc_id, cluster_id,
+       CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+FROM comp
+ORDER BY doc_id
+"""
+
+
+@register("doc_dup_clusters", _DUP_CLUSTERS_ORACLE)
+def doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-CLUSTER resolution: connected components over the verified
+    near-dup pair graph — the transitive-closure step between pair
+    generation and the keep decision. Pairwise drop (doc_fuzzy_dedup_keep)
+    and cluster semantics genuinely differ: on pairs {(1,3), (2,3)} the
+    pairwise rule keeps {1, 2}; cluster resolution keeps one representative
+    of {1, 2, 3}. Output: every clustered doc with its cluster id (= min
+    doc_id of the component) and cluster size; keeping ``doc_id ==
+    cluster_id`` is the canonical one-per-cluster policy.
+
+    Scale: the iteration (operators/graph.py) runs on the verified-pair
+    graph — orders of magnitude smaller than the corpus — with
+    O(log diameter) rounds of long-only shuffles; the oracle's recursive
+    CTE is the small-data ground truth, not the scale path.
+    """
+    pairs = _verified_pairs(spark, sf_dir)
+    cc = connected_components(pairs, "doc_a", "doc_b")
+    sizes = cc.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        cc.join(sizes, "label")
+        .select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"), "cluster_size")
+        .orderBy("doc_id")
+    )
 
 
 # --- top-k most similar docs per doc --------------------------------------------
