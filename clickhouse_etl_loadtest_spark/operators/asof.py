@@ -81,11 +81,14 @@ def asof_join(
     # ordering: right rows must sort before a left row exactly when they are
     # visible to it. backward+exact: right first at equal ts; backward+strict:
     # right last at equal ts. forward mirrors via negated time.
-    is_timestamp = dict(unioned.dtypes)["_ts"] == "timestamp"
+    # covers both TIMESTAMP and TIMESTAMP_NTZ (fixture generations differ);
+    # the session tz is pinned to UTC so the NTZ->TIMESTAMP cast is an exact
+    # epoch mapping with no DST discontinuity
+    is_timestamp = dict(unioned.dtypes)["_ts"].startswith("timestamp")
 
     def _numeric(col: "Column") -> "Column":
         """Seconds-scale numeric form of a ts value (ordering + tolerance)."""
-        return F.unix_micros(col) / 1e6 if is_timestamp else col.cast("double")
+        return F.unix_micros(col.cast("timestamp")) / 1e6 if is_timestamp else col.cast("double")
 
     t = _numeric(F.col("_ts"))
     if direction == "forward":

@@ -1,17 +1,20 @@
 """Fixture-table loader with schema normalization.
 
-The ``events`` parquet stores ``ts`` as TIMESTAMP(NANOS), which Spark's
-vectorized reader rejects. We read nanos as long
+Some fixture generations store ``events.ts`` as TIMESTAMP(NANOS), which
+Spark's vectorized reader rejects. For those we read nanos as long
 (``spark.sql.legacy.parquet.nanosAsLong``) and truncate to microseconds with
 *integer* arithmetic (``div 1000``) — matching DuckDB's internal ns->us
 truncation exactly. A double-precision detour would corrupt the low
 microsecond (2024 epoch-nanos ~1.7e18 exceeds double's 53-bit mantissa).
+Generations that already store microsecond timestamps pass through untouched
+(the conversion is gated on the column actually arriving as a long).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
 
 TABLES = (
     "region",
@@ -31,7 +34,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/events.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if isinstance(df.schema["ts"].dataType, LongType):  # nanos-as-long generation
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
