@@ -245,6 +245,112 @@ def doc_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- per-source document cap ---------------------------------------------------------
+
+_SOURCE_CAP = 10  # max docs kept per source (prefer longest)
+
+_SOURCE_CAP_ORACLE = f"""
+WITH ranked AS (
+    SELECT doc_id, source, n_chars,
+           ROW_NUMBER() OVER (PARTITION BY source
+                              ORDER BY n_chars DESC, doc_id) AS rank_in_source
+    FROM documents
+)
+SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(rank_in_source AS BIGINT) AS rank_in_source
+FROM ranked WHERE rank_in_source <= {_SOURCE_CAP}
+ORDER BY source, doc_id
+"""
+
+
+@register("doc_source_cap", _SOURCE_CAP_ORACLE, extra=True)
+def doc_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cap each source (domain) at N documents, preferring the longest — the
+    "no single domain dominates the mix" pass that runs alongside
+    ``source_mixing_weights`` (that op reweights, this one hard-limits).
+
+    The window is PARTITIONED by source, so each domain ranks only its own
+    rows — the same shape as ``doc_token_budget_sample``, no global sort. At
+    100 TB a pathologically hot domain still sorts all its rows to rank them;
+    when the cap <<< domain size, swap the exact rank for a per-source
+    ``approx_percentile(n_chars, 1 - cap/count)`` length threshold (the
+    ``customer_balance_ranks_scaled`` pattern) and keep this form for the
+    exact audit.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", "source", "n_chars")
+        .withColumn("rank_in_source", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank_in_source") <= _SOURCE_CAP)
+        .orderBy("source", "doc_id")
+    )
+
+
+# --- corpus-unigram cross-entropy (perplexity-proxy) scoring -------------------------
+
+_LM_ORACLE = f"""
+WITH th AS (
+    SELECT doc_id, {h60_sql_duckdb("unnest(regexp_extract_all(lower(text), '" + TOKEN_RE + "'))")} AS wh
+    FROM documents
+),
+freq AS (SELECT wh, COUNT(*) AS cnt FROM th GROUP BY wh),
+tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM freq),
+scored AS (
+    SELECT t.doc_id,
+           CAST(-ln(CAST(f.cnt AS DOUBLE) / CAST(tot.total AS DOUBLE))
+                AS DECIMAL(38,18)) AS nl
+    FROM th t JOIN freq f USING (wh), tot
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(nl) AS DOUBLE) / COUNT(*) AS cross_entropy_nats
+FROM scored GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+@register("doc_unigram_logprob", _LM_ORACLE, extra=True)
+def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document cross-entropy under a corpus-trained unigram LM (mean
+    ``-ln p(token)`` in nats) — the perplexity-filtering signal quality
+    pipelines threshold on (CCNet-style), and the corpus-level complement to
+    the in-row ``doc_token_entropy``.
+
+    Tokens are 60-bit-hashed BEFORE the explode, so both shuffles (the
+    vocabulary count and the per-doc re-aggregation) carry longs, never token
+    text. The vocabulary table is vocab-scale, not corpus-scale — at 100 TB
+    it broadcasts (or AQE converts the join); the 1-row token total always
+    broadcasts. The per-token log-probs are summed as DECIMAL(38,18), making
+    the per-doc sum exact and order-independent — bit-identical across
+    partitionings and engines.
+    """
+    th = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(_tokens()).alias("w"))
+        .select("doc_id", h60(F.col("w")).alias("wh"))
+    )
+    freq = th.groupBy("wh").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = freq.agg(F.sum("cnt").alias("total"))
+    neg_logp = -F.log(F.col("cnt").cast("double") / F.col("total").cast("double"))
+    return (
+        th.join(freq, "wh")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(neg_logp.cast("decimal(38,18)")).alias("_s"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("_s").cast("double") / F.col("n_tokens")).alias("cross_entropy_nats"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # --- deterministic training-shard export ---------------------------------------------
 
 _N_SHARDS = 8
