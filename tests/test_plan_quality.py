@@ -235,3 +235,26 @@ def test_priority_join_prunes_both_scans(spark, sf_dir):
     schemas = [line for line in plan.splitlines() if "ReadSchema" in line]
     joined = "\n".join(schemas)
     assert "l_extendedprice" not in joined and "o_totalprice" not in joined
+
+
+def test_source_cap_window_is_partitioned_by_source(spark, sf_dir):
+    """The per-domain cap ranks inside each source partition — a global
+    top-N window would serialize the corpus onto one partition."""
+    plan = exec_plan_of(spark, sf_dir, "doc_source_cap")
+    window_lines = [ln for ln in plan.splitlines() if "Window [" in ln]
+    assert window_lines
+    for ln in window_lines:
+        assert "], [source#" in ln, ln
+    assert "Exchange SinglePartition" not in plan.split("TakeOrderedAndProject")[-1]
+
+
+def test_unigram_logprob_shuffles_carry_hashes_not_tokens(spark, sf_dir):
+    """Vocabulary counting and the per-doc re-aggregation shuffle 60-bit
+    token hashes: no operator above the first Exchange may touch document
+    text, and the corpus never crosses a nested-loop join (the only
+    BroadcastNestedLoopJoin is the 1-row token-total scalar)."""
+    plan = exec_plan_of(spark, sf_dir, "doc_unigram_logprob")
+    above_first_exchange = plan.split("Exchange")[0]
+    assert "text#" not in above_first_exchange
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
