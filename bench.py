@@ -91,6 +91,22 @@ def main() -> None:
     loadtest = run_loadtest(spark)
     loadtest_steady = run_loadtest(spark)
 
+    # Publisher-parallelism scaling curve, comparable to BASELINE.md's
+    # num_processes sweep (reference: kafka RPS 8.7k @ 2 procs -> 49k @ 12;
+    # glassflow RPS flat ~8.5k — service-bound). num_processes here = Spark
+    # partitions of the generation stage (C6), so the curve shows the engine
+    # scaling with parallelism instead of flat-lining on a service.
+    sweep = {}
+    if os.environ.get("SPARK_GRAFT_SWEEP", "1") == "1":
+        for p in (2, 4, 8, 16, 32):
+            r = run_loadtest(spark, n_proc=p)
+            sweep[str(p)] = {
+                "kafka_rps": r["result_kafka_ingestion_rps"],
+                "glassflow_rps": r["result_glassflow_rps"],
+                "duration_sec": r["duration_sec"],
+                "success": r["result_success"],
+            }
+
     # Streaming-mode run of the same pipeline (Structured Streaming dedup via
     # dropDuplicatesWithinWatermark + chunked foreachBatch sink) — the
     # reference's actual execution model; baseline 8.0-9.4k rec/s.
@@ -117,6 +133,7 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "loadtest_5m": loadtest,
                 "loadtest_5m_steady": loadtest_steady,
+                "loadtest_5m_by_processes": sweep or None,
                 "streaming_loadtest_1m": streaming,
                 "streaming_loadtest_20m": streaming_20m,
             }
@@ -125,14 +142,15 @@ def main() -> None:
     spark.stop()
 
 
-def run_loadtest(spark, total_records: int = 5_000_000) -> dict:
+def run_loadtest(spark, total_records: int = 5_000_000, n_proc: int | None = None) -> dict:
     import shutil
     import tempfile
 
     from clickhouse_etl_loadtest_spark.config.reference_pipeline import reference_pipeline
     from clickhouse_etl_loadtest_spark.harness.executor import TestExecutor
 
-    n_proc = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if n_proc is None:
+        n_proc = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     work = tempfile.mkdtemp(prefix="bench-loadtest-")
     try:
         ex = TestExecutor(spark, "bench", reference_pipeline(), work, f"{work}/results.csv")
