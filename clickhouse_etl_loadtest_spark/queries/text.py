@@ -496,9 +496,9 @@ def doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _FUZZY_THRESHOLD = 0.5
 
-# shared CTE chain ending in `verified` (the Jaccard-verified near-dup pairs):
-# reused by the keep-list oracle below and the cluster oracle (doc_dup_clusters)
-_VERIFIED_CTES = f"""sh AS ({_SHINGLES_SQL}),
+# shared CTE chain ending in `candidates` (the LSH candidate pairs): reused by
+# the verified chain below and the edit-distance rerank oracle
+_CANDIDATES_CTES = f"""sh AS ({_SHINGLES_SQL}),
 hashed AS (
     SELECT doc_id, {h32_sql_duckdb("unnest(shingles)")} AS sh FROM sh
 ),
@@ -511,7 +511,11 @@ bands AS ({_band_sql}),
 candidates AS (
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
-),
+)"""
+
+# ... extended to `verified` (the Jaccard-verified near-dup pairs): reused by
+# the keep-list oracle below and the cluster oracle (doc_dup_clusters)
+_VERIFIED_CTES = f"""{_CANDIDATES_CTES},
 exploded AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
 sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
 verified AS (
@@ -1129,3 +1133,103 @@ def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", keep.alias("keep"))
         .orderBy("doc_id")
     )
+
+
+# --- edit-distance rerank of LSH candidates ------------------------------------------
+
+_EDIT_RERANK_ORACLE = f"""
+WITH {_CANDIDATES_CTES}
+SELECT c.doc_a, c.doc_b,
+       CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_distance,
+       1.0 - CAST(levenshtein(da.text, db.text) AS DOUBLE)
+             / CAST(greatest(length(da.text), length(db.text)) AS DOUBLE) AS edit_similarity
+FROM candidates c
+JOIN documents da ON da.doc_id = c.doc_a
+JOIN documents db ON db.doc_id = c.doc_b
+ORDER BY doc_a, doc_b
+"""
+
+
+@register("doc_edit_distance_rerank", _EDIT_RERANK_ORACLE, extra=True)
+def doc_edit_distance_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level rerank of the MinHash-LSH candidate pairs: normalized
+    Levenshtein similarity (1 - dist/max_len) — the precision pass a fuzzy
+    dedup runs when shingle Jaccard is too coarse (e.g. heavy templating).
+
+    Levenshtein is O(len_a * len_b) per pair, which is exactly why it only
+    ever runs on LSH candidates (bounded by band geometry), never all pairs.
+    The candidate list is pair-ids only and orders of magnitude smaller than
+    the corpus, so both text lookups broadcast the candidate side — document
+    text joins without a corpus shuffle.
+    """
+    cand = doc_minhash_lsh_pairs(spark, sf_dir)
+    d = _docs(spark, sf_dir)
+    ta = d.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("_ta"))
+    tb = d.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("_tb"))
+    dist = F.levenshtein("_ta", "_tb")
+    max_len = F.greatest(F.length("_ta"), F.length("_tb"))
+    return (
+        F.broadcast(cand)
+        .join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .withColumn("edit_distance", dist.cast("bigint"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "edit_distance",
+            (
+                F.lit(1.0)
+                - F.col("edit_distance").cast("double") / max_len.cast("double")
+            ).alias("edit_similarity"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# --- overlapping token-window chunking ------------------------------------------------
+
+_CHUNK_SIZE = 64
+_CHUNK_STRIDE = 48  # 16-token overlap between consecutive chunks
+
+_CHUNK_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS t FROM documents
+),
+chunks AS (
+    SELECT doc_id, t,
+           unnest(generate_series(0, CAST((len(t) - 1) // {_CHUNK_STRIDE} AS INT))) AS chunk_id
+    FROM toks WHERE len(t) > 0
+)
+SELECT doc_id,
+       CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(len(t[1 + chunk_id * {_CHUNK_STRIDE} : chunk_id * {_CHUNK_STRIDE} + {_CHUNK_SIZE}]) AS BIGINT) AS n_chunk_tokens,
+       {h60_sql_duckdb(f"array_to_string(t[1 + chunk_id * {_CHUNK_STRIDE} : chunk_id * {_CHUNK_STRIDE} + {_CHUNK_SIZE}], ' ')")} AS chunk_hash
+FROM chunks
+ORDER BY doc_id, chunk_id
+"""
+
+
+@register("doc_chunk_windows", _CHUNK_ORACLE, extra=True)
+def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking: split every document into
+    {_CHUNK_SIZE}-token windows advancing {_CHUNK_STRIDE} tokens at a time
+    (16-token overlap) — context-window prep for training/RAG, emitted as a
+    manifest (chunk sizes + content hashes) that pins membership and order.
+
+    Entirely map-side: tokenize, explode a chunk-index sequence, slice —
+    no join, no aggregation, no shuffle except the presentation sort. Chunk
+    text reduces to a 60-bit hash in the same stage, so downstream stages
+    carry 16-byte rows, not window text.
+    """
+    d = _docs(spark, sf_dir).select("doc_id", _tokens().alias("t")).where(F.size("t") > 0)
+    last_chunk = F.floor((F.size("t") - 1) / _CHUNK_STRIDE).cast("int")
+    chunks = d.select(
+        "doc_id", "t", F.explode(F.sequence(F.lit(0), last_chunk)).alias("chunk_id")
+    )
+    window = F.slice(F.col("t"), F.col("chunk_id") * _CHUNK_STRIDE + 1, _CHUNK_SIZE)
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        F.size(window).cast("bigint").alias("n_chunk_tokens"),
+        h60(F.concat_ws(" ", window)).alias("chunk_hash"),
+    ).orderBy("doc_id", "chunk_id")

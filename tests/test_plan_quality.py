@@ -258,3 +258,27 @@ def test_unigram_logprob_shuffles_carry_hashes_not_tokens(spark, sf_dir):
     assert "text#" not in above_first_exchange
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_edit_rerank_broadcasts_candidates_no_cartesian(spark, sf_dir):
+    """Levenshtein only ever runs on LSH candidates: the text lookups join
+    against a broadcast candidate list, never a corpus-side shuffle join or
+    cross product."""
+    plan = exec_plan_of(spark, sf_dir, "doc_edit_distance_rerank")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_chunk_windows_is_map_only(spark, sf_dir):
+    """Chunking is tokenize -> explode -> slice -> hash in one map stage: no
+    join, no aggregation, no Window; the only Exchange is the presentation
+    sort's range partitioning."""
+    plan = exec_plan_of(spark, sf_dir, "doc_chunk_windows")
+    assert "Join" not in plan and "Window" not in plan
+    exchanges = [ln for ln in plan.splitlines() if "Exchange" in ln]
+    # allowed: the presentation sort (rangepartitioning) and the fixture
+    # scan-spreading repartition (RoundRobin, parallelize_scan) — never a
+    # hashpartitioning shuffle, which would mean a hidden join/agg
+    assert all(
+        "rangepartitioning" in ln or "RoundRobinPartitioning" in ln for ln in exchanges
+    ), exchanges
