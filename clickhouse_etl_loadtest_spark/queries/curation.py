@@ -74,6 +74,68 @@ def doc_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- snapshot diff (corpus release comparison) ---------------------------------------
+
+# deterministic overlapping split: "old" release = doc_id % 10 < 5,
+# "new" release = doc_id % 10 >= 2 (ids 2-4 exist in both)
+_DIFF_OLD_LT, _DIFF_NEW_GE = 5, 2
+
+_SNAPSHOT_DIFF_ORACLE = f"""
+WITH old_h AS (
+    SELECT DISTINCT {h60_sql_duckdb("text")} AS content_hash
+    FROM documents WHERE doc_id % {_SNAPSHOT_MOD} < {_DIFF_OLD_LT}
+),
+new_h AS (
+    SELECT DISTINCT {h60_sql_duckdb("text")} AS content_hash
+    FROM documents WHERE doc_id % {_SNAPSHOT_MOD} >= {_DIFF_NEW_GE}
+)
+SELECT COALESCE(o.content_hash, n.content_hash) AS content_hash,
+       CASE WHEN o.content_hash IS NULL THEN 'added'
+            WHEN n.content_hash IS NULL THEN 'removed'
+            ELSE 'unchanged' END AS status
+FROM old_h o FULL OUTER JOIN new_h n ON o.content_hash = n.content_hash
+ORDER BY content_hash
+"""
+
+
+@register("doc_snapshot_diff", _SNAPSHOT_DIFF_ORACLE, extra=True)
+def doc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Release-over-release corpus diff: classify every distinct document
+    content as added / removed / unchanged between two snapshots — the audit
+    a dataset release pipeline publishes alongside the data (and the
+    symmetric complement of ``doc_incremental_dedup``, which only keeps the
+    'added' side).
+
+    Both sides reduce to DISTINCT 60-bit content hashes before the full
+    outer join, so the shuffle carries hashes only — text never moves, and
+    at 100 TB the join is hash-partitioned on both corpus-scale sides (no
+    broadcast assumption)."""
+    d = _docs(spark, sf_dir).withColumn("content_hash", h60(F.col("text")))
+    old_h = (
+        d.where(F.col("doc_id") % _SNAPSHOT_MOD < _DIFF_OLD_LT)
+        .select("content_hash")
+        .distinct()
+    )
+    new_h = (
+        d.where(F.col("doc_id") % _SNAPSHOT_MOD >= _DIFF_NEW_GE)
+        .select(F.col("content_hash").alias("new_hash"))
+        .distinct()
+    )
+    joined = old_h.join(new_h, old_h.content_hash == new_h.new_hash, "full_outer")
+    status = (
+        F.when(F.col("content_hash").isNull(), "added")
+        .when(F.col("new_hash").isNull(), "removed")
+        .otherwise("unchanged")
+    )
+    return (
+        joined.select(
+            F.coalesce("content_hash", "new_hash").alias("content_hash"),
+            status.alias("status"),
+        )
+        .orderBy("content_hash")
+    )
+
+
 # --- token-budget sampling per language ---------------------------------------------
 
 _TOKEN_BUDGET = 600  # tokens per language; truncates every lang at sf0.01
