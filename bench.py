@@ -98,8 +98,11 @@ def main() -> None:
     # scaling with parallelism instead of flat-lining on a service.
     sweep = {}
     if os.environ.get("SPARK_GRAFT_SWEEP", "1") == "1":
+        default_p = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
         for p in (2, 4, 8, 16, 32):
-            r = run_loadtest(spark, n_proc=p)
+            # the default-parallelism point was already measured twice above —
+            # reuse the steady run instead of a third identical 5M loadtest
+            r = loadtest_steady if p == default_p else run_loadtest(spark, n_proc=p)
             sweep[str(p)] = {
                 "kafka_rps": r["result_kafka_ingestion_rps"],
                 "glassflow_rps": r["result_glassflow_rps"],

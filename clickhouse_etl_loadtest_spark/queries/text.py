@@ -1159,8 +1159,12 @@ def doc_edit_distance_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     Levenshtein is O(len_a * len_b) per pair, which is exactly why it only
     ever runs on LSH candidates (bounded by band geometry), never all pairs.
     The candidate list is pair-ids only and orders of magnitude smaller than
-    the corpus, so both text lookups broadcast the candidate side — document
-    text joins without a corpus shuffle.
+    the corpus, so BOTH text lookups must build on the candidate-derived
+    side: the pair list broadcasts into the first join, and the (still
+    candidate-sized) pairs-with-doc_a-text intermediate broadcasts into the
+    second — a hint on the bare pair list alone only reaches the first join,
+    and Spark would then happily broadcast (or at scale, shuffle) the CORPUS
+    side of the second. Document text streams through both joins unshuffled.
     """
     cand = doc_minhash_lsh_pairs(spark, sf_dir)
     d = _docs(spark, sf_dir)
@@ -1169,8 +1173,7 @@ def doc_edit_distance_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     dist = F.levenshtein("_ta", "_tb")
     max_len = F.greatest(F.length("_ta"), F.length("_tb"))
     return (
-        F.broadcast(cand)
-        .join(ta, "doc_a")
+        F.broadcast(F.broadcast(cand).join(ta, "doc_a"))
         .join(tb, "doc_b")
         .withColumn("edit_distance", dist.cast("bigint"))
         .select(
@@ -1211,9 +1214,9 @@ ORDER BY doc_id, chunk_id
 
 @register("doc_chunk_windows", _CHUNK_ORACLE, extra=True)
 def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Overlapping token-window chunking: split every document into
-    {_CHUNK_SIZE}-token windows advancing {_CHUNK_STRIDE} tokens at a time
-    (16-token overlap) — context-window prep for training/RAG, emitted as a
+    """Overlapping token-window chunking: split every document into 64-token
+    windows advancing 48 tokens at a time (16-token overlap; see _CHUNK_SIZE/
+    _CHUNK_STRIDE) — context-window prep for training/RAG, emitted as a
     manifest (chunk sizes + content hashes) that pins membership and order.
 
     Entirely map-side: tokenize, explode a chunk-index sequence, slice —

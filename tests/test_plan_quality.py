@@ -250,23 +250,32 @@ def test_source_cap_window_is_partitioned_by_source(spark, sf_dir):
 
 def test_unigram_logprob_shuffles_carry_hashes_not_tokens(spark, sf_dir):
     """Vocabulary counting and the per-doc re-aggregation shuffle 60-bit
-    token hashes: no operator above the first Exchange may touch document
-    text, and the corpus never crosses a nested-loop join (the only
-    BroadcastNestedLoopJoin is the 1-row token-total scalar)."""
+    token hashes: every hashpartitioning Exchange keys on the token hash or
+    the doc id (never token/text strings), no text survives past the
+    explode, and the corpus never crosses a cross product (the only
+    nested-loop join is the 1-row token-total scalar)."""
     plan = exec_plan_of(spark, sf_dir, "doc_unigram_logprob")
-    above_first_exchange = plan.split("Exchange")[0]
-    assert "text#" not in above_first_exchange
+    hash_exchanges = [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
+    assert hash_exchanges  # the vocab count + per-doc agg must shuffle something
+    for ln in hash_exchanges:
+        assert "wh#" in ln or "doc_id#" in ln, ln
+    assert "text#" not in plan.split("Generate")[0]  # nothing downstream of explode reads text
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
 def test_edit_rerank_broadcasts_candidates_no_cartesian(spark, sf_dir):
-    """Levenshtein only ever runs on LSH candidates: the text lookups join
-    against a broadcast candidate list, never a corpus-side shuffle join or
-    cross product."""
+    """Levenshtein only ever runs on LSH candidates, and BOTH text-lookup
+    joins must build on the candidate-derived side (BuildLeft): a hint that
+    only reaches the first join lets Spark broadcast — or at scale,
+    shuffle — the CORPUS side of the second."""
     plan = exec_plan_of(spark, sf_dir, "doc_edit_distance_rerank")
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
-    assert "BroadcastHashJoin" in plan
+    bhj = [ln for ln in plan.splitlines() if "BroadcastHashJoin" in ln]
+    assert len(bhj) == 2, bhj
+    for ln in bhj:
+        assert "BuildLeft" in ln, ln
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
 
 
 def test_chunk_windows_is_map_only(spark, sf_dir):
