@@ -126,3 +126,138 @@ def dedup_with_counts(
         GroupStateTimeout.EventTimeTimeout,
     )
 
+
+
+# --- streaming event-time as-of join --------------------------------------------------
+
+def _asof_output_schema() -> StructType:
+    return StructType(
+        [
+            StructField("key", StringType()),
+            StructField("left_ts", TimestampType()),
+            StructField("left_payload", StringType()),
+            StructField("right_ts", TimestampType()),
+            StructField("right_payload", StringType()),
+        ]
+    )
+
+
+def _asof_state_schema() -> StructType:
+    # JSON-encoded buffers of [epoch_us, payload] pairs; bounded by the
+    # watermark delay (lefts) and right-side retention (see _prune_rights)
+    return StructType([StructField("lefts", StringType()), StructField("rights", StringType())])
+
+
+def streaming_asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    left_payload: list[str] | None = None,
+    right_payload: list[str] | None = None,
+    watermark: str = "10 seconds",
+) -> DataFrame:
+    """Streaming as-of join (backward, exact matches allowed): every left row
+    is matched to the single right row with the greatest ``right_ts <=
+    left_ts`` per key — the event-time twin of ``operators/asof.py`` and an
+    operator Structured Streaming lacks natively (stream-stream joins are
+    equi/interval, and `dropDuplicates`-style state can't express "latest
+    prior row").
+
+    Correctness under out-of-order arrival: a left row at event time T is
+    only FINALIZED (emitted, append mode) once the watermark passes T, which
+    guarantees no right row with ``right_ts <= T`` can still arrive. Until
+    then both sides buffer in the state store. Buffered lefts flush on
+    watermark advance via event-time timeouts (fn re-fires per key at
+    ``watermark + 1ms`` even with no new rows for that key).
+
+    State bounds (per key, RocksDB-backed like every stateful op here):
+    lefts ≤ rows inside one watermark delay; rights = all rows newer than
+    the watermark PLUS exactly one at-or-below it (any older right can never
+    win an as-of match again — every future left has ``ts > watermark``).
+
+    Payload columns travel as JSON strings (parse back with ``from_json``);
+    the operator is data-shape-generic without needing a per-use schema.
+    """
+    import json as _json
+
+    lp = left_payload or [c for c in left.columns if c not in (on, left_ts)]
+    rp = right_payload or [c for c in right.columns if c not in (on, right_ts)]
+    from pyspark.sql import functions as F
+
+    l_tag = left.select(
+        F.col(on).cast("string").alias("key"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.to_json(F.struct(*[F.col(c) for c in lp])).alias("_payload"),
+    )
+    r_tag = right.select(
+        F.col(on).cast("string").alias("key"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.to_json(F.struct(*[F.col(c) for c in rp])).alias("_payload"),
+    )
+    unioned = l_tag.unionByName(r_tag).withWatermark("_ts", watermark)
+
+    def fn(
+        key_tuple: tuple, pdfs: Iterator["pd.DataFrame"], state: GroupState
+    ) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        lefts, rights = [], []
+        if state.exists:
+            stored_l, stored_r = state.get
+            lefts = _json.loads(stored_l)
+            rights = _json.loads(stored_r)
+
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                for ts, side, payload in zip(pdf["_ts"], pdf["_side"], pdf["_payload"]):
+                    entry = [int(ts.value // 1_000), payload]  # pandas ns -> us
+                    (lefts if side == 1 else rights).append(entry)
+
+        wm_us = state.getCurrentWatermarkMs() * 1_000
+        rights.sort()
+        emit = sorted(e for e in lefts if e[0] <= wm_us)
+        lefts = [e for e in lefts if e[0] > wm_us]
+
+        if emit:
+            rows = []
+            for l_us, l_payload in emit:
+                match = None
+                for e in rights:  # sorted ascending; keep the last <= l_us
+                    if e[0] <= l_us:
+                        match = e
+                    else:
+                        break
+                rows.append(
+                    {
+                        "key": key_tuple[0],
+                        "left_ts": pd.Timestamp(l_us, unit="us"),
+                        "left_payload": l_payload,
+                        "right_ts": pd.Timestamp(match[0], unit="us") if match else None,
+                        "right_payload": match[1] if match else None,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+        # retention: one right at-or-below the watermark still serves future
+        # lefts (they all have ts > watermark); everything older is dead
+        below = [e for e in rights if e[0] <= wm_us]
+        rights = ([below[-1]] if below else []) + [e for e in rights if e[0] > wm_us]
+
+        if lefts or rights:
+            state.update((_json.dumps(lefts), _json.dumps(rights)))
+            # re-fire on the next watermark advance to flush buffered lefts
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
+        else:
+            state.remove()
+
+    return unioned.groupBy("key").applyInPandasWithState(
+        fn,
+        _asof_output_schema(),
+        _asof_state_schema(),
+        "append",
+        GroupStateTimeout.EventTimeTimeout,
+    )
