@@ -144,7 +144,8 @@ def _asof_output_schema() -> StructType:
 
 def _asof_state_schema() -> StructType:
     # JSON-encoded buffers of [epoch_us, payload] pairs; bounded by the
-    # watermark delay (lefts) and right-side retention (see _prune_rights)
+    # watermark delay (lefts) and right_retention (rights — pruned inline in
+    # streaming_asof_join's fn, see the retention comment there)
     return StructType([StructField("lefts", StringType()), StructField("rights", StringType())])
 
 
@@ -157,6 +158,7 @@ def streaming_asof_join(
     left_payload: list[str] | None = None,
     right_payload: list[str] | None = None,
     watermark: str = "10 seconds",
+    right_retention: str = "1h",
 ) -> DataFrame:
     """Streaming as-of join (backward, exact matches allowed): every left row
     is matched to the single right row with the greatest ``right_ts <=
@@ -166,24 +168,39 @@ def streaming_asof_join(
     prior row").
 
     Correctness under out-of-order arrival: a left row at event time T is
-    only FINALIZED (emitted, append mode) once the watermark passes T, which
-    guarantees no right row with ``right_ts <= T`` can still arrive. Until
-    then both sides buffer in the state store. Buffered lefts flush on
-    watermark advance via event-time timeouts (fn re-fires per key at
-    ``watermark + 1ms`` even with no new rows for that key).
+    only FINALIZED (emitted, append mode) once the watermark moves strictly
+    past T — Spark admits events with ``ts >= watermark``, so a right row at
+    exactly T can still arrive while ``T == watermark``. Until then both
+    sides buffer in the state store. While lefts are buffered, an event-time
+    timeout at ``watermark + 1ms`` re-fires the key on every watermark
+    advance to flush them; keys holding only right-side state do NOT re-arm
+    per advance (that would make each micro-batch O(all keys ever seen)) —
+    they sleep until ``last_right_ts + right_retention`` and are then
+    evicted entirely.
 
     State bounds (per key, RocksDB-backed like every stateful op here):
-    lefts ≤ rows inside one watermark delay; rights = all rows newer than
-    the watermark PLUS exactly one at-or-below it (any older right can never
-    win an as-of match again — every future left has ``ts > watermark``).
+    lefts ≤ rows inside one watermark delay; rights = rows newer than the
+    watermark PLUS exactly one below it (an older right can never win an
+    as-of match again — every future left has ``ts >= watermark``). A key
+    idle past ``right_retention`` is dropped, so total state is bounded by
+    ACTIVE keys, at the documented cost that a left arriving later than
+    ``right_retention`` after its key's last right row sees no match.
+
+    Parity with the batch operator holds whenever ``(key, right_ts)`` is
+    unique (the same condition under which the batch tie-break is
+    deterministic); on exact right_ts ties the streaming side breaks them
+    lexicographically on the JSON payload rather than by column values.
 
     Payload columns travel as JSON strings (parse back with ``from_json``);
     the operator is data-shape-generic without needing a per-use schema.
     """
     import json as _json
 
-    lp = left_payload or [c for c in left.columns if c not in (on, left_ts)]
-    rp = right_payload or [c for c in right.columns if c not in (on, right_ts)]
+    lp = [c for c in left.columns if c not in (on, left_ts)] if left_payload is None else left_payload
+    rp = [c for c in right.columns if c not in (on, right_ts)] if right_payload is None else right_payload
+    if not lp or not rp:
+        raise ValueError("streaming_asof_join: both sides need >= 1 payload column")
+    retention_us = int(parse_duration(right_retention) * 1_000_000)
     from pyspark.sql import functions as F
 
     l_tag = left.select(
@@ -219,8 +236,11 @@ def streaming_asof_join(
 
         wm_us = state.getCurrentWatermarkMs() * 1_000
         rights.sort()
-        emit = sorted(e for e in lefts if e[0] <= wm_us)
-        lefts = [e for e in lefts if e[0] > wm_us]
+        # STRICTLY below the watermark: Spark admits events at ts >= watermark,
+        # so a right row timestamped exactly at the watermark can still arrive
+        # and would be a legal exact-time match for a left at the same instant
+        emit = sorted(e for e in lefts if e[0] < wm_us)
+        lefts = [e for e in lefts if e[0] >= wm_us]
 
         if emit:
             rows = []
@@ -242,15 +262,26 @@ def streaming_asof_join(
                 )
             yield pd.DataFrame(rows)
 
-        # retention: one right at-or-below the watermark still serves future
-        # lefts (they all have ts > watermark); everything older is dead
-        below = [e for e in rights if e[0] <= wm_us]
-        rights = ([below[-1]] if below else []) + [e for e in rights if e[0] > wm_us]
+        # retention: one right below the watermark still serves future lefts
+        # (they all have ts >= watermark); everything older is dead
+        below = [e for e in rights if e[0] < wm_us]
+        rights = ([below[-1]] if below else []) + [e for e in rights if e[0] >= wm_us]
 
-        if lefts or rights:
+        if lefts:
             state.update((_json.dumps(lefts), _json.dumps(rights)))
             # re-fire on the next watermark advance to flush buffered lefts
             state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
+        elif rights:
+            last_right_us = rights[-1][0]
+            if state.hasTimedOut and wm_us >= last_right_us + retention_us:
+                state.remove()  # idle past right_retention: evict the key
+            else:
+                state.update((_json.dumps(lefts), _json.dumps(rights)))
+                # sleep until the retention deadline — NOT per watermark
+                # advance, or every historical key re-fires every micro-batch
+                state.setTimeoutTimestamp(
+                    max((last_right_us + retention_us) // 1_000, state.getCurrentWatermarkMs() + 1)
+                )
         else:
             state.remove()
 

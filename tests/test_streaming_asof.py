@@ -50,7 +50,10 @@ def _run_wave(spark, src: str, sink_dir: str, ckpt: str):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    finished = q.awaitTermination(120)
+    if not finished:  # timed out: stop so the next wave doesn't race this query
+        q.stop()
+    assert finished, "streaming wave did not drain in 120s"
     return sink_dir
 
 
@@ -114,3 +117,42 @@ def test_streaming_asof_matches_flush_on_watermark_and_equal_batch(spark, tmp_pa
     batch_map = {r["rid"]: r["click_rid_asof"] for r in batch.collect()}
     for left_rid, right_rid in emitted.items():
         assert batch_map[left_rid] == right_rid
+
+
+def test_rights_only_state_evicts_after_retention(spark, tmp_path):
+    """A key holding only right-side state sleeps until its retention
+    deadline and is then evicted: a left arriving later than
+    right_retention after the key's last right row finds no match."""
+    src, ckpt, sink = str(tmp_path / "src"), str(tmp_path / "ckpt"), str(tmp_path / "sink")
+
+    def run(fname, records):
+        _write(src, fname, records)
+        stream = spark.readStream.schema(SCHEMA).json(src)
+        out = streaming_asof_join(
+            stream.where(F.col("kind") == "purchase"),
+            stream.where(F.col("kind") == "click"),
+            on="user_id", left_ts="ts", right_ts="ts",
+            left_payload=["rid"], right_payload=["rid"],
+            watermark="2 seconds", right_retention="10s",
+        )
+
+        def collect(df, batch_id):
+            df.write.mode("append").parquet(sink)
+
+        q = (
+            out.writeStream.foreachBatch(collect)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+
+    run("b1.json", [_rec("u1", "click", "c1", 1)])
+    # watermark sails past 1s + 10s retention via another key; u1 evicts
+    run("b2.json", [_rec("u9", "click", "cz", 120)])
+    # a very late u1 purchase (event time within watermark tolerance of the
+    # new data) — its key's right state is gone, so no match
+    run("b3.json", [_rec("u1", "purchase", "p1", 125), _rec("u9", "click", "cy", 300)])
+    emitted = _emitted(spark, sink)
+    assert emitted == {"p1": None}
