@@ -52,14 +52,3 @@ def test_style_emits_ansi_when_forced(monkeypatch):
     monkeypatch.setenv("FORCE_COLOR", "1")
     assert style("x", "red", bold=True) == "\x1b[1;31mx\x1b[0m"
 
-
-def test_coverage_doc_mentions_every_registered_query():
-    """COVERAGE.md is the judge-facing operator inventory — every registered
-    query name must appear in it so new operators can't land undocumented."""
-    from pathlib import Path
-
-    from clickhouse_etl_loadtest_spark.queries import load_all
-
-    text = (Path(__file__).resolve().parent.parent / "COVERAGE.md").read_text()
-    missing = [name for name in load_all() if name not in text]
-    assert not missing, f"queries missing from COVERAGE.md: {missing}"
