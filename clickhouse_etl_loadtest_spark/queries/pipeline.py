@@ -362,3 +362,67 @@ def dedup_counts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_type")
     )
+
+
+# --- windowed spike detection (monitoring on the event stream) -----------------------
+
+_SPIKE_ORACLE = """
+WITH hourly AS (
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY 1, 2
+),
+trailed AS (
+    SELECT window_start, event_type, n_events,
+           LAG(n_events, 1) OVER w AS p1,
+           LAG(n_events, 2) OVER w AS p2,
+           LAG(n_events, 3) OVER w AS p3
+    FROM hourly
+    WINDOW w AS (PARTITION BY event_type ORDER BY window_start)
+)
+SELECT window_start, event_type, n_events,
+       CAST(p1 + p2 + p3 AS BIGINT) AS prev3_total,
+       (p1 IS NOT NULL AND p2 IS NOT NULL AND p3 IS NOT NULL
+        AND 3 * n_events > 2 * (p1 + p2 + p3)) AS is_spike
+FROM trailed
+ORDER BY window_start, event_type
+"""
+
+
+@register("events_spike_detection", _SPIKE_ORACLE, extra=True)
+def events_spike_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed spike detection: flag any hourly (window, event_type) bucket
+    whose count exceeds 1.5x the mean of its three trailing buckets — the
+    monitoring/alerting pass that runs beside an ETL pipeline. The
+    comparison is pure integer arithmetic (3*n > 2*(p1+p2+p3)), so the flag
+    is exact in both engines; absent hours are missing rows (not zeros) in
+    both, keeping lag semantics identical.
+
+    Scale: the hourly rollup is one partial-aggregated shuffle on
+    (window, type); the trailing window partitions by event_type over
+    bucket-level rows — thousands of rows per type regardless of corpus
+    size, never event-level data.
+    """
+    ev = _t(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+    w = Window.partitionBy("event_type").orderBy("window_start")
+    p1, p2, p3 = (F.lag("n_events", k).over(w) for k in (1, 2, 3))
+    prev3 = p1 + p2 + p3
+    return (
+        hourly.select(
+            "window_start",
+            "event_type",
+            "n_events",
+            prev3.cast("bigint").alias("prev3_total"),
+            (
+                p1.isNotNull() & p2.isNotNull() & p3.isNotNull()
+                & (3 * F.col("n_events") > 2 * prev3)
+            ).alias("is_spike"),
+        )
+        .orderBy("window_start", "event_type")
+    )
