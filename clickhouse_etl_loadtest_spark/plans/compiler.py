@@ -61,17 +61,30 @@ def apply_temporal_join(
     ts_col: str = "timestamp",
     streaming: bool = False,
 ) -> DataFrame:
-    """Temporal equi-join of the two pipeline sources (J1, SURVEY.md §2.4).
+    """Temporal join of the two pipeline sources (J1, SURVEY.md §2.4).
 
-    GlassFlow semantics [external]: left-oriented join of two topics on
-    per-source ``join_key`` within a ``time_window``. Streaming: watermarked
-    stream-stream interval join (state bounded by the watermark). Batch:
-    equi-join + time-range predicate — Catalyst picks sort-merge with the
-    range as a post-join filter; both sides shuffle on the join key only.
+    ``join.type`` selects the semantics:
+
+    - ``"temporal"`` (GlassFlow semantics [external], the default):
+      left-oriented join of two topics on per-source ``join_key`` within a
+      ``time_window`` — every in-window right row matches. Streaming:
+      watermarked stream-stream interval join (state bounded by the
+      watermark). Batch: equi-join + time-range predicate — Catalyst picks
+      sort-merge with the range as a post-join filter; both sides shuffle on
+      the join key only.
+    - ``"asof"`` (extension): each left row takes only the LATEST right row
+      with ``right_ts <= left_ts``, nulled when older than ``time_window`` —
+      enrichment without the interval join's fan-out. Batch compiles to
+      ``operators/asof.py``; streaming to the stateful
+      ``streaming/stateful.py::streaming_asof_join`` (watermark-gated
+      finalization), restoring typed columns from the operator's JSON
+      payloads via ``from_json`` against the known topic schemas.
     """
     srcs = pipeline.join.sources
     if len(srcs) < 2:
         raise ValueError("temporal join requires two join sources")
+    if pipeline.join.type == "asof":
+        return _apply_asof_join(left, right, pipeline, ts_col=ts_col, streaming=streaming)
     lk, rk = srcs[0].join_key, srcs[1].join_key
     window = duration_to_interval(srcs[0].time_window)
 
@@ -100,6 +113,89 @@ def apply_temporal_join(
     how = {"left": "leftOuter"}.get(srcs[0].orientation, srcs[0].orientation) if streaming else srcs[0].orientation
     joined = left.join(right, cond, how)
     return joined.withColumnRenamed(lts, ts_col).drop(f"r_{rk}", rts)
+
+
+def _apply_asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    pipeline: PipelineConfig,
+    ts_col: str = "timestamp",
+    streaming: bool = False,
+) -> DataFrame:
+    """``join.type == "asof"`` body: latest-prior-row enrichment. Output
+    shape mirrors the temporal join's (left columns + right payload columns,
+    ``r_``-prefixed only on collision; the matched right timestamp is
+    dropped) so one ``table_mapping`` serves both join kinds."""
+    from ..config.durations import parse_duration
+    from ..operators.asof import asof_join
+
+    srcs = pipeline.join.sources
+    lk, rk = srcs[0].join_key, srcs[1].join_key
+    tol_s = parse_duration(srcs[0].time_window)
+
+    # align the right key name and r_-prefix colliding payload names, exactly
+    # as the temporal form does
+    taken = set(left.columns)
+    payload = [c for c in right.columns if c != rk and c != ts_col]
+    renames = {c: (f"r_{c}" if c in taken else c) for c in payload}
+    right = right.select(
+        F.col(rk).alias(lk),
+        F.col(ts_col),
+        *[F.col(c).alias(renames[c]) for c in payload],
+    )
+    out_cols = [renames[c] for c in payload]
+
+    if not streaming:
+        joined = asof_join(
+            left,
+            right,
+            on=lk,
+            left_ts=ts_col,
+            right_ts=ts_col,
+            right_cols=out_cols,
+            tolerance_seconds=tol_s,
+        )
+        return joined.select(
+            *left.columns, *[F.col(f"{c}_asof").alias(c) for c in out_cols]
+        )
+
+    from pyspark.sql.types import StructType
+
+    from ..streaming.stateful import streaming_asof_join
+
+    window = duration_to_interval(srcs[0].time_window)
+    jo = streaming_asof_join(
+        left,
+        right,
+        on=lk,
+        left_ts=ts_col,
+        right_ts=ts_col,
+        left_payload=[c for c in left.columns if c not in (lk, ts_col)],
+        right_payload=out_cols,
+        watermark=window,
+        # a right older than time_window before every future left can never
+        # match inside the tolerance, so the retention IS the tolerance
+        right_retention=srcs[0].time_window,
+    )
+    l_schema = StructType([f for f in left.schema.fields if f.name not in (lk, ts_col)])
+    r_schema = StructType([f for f in right.schema.fields if f.name not in (lk, ts_col)])
+    in_tol = F.col("right_ts").isNotNull() & (
+        F.unix_micros(F.col("left_ts").cast("timestamp"))
+        - F.unix_micros(F.col("right_ts").cast("timestamp"))
+        <= int(tol_s * 1_000_000)
+    )
+    key_type = left.schema[lk].dataType
+    return jo.select(
+        F.col("key").cast(key_type).alias(lk),
+        F.col("left_ts").alias(ts_col),
+        F.from_json("left_payload", l_schema).alias("_l"),
+        F.when(in_tol, F.from_json("right_payload", r_schema)).alias("_r"),
+    ).select(
+        lk,
+        ts_col,
+        *[F.col(f"_l.{f.name}").alias(f.name) for f in l_schema.fields],
+        *[F.col(f"_r.{f.name}").alias(f.name) for f in r_schema.fields],
+    )
 
 
 def compile_batch(

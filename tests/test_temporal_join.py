@@ -148,3 +148,59 @@ def test_join_key_drives_sink_order_by():
 
     pipeline = PipelineConfig.model_validate(JOIN_SPEC)
     assert order_by_key(pipeline.sink, pipeline.join) == "user_id"
+
+
+# --- asof join kind (extension) ------------------------------------------------------
+
+ASOF_SPEC = {**JOIN_SPEC, "join": {**JOIN_SPEC["join"], "type": "asof"}}
+T1 = "2024-01-01T12:15:00.000Z"  # second u1 user record, still before o1
+
+
+def test_batch_asof_join_takes_latest_prior_only(spark):
+    """Two in-window right rows for u1: the interval join would fan o1 out to
+    two rows; asof takes only the LATEST prior one. Out-of-tolerance and
+    unmatched lefts survive with NULL right side (left orientation)."""
+    from pyspark.sql import functions as F
+
+    pipeline = PipelineConfig.model_validate(ASOF_SPEC)
+    orders, users = _frames(spark)
+    users2 = users.unionByName(
+        spark.createDataFrame([("u1", "Alice2", T1)], "user_id string, user_name string, timestamp string")
+        .withColumn("timestamp", F.to_timestamp("timestamp"))
+    )
+    out = compile_batch(pipeline, {"orders_topic": orders, "users_topic": users2})
+    rows = {r["order_id"]: r for r in out.collect()}
+    assert set(rows) == {"o1", "o2", "o3", "o4"}  # no fan-out: one row per left
+    assert rows["o1"]["user_name"] == "Alice2"  # latest prior (12:15), not 12:00
+    assert rows["o2"]["user_name"] is None  # 1h45m gap: outside tolerance
+    assert rows["o3"]["user_name"] == "Bob"
+    assert rows["o4"]["user_name"] is None  # no right rows for u9
+    assert out.columns == ["order_id", "user_id", "amount", "user_name"]
+
+
+def test_streaming_asof_join_matches_batch(spark, tmp_path):
+    """The streaming compile of the SAME asof pipeline emits, for every left
+    row the watermark has finalized, exactly the batch result."""
+    src, sink, ckpt = str(tmp_path / "src"), str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    pipeline = PipelineConfig.model_validate(ASOF_SPEC)
+    _write(
+        f"{src}/orders_topic",
+        "b1.json",
+        [_order(1, "u1", IN_WINDOW), _order(2, "u1", OUT_WINDOW), _order(3, "u2", IN_WINDOW), _order(4, "u9", IN_WINDOW)],
+    )
+    _write(
+        f"{src}/users_topic",
+        "b1.json",
+        [_user("u1", "Alice", T0), _user("u1", "Alice2", T1), _user("u2", "Bob", T0)],
+    )
+    try:
+        run_until_drained(spark, pipeline, sink, ckpt, files_path=src)
+    finally:
+        stop_pipeline("join-test")
+    rows = {r["order_id"]: r for r in spark.read.parquet(sink).collect()}
+    # max event 14:00, watermark delay 1h -> watermark 13:00: o1/o3/o4
+    # (12:30) finalize, o2 (14:00) stays buffered
+    assert set(rows) == {"o1", "o3", "o4"}
+    assert rows["o1"]["user_name"] == "Alice2"
+    assert rows["o3"]["user_name"] == "Bob"
+    assert rows["o4"]["user_name"] is None
