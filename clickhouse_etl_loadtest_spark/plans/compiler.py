@@ -83,6 +83,10 @@ def apply_temporal_join(
     srcs = pipeline.join.sources
     if len(srcs) < 2:
         raise ValueError("temporal join requires two join sources")
+    if pipeline.join.type not in ("temporal", "asof"):
+        raise ValueError(
+            f"unknown join.type {pipeline.join.type!r}: expected 'temporal' or 'asof'"
+        )  # a typo must not silently compile the other join's semantics
     if pipeline.join.type == "asof":
         return _apply_asof_join(left, right, pipeline, ts_col=ts_col, streaming=streaming)
     lk, rk = srcs[0].join_key, srcs[1].join_key
@@ -93,9 +97,8 @@ def apply_temporal_join(
     # every right column colliding with a left name gets an r_ prefix (not
     # just key/ts) — shared payload field names would otherwise make the
     # joined frame ambiguous for the table_mapping select
-    taken = set(left.columns)
     right_cols = [c for c in right.columns if c != rk and c != ts_col]
-    renames = {c: (f"r_{c}" if c in taken else c) for c in right_cols}
+    renames = _r_prefix_renames(left.columns, right_cols)
     right = right.select(
         F.col(rk).alias(f"r_{rk}"),
         F.col(ts_col).alias(rts),
@@ -115,6 +118,13 @@ def apply_temporal_join(
     return joined.withColumnRenamed(lts, ts_col).drop(f"r_{rk}", rts)
 
 
+def _r_prefix_renames(left_cols: list[str], right_payload: list[str]) -> dict[str, str]:
+    """Shared collision policy for both join kinds: every right payload
+    column whose name a left column already holds gets an ``r_`` prefix."""
+    taken = set(left_cols)
+    return {c: (f"r_{c}" if c in taken else c) for c in right_payload}
+
+
 def _apply_asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -130,14 +140,16 @@ def _apply_asof_join(
     from ..operators.asof import asof_join
 
     srcs = pipeline.join.sources
+    if srcs[0].orientation != "left":
+        raise ValueError(
+            "join.type 'asof' is inherently left-oriented (every left row "
+            f"survives); orientation {srcs[0].orientation!r} is not supported"
+        )  # refusing beats silently changing which rows reach the sink
     lk, rk = srcs[0].join_key, srcs[1].join_key
     tol_s = parse_duration(srcs[0].time_window)
 
-    # align the right key name and r_-prefix colliding payload names, exactly
-    # as the temporal form does
-    taken = set(left.columns)
     payload = [c for c in right.columns if c != rk and c != ts_col]
-    renames = {c: (f"r_{c}" if c in taken else c) for c in payload}
+    renames = _r_prefix_renames(left.columns, payload)
     right = right.select(
         F.col(rk).alias(lk),
         F.col(ts_col),

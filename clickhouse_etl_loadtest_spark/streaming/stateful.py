@@ -198,22 +198,25 @@ def streaming_asof_join(
 
     lp = [c for c in left.columns if c not in (on, left_ts)] if left_payload is None else left_payload
     rp = [c for c in right.columns if c not in (on, right_ts)] if right_payload is None else right_payload
-    if not lp or not rp:
-        raise ValueError("streaming_asof_join: both sides need >= 1 payload column")
     retention_us = int(parse_duration(right_retention) * 1_000_000)
     from pyspark.sql import functions as F
+
+    def _payload_expr(cols: list[str]):
+        # a payload-less side (pure existence/recency enrichment) rides an
+        # empty JSON object — F.struct() with zero fields is not valid
+        return F.to_json(F.struct(*[F.col(c) for c in cols])) if cols else F.lit("{}")
 
     l_tag = left.select(
         F.col(on).cast("string").alias("key"),
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_side"),
-        F.to_json(F.struct(*[F.col(c) for c in lp])).alias("_payload"),
+        _payload_expr(lp).alias("_payload"),
     )
     r_tag = right.select(
         F.col(on).cast("string").alias("key"),
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_side"),
-        F.to_json(F.struct(*[F.col(c) for c in rp])).alias("_payload"),
+        _payload_expr(rp).alias("_payload"),
     )
     unioned = l_tag.unionByName(r_tag).withWatermark("_ts", watermark)
 
@@ -273,7 +276,10 @@ def streaming_asof_join(
             state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
         elif rights:
             last_right_us = rights[-1][0]
-            if state.hasTimedOut and wm_us >= last_right_us + retention_us:
+            # STRICTLY past the deadline: at wm == last_right + retention a
+            # left timestamped exactly there is still admissible (Spark
+            # admits ts >= watermark) and may match this right
+            if state.hasTimedOut and wm_us > last_right_us + retention_us:
                 state.remove()  # idle past right_retention: evict the key
             else:
                 state.update((_json.dumps(lefts), _json.dumps(rights)))

@@ -204,3 +204,27 @@ def test_streaming_asof_join_matches_batch(spark, tmp_path):
     assert rows["o1"]["user_name"] == "Alice2"
     assert rows["o3"]["user_name"] == "Bob"
     assert rows["o4"]["user_name"] is None
+
+
+def test_unknown_join_type_and_orientation_are_rejected(spark):
+    """A typo'd join.type (or an orientation asof can't honor) must refuse to
+    compile, not silently fall back to the other join's semantics."""
+    orders, users = _frames(spark)
+    bad_type = PipelineConfig.model_validate({**JOIN_SPEC, "join": {**JOIN_SPEC["join"], "type": "ASOF"}})
+    with pytest.raises(ValueError, match="unknown join.type"):
+        compile_batch(bad_type, {"orders_topic": orders, "users_topic": users})
+    inner_asof = PipelineConfig.model_validate(
+        {
+            **JOIN_SPEC,
+            "join": {
+                **JOIN_SPEC["join"],
+                "type": "asof",
+                "sources": [
+                    {**JOIN_SPEC["join"]["sources"][0], "orientation": "inner"},
+                    JOIN_SPEC["join"]["sources"][1],
+                ],
+            },
+        }
+    )
+    with pytest.raises(ValueError, match="left-oriented"):
+        compile_batch(inner_asof, {"orders_topic": orders, "users_topic": users})
