@@ -136,15 +136,43 @@ ORDER BY vec_a, vec_b
 """
 
 
+_NEARDUP_BLOCKS = 8
+
+
 @register("embedding_near_dup_pairs", _NEARDUP_ORACLE)
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (threshold set semantics — no
     rank boundary, so float fold-order differences cannot change the result
     set at any realistic threshold margin).
 
-    Scale note: the all-pairs form is O(n^2) — correct-but-small-data oracle
-    baseline. The LSH-bucket operator below is the candidate generator that
-    replaces the cross join at 100 TB; this exact scorer then runs per bucket.
+    Executed as the blocked exact matmul join (operators/blockjoin.py): hash
+    vectors into blocks, equi-join each block to its partner blocks via a
+    broadcast block-pair table, one vectorized BLAS cosine matrix per
+    cogrouped block pair — even task sizes, no corpus broadcast, no
+    nested-loop join (plan-pinned in tests/test_plan_quality.py).
+
+    Why not LSH candidates -> verify here: at this threshold (0.40) the
+    fixture corpus has NO similarity gap (true pairs start at 0.40001,
+    background reaches 0.39999), and measured sign-LSH geometries reaching
+    recall 1.0 keep >= 97.9% of all pairs as candidates — pruning is
+    impossible without recall loss. LSH/IVF (below) remain the approximate
+    scale paths for separated thresholds; this is the exact tool.
+    tests/test_query_oracles.py asserts equality with the quadratic
+    expression form (embedding_near_dup_exact) on the fixtures.
+    """
+    from ..operators.blockjoin import blocked_cosine_pairs
+
+    e = _emb(spark, sf_dir)
+    return blocked_cosine_pairs(
+        e, threshold=_NEAR_DUP_THRESHOLD, n_blocks=_NEARDUP_BLOCKS
+    ).orderBy("vec_a", "vec_b")
+
+
+@register("embedding_near_dup_exact", _NEARDUP_ORACLE, extra=True)
+def embedding_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quadratic expression-form near-dup join: the recall/equality
+    baseline for the blocked operator above (and the shape the DuckDB oracle
+    mirrors). Small-data only — the inequality join is a nested-loop plan.
     """
     e = _emb(spark, sf_dir)
     n = e.select("vec_id", "embedding", _norm(F.col("embedding")).alias("nrm"))
@@ -182,10 +210,10 @@ def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair (cosine >= threshold), the lower vec_id survives — the vector twin
     of doc_fuzzy_dedup_keep's keep/drop decision.
 
-    Scale: candidate pairs come from embedding_near_dup_pairs' scorer (the
-    all-pairs form is the oracle baseline; LSH buckets bound candidates at
-    100 TB); the keep decision is then one semi-join of corpus ids against
-    the dropped set — ids only, vectors never shuffle twice.
+    Scale: pairs come from embedding_near_dup_pairs — now the blocked exact
+    matmul join (operators/blockjoin.py), so this inherits its even-task,
+    no-corpus-broadcast plan; the keep decision is then one join of corpus
+    ids against the dropped set — ids only, vectors never shuffle twice.
     """
     e = _emb(spark, sf_dir)
     dropped = (

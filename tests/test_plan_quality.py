@@ -278,6 +278,22 @@ def test_edit_rerank_broadcasts_candidates_no_cartesian(spark, sf_dir):
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
 
 
+def test_near_dup_pairs_is_blocked_matmul_not_cartesian(spark, sf_dir):
+    """The driver-visible near-dup join must be the blocked exact matmul:
+    block fan-out via two broadcast equi-joins, the cosine matrix inside one
+    cogrouped Pandas stage — never a nested-loop/cartesian pair join (the
+    quadratic expression form stays registered as embedding_near_dup_exact,
+    the equality baseline the oracle sweep checks)."""
+    plan = exec_plan_of(spark, sf_dir, "embedding_near_dup_pairs")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert plan.count("BroadcastHashJoin") == 2  # block-pair fan-out joins
+    assert "FlatMapCoGroupsInPandas" in plan  # the BLAS block-pair stage
+    # the same-oracle extra keeps the contrast: it IS the nested-loop form
+    exact_plan = exec_plan_of(spark, sf_dir, "embedding_near_dup_exact")
+    assert "BroadcastNestedLoopJoin" in exact_plan or "CartesianProduct" in exact_plan
+
+
 def test_chunk_windows_is_map_only(spark, sf_dir):
     """Chunking is tokenize -> explode -> slice -> hash in one map stage: no
     join, no aggregation, no Window; the only Exchange is the presentation
