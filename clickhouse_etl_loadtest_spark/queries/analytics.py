@@ -241,7 +241,7 @@ ORDER BY o_custkey, order_seq
 """
 
 
-@register("running_customer_spend", _RUNNING_ORACLE, extra=True)
+@register("running_customer_spend", _RUNNING_ORACLE)
 def running_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running-total window (frame ROWS UNBOUNDED PRECEDING..CURRENT)."""
     o = _t(spark, sf_dir, "orders")
@@ -269,7 +269,7 @@ ORDER BY user_id
 """
 
 
-@register("engaged_users_setops", _SETOPS_ORACLE)
+@register("engaged_users_setops", _SETOPS_ORACLE, extra=True)
 def engaged_users_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INTERSECT/EXCEPT coverage: purchasers who clicked but never had a
     high-value error (the value filter keeps both setop inputs non-empty on
@@ -486,7 +486,7 @@ ORDER BY user_id
 _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
-@register("events_pivot_by_type", _PIVOT_ORACLE)
+@register("events_pivot_by_type", _PIVOT_ORACLE, extra=True)
 def events_pivot_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot with an explicit value list — at scale always pass the values so
     Spark skips the distinct-scan pre-pass and the plan stays one aggregation."""
@@ -578,7 +578,7 @@ ORDER BY user_id, ts, event_id
 """
 
 
-@register("events_lead_lag", _LAG_ORACLE)
+@register("events_lead_lag", _LAG_ORACLE, extra=True)
 def events_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lead/lag offset windows + running-total frame (ROWS UNBOUNDED
     PRECEDING..CURRENT ROW) in one window spec: per-user inter-event gaps and
@@ -618,7 +618,7 @@ ORDER BY returnflag, linestatus
 """
 
 
-@register("lineitem_cube", _CUBE_ORACLE)
+@register("lineitem_cube", _CUBE_ORACLE, extra=True)
 def lineitem_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE: all grouping-set combinations in one pass (Spark expands to a
     single Expand + aggregate — one shuffle regardless of set count)."""
@@ -679,7 +679,7 @@ ORDER BY l_returnflag
 """
 
 
-@register("priority_line_counts", _PRIORITY_ORACLE)
+@register("priority_line_counts", _PRIORITY_ORACLE, extra=True)
 def priority_line_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q12 shape: fact-fact equi-join + conditional aggregation.
     Only (l_orderkey, l_returnflag) and (o_orderkey, o_orderpriority) are
@@ -798,7 +798,7 @@ FROM events
 """
 
 
-@register("events_profile", _PROFILE_ORACLE)
+@register("events_profile", _PROFILE_ORACLE, extra=True)
 def events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data profiling in ONE pass: row count, per-column distincts, null
     counts, numeric min/max/mean, time range. The single-aggregation shape is
@@ -821,7 +821,46 @@ def events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- approximate sketches (rows-only: HLL/KLL values differ across engines) ------
 
 
-@register("approx_events_sketch", oracle=None)
+_QUANTILES_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       quantile_cont(value, 0.5) AS value_p50,
+       quantile_cont(value, 0.95) AS value_p95,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("events_value_quantiles", _QUANTILES_ORACLE)
+def events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-type distinct users + interpolated percentiles — the
+    value-verifiable twin of approx_events_sketch (which stays registered as
+    the extra sketch form: HLL/KLL internals differ across engines, so the
+    sketch query can only ever get a rows-only driver verdict, while this
+    one hash-matches). Spark ``percentile`` and DuckDB ``quantile_cont``
+    share linear-interpolation semantics.
+
+    Scale note: the exact forms buffer per-group values / distinct sets, so
+    at 100 TB the sketch twin IS the right operator; this entry exists to
+    pin the sketches' target values exactly (tests/test_approx.py bounds
+    the sketch error against these answers).
+    """
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count_distinct(F.col("user_id")).alias("n_users"),
+            F.percentile(F.col("value"), F.lit(0.5)).alias("value_p50"),
+            F.percentile(F.col("value"), F.lit(0.95)).alias("value_p95"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register("approx_events_sketch", oracle=None, extra=True)
 def approx_events_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB form of distinct-count + percentile analytics: HLL++
     ``approx_count_distinct`` and KLL-style ``approx_percentile`` — fixed-size
@@ -919,7 +958,7 @@ ORDER BY c_custkey
 """
 
 
-@register("customer_balance_ranks", _RANKFN_ORACLE)
+@register("customer_balance_ranks", _RANKFN_ORACLE, extra=True)
 def customer_balance_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ranking-function surface: ntile / percent_rank / cume_dist / rank /
     dense_rank in one window.
@@ -963,7 +1002,7 @@ ORDER BY c_custkey
 """
 
 
-@register("customer_balance_ranks_scaled", _RANKFN_SCALED_ORACLE, extra=True)
+@register("customer_balance_ranks_scaled", _RANKFN_SCALED_ORACLE)
 def customer_balance_ranks_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The fact-scale form of ``customer_balance_ranks``: rank functions
     partition by nation (bounded partitions — no single-partition global
@@ -1020,7 +1059,7 @@ ORDER BY lang
 """
 
 
-@register("docs_by_lang_collected", _COLLECT_ORACLE)
+@register("docs_by_lang_collected", _COLLECT_ORACLE, extra=True)
 def docs_by_lang_collected(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collection aggregates: collect_list/collect_set with deterministic
     post-sort (collection order is nondeterministic in ANY distributed
@@ -1054,7 +1093,7 @@ WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 
 """
 
 
-@register("promo_disjunctive_revenue", _Q19_ORACLE)
+@register("promo_disjunctive_revenue", _Q19_ORACLE, extra=True)
 def promo_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q19 shape: OR-of-ANDs mixing predicates from both join sides.
     Catalyst splits the disjunction: single-side conjuncts (p_brand IN (...),

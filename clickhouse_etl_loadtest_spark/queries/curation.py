@@ -98,7 +98,7 @@ ORDER BY content_hash
 """
 
 
-@register("doc_snapshot_diff", _SNAPSHOT_DIFF_ORACLE, extra=True)
+@register("doc_snapshot_diff", _SNAPSHOT_DIFF_ORACLE)
 def doc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Release-over-release corpus diff: classify every distinct document
     content as added / removed / unchanged between two snapshots — the audit
@@ -200,7 +200,7 @@ ORDER BY source
 """
 
 
-@register("source_mixing_weights", _MIX_ORACLE, extra=True)
+@register("source_mixing_weights", _MIX_ORACLE)
 def source_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source sampling weights that rebalance the corpus to a uniform
     token mix (weight = target_share / actual_share) — the knob a data-mixture
@@ -269,7 +269,7 @@ def _gram_hashes(toks: Column, k: int) -> Column:
     return F.array_distinct(F.transform(acc, h60))
 
 
-@register("doc_boilerplate_ngrams", _BOILERPLATE_ORACLE, extra=True)
+@register("doc_boilerplate_ngrams", _BOILERPLATE_ORACLE)
 def doc_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document boilerplate coverage: the fraction of a document's
     distinct word-5-grams that also appear in >= 2 distinct documents —
@@ -325,7 +325,7 @@ ORDER BY source, doc_id
 """
 
 
-@register("doc_source_cap", _SOURCE_CAP_ORACLE, extra=True)
+@register("doc_source_cap", _SOURCE_CAP_ORACLE)
 def doc_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cap each source (domain) at N documents, preferring the longest — the
     "no single domain dominates the mix" pass that runs alongside
@@ -373,7 +373,7 @@ ORDER BY doc_id
 """
 
 
-@register("doc_unigram_logprob", _LM_ORACLE, extra=True)
+@register("doc_unigram_logprob", _LM_ORACLE)
 def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document cross-entropy under a corpus-trained unigram LM (mean
     ``-ln p(token)`` in nats) — the perplexity-filtering signal quality

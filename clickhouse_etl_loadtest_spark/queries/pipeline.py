@@ -390,7 +390,7 @@ ORDER BY window_start, event_type
 """
 
 
-@register("events_spike_detection", _SPIKE_ORACLE, extra=True)
+@register("events_spike_detection", _SPIKE_ORACLE)
 def events_spike_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Windowed spike detection: flag any hourly (window, event_type) bucket
     whose count exceeds 1.5x the mean of its three trailing buckets — the

@@ -716,7 +716,7 @@ LIMIT 100
 """
 
 
-@register("vocab_top_terms", _VOCAB_ORACLE)
+@register("vocab_top_terms", _VOCAB_ORACLE, extra=True)
 def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary build: global term + document frequencies, top 100.
 
@@ -959,7 +959,7 @@ ORDER BY doc_id
 """
 
 
-@register("doc_repetition_stats", _REPETITION_ORACLE)
+@register("doc_repetition_stats", _REPETITION_ORACLE, extra=True)
 def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-document repetition (the Gopher/MassiveText quality signal:
     docs dominated by repeated segments are boilerplate/spam): segment on
@@ -1111,7 +1111,7 @@ ORDER BY doc_id
 """
 
 
-@register("doc_stratified_sample", _STRAT_ORACLE, extra=True)
+@register("doc_stratified_sample", _STRAT_ORACLE)
 def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-balanced downsampling: keep each document with probability
     target/|lang| where target = the smallest language's count, so every
@@ -1150,7 +1150,7 @@ ORDER BY doc_a, doc_b
 """
 
 
-@register("doc_edit_distance_rerank", _EDIT_RERANK_ORACLE, extra=True)
+@register("doc_edit_distance_rerank", _EDIT_RERANK_ORACLE)
 def doc_edit_distance_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-level rerank of the MinHash-LSH candidate pairs: normalized
     Levenshtein similarity (1 - dist/max_len) — the precision pass a fuzzy
@@ -1212,7 +1212,7 @@ ORDER BY doc_id, chunk_id
 """
 
 
-@register("doc_chunk_windows", _CHUNK_ORACLE, extra=True)
+@register("doc_chunk_windows", _CHUNK_ORACLE)
 def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping token-window chunking: split every document into 64-token
     windows advancing 48 tokens at a time (16-token overlap; see _CHUNK_SIZE/

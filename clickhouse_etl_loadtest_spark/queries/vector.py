@@ -204,7 +204,7 @@ ORDER BY e.vec_id
 """
 
 
-@register("semantic_dedup_keep", _SEMANTIC_KEEP_ORACLE, extra=True)
+@register("semantic_dedup_keep", _SEMANTIC_KEEP_ORACLE)
 def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-based semantic dedup end-to-end: of every near-duplicate
     pair (cosine >= threshold), the lower vec_id survives — the vector twin
@@ -567,7 +567,7 @@ ORDER BY bf.q_id
 """
 
 
-@register("ann_recall_eval", _RECALL_ORACLE)
+@register("ann_recall_eval", _RECALL_ORACLE, extra=True)
 def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@{_TOPK} of the IVF probe search against the exact brute-force
     top-k — the quality dial every ANN deployment tunes (nprobe up = recall

@@ -222,18 +222,36 @@ class ClickHouseHttpClient:
             )
 
 
+#: clickhouse_http_chunk_writer refuses micro-batches above this many rows:
+#: the writer collects on the driver, so a bulk pipeline pointed at it would
+#: silently serialize (and eventually OOM) the driver instead of scaling.
+HTTP_WRITER_MAX_ROWS = 1_000_000
+
+
 def clickhouse_http_chunk_writer(target: ClickHouseTarget, table: str, max_batch_size: int):
     """foreachBatch writer over the HTTP client (JDBC-jar-free deployments):
     same ReplacingMergeTree replay-collapse contract as
     clickhouse_chunk_writer. Rows move via mapInPandas-free toJSON on the
     executor-collected batch — intended for the smoke path, not 100 TB bulk
-    (that is the JDBC writer's job)."""
+    (that is the JDBC writer's job). Micro-batches above
+    ``HTTP_WRITER_MAX_ROWS`` are refused outright so the driver-side collect
+    can never absorb a bulk pipeline by accident."""
 
     def _write(df: DataFrame, batch_id: int) -> None:
         from pyspark.sql import functions as F
 
         client = ClickHouseHttpClient(target)
         stamped = df.withColumn("_batch_id", F.lit(batch_id))
+        # limit+count stops scanning just past the cap — the guard stays
+        # cheap even when someone does point a huge batch at this writer
+        n = stamped.limit(HTTP_WRITER_MAX_ROWS + 1).count()
+        if n > HTTP_WRITER_MAX_ROWS:
+            raise ValueError(
+                f"clickhouse_http_chunk_writer got a >{HTTP_WRITER_MAX_ROWS}-row micro-batch "
+                f"(cap {HTTP_WRITER_MAX_ROWS}): this writer collects on the "
+                "driver and is for smoke-scale loads only — use "
+                "clickhouse_chunk_writer (JDBC, executor-parallel) for bulk."
+            )
         rows = [r.asDict(recursive=True) for r in stamped.collect()]
         for i in range(0, len(rows), max_batch_size):
             client.insert_json_rows(target.database, table, rows[i : i + max_batch_size])

@@ -228,6 +228,28 @@ def test_http_chunk_writer_stamps_batch_id_and_chunks(spark):
     assert all(r["_batch_id"] == 7 for r in parsed)  # replay-collapse key (W7)
 
 
+def test_http_chunk_writer_refuses_bulk_batches(spark, monkeypatch):
+    """The driver-side collect path must hard-refuse bulk micro-batches —
+    a bulk pipeline mispointed at the smoke writer fails loudly instead of
+    serializing onto the driver."""
+    from clickhouse_etl_loadtest_spark.sources import clickhouse as ch
+
+    monkeypatch.setattr(ch, "HTTP_WRITER_MAX_ROWS", 100)
+    p = _pipeline()
+    with _RecordingClickHouseStub() as stub:
+        p.sink.host, p.sink.port = "127.0.0.1", str(stub.port)
+        target = ClickHouseTarget.from_sink(p.sink)
+        writer = ch.clickhouse_http_chunk_writer(target, "t", max_batch_size=4)
+        df = spark.range(101).selectExpr("cast(id as string) AS event_id")
+        with pytest.raises(ValueError, match="micro-batch"):
+            writer(df, batch_id=1)
+        # nothing was sent: the refusal happens before any insert
+        assert not [r for r in stub.requests if r["sql"].startswith("INSERT")]
+        # at the cap is still fine
+        writer(df.limit(100), batch_id=2)
+        assert [r for r in stub.requests if r["sql"].startswith("INSERT")]
+
+
 # --- live smoke (requires docker compose stack; skipped in the sandbox) ---------
 
 live = pytest.mark.skipif(
