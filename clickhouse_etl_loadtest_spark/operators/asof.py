@@ -106,8 +106,20 @@ def asof_join(
     out = unioned.select("*", matched_ts, *carried).where(F.col("_side") == 1)
 
     if tolerance_seconds is not None:
-        age = F.abs(_numeric(F.col(left_ts)) - _numeric(F.col("_m_ts")))
-        in_tol = F.col("_m_ts").isNotNull() & (age <= tolerance_seconds)
+        if is_timestamp:
+            # integer-microsecond boundary, truncated the same way as the
+            # streaming compile path (plans/compiler.py) — a left-right gap
+            # exactly equal to the tolerance is kept/nulled identically in
+            # both execution modes (double-seconds arithmetic rounds ~1e-7 s
+            # at 2024 epochs, enough to flip the boundary case)
+            age = F.abs(
+                F.unix_micros(F.col(left_ts).cast("timestamp"))
+                - F.unix_micros(F.col("_m_ts").cast("timestamp"))
+            )
+            in_tol = F.col("_m_ts").isNotNull() & (age <= int(tolerance_seconds * 1_000_000))
+        else:
+            age = F.abs(F.col(left_ts).cast("double") - F.col("_m_ts").cast("double"))
+            in_tol = F.col("_m_ts").isNotNull() & (age <= tolerance_seconds)
         out = out.select(
             *[c for c in out.columns if c not in ("_m_ts", *[f"{c}{suffix}" for c in right_cols])],
             F.when(in_tol, F.col("_m_ts")).alias("_m_ts"),

@@ -393,11 +393,12 @@ ORDER BY window_start, event_type
 @register("events_spike_detection", _SPIKE_ORACLE)
 def events_spike_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Windowed spike detection: flag any hourly (window, event_type) bucket
-    whose count exceeds 1.5x the mean of its three trailing buckets — the
+    whose count exceeds 2x the mean of its three trailing buckets — the
     monitoring/alerting pass that runs beside an ETL pipeline. The
-    comparison is pure integer arithmetic (3*n > 2*(p1+p2+p3)), so the flag
-    is exact in both engines; absent hours are missing rows (not zeros) in
-    both, keeping lag semantics identical.
+    comparison is pure integer arithmetic (3*n > 2*(p1+p2+p3), i.e.
+    n > 2 * (p1+p2+p3)/3), so the flag is exact in both engines; absent
+    hours are missing rows (not zeros) in both, keeping lag semantics
+    identical.
 
     Scale: the hourly rollup is one partial-aggregated shuffle on
     (window, type); the trailing window partitions by event_type over

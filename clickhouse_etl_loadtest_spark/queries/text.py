@@ -1158,23 +1158,25 @@ def doc_edit_distance_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Levenshtein is O(len_a * len_b) per pair, which is exactly why it only
     ever runs on LSH candidates (bounded by band geometry), never all pairs.
-    The candidate list is pair-ids only and orders of magnitude smaller than
-    the corpus, so BOTH text lookups must build on the candidate-derived
-    side: the pair list broadcasts into the first join, and the (still
-    candidate-sized) pairs-with-doc_a-text intermediate broadcasts into the
-    second — a hint on the bare pair list alone only reaches the first join,
-    and Spark would then happily broadcast (or at scale, shuffle) the CORPUS
-    side of the second. Document text streams through both joins unshuffled.
+    Only the bare id-pair list ever broadcasts: it builds both text-lookup
+    joins (corpus text streams through as the probe side — never shuffled,
+    never broadcast), producing two candidate-sized frames that then
+    equi-join on the pair ids through an ordinary shuffle. Earlier shape
+    broadcast the pairs-joined-with-doc_a-text intermediate, whose size
+    scales with candidate_count x doc length — text must never enter a
+    broadcast relation (plan-pinned in tests/test_plan_quality.py).
     """
-    cand = doc_minhash_lsh_pairs(spark, sf_dir)
+    cand = doc_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
     d = _docs(spark, sf_dir)
     ta = d.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("_ta"))
     tb = d.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("_tb"))
     dist = F.levenshtein("_ta", "_tb")
     max_len = F.greatest(F.length("_ta"), F.length("_tb"))
+    pa = F.broadcast(cand.alias("ca")).join(ta.alias("ta"), "doc_a").select("doc_a", "doc_b", "_ta")
+    pb = F.broadcast(cand.alias("cb")).join(tb.alias("tb"), "doc_b").select("doc_a", "doc_b", "_tb")
     return (
-        F.broadcast(F.broadcast(cand).join(ta, "doc_a"))
-        .join(tb, "doc_b")
+        pa.hint("shuffle_hash")
+        .join(pb, ["doc_a", "doc_b"])
         .withColumn("edit_distance", dist.cast("bigint"))
         .select(
             "doc_a",

@@ -166,3 +166,23 @@ def test_tolerance_on_numeric_timestamps(spark):
     out = {r["lv"]: r for r in asof_join(left, right, "k", right_cols=["rv"], tolerance_seconds=5).collect()}
     assert out[1]["rv_asof"] == 7  # 2s old: within tolerance
     assert out[2]["rv_asof"] is None  # 92s old: nulled
+
+
+def test_tolerance_boundary_is_exact_integer_micros(spark):
+    """A left-right gap EXACTLY equal to the tolerance must be kept — and
+    via integer-microsecond comparison, the same boundary rule the streaming
+    compile path applies (double-seconds arithmetic rounds ~1e-7 s at 2024
+    epochs, enough to flip this case between execution modes)."""
+    left = spark.createDataFrame(
+        [("A", "2024-06-01 00:02:00.000001", 1), ("A", "2024-06-01 00:02:00.000002", 2)],
+        "k string, ts string, lv int",
+    ).selectExpr("k", "cast(ts as timestamp) ts", "lv")
+    right = spark.createDataFrame(
+        [("A", "2024-06-01 00:00:00.000001", 7)], "k string, ts string, rv int"
+    ).selectExpr("k", "cast(ts as timestamp) ts", "rv")
+    out = {
+        r["lv"]: r
+        for r in asof_join(left, right, "k", right_cols=["rv"], tolerance_seconds=120).collect()
+    }
+    assert out[1]["rv_asof"] == 7  # gap == tolerance exactly: kept
+    assert out[2]["rv_asof"] is None  # one microsecond past: nulled

@@ -264,18 +264,23 @@ def test_unigram_logprob_shuffles_carry_hashes_not_tokens(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
-def test_edit_rerank_broadcasts_candidates_no_cartesian(spark, sf_dir):
-    """Levenshtein only ever runs on LSH candidates, and BOTH text-lookup
-    joins must build on the candidate-derived side (BuildLeft): a hint that
-    only reaches the first join lets Spark broadcast — or at scale,
-    shuffle — the CORPUS side of the second."""
+def test_edit_rerank_broadcasts_only_id_pairs(spark, sf_dir):
+    """Levenshtein only ever runs on LSH candidates, and text must NEVER
+    enter a broadcast relation: the bare id-pair list builds (BuildLeft)
+    both text-lookup joins — the corpus streams through as probe side —
+    and the two candidate-sized text frames meet in an ordinary shuffled
+    equi-join on the pair ids (broadcasting either one would scale with
+    candidate_count x doc length)."""
     plan = exec_plan_of(spark, sf_dir, "doc_edit_distance_rerank")
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     bhj = [ln for ln in plan.splitlines() if "BroadcastHashJoin" in ln]
     assert len(bhj) == 2, bhj
     for ln in bhj:
         assert "BuildLeft" in ln, ln
-    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    # the pair-id join is shuffled, keyed on both pair ids — never broadcast
+    shuffled = [ln for ln in plan.splitlines() if "ShuffledHashJoin" in ln or "SortMergeJoin" in ln]
+    assert len(shuffled) == 1, shuffled
+    assert "doc_a#" in shuffled[0] and "doc_b#" in shuffled[0]
 
 
 def test_near_dup_pairs_is_blocked_matmul_not_cartesian(spark, sf_dir):
