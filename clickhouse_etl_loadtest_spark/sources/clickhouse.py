@@ -256,8 +256,8 @@ def clickhouse_http_chunk_writer(target: ClickHouseTarget, table: str, max_batch
         for i in range(0, len(rows), max_batch_size):
             client.insert_json_rows(target.database, table, rows[i : i + max_batch_size])
 
-    # tells chunked_foreach_batch_writer not to repartition: this writer
-    # collects, so an executor-side shuffle buys nothing
+    # marks this as a driver-collecting writer (it slices the collected rows
+    # itself, so the W5 row cap is enforced internally)
     _write.driver_side = True
     return _write
 

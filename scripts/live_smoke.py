@@ -85,8 +85,7 @@ def main() -> int:
 
     print("[S5/S6/D1/P1/S14] stream: Kafka -> decode -> dedup -> mapping -> ClickHouse")
     # bare chunk writer: run_streaming_pipeline wraps it in
-    # chunked_foreach_batch_writer itself (double-wrapping would persist/count
-    # every micro-batch twice)
+    # chunked_foreach_batch_writer itself
     writer = clickhouse_http_chunk_writer(target, p.sink.table, p.sink.max_batch_size)
     with tempfile.TemporaryDirectory(prefix="smoke-ckpt-") as ckpt:
         try:
