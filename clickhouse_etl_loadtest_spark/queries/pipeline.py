@@ -331,6 +331,36 @@ def interval_join_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("interval_join_events_orders_salted", _INTERVAL_ORACLE, extra=True)
+def interval_join_events_orders_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe fact-scale variant of the interval join: the equi key is
+    salted (operators/scale.py::salted_join — hot-key replication on the
+    orders side), so one power-law user cannot serialize the shuffle join
+    into a single straggler task; the range predicate stays a post-join
+    filter exactly as in the plain form. Same oracle — salting never
+    changes the result set, only the key distribution (plan-asserted in
+    tests/test_scale_ops.py). AQE's skew splitting handles moderate skew
+    without this; the salted form is for the pathological key that exceeds
+    a single task even after AQE splits, and for foreachBatch contexts
+    where AQE does not apply."""
+    from ..operators.scale import salted_join
+
+    ev = _t(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    o = _t(spark, sf_dir, "orders").withColumnRenamed("o_custkey", "user_id")
+    # merge hint: at fact scale neither side fits a broadcast, so the salted
+    # shuffle join IS the plan — the hint keeps the small fixtures from
+    # auto-broadcasting their way around the very shape this variant pins
+    joined = salted_join(ev.hint("merge"), o, on="user_id", salt_buckets=16)
+    return (
+        joined.where(
+            (F.col("o_orderdate") >= F.col("ts") - F.expr("INTERVAL 10000 DAYS"))
+            & (F.col("o_orderdate") <= F.col("ts"))
+        )
+        .select("event_id", "user_id", "ts", "value", "o_orderkey", "o_totalprice")
+        .orderBy("event_id", "o_orderkey")
+    )
+
+
 # --- dedup with duplicate accounting (batch analogue of the stateful op) ----------
 
 _DEDUP_COUNTS_ORACLE = """

@@ -141,3 +141,28 @@ def test_snapshot_index_anti_join_shuffles_only_the_batch(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bcast)
         spark.sql("DROP TABLE IF EXISTS snap_idx")
+
+
+def test_salted_interval_join_plan_and_equivalence(spark, sf_dir):
+    """The registered salted interval-join variant: both shuffle sides key on
+    (user_id, _salt) — the hot-key spread — the range predicate stays a
+    post-join filter (no nested-loop), and the result set equals the plain
+    interval join's."""
+    from clickhouse_etl_loadtest_spark.queries import load_all
+
+    reg = load_all()
+    salted_df = reg["interval_join_events_orders_salted"].fn(spark, sf_dir)
+    plan = salted_df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    join_lines = [
+        ln for ln in plan.splitlines() if "SortMergeJoin" in ln or "ShuffledHashJoin" in ln
+    ]
+    assert len(join_lines) == 1, join_lines
+    assert "_salt#" in join_lines[0] and "user_id#" in join_lines[0]
+    exchanges = [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
+    assert len(exchanges) >= 2  # both join inputs shuffle on the salted key
+    for ln in exchanges:
+        assert "_salt#" in ln, ln
+    plain = reg["interval_join_events_orders"].fn(spark, sf_dir)
+    assert salted_df.exceptAll(plain).count() == 0
+    assert plain.exceptAll(salted_df).count() == 0
