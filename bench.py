@@ -255,7 +255,12 @@ def run_streaming_loadtest(spark, total_records: int = 1_000_000, state_metrics:
         try:
             if not query.awaitTermination(1800):
                 raise TimeoutError(f"{label} streaming wave did not drain in 1800s")
-            progress = query.lastProgress
+            # lastProgress is the empty final drain batch — report the state
+            # metrics of the batch that actually carried the records
+            progress = max(
+                query.recentProgress or [query.lastProgress],
+                key=lambda pr: pr.get("numInputRows") or 0,
+            )
         finally:
             stop_pipeline(p.pipeline_id)
         dt = time.perf_counter() - t0
