@@ -315,6 +315,87 @@ def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bits.select("doc_id", fingerprint.cast("bigint").alias("simhash")).orderBy("doc_id")
 
 
+# --- SimHash near-dup pairs: banded Hamming join (Manku et al., WWW 2007) -----------
+
+_HAM_K = 3  # <= 3 differing bits counts as near-duplicate
+_HAM_BANDS = 4  # 4 bands x 8 bits: ham <= 3 => >= one band identical (pigeonhole)
+_BAND_BITS = _SIMHASH_BITS // _HAM_BANDS
+
+_SIMHASH_PAIRS_ORACLE = f"""
+WITH sig AS ({_SIMHASH_ORACLE.replace("ORDER BY doc_id", "")}),
+bands AS (
+    {" UNION ALL ".join(f"SELECT doc_id, simhash, {b} AS band, (simhash >> {b * _BAND_BITS}) & {(1 << _BAND_BITS) - 1} AS key FROM sig" for b in range(_HAM_BANDS))}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {_HAM_K}
+ORDER BY doc_a, doc_b
+"""
+
+
+@register("doc_simhash_near_pairs", _SIMHASH_PAIRS_ORACLE, extra=True)
+def doc_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-distance near-dup pairs over the SimHash signatures — the
+    second classic fuzzy-dedup family beside MinHash-Jaccard (Manku/Jain/
+    Sarma, WWW 2007: banded fingerprint tables). Unlike cosine-threshold
+    LSH, the banding here is EXACT: with {_HAM_BANDS} bands of
+    {_BAND_BITS} bits, any pair within Hamming {_HAM_K} must agree on at
+    least one whole band (pigeonhole), so recall is 1.0 by construction at
+    any corpus.
+
+    Scale: signatures ride INTO the bucket expansion as (doc_id, simhash)
+    structs, so the verify step needs no join at all — one shuffle on
+    (band, band-key), pair volume bounded by bucket sizes, then a per-pair
+    bit_count. Same bucket-collect shape as doc_minhash_lsh_pairs
+    (plan-asserted: no join operator anywhere in the plan).
+    """
+    sig = doc_simhash(spark, sf_dir)
+    band_rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftright("simhash", b * _BAND_BITS)
+                    .bitwiseAND((1 << _BAND_BITS) - 1)
+                    .alias("key"),
+                )
+                for b in range(_HAM_BANDS)
+            ]
+        )
+    )
+    banded = sig.select(
+        F.struct("doc_id", "simhash").alias("ds"), band_rows.alias("bk")
+    ).select(F.col("bk.band").alias("band"), F.col("bk.key").alias("key"), "ds")
+    buckets = (
+        banded.groupBy("band", "key")
+        .agg(F.array_sort(F.collect_set("ds")).alias("members"))
+        .where(F.size("members") >= 2)
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("members"),
+            lambda x, i: F.transform(
+                F.slice(F.col("members"), i + 2, F.size(F.col("members"))),
+                lambda y: F.struct(
+                    x["doc_id"].alias("doc_a"),
+                    y["doc_id"].alias("doc_b"),
+                    F.bit_count(x["simhash"].bitwiseXOR(y["simhash"]))
+                    .cast("int")
+                    .alias("hamming"),
+                ),
+            ),
+        )
+    )
+    return (
+        buckets.select(F.explode(pairs).alias("p"))
+        .select("p.*")
+        .where(F.col("hamming") <= _HAM_K)
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 # --- n-gram Jaccard (exact) ------------------------------------------------------------
 
 _SHINGLE_K = 3

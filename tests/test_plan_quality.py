@@ -312,3 +312,12 @@ def test_chunk_windows_is_map_only(spark, sf_dir):
     assert all(
         "rangepartitioning" in ln or "RoundRobinPartitioning" in ln for ln in exchanges
     ), exchanges
+
+
+def test_simhash_near_pairs_has_no_join(spark, sf_dir):
+    """Banded Hamming pairs: signatures travel inside the bucket-collect
+    structs, so the whole plan is agg -> expand -> filter — no join operator
+    of any kind, and no Python."""
+    plan = exec_plan_of(spark, sf_dir, "doc_simhash_near_pairs")
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
