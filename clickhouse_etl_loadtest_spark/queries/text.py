@@ -465,9 +465,10 @@ def doc_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 100 TB path (bounded candidates).
     """
     sh = _shingles_df(spark, sf_dir)
-    # shuffle h60(shingle) instead of the raw 3-gram string: fixed-width keys
-    exploded = sh.select("doc_id", F.explode("shingles").alias("shingle")).select(
-        "doc_id", h60(F.col("shingle")).alias("sh")
+    # shuffle h60(shingle) instead of the raw 3-gram string: fixed-width
+    # keys; hashed inside the array so the explode emits longs, not strings
+    exploded = sh.select(
+        "doc_id", F.explode(F.transform(F.col("shingles"), lambda s: h60(s))).alias("sh")
     )
     sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
     a = exploded.alias("a")
@@ -534,8 +535,11 @@ def doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     chosen so the sf0.01 fixture yields verifiable pairs.
     """
     sh = _shingles_df(spark, sf_dir)
-    hashed = sh.select("doc_id", F.explode("shingles").alias("shingle")).select(
-        "doc_id", h32(F.col("shingle")).alias("sh")
+    # hash INSIDE the array before exploding: the Generate then emits 8-byte
+    # longs instead of ~30-byte shingle strings (measured 1.49 s -> 1.00 s
+    # on the sf0.1 signature stage; same md5 count, narrower rows)
+    hashed = sh.select(
+        "doc_id", F.explode(F.transform(F.col("shingles"), lambda s: h32(s))).alias("sh")
     )
     mins = hashed.groupBy("doc_id").agg(
         *[F.min(perm_hash32(F.col("sh"), a, b)).alias(f"mh{k}") for k, (a, b) in enumerate(_PERMS)]
