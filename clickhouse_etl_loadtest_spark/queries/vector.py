@@ -284,6 +284,69 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
+# --- corpus standardization audit (per-dimension stats -> per-vector z-scores) -------
+
+_STDZ_ORACLE = f"""
+WITH ve AS (
+    SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+    FROM embeddings, generate_series(1, {DIM}) AS t(i)
+),
+stats AS (
+    SELECT i, AVG(v) AS mu, sqrt(AVG(v * v) - AVG(v) * AVG(v)) AS sigma
+    FROM ve GROUP BY i
+),
+z AS (
+    SELECT vec_id, (v - mu) / sigma AS z
+    FROM ve JOIN stats USING (i)
+)
+SELECT vec_id,
+       MAX(abs(z)) AS max_abs_z,
+       SUM(z * z) / {DIM} AS mean_z2
+FROM z GROUP BY vec_id
+ORDER BY vec_id
+"""
+
+
+@register("embedding_standardize_audit", _STDZ_ORACLE, extra=True)
+def embedding_standardize_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus feature standardization audit: per-dimension mean/std over the
+    whole corpus, then each vector's z-score extremum and energy — the
+    normalization pass an embedding pipeline runs before quantization or
+    whitened ANN, with the outlier signal (max |z|) a curation filter reads.
+
+    Both engines use the SAME moment formula (sigma = sqrt(E[v²] − E[v]²),
+    population, no Bessel) so no stddev-implementation differences leak in.
+
+    Scale: the per-dim stats are a posexplode + groupBy(i) — shuffle volume
+    O(dim × mappers) after partial aggregation, independent of corpus rows;
+    the dim-stats table (dim rows) collapses to ONE broadcast row and the
+    z-audit is then pure map-side array math per vector. Corpus never
+    shuffles.
+    """
+    e = _emb(spark, sf_dir)
+    ve = e.select("vec_id", F.posexplode("embedding").alias("i0", "v")).select(
+        "vec_id", (F.col("i0") + 1).alias("i"), F.col("v").cast("double").alias("v")
+    )
+    stats = ve.groupBy("i").agg(
+        F.avg("v").alias("mu"),
+        F.sqrt(F.avg(F.col("v") * F.col("v")) - F.avg("v") * F.avg("v")).alias("sigma"),
+    )
+    stats_row = stats.agg(
+        F.array_sort(F.collect_list(F.struct("i", "mu", "sigma"))).alias("dims")
+    )
+    zs = F.zip_with(
+        F.col("embedding"),
+        F.col("dims"),
+        lambda x, d: (x.cast("double") - d["mu"]) / d["sigma"],
+    )
+    audited = e.crossJoin(F.broadcast(stats_row)).select("vec_id", zs.alias("zs"))
+    return audited.select(
+        "vec_id",
+        F.array_max(F.transform(F.col("zs"), F.abs)).alias("max_abs_z"),
+        (F.aggregate(F.col("zs"), F.lit(0.0), lambda acc, z: acc + z * z) / DIM).alias("mean_z2"),
+    ).orderBy("vec_id")
+
+
 # --- random-hyperplane LSH buckets ----------------------------------------------------
 
 _N_PLANES = 12
