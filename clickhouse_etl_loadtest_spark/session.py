@@ -63,6 +63,14 @@ def get_spark(
         builder = builder.config(
             "spark.sql.streaming.stateStore.providerClass",
             "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        ).config(
+            # commit the per-batch changelog instead of snapshotting the whole
+            # store every trigger (snapshots move to background maintenance):
+            # measured 347 s -> 3 s summed commit time at 18.2M keys (bench.py
+            # 20M wave). At 1000 executors the difference is uploading deltas
+            # vs the full state per trigger.
+            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+            "true",
         )
     if master:
         builder = builder.master(master)
