@@ -1,0 +1,69 @@
+"""Incremental fuzzy dedup against the persistent band index
+(operators/fuzzydedup.py) — the streaming-ingest twin of the batch
+MinHash-LSH dedup queries, driven as two foreachBatch-shaped waves."""
+
+from pyspark.sql import functions as F
+
+from clickhouse_etl_loadtest_spark.operators.fuzzydedup import admit_batch, minhash_band_table
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def test_band_table_matches_registered_lsh_pairs(spark, sf_dir):
+    """Index entries collide exactly where doc_minhash_lsh_pairs reports
+    pairs: joining the band table to itself reproduces the registered
+    query's candidate pair set (same constants, same hashing)."""
+    from clickhouse_etl_loadtest_spark.queries import load_all
+
+    d = _docs(spark, sf_dir)
+    bands = minhash_band_table(d).alias("x")
+    other = minhash_band_table(d).alias("y")
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in bands.join(
+            other,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.sig") == F.col("y.sig"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(F.col("x.id").alias("doc_a"), F.col("y.id").alias("doc_b"))
+        .distinct()
+        .collect()
+    }
+    registered = {
+        (r["doc_a"], r["doc_b"])
+        for r in load_all()["doc_minhash_lsh_pairs"].fn(spark, sf_dir).collect()
+    }
+    assert pairs == registered
+
+
+def test_incremental_admission_across_waves(spark, sf_dir, tmp_path):
+    index = f"{tmp_path}/band-index"
+    d = _docs(spark, sf_dir)
+
+    wave1 = d.where(F.col("doc_id") < 300).select("doc_id", "text")
+    admitted1 = admit_batch(spark, wave1, index)
+    n1 = admitted1.count()
+    assert 0 < n1 <= 300  # fixture contains intra-corpus near-dups
+
+    # wave 2: one verbatim copy of an accepted doc (must drop), one novel doc
+    # (must keep), and an intra-batch duplicate pair (first id wins)
+    copied_text = d.where(F.col("doc_id") == 5).select("text").first()[0]
+    novel = "zzqq wwvv xxyy " + " ".join(f"uniqtok{i} fresh{i}" for i in range(40))
+    wave2 = spark.createDataFrame(
+        [
+            (9001, copied_text),  # cross-wave near-dup (exact copy)
+            (9002, novel),  # genuinely new
+            (9004, novel),  # intra-batch dup of 9002
+        ],
+        "doc_id long, text string",
+    )
+    admitted2 = {r["doc_id"] for r in admit_batch(spark, wave2, index).collect()}
+    assert admitted2 == {9002}
+
+    # the index grew by the admitted doc's bands only: re-sending the novel
+    # doc under a new id is now a cross-wave duplicate
+    wave3 = spark.createDataFrame([(9100, novel)], "doc_id long, text string")
+    assert admit_batch(spark, wave3, index).count() == 0
