@@ -67,3 +67,45 @@ def test_incremental_admission_across_waves(spark, sf_dir, tmp_path):
     # doc under a new id is now a cross-wave duplicate
     wave3 = spark.createDataFrame([(9100, novel)], "doc_id long, text string")
     assert admit_batch(spark, wave3, index).count() == 0
+
+
+def test_fuzzy_admission_as_streaming_foreachbatch(spark, sf_dir, tmp_path):
+    """The operator running as an actual Structured Streaming foreachBatch
+    body: wave 1 seeds the index through a streaming query; a second
+    checkpointed streaming run over new files admits only the novel doc."""
+    index = f"{tmp_path}/band-index"
+    sink = f"{tmp_path}/admitted"
+    src = f"{tmp_path}/incoming"
+    ckpt = f"{tmp_path}/ckpt"
+    d = _docs(spark, sf_dir)
+
+    def admit_writer(batch_df, batch_id):
+        admitted = admit_batch(spark, batch_df, index)
+        admitted.write.mode("append").parquet(sink)
+
+    def drain_wave():
+        stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+        q = (
+            stream.writeStream.foreachBatch(admit_writer)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300)
+
+    wave1 = d.where(F.col("doc_id") < 200).select("doc_id", "text")
+    wave1.coalesce(1).write.mode("append").parquet(src)
+    drain_wave()
+    n1 = spark.read.parquet(sink).count()
+    assert 0 < n1 <= 200
+
+    copied_text = d.where(F.col("doc_id") == 7).select("text").first()[0]
+    novel = "qqzz streaming wave token " + " ".join(f"swtok{i}" for i in range(50))
+    spark.createDataFrame(
+        [(9500, copied_text), (9501, novel)], "doc_id long, text string"
+    ).coalesce(1).write.mode("append").parquet(src)
+    drain_wave()  # checkpoint resumes: only the new file is a fresh batch
+
+    admitted = {r["doc_id"] for r in spark.read.parquet(sink).collect()}
+    assert 9501 in admitted and 9500 not in admitted
+    assert len(admitted) == n1 + 1
