@@ -166,3 +166,30 @@ def test_salted_interval_join_plan_and_equivalence(spark, sf_dir):
     plain = reg["interval_join_events_orders"].fn(spark, sf_dir)
     assert salted_df.exceptAll(plain).count() == 0
     assert plain.exceptAll(salted_df).count() == 0
+
+
+def test_blocked_cosine_pairs_edge_cases(spark):
+    """Blocked matmul join edge behavior: single block (pure diagonal),
+    empty input, and a threshold above every cosine."""
+    from clickhouse_etl_loadtest_spark.operators.blockjoin import blocked_cosine_pairs
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.0]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in blocked_cosine_pairs(df, threshold=0.9, n_blocks=1).collect()
+    }
+    assert set(got) == {(1, 2)} and abs(got[(1, 2)] - 1.0) < 1e-12
+
+    # multi-block: same result regardless of block count
+    got4 = {
+        (r.vec_a, r.vec_b)
+        for r in blocked_cosine_pairs(df, threshold=0.9, n_blocks=4).collect()
+    }
+    assert got4 == {(1, 2)}
+
+    assert blocked_cosine_pairs(df, threshold=1.5, n_blocks=2).count() == 0
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert blocked_cosine_pairs(empty, threshold=0.0, n_blocks=2).count() == 0
