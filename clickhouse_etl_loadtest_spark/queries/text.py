@@ -782,6 +782,77 @@ def doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- quality-ranked cluster representative ------------------------------------------
+
+_CLUSTER_BEST_ORACLE = f"""
+WITH RECURSIVE {_VERIFIED_CTES},
+edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM verified
+    UNION
+    SELECT doc_b AS src, doc_a AS dst FROM verified
+),
+reach(src, dst) AS (
+    SELECT src, src FROM edges
+    UNION
+    SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+comp AS (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src),
+q AS (
+    SELECT doc_id,
+           (CASE WHEN n_chars BETWEEN 100 AND 20000 THEN 1 ELSE 0 END
+            + CASE WHEN (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))
+                     * 1.0 / NULLIF(n_chars, 0) < 0.1 THEN 1 ELSE 0 END
+            + CASE WHEN len(regexp_extract_all(lower(text), '{TOKEN_RE}')) >= 20 THEN 1 ELSE 0 END
+           ) AS quality_score
+    FROM documents
+),
+ranked AS (
+    SELECT comp.doc_id, cluster_id, quality_score,
+           ROW_NUMBER() OVER (PARTITION BY cluster_id
+                              ORDER BY quality_score DESC, comp.doc_id) AS rnk
+    FROM comp JOIN q ON comp.doc_id = q.doc_id
+)
+SELECT doc_id, cluster_id, CAST(quality_score AS INT) AS quality_score, rnk = 1 AS keep
+FROM ranked
+ORDER BY doc_id
+"""
+
+
+@register("doc_cluster_best_keep", _CLUSTER_BEST_ORACLE, extra=True)
+def doc_cluster_best_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ranked cluster representative: of each duplicate cluster,
+    keep the member with the HIGHEST quality score (ties to the lowest
+    doc_id) — what production fuzzy dedup actually does (the lowest-id
+    policy of doc_dup_clusters is the deterministic baseline; a curation
+    pipeline keeps the best-written copy, not the first-crawled one).
+
+    Composes the registered cluster and quality operators, so the decision
+    is exactly what users of those operators get. Scale: clusters cover
+    only near-dup docs (orders of magnitude below corpus size), so the
+    cluster table broadcasts into the quality join; the per-cluster argmax
+    is one aggregation via min(struct(-quality, doc_id)) — no window over
+    corpus rows.
+    """
+    clusters = doc_dup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    quality = doc_quality_filter(spark, sf_dir).select("doc_id", "quality_score")
+    scored = quality.join(F.broadcast(clusters), "doc_id")
+    best = scored.groupBy("cluster_id").agg(
+        F.min(F.struct((-F.col("quality_score")).alias("nq"), F.col("doc_id").alias("id")))[
+            "id"
+        ].alias("best_id")
+    )
+    return (
+        scored.join(F.broadcast(best), "cluster_id")
+        .select(
+            "doc_id",
+            "cluster_id",
+            F.col("quality_score").cast("int").alias("quality_score"),
+            (F.col("doc_id") == F.col("best_id")).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # --- top-k most similar docs per doc --------------------------------------------
 
 _TOP_SIMILAR_K = 3
