@@ -203,7 +203,7 @@ ORDER BY n_name, rnk, c_custkey
 """
 
 
-@register("top_spenders_per_nation", _TOP_ORACLE, extra=True)
+@register("top_spenders_per_nation", _TOP_ORACLE)
 def top_spenders_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ranking window: top-3 customers by spend per nation.
 
@@ -305,7 +305,7 @@ ORDER BY p_partkey
 """
 
 
-@register("scalar_functions", _SCALAR_ORACLE, extra=True)
+@register("scalar_functions", _SCALAR_ORACLE)
 def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar function surface: string/regex/math/conditional expressions —
     all builtin (JVM, codegen), cross-engine-deterministic subset only
@@ -514,7 +514,7 @@ ORDER BY l_returnflag
 """
 
 
-@register("price_percentiles", _PCTL_ORACLE, extra=True)
+@register("price_percentiles", _PCTL_ORACLE)
 def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles (Spark ``percentile`` == DuckDB
     ``quantile_cont``, verified). At 100 TB swap to ``approx_percentile`` —
@@ -545,7 +545,7 @@ ORDER BY n_name
 """
 
 
-@register("rich_customers_per_nation", _STRAGG_ORACLE, extra=True)
+@register("rich_customers_per_nation", _STRAGG_ORACLE)
 def rich_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered string aggregation: collect_list is unordered in Spark, so
     sort_array before joining — deterministic at any parallelism."""
@@ -712,7 +712,7 @@ ORDER BY 1
 """
 
 
-@register("promo_revenue_by_month", _PROMO_ORACLE, extra=True)
+@register("promo_revenue_by_month", _PROMO_ORACLE)
 def promo_revenue_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape: ratio of conditional sums over a fact-dim join.
     part is the small side — broadcast, so lineitem never shuffles."""
@@ -738,7 +738,7 @@ LIMIT 20
 """
 
 
-@register("top_orders_global", _TOPN_ORACLE, extra=True)
+@register("top_orders_global", _TOPN_ORACLE)
 def top_orders_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global ORDER BY .. LIMIT: compiles to TakeOrderedAndProject — each
     partition keeps its local top-20, the driver merges; no global sort."""
@@ -895,7 +895,7 @@ ORDER BY o_orderpriority
 """
 
 
-@register("priority_orders_with_big_lines", _Q4_ORACLE, extra=True)
+@register("priority_orders_with_big_lines", _Q4_ORACLE)
 def priority_orders_with_big_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4 shape: EXISTS decorrelated to a left-semi join, then
     aggregate. The semi join shuffles only (orderkey) pairs and
@@ -925,7 +925,7 @@ ORDER BY part_revenue DESC, l_partkey
 """
 
 
-@register("top_revenue_parts", _Q11_ORACLE, extra=True)
+@register("top_revenue_parts", _Q11_ORACLE)
 def top_revenue_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape: HAVING against a global scalar (0.05% of total
     revenue). The scalar comes from a second aggregation over the SAME

@@ -436,7 +436,7 @@ ORDER BY shard
 """
 
 
-@register("doc_export_shards", _SHARD_ORACLE, extra=True)
+@register("doc_export_shards", _SHARD_ORACLE)
 def doc_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shard manifest for the deterministic training export
     (operators/sharding.py): per-shard doc/token totals plus the first and

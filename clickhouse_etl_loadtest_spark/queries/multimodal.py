@@ -31,7 +31,7 @@ ORDER BY media_id
 """
 
 
-@register("multimodal_decode", _DECODE_ORACLE)
+@register("multimodal_decode", _DECODE_ORACLE, extra=True)
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary decode through the Arrow-batched mapInPandas stage: validates
     the whole multimodal plumbing (binary column -> Python batch -> typed

@@ -86,7 +86,7 @@ ORDER BY doc_id
 """
 
 
-@register("doc_token_stats", _STATS_ORACLE)
+@register("doc_token_stats", _STATS_ORACLE, extra=True)
 def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting (whitespace-ish + BPE-ish regex) and raw quality
     counters per document. Single narrow projection — no shuffle at all."""
@@ -132,7 +132,7 @@ ORDER BY doc_id
 """
 
 
-@register("doc_quality_filter", _QUALITY_ORACLE)
+@register("doc_quality_filter", _QUALITY_ORACLE, extra=True)
 def doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic quality scoring (length / punctuation / stopword signals)
     with a keep/drop verdict — the C4/Gopher-style pre-training filter shape."""
@@ -185,7 +185,7 @@ ORDER BY doc_id
 """
 
 
-@register("doc_language_id", _LANGID_ORACLE)
+@register("doc_language_id", _LANGID_ORACLE, extra=True)
 def doc_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-word language-ID heuristic: count hits against tiny per-language
     vocabularies, argmax with alphabetical tie-break (deterministic)."""
@@ -224,7 +224,7 @@ ORDER BY doc_id
 """
 
 
-@register("doc_fingerprint", _FP_ORACLE)
+@register("doc_fingerprint", _FP_ORACLE, extra=True)
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content fingerprinting: whitespace-normalized md5 + 60-bit hash —
     the join key for exact dedup at 100 TB (hash, not text, shuffles)."""
@@ -253,7 +253,7 @@ ORDER BY fingerprint
 """
 
 
-@register("doc_exact_dedup", _EXACT_DEDUP_ORACLE)
+@register("doc_exact_dedup", _EXACT_DEDUP_ORACLE, extra=True)
 def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup by content hash: keep lowest doc_id per fingerprint.
 
@@ -291,7 +291,7 @@ ORDER BY doc_id
 """
 
 
-@register("doc_simhash", _SIMHASH_ORACLE)
+@register("doc_simhash", _SIMHASH_ORACLE, extra=True)
 def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash (Charikar 2002) over distinct tokens: near-dup docs get
     fingerprints within small Hamming distance.
@@ -334,7 +334,7 @@ ORDER BY doc_a, doc_b
 """
 
 
-@register("doc_simhash_near_pairs", _SIMHASH_PAIRS_ORACLE, extra=True)
+@register("doc_simhash_near_pairs", _SIMHASH_PAIRS_ORACLE)
 def doc_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hamming-distance near-dup pairs over the SimHash signatures — the
     second classic fuzzy-dedup family beside MinHash-Jaccard (Manku/Jain/
@@ -456,7 +456,7 @@ def _shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_toks.select("doc_id", shingles.alias("shingles"))
 
 
-@register("doc_ngram_jaccard_pairs", _JACCARD_ORACLE)
+@register("doc_ngram_jaccard_pairs", _JACCARD_ORACLE, extra=True)
 def doc_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard near-dup pairs (threshold {=0.10}).
 
@@ -518,7 +518,7 @@ ORDER BY doc_a, doc_b
 """
 
 
-@register("doc_shingle_containment_pairs", _CONTAINMENT_ORACLE, extra=True)
+@register("doc_shingle_containment_pairs", _CONTAINMENT_ORACLE)
 def doc_shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shingle CONTAINMENT pairs (Broder's resemblance vs containment):
     |A∩B| / min(|A|, |B|) ≥ {_CONTAINMENT_THRESHOLD}. Catches the asymmetric
@@ -717,7 +717,7 @@ def _verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("doc_fuzzy_dedup_keep", _FUZZY_KEEP_ORACLE)
+@register("doc_fuzzy_dedup_keep", _FUZZY_KEEP_ORACLE, extra=True)
 def doc_fuzzy_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The fuzzy-dedup decision end-to-end — the operator a pre-training
     pipeline actually runs: MinHash-LSH candidate generation (bounded
@@ -818,7 +818,7 @@ ORDER BY doc_id
 """
 
 
-@register("doc_cluster_best_keep", _CLUSTER_BEST_ORACLE, extra=True)
+@register("doc_cluster_best_keep", _CLUSTER_BEST_ORACLE)
 def doc_cluster_best_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-ranked cluster representative: of each duplicate cluster,
     keep the member with the HIGHEST quality score (ties to the lowest
@@ -969,7 +969,7 @@ ORDER BY doc_id
 """
 
 
-@register("doc_train_test_split", _SPLIT_ORACLE)
+@register("doc_train_test_split", _SPLIT_ORACLE, extra=True)
 def doc_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash-based train/eval split (90/10).
 
@@ -1036,7 +1036,7 @@ ORDER BY doc_id
 """
 
 
-@register("doc_pii_scrub", _PII_ORACLE)
+@register("doc_pii_scrub", _PII_ORACLE, extra=True)
 def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing: replace emails/phone numbers with placeholder tokens and
     count redactions. Pure per-row regexp — JVM codegen, embarrassingly
@@ -1075,7 +1075,7 @@ ORDER BY doc_id
 """
 
 
-@register("doc_pack_sequences", _PACK_ORACLE)
+@register("doc_pack_sequences", _PACK_ORACLE, extra=True)
 def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing: assign docs (in stable doc_id order) to training
     sequences of ~{_PACK_LIMIT} tokens via a cumulative-sum window — the
@@ -1132,7 +1132,7 @@ ORDER BY doc_id, rnk
 """
 
 
-@register("doc_tfidf_top_terms", _TFIDF_ORACLE)
+@register("doc_tfidf_top_terms", _TFIDF_ORACLE, extra=True)
 def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF feature extraction: top-{_TFIDF_TOPK} characteristic terms per
     document.

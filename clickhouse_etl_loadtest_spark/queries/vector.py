@@ -83,7 +83,7 @@ ORDER BY q_id, rnk
 """
 
 
-@register("ann_cosine_topk", _TOPK_ORACLE, headline=True)
+@register("ann_cosine_topk", _TOPK_ORACLE, headline=True, extra=True)
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-k: the brute-force ANN baseline.
 
@@ -168,7 +168,7 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_a", "vec_b")
 
 
-@register("embedding_near_dup_exact", _NEARDUP_ORACLE, extra=True)
+@register("embedding_near_dup_exact", _NEARDUP_ORACLE)
 def embedding_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The quadratic expression-form near-dup join: the recall/equality
     baseline for the blocked operator above (and the shape the DuckDB oracle
@@ -253,7 +253,7 @@ ORDER BY vec_id
 """
 
 
-@register("embedding_quantize_int8", _QUANT_ORACLE, extra=True)
+@register("embedding_quantize_int8", _QUANT_ORACLE)
 def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric per-vector int8 quantization audit: scale = max|x|/127,
     code = floor(x/scale + 0.5) (explicit half-up — identical in both
@@ -307,7 +307,7 @@ ORDER BY vec_id
 """
 
 
-@register("embedding_standardize_audit", _STDZ_ORACLE, extra=True)
+@register("embedding_standardize_audit", _STDZ_ORACLE)
 def embedding_standardize_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus feature standardization audit: per-dimension mean/std over the
     whole corpus, then each vector's z-score extremum and energy — the
@@ -381,7 +381,7 @@ ORDER BY vec_id
 """
 
 
-@register("ann_lsh_buckets", _LSH_ORACLE)
+@register("ann_lsh_buckets", _LSH_ORACLE, extra=True)
 def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH (Charikar 2002 SimHash for vectors): sign of the
     projection onto {_N_PLANES} fixed hyperplanes packs into a bucket id.
@@ -484,7 +484,7 @@ def _cell_dists(cells: Column, emb: Column) -> Column:
     )
 
 
-@register("ivf_nearest_centroid", _IVF_ORACLE)
+@register("ivf_nearest_centroid", _IVF_ORACLE, extra=True)
 def ivf_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style coarse quantization: per-label centroids (the "trained"
     codebook), each vector assigned to its nearest centroid by squared L2.

@@ -6,7 +6,7 @@ import os
 
 import pytest
 
-from clickhouse_etl_loadtest_spark.queries import load_all
+from clickhouse_etl_loadtest_spark.queries import driver_registry, load_all
 
 from .oracle_harness import compare_query
 
@@ -23,6 +23,23 @@ def test_query_matches_oracle(spark, sf_dir, name):
 
 def test_registry_nonempty():
     assert len(REGISTRY) >= 10
+
+
+def test_driver_visible_queries_emit_scalar_columns_only(spark, sf_dir):
+    """The external driver's canonicalizer crashes on array/map/struct output
+    columns (pandas factorize: unhashable list) — every driver-visible query
+    must emit scalars only. Extras may return complex types (their pytest
+    oracle handles them). Guards slot rotation against re-introducing the
+    round-1 failure mode."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    offenders = []
+    for name, q in driver_registry().items():
+        df = q.fn(spark, sf_dir)
+        for field in df.schema.fields:
+            if isinstance(field.dataType, (ArrayType, MapType, StructType)):
+                offenders.append(f"{name}.{field.name}: {field.dataType.simpleString()}")
+    assert not offenders, f"non-scalar driver-visible columns: {offenders}"
 
 
 def test_all_queries_return_rows(spark, sf_dir):
