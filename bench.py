@@ -10,8 +10,29 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
+import urllib.request
+
+PROFILE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_PROFILE.json")
+WARM_RUNS = int(os.environ.get("SPARK_GRAFT_WARM_RUNS", "5"))
+
+
+def _completed_stage_metrics(spark) -> dict[int, int]:
+    """Map completed stageId -> executorRunTime ms via the UI REST API.
+
+    Executor run time is CPU-side work summed over tasks — far less sensitive
+    to host I/O scheduling noise than wall clock, so round-over-round deltas
+    of this number distinguish a real plan regression from a noisy box."""
+    try:
+        base = spark.sparkContext.uiWebUrl
+        app = spark.sparkContext.applicationId
+        with urllib.request.urlopen(f"{base}/api/v1/applications/{app}/stages?status=complete", timeout=5) as r:
+            stages = json.load(r)
+        return {s["stageId"]: s.get("executorRunTime", 0) for s in stages}
+    except Exception:  # UI disabled or endpoint unavailable: profile degrades gracefully
+        return {}
 
 
 def main() -> None:
@@ -24,7 +45,10 @@ def main() -> None:
     registry = load_all()
     headline = {name: q for name, q in sorted(registry.items()) if q.headline}
 
-    spark = get_spark(app_name="bench")
+    # UI on for bench only: the stage-time profile reads the REST status API
+    # (sessions elsewhere keep it off; a benchmark's listener-bus overhead is
+    # noise-level next to the queries it times)
+    spark = get_spark(app_name="bench", extra_conf={"spark.ui.enabled": "true"})
     # JVM + codegen + shuffle + parquet-reader + higher-order-function warmup
     # so per-query timings measure the plan, not class loading. Touches a
     # non-fixture path and generated data only — no headline query pre-runs.
@@ -85,25 +109,96 @@ def main() -> None:
     warm.write.mode("overwrite").parquet("/tmp/bench-warmup")
     spark.read.parquet("/tmp/bench-warmup").count()
 
-    # Each query is timed twice. The cold run pays Janino whole-stage-codegen
-    # compilation and first-touch class loading — a once-per-executor cost
-    # that amortizes to nothing at 100 TB (seconds of compile vs hours of
-    # scan). The warm run is the steady-state plan cost, which is what scales
-    # with data volume, so it is the primary metric; cold timings are kept in
-    # the JSON so rounds before r02 stay comparable.
+    # Each query is timed 1 cold + WARM_RUNS warm times. The cold run pays
+    # Janino whole-stage-codegen compilation and first-touch class loading —
+    # a once-per-executor cost that amortizes to nothing at 100 TB (seconds
+    # of compile vs hours of scan). The warm MEDIAN is the primary metric:
+    # single warm runs on this box swing with host load (r2->r3 moved every
+    # query, including trivial ones, by +8..30% — noise, not plans), so the
+    # per-query spread (min/max/stdev) ships in the JSON to make that
+    # distinction checkable, and the executor-run-time stage profile (CPU
+    # work, immune to I/O stalls) is diffed against the committed profile of
+    # the previous round (BENCH_PROFILE.json).
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
+    spread: dict[str, dict] = {}
+    stage_cpu: dict[str, int] = {}
     for name, q in headline.items():
         t0 = time.perf_counter()
         df = q.fn(spark, sf_dir)
         n = df.count()  # forces full execution; avoids toPandas transfer cost
         cold[name] = round(time.perf_counter() - t0, 3)
-        t0 = time.perf_counter()
-        q.fn(spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: cold {cold[name]}s warm {timings[name]}s ({n} rows)", file=sys.stderr)
+        runs: list[float] = []
+        cpu_runs: list[int] = []
+        for _ in range(WARM_RUNS):
+            before = _completed_stage_metrics(spark)
+            t0 = time.perf_counter()
+            q.fn(spark, sf_dir).count()
+            runs.append(round(time.perf_counter() - t0, 3))
+            after = _completed_stage_metrics(spark)
+            new = [ms for sid, ms in after.items() if sid not in before]
+            if new:
+                cpu_runs.append(sum(new))
+        timings[name] = round(statistics.median(runs), 3)
+        spread[name] = {
+            "runs": runs,
+            "min": min(runs),
+            "max": max(runs),
+            "stdev": round(statistics.stdev(runs), 3) if len(runs) > 1 else 0.0,
+        }
+        if cpu_runs:
+            stage_cpu[name] = int(statistics.median(cpu_runs))
+        print(
+            f"# {name}: cold {cold[name]}s warm median {timings[name]}s "
+            f"(runs {runs}, stage-cpu {stage_cpu.get(name)}ms, {n} rows)",
+            file=sys.stderr,
+        )
     total = round(sum(timings.values()), 3)
     cold_total = round(sum(cold.values()), 3)
+
+    # Diff against the committed previous-round profile, then rewrite it so
+    # the next round diffs against this one (the file is committed with each
+    # round's results). wall_delta alone can lie on a noisy box; cpu_delta
+    # moving WITH it is what indicts the plan.
+    prev_profile = None
+    if os.path.exists(PROFILE_PATH):
+        try:
+            with open(PROFILE_PATH) as f:
+                prev_profile = json.load(f)
+        except (OSError, ValueError):
+            prev_profile = None
+    profile_delta = None
+    if prev_profile:
+        profile_delta = {}
+        for name in timings:
+            p = prev_profile.get("queries", {}).get(name)
+            if not p:
+                continue
+            d = {"wall_delta_sec": round(timings[name] - p["warm_median_sec"], 3)}
+            if name in stage_cpu and p.get("stage_cpu_ms") is not None:
+                d["cpu_delta_ms"] = stage_cpu[name] - p["stage_cpu_ms"]
+            d["noise"] = abs(d["wall_delta_sec"]) <= 2 * max(
+                spread[name]["stdev"], p.get("warm_stdev_sec", 0.0)
+            )
+            profile_delta[name] = d
+    with open(PROFILE_PATH, "w") as f:
+        json.dump(
+            {
+                "queries": {
+                    name: {
+                        "warm_median_sec": timings[name],
+                        "warm_stdev_sec": spread[name]["stdev"],
+                        "cold_sec": cold[name],
+                        "stage_cpu_ms": stage_cpu.get(name),
+                    }
+                    for name in timings
+                },
+                "warm_total_sec": total,
+                "warm_runs": WARM_RUNS,
+            },
+            f,
+            indent=1,
+        )
 
     # Reference-comparable load test: 5M records / dup 0.1 — the exact workload
     # + metric formulas of BASELINE.md row 1 (5M @ 2 procs: 8,705 kafka RPS,
@@ -155,6 +250,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "queries_cold": cold,
+                "queries_spread": spread,
+                "queries_stage_cpu_ms": stage_cpu or None,
+                "profile_delta_vs_prev_round": profile_delta,
+                "warm_runs_per_query": WARM_RUNS,
                 "cold_value": cold_total,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "loadtest_5m": loadtest,

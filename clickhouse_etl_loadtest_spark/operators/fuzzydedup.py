@@ -12,8 +12,10 @@ index) and admits a new batch in three steps:
    accepted doc — candidate-level decision, the same recall-oriented
    banding contract as ``doc_minhash_lsh_pairs``; compose an exact-verify
    rerank on the collision pairs when precision matters),
-2. first-wins dedup WITHIN the batch (lowest id per colliding bucket),
-3. append the admitted docs' bands to the index.
+2. cluster-resolve collisions WITHIN the batch (connected components over
+   shared buckets; each cluster admits its lowest id),
+3. append the admitted docs' bands to the index (idempotently per
+   ``batch_id`` — see :func:`admit_batch`).
 
 This is the fuzzy twin of ``dedup.streaming_dedup_against_snapshot`` /
 ``scale.snapshot_dedup_index``, and is shaped to be a ``foreachBatch``
@@ -36,6 +38,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.hashing import h32, minhash_params32, perm_hash32
+from .graph import connected_components
 
 TOKEN_RE = "[a-z0-9]+"
 _SHINGLE_K = 3
@@ -82,6 +85,25 @@ def minhash_band_table(
     return mins.selectExpr("id", f"stack({n_bands}, {stack_expr}) AS (band, sig)")
 
 
+def _read_index(spark: SparkSession, index_path: str) -> DataFrame | None:
+    """Read the band index, or None if it does not exist yet (first batch).
+
+    ONLY a missing/empty path means "no index": corrupt parquet, transient
+    FS errors, and permission failures must propagate — swallowing them
+    would silently reset dedup state and re-admit duplicates of the whole
+    accepted corpus.
+    """
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(index_path)
+    except AnalysisException as e:
+        msg = str(e)
+        if "PATH_NOT_FOUND" in msg or "UNABLE_TO_INFER_SCHEMA" in msg:
+            return None
+        raise
+
+
 def admit_batch(
     spark: SparkSession,
     batch_df: DataFrame,
@@ -90,42 +112,73 @@ def admit_batch(
     text_col: str = "text",
     num_perms: int = 16,
     band_size: int = 4,
+    batch_id: int | None = None,
 ) -> DataFrame:
     """Admit a batch against the persistent band index; returns the admitted
     rows (batch columns unchanged) and appends their bands to the index.
 
     Drop rules: (a) any band collides with the index → near-dup of an
-    accepted doc; (b) within the batch, a band bucket admits only its
-    lowest id (first-wins, deterministic).
+    accepted doc; (b) WITHIN the batch, colliding docs are resolved as
+    duplicate CLUSTERS (connected components over shared buckets, same
+    semantics as ``doc_dup_clusters``): each cluster admits its lowest id.
+    Bucket-local first-wins would over-drop — if B shares bucket X with
+    keeper A and bucket Y with C, C would lose its only near-dup (B) yet
+    still be dropped; transitive resolution keeps one representative per
+    actual cluster.
+
+    Idempotency: pass ``batch_id`` (the ``foreachBatch`` argument) and each
+    batch's bands land in their own ``batch=b<id>`` partition subdir with
+    overwrite — a checkpoint-recovery REPLAY overwrites its own partial
+    append and the collision read excludes the batch's own partition, so
+    replayed rows are never dropped against themselves (mirrors
+    ``streaming/sink.py::idempotent_parquet_chunk_writer``). Without
+    ``batch_id`` the append goes to a shared ``batch=adhoc`` partition and
+    is at-least-once: a crash between append and downstream materialization
+    can leave bands whose rows were never persisted. Admitted ids are
+    materialized eagerly (``localCheckpoint``) BEFORE the append either
+    way, so the returned DataFrame does not depend on a re-listing of the
+    index it just extended.
     """
     bands = minhash_band_table(
         batch_df, id_col=id_col, text_col=text_col, num_perms=num_perms, band_size=band_size
     )
 
-    try:
-        index = spark.read.parquet(index_path)
-        have_index = True
-    except Exception:  # first batch: no index yet
-        have_index = False
-
-    if have_index:
+    index = _read_index(spark, index_path)
+    if index is not None:
+        if batch_id is not None:
+            index = index.where(F.col("batch") != f"b{batch_id}")
         hit_ids = (
             bands.join(index, on=["band", "sig"], how="left_semi").select("id").distinct()
         )
         bands = bands.join(hit_ids, on="id", how="left_anti")
 
-    # intra-batch first-wins: a bucket admits its lowest id; every other
-    # member of the bucket is a near-dup of it
+    # intra-batch cluster resolution on the collision graph: star edges
+    # (bucket-min -> member) connect exactly the docs sharing a bucket, so
+    # components equal the bucket-overlap clusters; admit each component's
+    # minimum. The graph holds only INTRA-BATCH colliders — tiny next to
+    # the batch — and the iteration is O(log diameter) long-only shuffles.
     bucket_min = bands.groupBy("band", "sig").agg(F.min("id").alias("keep_id"))
-    dropped_in_batch = (
+    edges = (
         bands.join(bucket_min, on=["band", "sig"])
         .where(F.col("id") != F.col("keep_id"))
-        .select("id")
+        .select("keep_id", "id")
         .distinct()
     )
-    admitted_bands = bands.join(dropped_in_batch, on="id", how="left_anti")
+    if edges.limit(1).count() > 0:
+        comp = connected_components(edges, "keep_id", "id")
+        dropped_in_batch = comp.where(F.col("id") != F.col("label")).select("id")
+        admitted_bands = bands.join(dropped_in_batch, on="id", how="left_anti")
+    else:
+        admitted_bands = bands
 
-    admitted_bands.select("band", "sig").distinct().write.mode("append").parquet(index_path)
+    # materialize before touching the index: the result must not re-list
+    # the files this call is about to write
+    admitted_bands = admitted_bands.localCheckpoint()
+    part = f"b{batch_id}" if batch_id is not None else "adhoc"
+    mode = "overwrite" if batch_id is not None else "append"
+    admitted_bands.select("band", "sig").distinct().write.mode(mode).parquet(
+        f"{index_path}/batch={part}"
+    )
     admitted_ids = admitted_bands.select("id").distinct()
     return batch_df.join(
         admitted_ids.withColumnRenamed("id", id_col), on=id_col, how="left_semi"

@@ -155,9 +155,12 @@ ORDER BY revenue DESC, n_name
 def region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: 6-way star join through broadcast dimensions.
 
-    Scale: region/nation/supplier are tiny -> explicit ``broadcast()`` so the
-    100 TB fact side never shuffles for them; only customer./orders./lineitem
-    equi-joins shuffle, each on its key.
+    Scale: region/nation are FIXED-cardinality (5/25 rows at any SF) ->
+    explicit ``broadcast()``. Supplier GROWS with SF (10k rows/SF1 — ~1 GB
+    at SF1000, past any executor's broadcast budget), so its strategy is
+    left to size-based selection: broadcast while it fits
+    ``autoBroadcastJoinThreshold``, shuffle when it outgrows it. Only
+    customer./orders./lineitem equi-joins must shuffle, each on its key.
     """
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
@@ -169,7 +172,7 @@ def region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.join(o, c.c_custkey == o.o_custkey)
         .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(
-            F.broadcast(s),
+            s,
             (F.col("l_suppkey") == F.col("s_suppkey")) & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))

@@ -284,4 +284,7 @@ def clickhouse_chunk_writer(target: ClickHouseTarget, table: str, max_batch_size
     def _write(df: DataFrame, batch_id: int) -> None:
         write_batch_jdbc(df.withColumn("_batch_id", F.lit(batch_id)), target, table, max_batch_size)
 
+    # the row cap rides in via the closed-over JDBC batchsize — no external
+    # set_row_cap needed (W5 guard in chunked_foreach_batch_writer)
+    _write.self_capping = True
     return _write

@@ -11,6 +11,7 @@ plain partition-wise writes for files).
 
 from __future__ import annotations
 
+import warnings
 from typing import Callable
 
 from pyspark.sql import DataFrame
@@ -34,12 +35,30 @@ def chunked_foreach_batch_writer(
     only conveys the cap to writers that take it and otherwise passes the
     batch straight through (the micro-batch is computed exactly once, by the
     write itself).
+
+    Contract for third-party writers: expose ``set_row_cap(n)`` (like the
+    writers in this module) or declare an internal cap by setting
+    ``self_capping = True`` (or ``driver_side = True``, the marker the
+    driver-collecting writers use) on the callable. A writer with none of
+    these gets the WHOLE uncapped micro-batch — this wrapper warns loudly
+    instead of letting the W5 cap silently vanish.
     """
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
         setter = getattr(write_chunk, "set_row_cap", None)
         if setter is not None:
             setter(max_batch_size)
+        elif not (
+            getattr(write_chunk, "self_capping", False)
+            or getattr(write_chunk, "driver_side", False)
+        ):
+            warnings.warn(
+                f"chunk writer {write_chunk!r} exposes neither set_row_cap() nor "
+                "self_capping=True: the W5 max_batch_size row cap is NOT enforced "
+                "for it and each call receives the whole micro-batch",
+                RuntimeWarning,
+                stacklevel=2,
+            )
         write_chunk(batch_df, batch_id)
 
     return _write

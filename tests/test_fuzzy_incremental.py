@@ -80,7 +80,7 @@ def test_fuzzy_admission_as_streaming_foreachbatch(spark, sf_dir, tmp_path):
     d = _docs(spark, sf_dir)
 
     def admit_writer(batch_df, batch_id):
-        admitted = admit_batch(spark, batch_df, index)
+        admitted = admit_batch(spark, batch_df, index, batch_id=batch_id)
         admitted.write.mode("append").parquet(sink)
 
     def drain_wave():
@@ -109,3 +109,63 @@ def test_fuzzy_admission_as_streaming_foreachbatch(spark, sf_dir, tmp_path):
     admitted = {r["doc_id"] for r in spark.read.parquet(sink).collect()}
     assert 9501 in admitted and 9500 not in admitted
     assert len(admitted) == n1 + 1
+
+
+def test_admit_batch_replay_is_idempotent(spark, sf_dir, tmp_path):
+    """Checkpoint-recovery replay of the SAME micro-batch (same batch_id)
+    must admit the same rows: the batch's own just-appended bands are
+    excluded from the collision read and its partition is overwritten, so
+    a replayed batch never collides with itself (the pre-fix failure mode
+    silently dropped every row of the replay)."""
+    index = f"{tmp_path}/band-index"
+    d = _docs(spark, sf_dir)
+    wave = d.where(F.col("doc_id") < 120).select("doc_id", "text")
+
+    first = {r["doc_id"] for r in admit_batch(spark, wave, index, batch_id=0).collect()}
+    assert first
+    replay = {r["doc_id"] for r in admit_batch(spark, wave, index, batch_id=0).collect()}
+    assert replay == first
+
+    # and the index holds ONE copy of the batch's bands (overwrite, not append)
+    idx = spark.read.parquet(index)
+    assert idx.count() == idx.distinct().count()
+
+    # a LATER batch still dedups against batch 0 normally
+    assert admit_batch(spark, wave, index, batch_id=1).count() == 0
+
+
+def test_intra_batch_resolution_is_cluster_transitive(spark, sf_dir, tmp_path):
+    """Intra-batch collisions resolve as duplicate CLUSTERS (doc_dup_clusters
+    semantics): the admitted set must be exactly one representative — the
+    minimum id — per connected component of the bucket-overlap graph, plus
+    every non-colliding doc. Pins transitivity: when B collides with keeper
+    A in one bucket and C collides with B in another, {A,B,C} is ONE
+    cluster and A alone survives (bucket-local first-wins would drop C
+    without any surviving representative of its neighborhood)."""
+    from clickhouse_etl_loadtest_spark.operators.graph import connected_components
+
+    index = f"{tmp_path}/band-index"
+    d = _docs(spark, sf_dir)
+    wave = d.where(F.col("doc_id") < 300).select("doc_id", "text")
+
+    admitted = {r["doc_id"] for r in admit_batch(spark, wave, index, batch_id=0).collect()}
+
+    bands = minhash_band_table(wave).alias("x")
+    other = minhash_band_table(wave).alias("y")
+    edges = (
+        bands.join(
+            other,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.sig") == F.col("y.sig"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+        .distinct()
+    )
+    comp = connected_components(edges, "a", "b")
+    cluster_reps = {r["label"] for r in comp.select("label").distinct().collect()}
+    clustered = {r["id"] for r in comp.select("id").collect()}
+    all_ids = {r["doc_id"] for r in wave.select("doc_id").collect()}
+    expected = cluster_reps | (all_ids - clustered)
+    assert admitted == expected
+    assert len(clustered) > len(cluster_reps)  # fixture really has clusters

@@ -113,7 +113,7 @@ def test_executor_end_to_end_with_resume(spark, tmp_path):
 
 
 def test_cli_single_config(tmp_path, spark):
-    import main as cli
+    import clickhouse_etl_loadtest_spark.main as cli
 
     p = tmp_path / "pipe.json"
     p.write_text(json.dumps(PIPELINE_SPEC))
@@ -131,7 +131,7 @@ def test_cli_single_config(tmp_path, spark):
 
 def test_results_analyzer_cli(tmp_path, capsys):
     """results.py parity (C8/§3.3): validated read + per-variant display."""
-    import results as results_cli
+    import clickhouse_etl_loadtest_spark.results as results_cli
     from clickhouse_etl_loadtest_spark.harness.metrics import TestResult, TestResultsHandler
 
     f = str(tmp_path / "r.csv")

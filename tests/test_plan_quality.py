@@ -47,7 +47,12 @@ def test_pricing_summary_pushdown_and_pruning(spark, sf_dir):
 
 def test_region_revenue_broadcasts_dimensions(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "region_revenue")
-    assert plan.count("BroadcastHashJoin") >= 3  # supplier, nation, region
+    # nation/region are forced broadcasts (fixed cardinality at any SF);
+    # supplier grows with SF so its strategy is size-based — broadcast at
+    # fixture scale, shuffle once it outgrows autoBroadcastJoinThreshold.
+    # Either is a valid plan; what matters is >=2 broadcasts and no
+    # cartesian fallback.
+    assert plan.count("BroadcastHashJoin") >= 2  # nation, region (+ supplier if small)
     # the big fact-side joins shuffle on their keys, not nested-loop
     assert "BroadcastNestedLoopJoin" not in plan
 

@@ -148,7 +148,7 @@ def test_invalid_config_rejected(service):
 def test_cli_serve_mode(spark, tmp_path):
     """`python main.py serve` wires the same service; block=False returns the
     handle for in-process use."""
-    import main as cli
+    import clickhouse_etl_loadtest_spark.main as cli
 
     svc, url = cli.serve(
         ["--port", "0", "--work-dir", str(tmp_path / "w"), "--files-path", str(tmp_path / "s")],

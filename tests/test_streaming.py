@@ -121,6 +121,40 @@ def test_streaming_sink_chunking(spark, stream_env):
     assert max(sizes) <= 13  # ceil-split of 35 into 4 chunks, some slack
 
 
+def test_sink_wrapper_warns_on_uncappable_writer():
+    """A third-party chunk writer with neither set_row_cap nor a self-cap
+    marker receives the whole uncapped micro-batch — the wrapper must say so
+    (W5 cap cannot silently vanish); marked/cappable writers stay silent."""
+    import warnings
+
+    from clickhouse_etl_loadtest_spark.streaming.sink import chunked_foreach_batch_writer
+
+    calls = []
+
+    def bare_writer(df, batch_id):
+        calls.append(batch_id)
+
+    with pytest.warns(RuntimeWarning, match="set_row_cap"):
+        chunked_foreach_batch_writer(bare_writer, 10)(None, 0)
+    assert calls == [0]
+
+    def marked_writer(df, batch_id):
+        calls.append(batch_id)
+
+    marked_writer.self_capping = True
+    caps = []
+
+    def cappable_writer(df, batch_id):
+        calls.append(batch_id)
+
+    cappable_writer.set_row_cap = caps.append
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        chunked_foreach_batch_writer(marked_writer, 10)(None, 1)
+        chunked_foreach_batch_writer(cappable_writer, 10)(None, 2)
+    assert calls == [0, 1, 2] and caps == [10]
+
+
 def test_pipeline_registry_guard(spark, stream_env):
     src, sink, ckpt = stream_env
     pipeline = PipelineConfig.model_validate(SPEC)
