@@ -57,9 +57,39 @@ def test_frame_sampling_expands_rows(spark, sf_dir):
     assert isinstance(bytes(one.frame), bytes) and len(bytes(one.frame)) <= 64
 
 
+_HAS_PIL = __import__("importlib.util", fromlist=["util"]).find_spec("PIL") is not None
+
+
+@pytest.mark.skipif(_HAS_PIL, reason="pillow installed: the absence gate cannot fire")
 def test_real_decoder_is_gated():
     with pytest.raises(NotImplementedError, match="PIL"):
         real_image_decode(b"\x89PNG")
+
+
+@pytest.mark.skipif(not _HAS_PIL, reason="pillow not installed in this environment")
+def test_real_image_decode_with_pil(spark):
+    """Wherever pillow exists the hook is a REAL decoder: a generated PNG
+    round-trips with true pixel dimensions, both directly and through the
+    Arrow-batched decode_images stage."""
+    import io
+
+    from PIL import Image
+
+    from clickhouse_etl_loadtest_spark.operators.multimodal import decode_images
+
+    buf = io.BytesIO()
+    Image.new("RGB", (5, 3), (200, 10, 10)).save(buf, format="PNG")
+    png = buf.getvalue()
+
+    d = real_image_decode(png)
+    assert d["format"] == "png"
+    assert (d["width"], d["height"], d["mode"]) == (5, 3, "RGB")
+    assert d["checksum"] == hashlib.md5(png).hexdigest()
+
+    df = spark.createDataFrame([(1, png)], "media_id long, data binary")
+    row = decode_images(df).collect()[0]
+    assert (row["width"], row["height"], row["format"]) == (5, 3, "png")
+    assert row["checksum"] == hashlib.md5(png).hexdigest()
 
 
 def test_fake_decode_empty_payload():
