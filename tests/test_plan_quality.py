@@ -326,3 +326,72 @@ def test_simhash_near_pairs_has_no_join(spark, sf_dir):
     plan = exec_plan_of(spark, sf_dir, "doc_simhash_near_pairs")
     assert "Join" not in plan and "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# --- round-4 rotation: plan pins for the newly driver-visible queries ------------
+
+
+def test_top_spenders_window_is_nation_partitioned(spark, sf_dir):
+    """Ranking runs inside a nation-PARTITIONED window (each nation sorts
+    only its own customers) — a global-sort window would be the classic
+    100 TB scale-killer for per-group top-k."""
+    plan = plan_of(spark, sf_dir, "top_spenders_per_nation")
+    assert "windowspecdefinition(c_nationkey" in plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_top_revenue_parts_reuses_the_shared_subplan(spark, sf_dir):
+    """HAVING-vs-global-scalar computes the part revenue subplan once: AQE
+    must stitch the second consumer onto the first's shuffle output
+    (ReusedExchange), not recompute the lineitem aggregation."""
+    df = REGISTRY["top_revenue_parts"].fn(spark, sf_dir)
+    df.collect()  # AQE stitches the reuse in at runtime — only the final plan shows it
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="formatted")
+    final_plan = buf.getvalue()
+    assert "isFinalPlan=true" in final_plan
+    assert "ReusedExchange" in final_plan
+
+
+def test_embedding_quantize_is_join_and_window_free(spark, sf_dir):
+    """Per-vector int8 quantization is map-only work: no join, no window, no
+    Python in the plan — the only Exchange is the presentation sort."""
+    plan = plan_of(spark, sf_dir, "embedding_quantize_int8")
+    assert "Join" not in plan and "Window" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_embedding_standardize_moments_broadcast_vectors_never_shuffle(spark, sf_dir):
+    """Corpus mean/std reduce to ONE row that broadcasts back over the
+    vectors (a single-row BroadcastNestedLoopJoin is that broadcast); the
+    embedding column itself must never hash- or sort-shuffle for a join."""
+    plan = exec_plan_of(spark, sf_dir, "embedding_standardize_audit")
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+
+
+def test_cluster_best_keep_has_no_corpus_window(spark, sf_dir):
+    """Quality-ranked cluster keep resolves the per-cluster argmax with one
+    min(struct(...)) aggregation — no Window operator anywhere (clusters can
+    be huge; a rank window would sort every cluster globally), and no
+    cartesian fallback."""
+    plan = plan_of(spark, sf_dir, "doc_cluster_best_keep")
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_scalar_functions_is_single_projection_stage(spark, sf_dir):
+    """The scalar-surface query is pure codegen projection: no join, no agg
+    shuffle, no Python — exactly one Exchange (the presentation sort)."""
+    plan = plan_of(spark, sf_dir, "scalar_functions")
+    assert "Join" not in plan and "BatchEvalPython" not in plan
+    assert plan.count("Exchange") <= 2  # rangepartitioning of the sort (+AQE read)
+
+
+def test_priority_orders_semi_join_never_nested_loop(spark, sf_dir):
+    """EXISTS compiles to a (broadcast) semi join on the join key — never a
+    nested-loop/cartesian, which would be quadratic at fact scale."""
+    plan = plan_of(spark, sf_dir, "priority_orders_with_big_lines")
+    assert "LeftSemi" in plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
