@@ -74,6 +74,31 @@ def doc_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("doc_bloom_incremental_dedup", _INCREMENTAL_ORACLE, extra=True)
+def doc_bloom_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-gated variant of :func:`doc_incremental_dedup`: identical result
+    (same oracle — Bloom filters have no false negatives, and the exact
+    anti-join on the bloom-positive slice removes the false positives), but
+    only the maybe-duplicate slice of the batch shuffles.
+
+    This is the steady-state-ingest scale path: at 100 TB with a ~5%
+    duplicate rate and fpp=1%, ~94% of every batch bypasses the anti-join
+    shuffle map-side (operators/bloom.py module docstring has the cost model
+    and the filter-size applicability bound).
+    """
+    from ..operators.bloom import bloom_gated_anti_join, build_bloom
+
+    d = _docs(spark, sf_dir).withColumn("content_hash", h60(F.col("text")))
+    snapshot = d.where(F.col("doc_id") % _SNAPSHOT_MOD < _SNAPSHOT_KEEP).select("content_hash")
+    batch = d.where(F.col("doc_id") % _SNAPSHOT_MOD >= _SNAPSHOT_KEEP)
+    bloom = build_bloom(snapshot, "content_hash", expected_items=max(1, snapshot.count()))
+    return (
+        bloom_gated_anti_join(batch, snapshot, "content_hash", bloom)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )
+
+
 # --- snapshot diff (corpus release comparison) ---------------------------------------
 
 # deterministic overlapping split: "old" release = doc_id % 10 < 5,
