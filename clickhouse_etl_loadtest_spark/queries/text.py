@@ -1355,6 +1355,62 @@ def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- weighted sampling without replacement (Efraimidis-Spirakis) ---------------------
+
+_WSAMPLE_K = 100
+
+_WSAMPLE_ORACLE = f"""
+WITH d AS (
+    SELECT doc_id, lang,
+           GREATEST(1, len(regexp_extract_all(lower(text), '{TOKEN_RE}'))) AS n_tokens,
+           ({h60_sql_duckdb("'wsample-' || CAST(doc_id AS VARCHAR)")} + 1)
+             / 1152921504606846976.0 AS u
+    FROM documents
+)
+SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+       ln(u) / n_tokens AS es_key
+FROM d
+ORDER BY es_key DESC, doc_id
+LIMIT {_WSAMPLE_K}
+"""
+
+
+@register("doc_weighted_sample", _WSAMPLE_ORACLE, extra=True)
+def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-weighted sampling WITHOUT replacement: draw the top
+    ``_WSAMPLE_K`` documents by the Efraimidis-Spirakis key
+    ``ln(u_i) / w_i`` (equivalent to ``u_i^(1/w_i)``; Efraimidis & Spirakis
+    2006, "Weighted random sampling with a reservoir"), where ``w_i`` is the
+    document's token count — the standard way to bias a training mix toward
+    long documents while keeping each document at most once.
+
+    ``u_i`` is NOT ``rand()``: it derives from a salted ``h60`` of the
+    doc_id, so the draw is reproducible across runs, engines (DuckDB twin
+    computes the identical sample), and executor counts — same motivation as
+    :func:`doc_stratified_sample`.
+
+    Scale: the key is a map-only column expression; the top-k is
+    ``TakeOrderedAndProject`` (per-partition heaps + driver merge of k rows,
+    plan-asserted) — never a global sort. At 100 TB this samples the corpus
+    in one pass with no shuffle of document rows at all.
+    """
+    d = _docs(spark, sf_dir)
+    w = F.greatest(F.lit(1).cast("bigint"), F.size(_tokens()).cast("bigint"))
+    u = (h60(F.concat(F.lit("wsample-"), F.col("doc_id").cast("string"))) + F.lit(1)) / F.lit(
+        float(1 << 60)
+    )
+    return (
+        d.select(
+            "doc_id",
+            "lang",
+            w.alias("n_tokens"),
+            (F.log(u) / w).alias("es_key"),
+        )
+        .orderBy(F.col("es_key").desc(), "doc_id")
+        .limit(_WSAMPLE_K)
+    )
+
+
 # --- edit-distance rerank of LSH candidates ------------------------------------------
 
 _EDIT_RERANK_ORACLE = f"""

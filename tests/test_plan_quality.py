@@ -395,3 +395,13 @@ def test_priority_orders_semi_join_never_nested_loop(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "priority_orders_with_big_lines")
     assert "LeftSemi" in plan
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_weighted_sample_is_take_ordered_map_only(spark, sf_dir):
+    """Efraimidis-Spirakis sampling must be one map-only pass + TakeOrdered:
+    no shuffle of document rows, no global sort, key stays in codegen."""
+    plan = exec_plan_of(spark, sf_dir, "doc_weighted_sample")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "Exchange hashpartitioning" not in plan
