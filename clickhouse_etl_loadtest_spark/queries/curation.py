@@ -5,7 +5,8 @@ counterpart — the reference only dedups by an exact key field).
 
 All are pure JVM column expressions + at most one keyed shuffle each, with
 exact DuckDB oracles via the shared md5-based ``h60`` hash.
-``doc_incremental_dedup`` and ``doc_token_budget_sample`` are driver-visible;
+``doc_incremental_dedup``, ``doc_bloom_incremental_dedup`` and
+``doc_token_budget_sample`` are driver-visible;
 the rest are pytest-verified extras (the driver registry caps at 50 entries).
 
 Scale notes (100 TB):
@@ -74,7 +75,7 @@ def doc_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("doc_bloom_incremental_dedup", _INCREMENTAL_ORACLE, extra=True)
+@register("doc_bloom_incremental_dedup", _INCREMENTAL_ORACLE)
 def doc_bloom_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-gated variant of :func:`doc_incremental_dedup`: identical result
     (same oracle — Bloom filters have no false negatives, and the exact

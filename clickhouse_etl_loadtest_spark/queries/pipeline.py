@@ -312,7 +312,7 @@ ORDER BY e.event_id, o.o_orderkey
 """
 
 
-@register("interval_join_events_orders", _INTERVAL_ORACLE)
+@register("interval_join_events_orders", _INTERVAL_ORACLE, extra=True)
 def interval_join_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-join + time-range predicate — the batch analogue of the
     watermarked stream-stream interval join (J1). The equi key carries the

@@ -756,7 +756,7 @@ ORDER BY doc_id
 """
 
 
-@register("doc_dup_clusters", _DUP_CLUSTERS_ORACLE)
+@register("doc_dup_clusters", _DUP_CLUSTERS_ORACLE, extra=True)
 def doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-CLUSTER resolution: connected components over the verified
     near-dup pair graph — the transitive-closure step between pair
@@ -1375,7 +1375,7 @@ LIMIT {_WSAMPLE_K}
 """
 
 
-@register("doc_weighted_sample", _WSAMPLE_ORACLE, extra=True)
+@register("doc_weighted_sample", _WSAMPLE_ORACLE)
 def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-weighted sampling WITHOUT replacement: draw the top
     ``_WSAMPLE_K`` documents by the Efraimidis-Spirakis key
