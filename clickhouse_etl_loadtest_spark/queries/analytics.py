@@ -885,6 +885,42 @@ def approx_events_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- exact heavy hitters (Misra-Gries candidates + exact confirm) ----------------
+
+_HH_PHI = 0.007
+
+_HH_ORACLE = f"""
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY user_id
+HAVING COUNT(*) > {_HH_PHI} * (SELECT COUNT(*) FROM events)
+ORDER BY user_id
+"""
+
+
+@register("events_heavy_hitters", _HH_ORACLE, extra=True)
+def events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every user producing more than phi=0.7% of all events, with exact
+    counts — the skew detector that decides when a key needs
+    ``operators/scale.py`` salting or AQE skew splits.
+
+    Semantically plain ``GROUP BY HAVING``, but executed as the two-pass
+    Misra-Gries plan (``operators/heavyhitters.py``): per-partition k-counter
+    summaries (shuffle <= k rows/partition, never the full key column),
+    keywise merge with a recall-1.0 candidate bound, then a broadcast-gated
+    exact confirm. Exact output ⇒ hash-verifiable oracle, unlike the
+    HLL/KLL sketch family (``approx_events_sketch``).
+    """
+    from ..operators.heavyhitters import heavy_hitters
+
+    ev = _t(spark, sf_dir, "events")
+    return (
+        heavy_hitters(ev, "user_id", _HH_PHI)
+        .select("user_id", F.col("n_rows").alias("n_events"))
+        .orderBy("user_id")
+    )
+
+
 # --- EXISTS + aggregate (TPC-H Q4 shape) -----------------------------------------
 
 _Q4_ORACLE = """
