@@ -88,3 +88,36 @@ def test_build_is_deterministic(spark):
     b = build_bloom(_range_df(spark, 0, 3000).repartition(7), "k", expected_items=3000)
     assert isinstance(a, BloomFilter)
     assert a.bits == b.bits and a.n_bits == b.n_bits and a.n_hashes == b.n_hashes
+
+
+# --- property-based: randomized key sets ---------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=5, deadline=None)
+@given(data=st.data())
+def test_gated_anti_join_property(data):
+    """Random inserted/probe key sets (overlapping, duplicated, negative):
+    gated anti-join must equal the plain anti-join exactly, and inserted
+    keys must never be bloom-negative."""
+    from pyspark.sql import functions as F
+    from clickhouse_etl_loadtest_spark.session import get_spark
+
+    spark = get_spark()
+    snap_keys = data.draw(st.lists(st.integers(-(2**40), 2**40), min_size=0, max_size=60))
+    batch_keys = data.draw(st.lists(st.integers(-(2**40), 2**40), min_size=1, max_size=80))
+    # force some overlap so the dup path is exercised
+    batch_keys += snap_keys[: len(snap_keys) // 2]
+    snapshot = spark.createDataFrame([(k,) for k in snap_keys] or [(0,)], "k long")
+    if not snap_keys:
+        snapshot = snapshot.where(F.lit(False))
+    batch = spark.createDataFrame([(k,) for k in batch_keys], "k long")
+    bloom = build_bloom(snapshot, "k", expected_items=max(1, len(snap_keys)), fpp=0.05)
+    got = sorted(r.k for r in bloom_gated_anti_join(batch, snapshot, "k", bloom).collect())
+    want = sorted(r.k for r in batch.join(snapshot, "k", "left_anti").collect())
+    assert got == want
+    if snap_keys:
+        neg = with_bloom_flag(snapshot, "k", bloom).where(~F.col("_bloom_maybe")).count()
+        assert neg == 0

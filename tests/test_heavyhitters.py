@@ -77,3 +77,52 @@ def test_confirm_pass_broadcasts_candidates(spark):
 def test_phi_validation(spark):
     with pytest.raises(ValueError):
         heavy_hitters(_skewed(spark), "k", 1.5)
+
+
+# --- property-based: randomized distributions ----------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=5, deadline=None)
+@given(data=st.data())
+def test_heavy_hitters_property(data):
+    """Random Zipf-ish key mixes at random phi: two-pass result must equal
+    the plain GROUP BY/HAVING on the same data, every time."""
+    from clickhouse_etl_loadtest_spark.session import get_spark
+
+    spark = get_spark()
+    phi = data.draw(st.sampled_from([0.02, 0.05, 0.1]))
+    # a few hot keys with big multiplicities + a uniform tail
+    rows = []
+    for hot in range(data.draw(st.integers(0, 4))):
+        rows += [hot] * data.draw(st.integers(1, 300))
+    rows += [100 + i % 50 for i in range(data.draw(st.integers(0, 400)))]
+    if not rows:
+        rows = [1]
+    df = spark.createDataFrame([(k,) for k in rows], "k long").repartition(3)
+    got = sorted(tuple(r) for r in heavy_hitters(df, "k", phi).collect())
+    want = sorted(tuple(r) for r in _exact(df, "k", phi).collect())
+    assert got == want
+
+
+def test_mg_truncate_never_overestimates():
+    """After any truncation chain, est <= true for every surviving key."""
+    import random
+
+    rng = random.Random(11)
+    true = {}
+    counts = {}
+    k = 8
+    for _ in range(2000):
+        key = rng.randrange(40)
+        true[key] = true.get(key, 0) + 1
+        counts[key] = counts.get(key, 0) + 1
+        if len(counts) > 4 * k:
+            counts = _mg_truncate(counts, k)
+    counts = _mg_truncate(counts, k)
+    assert all(counts[key] <= true[key] for key in counts)
+    # MG bound: undershoot <= n/(k+1)
+    n = sum(true.values())
+    assert all(true[key] - counts[key] <= n / (k + 1) + 1e-9 for key in counts)
