@@ -898,7 +898,7 @@ ORDER BY user_id
 """
 
 
-@register("events_heavy_hitters", _HH_ORACLE, extra=True)
+@register("events_heavy_hitters", _HH_ORACLE)
 def events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Every user producing more than phi=0.7% of all events, with exact
     counts — the skew detector that decides when a key needs

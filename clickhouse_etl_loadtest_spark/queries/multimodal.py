@@ -56,7 +56,7 @@ _FEATURES_ORACLE = (
 )
 
 
-@register("multimodal_features", _FEATURES_ORACLE)
+@register("multimodal_features", _FEATURES_ORACLE, extra=True)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature extraction (byte-histogram embedding) through the Arrow-batched
     mapInPandas stage, surfaced as 16 integer bin-count columns so the driver
