@@ -25,6 +25,11 @@ Output is EXACTLY ``GROUP BY key HAVING count > phi*n`` — hash-verifiable
 against a SQL oracle — at a shuffle cost of O(k * partitions + hot-key rows)
 instead of O(distinct keys). At 100 TB with phi=1e-3 that is ~2000 counters
 a partition versus re-shuffling billions of distinct keys.
+
+Spark's built-in ``df.stat.freqItems`` is the same sketch family but stops
+at pass 1: it returns candidate VALUES only (no counts, false positives
+included, single column list result) — unusable as a skew detector that
+must rank keys by exact frequency. Hence the confirm pass here.
 """
 
 from __future__ import annotations

@@ -121,3 +121,43 @@ def test_gated_anti_join_property(data):
     if snap_keys:
         neg = with_bloom_flag(snapshot, "k", bloom).where(~F.col("_bloom_maybe")).count()
         assert neg == 0
+
+
+def test_gated_anti_join_as_foreach_batch_body(spark, tmp_path):
+    """The advertised deployment shape: a streaming ingest whose foreachBatch
+    body bloom-gates each micro-batch against a static snapshot. The union
+    of admitted rows across waves must equal the batch anti-join of the
+    union of the waves."""
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    snapshot = _range_df(spark, 0, 300).where(F.col("k") % 3 == 0)
+    bloom = build_bloom(snapshot, "k", expected_items=100)
+
+    def admit(batch_df, batch_id):
+        out = bloom_gated_anti_join(batch_df, snapshot, "k", bloom)
+        out.write.mode("append").parquet(sink)
+
+    def drain():
+        stream = spark.readStream.schema("k long").parquet(src)
+        q = (
+            stream.writeStream.foreachBatch(admit)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300)
+
+    wave1 = _range_df(spark, 0, 150)
+    wave2 = _range_df(spark, 150, 300)
+    wave1.coalesce(1).write.mode("append").parquet(src)
+    drain()
+    wave2.coalesce(1).write.mode("append").parquet(src)
+    drain()
+
+    got = sorted(r.k for r in spark.read.parquet(sink).collect())
+    want = sorted(
+        r.k for r in _range_df(spark, 0, 300).join(snapshot, "k", "left_anti").collect()
+    )
+    assert got == want
