@@ -488,3 +488,111 @@ def doc_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+# --- cross-document exact repeated spans (substring-level dedup) ---------------------
+
+# window width in tokens: a span must repeat VERBATIM for >= _SPAN_W tokens
+# across >= 2 distinct documents to be reported (Lee et al. 2022,
+# "Deduplicating Training Data Makes Language Models Better", uses 50 BPE
+# tokens at corpus scale; 8 word-tokens keeps the synthetic fixture's
+# boilerplate sentences detectable)
+_SPAN_W = 8
+
+_SPAN_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS t FROM documents
+),
+pos AS (
+    SELECT doc_id, i AS pos,
+           {h60_sql_duckdb(f"array_to_string(list_slice(t, i, i + {_SPAN_W} - 1), ' ')")} AS gh
+    FROM toks, UNNEST(generate_series(1, len(t) - {_SPAN_W} + 1)) AS u(i)
+    WHERE len(t) >= {_SPAN_W}
+),
+rep AS (SELECT gh FROM pos GROUP BY gh HAVING COUNT(DISTINCT doc_id) >= 2),
+hits AS (SELECT p.doc_id, p.pos FROM pos p JOIN rep USING (gh)),
+isl AS (
+    SELECT doc_id, pos,
+           CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) > {_SPAN_W}
+                THEN 1 ELSE 0 END AS brk
+    FROM hits
+),
+isl2 AS (
+    SELECT doc_id, pos,
+           SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+    FROM isl
+)
+SELECT doc_id,
+       CAST(MIN(pos) AS BIGINT) AS span_start,
+       CAST(MAX(pos) + {_SPAN_W} - 1 AS BIGINT) AS span_end,
+       CAST(MAX(pos) - MIN(pos) + {_SPAN_W} AS BIGINT) AS span_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_windows
+FROM isl2
+GROUP BY doc_id, island
+ORDER BY doc_id, span_start
+"""
+
+
+def _positional_gram_hashes(toks: Column, k: int) -> Column:
+    """60-bit hash of the word-k-gram STARTING at each token position
+    (1-based, ``size - k + 1`` entries) — ``_gram_hashes`` without the
+    ``array_distinct``, because span merging needs every position."""
+    n = F.size(toks) - (k - 1)
+    acc = F.slice(toks, 1, n)
+    for j in range(1, k):
+        acc = F.zip_with(acc, F.slice(toks, j + 1, n), lambda a, b: F.concat_ws(" ", a, b))
+    return F.transform(acc, h60)
+
+
+@register("doc_repeated_spans", _SPAN_ORACLE, extra=True)
+def doc_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal cross-document VERBATIM repeated spans: for every document,
+    the merged token ranges covered by >= ``_SPAN_W``-token windows that also
+    appear verbatim in at least one OTHER document. This is the span-level
+    exact-substring dedup of Lee et al. 2022 (their suffix-array pass),
+    re-expressed as a rolling-window pipeline Spark can distribute:
+    ``doc_boilerplate_ngrams`` counts how much of a doc is repeated; this op
+    says exactly WHERE, so a cleaning pass can cut the spans.
+
+    Plan: per-doc window hashes are built by the same zip_with slice chain as
+    ``_gram_hashes`` (codegen, no UDF) and hashed BEFORE posexplode, so the
+    two shuffles (window-hash -> doc count; doc_id -> island merge) carry
+    16-byte keys, never text. Island merging is a lag/cumsum window
+    PARTITIONED by doc_id — no global sort. At 100 TB: the gram-hash
+    aggregation is the big shuffle and it is map-side-combinable; the
+    suffix-array alternative needs a global order and does not distribute.
+    A window at position p covers tokens [p, p+W-1], so two hit positions
+    belong to one span iff they differ by <= W.
+    """
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    toks = _tokens()
+    grams = d.select("doc_id", _positional_gram_hashes(toks, _SPAN_W).alias("ghs")).where(
+        F.size(toks) >= _SPAN_W
+    )
+    pos = grams.select(
+        "doc_id", F.posexplode("ghs").alias("pos0", "gh")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "gh")
+    rep = (
+        pos.groupBy("gh")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("gh")
+    )
+    hits = pos.join(rep, "gh", "left_semi").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    islands = hits.withColumn(
+        "brk", F.when(F.col("pos") - F.lag("pos").over(w) > _SPAN_W, 1).otherwise(0)
+    ).withColumn("island", F.sum("brk").over(w))
+    return (
+        islands.groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").cast("bigint").alias("span_start"),
+            (F.max("pos") + _SPAN_W - 1).cast("bigint").alias("span_end"),
+            (F.max("pos") - F.min("pos") + _SPAN_W).cast("bigint").alias("span_tokens"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .drop("island")
+        .orderBy("doc_id", "span_start")
+    )

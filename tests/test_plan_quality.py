@@ -405,3 +405,19 @@ def test_weighted_sample_is_take_ordered_map_only(spark, sf_dir):
     assert "Exchange rangepartitioning" not in plan
     assert "BatchEvalPython" not in plan
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_repeated_spans_windows_partitioned_and_text_free_shuffles(spark, sf_dir):
+    """Island merging must stay PARTITIONED by doc_id (a global-order window
+    would serialize the corpus), and every Exchange above the gram explode
+    must carry hashed keys, never gram/text strings."""
+    plan = exec_plan_of(spark, sf_dir, "doc_repeated_spans")
+    assert "BatchEvalPython" not in plan and "CartesianProduct" not in plan
+    window_lines = [ln for ln in plan.splitlines() if "Window [" in ln]
+    assert window_lines
+    for ln in window_lines:
+        assert "windowspecdefinition(doc_id#" in ln, ln
+    assert "Exchange SinglePartition" not in plan
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert "text#" not in ln, ln
