@@ -5,8 +5,10 @@ counterpart — the reference only dedups by an exact key field).
 
 All are pure JVM column expressions + at most one keyed shuffle each, with
 exact DuckDB oracles via the shared md5-based ``h60`` hash.
-``doc_incremental_dedup``, ``doc_bloom_incremental_dedup`` and
-``doc_token_budget_sample`` are driver-visible;
+``doc_bloom_incremental_dedup``, ``doc_repeated_spans`` and
+``doc_token_budget_sample`` are driver-visible (``doc_incremental_dedup``
+rotated to extra in round 4 after two green verdicts — its bloom sibling
+holds the same oracle in a driver slot);
 the rest are pytest-verified extras (the driver registry caps at 50 entries).
 
 Scale notes (100 TB):
@@ -54,7 +56,7 @@ ORDER BY doc_id
 """
 
 
-@register("doc_incremental_dedup", _INCREMENTAL_ORACLE)
+@register("doc_incremental_dedup", _INCREMENTAL_ORACLE, extra=True)
 def doc_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental ingestion dedup: drop new documents whose exact content
     already exists in a prior corpus snapshot.
@@ -544,7 +546,7 @@ def _positional_gram_hashes(toks: Column, k: int) -> Column:
     return F.transform(acc, h60)
 
 
-@register("doc_repeated_spans", _SPAN_ORACLE, extra=True)
+@register("doc_repeated_spans", _SPAN_ORACLE)
 def doc_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal cross-document VERBATIM repeated spans: for every document,
     the merged token ranges covered by >= ``_SPAN_W``-token windows that also
