@@ -598,3 +598,96 @@ def doc_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("island")
         .orderBy("doc_id", "span_start")
     )
+
+
+_SPAN_COVERAGE_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS t FROM documents
+),
+pos AS (
+    SELECT doc_id, i AS pos,
+           {h60_sql_duckdb(f"array_to_string(list_slice(t, i, i + {_SPAN_W} - 1), ' ')")} AS gh
+    FROM toks, UNNEST(generate_series(1, len(t) - {_SPAN_W} + 1)) AS u(i)
+    WHERE len(t) >= {_SPAN_W}
+),
+rep AS (SELECT gh FROM pos GROUP BY gh HAVING COUNT(DISTINCT doc_id) >= 2),
+hits AS (SELECT p.doc_id, p.pos FROM pos p JOIN rep USING (gh)),
+isl AS (
+    SELECT doc_id, pos,
+           CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) > {_SPAN_W}
+                THEN 1 ELSE 0 END AS brk
+    FROM hits
+),
+isl2 AS (
+    SELECT doc_id, pos, SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+    FROM isl
+),
+spans AS (
+    SELECT doc_id, MAX(pos) - MIN(pos) + {_SPAN_W} AS span_tokens
+    FROM isl2 GROUP BY doc_id, island
+),
+cov AS (SELECT doc_id, SUM(span_tokens) AS covered FROM spans GROUP BY doc_id)
+SELECT t.doc_id,
+       CAST(len(t.t) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(cov.covered, 0) AS BIGINT) AS dup_tokens,
+       CAST(COALESCE(cov.covered, 0) AS DOUBLE) / len(t.t) AS dup_token_ratio
+FROM toks t LEFT JOIN cov USING (doc_id)
+WHERE len(t.t) >= {_SPAN_W}
+ORDER BY t.doc_id
+"""
+
+
+@register("doc_span_dup_coverage", _SPAN_COVERAGE_ORACLE, extra=True)
+def doc_span_dup_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplication coverage: the fraction of a document's tokens
+    that sit inside a cross-document verbatim repeated span (the merged
+    islands of :func:`doc_repeated_spans`) — the per-doc statistic the
+    substring-dedup literature reports to pick a cut-or-keep threshold, and
+    the positional complement of ``doc_boilerplate_ngrams``'s distinct-gram
+    ratio (a 100x-repeated footer counts once there; here it covers its full
+    token range in every doc that carries it).
+
+    Same two text-free shuffles as ``doc_repeated_spans`` plus one per-doc
+    re-aggregation; docs below the window width are excluded (coverage is
+    undefined), docs with no repeated span report ratio 0.
+    """
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    toks = _tokens()
+    grams = d.select(
+        "doc_id", F.size(toks).alias("n_tokens"),
+        _positional_gram_hashes(toks, _SPAN_W).alias("ghs"),
+    ).where(F.size(toks) >= _SPAN_W)
+    pos = grams.select(
+        "doc_id", F.posexplode("ghs").alias("pos0", "gh")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "gh")
+    rep = (
+        pos.groupBy("gh")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("gh")
+    )
+    hits = pos.join(rep, "gh", "left_semi").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    islands = hits.withColumn(
+        "brk", F.when(F.col("pos") - F.lag("pos").over(w) > _SPAN_W, 1).otherwise(0)
+    ).withColumn("island", F.sum("brk").over(w))
+    covered = (
+        islands.groupBy("doc_id", "island")
+        .agg((F.max("pos") - F.min("pos") + _SPAN_W).alias("span_tokens"))
+        .groupBy("doc_id")
+        .agg(F.sum("span_tokens").alias("dup_tokens"))
+    )
+    return (
+        grams.select("doc_id", "n_tokens")
+        .join(covered, "doc_id", "left")
+        .na.fill({"dup_tokens": 0})
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.col("dup_tokens").cast("bigint").alias("dup_tokens"),
+            (F.col("dup_tokens") / F.col("n_tokens")).cast("double").alias("dup_token_ratio"),
+        )
+        .orderBy("doc_id")
+    )
