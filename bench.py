@@ -334,6 +334,15 @@ def run_streaming_loadtest(spark, total_records: int = 1_000_000, state_metrics:
         # local-disk checkpoint (431 s -> 392 s summed update time); on a
         # remote object-store checkpoint, revisit.
         "spark.sql.streaming.stateStore.rocksdb.compression": "no_compression",
+        # one memtable holds the whole wave's per-store state (18.18M keys /
+        # 32 stores x ~60 B ~= 34 MB < 256 MB), so no mid-batch flush or L0
+        # compaction: summed allUpdatesTimeMs 615 s -> 515 s on the 20M
+        # wave. The residual ~16 s/thread is the per-row JNI get+put +
+        # UnsafeRow codec — the state update floor for this engine, which
+        # puts the wave at 22-30 s wall depending on host I/O (the
+        # cold/steady split in the output captures the spread).
+        "spark.sql.streaming.stateStore.rocksdb.writeBufferSizeMB": "256",
+        "spark.sql.streaming.stateStore.rocksdb.maxWriteBufferNumber": "4",
     }
     saved = {k: spark.conf.get(k, None) for k in rocksdb_conf}
     if state_metrics:
