@@ -313,9 +313,13 @@ def doc_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(toks) >= _GRAM_K
     )
     exploded = grams.select("doc_id", F.explode("ghs").alias("gh"))
+    # grams are array_distinct per doc, so each doc contributes a gram at
+    # most once and plain COUNT == COUNT(DISTINCT doc_id) — skipping
+    # count_distinct's two-Exchange expansion (partial on (gh, doc_id),
+    # then on gh); the oracle keeps the DISTINCT spelling
     rep = (
         exploded.groupBy("gh")
-        .agg(F.count_distinct("doc_id").alias("nd"))
+        .agg(F.count(F.lit(1)).alias("nd"))
         .where(F.col("nd") >= _GRAM_MIN_DOCS)
         .select("gh")
     )
@@ -576,10 +580,14 @@ def doc_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     pos = grams.select(
         "doc_id", F.posexplode("ghs").alias("pos0", "gh")
     ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "gh")
+    # "appears in >= 2 distinct docs" == min(doc_id) != max(doc_id):
+    # min/max aggregate in ONE shuffle where count_distinct expands to two
+    # (partial on (gh, doc_id), then on gh); the oracle keeps the
+    # COUNT(DISTINCT) spelling
     rep = (
         pos.groupBy("gh")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .where(F.col("nd") >= 2)
+        .agg(F.min("doc_id").alias("d0"), F.max("doc_id").alias("d1"))
+        .where(F.col("d0") != F.col("d1"))
         .select("gh")
     )
     hits = pos.join(rep, "gh", "left_semi").select("doc_id", "pos")
@@ -662,10 +670,14 @@ def doc_span_dup_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     pos = grams.select(
         "doc_id", F.posexplode("ghs").alias("pos0", "gh")
     ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "gh")
+    # "appears in >= 2 distinct docs" == min(doc_id) != max(doc_id):
+    # min/max aggregate in ONE shuffle where count_distinct expands to two
+    # (partial on (gh, doc_id), then on gh); the oracle keeps the
+    # COUNT(DISTINCT) spelling
     rep = (
         pos.groupBy("gh")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .where(F.col("nd") >= 2)
+        .agg(F.min("doc_id").alias("d0"), F.max("doc_id").alias("d1"))
+        .where(F.col("d0") != F.col("d1"))
         .select("gh")
     )
     hits = pos.join(rep, "gh", "left_semi").select("doc_id", "pos")
