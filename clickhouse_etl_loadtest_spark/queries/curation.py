@@ -567,6 +567,12 @@ def doc_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     PARTITIONED by doc_id — no global sort. At 100 TB: the gram-hash
     aggregation is the big shuffle and it is map-side-combinable; the
     suffix-array alternative needs a global order and does not distribute.
+    The gram pipeline is computed once per BRANCH (hits + rep; visible as
+    two scans in the plan): recompute is map-only CPU, which beats
+    materializing a corpus-token-scale exploded intermediate — and the CPU
+    term itself is dominated by the oracle-parity md5 in ``h60`` (swap
+    ``functions.hashing.h60_fast`` [xxhash64] in deployments that don't
+    need a DuckDB twin).
     A window at position p covers tokens [p, p+W-1], so two hit positions
     belong to one span iff they differ by <= W.
     """
