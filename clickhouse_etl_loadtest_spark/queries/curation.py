@@ -709,3 +709,132 @@ def doc_span_dup_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+_SPAN_SCRUB_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS t FROM documents
+),
+pos AS (
+    SELECT doc_id, i AS pos,
+           {h60_sql_duckdb(f"array_to_string(list_slice(t, i, i + {_SPAN_W} - 1), ' ')")} AS gh
+    FROM toks, UNNEST(generate_series(1, len(t) - {_SPAN_W} + 1)) AS u(i)
+    WHERE len(t) >= {_SPAN_W}
+),
+rep AS (SELECT gh FROM pos GROUP BY gh HAVING COUNT(DISTINCT doc_id) >= 2),
+hits AS (SELECT p.doc_id, p.pos FROM pos p JOIN rep USING (gh)),
+isl AS (
+    SELECT doc_id, pos,
+           CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) > {_SPAN_W}
+                THEN 1 ELSE 0 END AS brk
+    FROM hits
+),
+isl2 AS (
+    SELECT doc_id, pos, SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+    FROM isl
+),
+spans AS (
+    SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + {_SPAN_W} - 1 AS span_end
+    FROM isl2 GROUP BY doc_id, island
+),
+covered AS (
+    SELECT DISTINCT doc_id, p AS pos
+    FROM spans, UNNEST(generate_series(span_start, span_end)) AS u(p)
+),
+tokpos AS (
+    SELECT doc_id, i AS pos, t[i] AS tok
+    FROM toks, UNNEST(generate_series(1, len(t))) AS u(i)
+    WHERE len(t) >= {_SPAN_W}
+),
+kept AS (
+    SELECT tp.doc_id, tp.pos, tp.tok
+    FROM tokpos tp ANTI JOIN covered c USING (doc_id, pos)
+),
+agg AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+           string_agg(tok, ' ' ORDER BY pos) AS scrubbed
+    FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(len(t.t) AS BIGINT) AS n_tokens,
+       COALESCE(a.n_kept, 0) AS n_kept,
+       {h60_sql_duckdb("COALESCE(a.scrubbed, '')")} AS scrubbed_hash
+FROM toks t LEFT JOIN agg a USING (doc_id)
+WHERE len(t.t) >= {_SPAN_W}
+ORDER BY t.doc_id
+"""
+
+
+@register("doc_span_scrub", _SPAN_SCRUB_ORACLE, extra=True)
+def doc_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cleaning pass over :func:`doc_repeated_spans`: cut every
+    cross-document repeated span out of every document and fingerprint what
+    remains — (doc_id, n_tokens, n_kept, scrubbed_hash). This is the
+    "remove repeated header/footer/license text everywhere" policy (cut ALL
+    occurrences; compose with ``doc_cluster_best_keep`` when one canonical
+    occurrence should survive), manifested as a hash so the oracle checks
+    the reassembled TEXT, not just counts.
+
+    Plan: the span pipeline as in ``doc_repeated_spans``; covered positions
+    explode from the merged spans (duplication-scale, non-overlapping by
+    construction); kept tokens anti-join on (doc_id, pos) and reassemble
+    per doc via ``array_sort(collect_list(struct(pos, tok)))`` — the
+    aggregation is shuffle-order-independent, so the hash is deterministic
+    on any cluster size. The reassembly window is PARTITIONED by doc_id;
+    token text crosses exactly one shuffle (the reassembly one — it must:
+    the output is a function of the text), everything else moves hashes.
+    """
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    toks = _tokens()
+    base = d.select("doc_id", toks.alias("toks")).where(F.size("toks") >= _SPAN_W)
+    grams = base.select(
+        "doc_id", _positional_gram_hashes(F.col("toks"), _SPAN_W).alias("ghs")
+    )
+    pos = grams.select(
+        "doc_id", F.posexplode("ghs").alias("pos0", "gh")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "gh")
+    rep = (
+        pos.groupBy("gh")
+        .agg(F.min("doc_id").alias("d0"), F.max("doc_id").alias("d1"))
+        .where(F.col("d0") != F.col("d1"))
+        .select("gh")
+    )
+    hits = pos.join(rep, "gh", "left_semi").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    spans = (
+        hits.withColumn(
+            "brk", F.when(F.col("pos") - F.lag("pos").over(w) > _SPAN_W, 1).otherwise(0)
+        )
+        .withColumn("island", F.sum("brk").over(w))
+        .groupBy("doc_id", "island")
+        .agg(F.min("pos").alias("s"), (F.max("pos") + _SPAN_W - 1).alias("e"))
+    )
+    covered = spans.select(
+        "doc_id", F.explode(F.sequence("s", "e")).alias("pos")
+    )
+    tokpos = base.select(
+        "doc_id", F.posexplode("toks").alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    kept = tokpos.join(covered, ["doc_id", "pos"], "left_anti")
+    agg = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))), lambda x: x["tok"]
+            ),
+        ).alias("scrubbed"),
+    )
+    return (
+        base.select("doc_id", F.size("toks").cast("bigint").alias("n_tokens"))
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint").alias("n_kept"),
+            h60(F.coalesce(F.col("scrubbed"), F.lit(""))).alias("scrubbed_hash"),
+        )
+        .orderBy("doc_id")
+    )
