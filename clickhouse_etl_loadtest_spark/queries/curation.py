@@ -6,9 +6,11 @@ counterpart — the reference only dedups by an exact key field).
 All are pure JVM column expressions + at most one keyed shuffle each, with
 exact DuckDB oracles via the shared md5-based ``h60`` hash.
 ``doc_bloom_incremental_dedup``, ``doc_repeated_spans`` and
-``doc_token_budget_sample`` are driver-visible (``doc_incremental_dedup``
-rotated to extra in round 4 after two green verdicts — its bloom sibling
-holds the same oracle in a driver slot);
+``doc_span_scrub`` are driver-visible (``doc_incremental_dedup`` and
+``doc_token_budget_sample`` rotated to extra in round 4 after two green
+verdicts each — the bloom sibling keeps the incremental-dedup oracle in a
+driver slot, and the span-scrub text-hash oracle takes the budget
+sampler's);
 the rest are pytest-verified extras (the driver registry caps at 50 entries).
 
 Scale notes (100 TB):
@@ -186,7 +188,7 @@ ORDER BY lang, doc_id
 """
 
 
-@register("doc_token_budget_sample", _BUDGET_ORACLE)
+@register("doc_token_budget_sample", _BUDGET_ORACLE, extra=True)
 def doc_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Take documents per language (in deterministic doc_id order) until the
     language's token budget is exhausted — the "fill the training mix to N
@@ -765,7 +767,7 @@ ORDER BY t.doc_id
 """
 
 
-@register("doc_span_scrub", _SPAN_SCRUB_ORACLE, extra=True)
+@register("doc_span_scrub", _SPAN_SCRUB_ORACLE)
 def doc_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The cleaning pass over :func:`doc_repeated_spans`: cut every
     cross-document repeated span out of every document and fingerprint what
