@@ -108,6 +108,7 @@ def compact_sink(
     key: str,
     target_rows_per_file: int = 1_000_000,
     out_path: str | None = None,
+    zorder_cols: list[str] | None = None,
 ) -> str:
     """Coalesce a chunk/batch-partitioned streaming sink into few large,
     key-clustered parquet files — the maintenance pass every continuously-fed
@@ -123,6 +124,14 @@ def compact_sink(
     Writes OUT-OF-PLACE (default ``<path>_compacted``) and returns the output
     dir: without a transactional table format an in-place rewrite could race
     a concurrent reader, so the atomic swap is the caller's move/rename.
+
+    ``zorder_cols`` (2-4 numeric columns) switches the layout from
+    single-key range clustering to the Morton-curve clustering of
+    ``operators/layout.py`` — same shuffle count (one range repartition +
+    in-partition sort, now on the z-value), but row-group min/max stats
+    become selective on EVERY listed column instead of just ``key``. Use it
+    when the compacted table is queried by more than one predicate column
+    (the multi-dimensional analogue of the MergeTree ORDER BY rule).
     """
     import math as _math
 
@@ -132,6 +141,11 @@ def compact_sink(
     n = df.count()
     parts = max(1, _math.ceil(n / target_rows_per_file))
     out = out_path or f"{path.rstrip('/')}_compacted"
+    if zorder_cols is not None:
+        from ..operators.layout import zorder_write
+
+        zorder_write(df, out, zorder_cols, n_files=parts)
+        return out
     (
         df.repartitionByRange(parts, key)
         .sortWithinPartitions(key)

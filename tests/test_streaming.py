@@ -323,6 +323,42 @@ def test_compact_sink_coalesces_and_clusters(spark, stream_env):
         assert hi1 <= lo2
 
 
+def test_compact_sink_zorder_layout(spark, tmp_path):
+    """compact_sink(zorder_cols=...) must preserve rows and produce the
+    Morton layout: per-file stats selective on BOTH listed columns (each
+    file's [min,max] span on each column is a strict minority of the global
+    range — a single-key sort can only deliver that for its own key)."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from clickhouse_etl_loadtest_spark.streaming.sink import compact_sink
+
+    raw = str(tmp_path / "raw")
+    n = 8000
+    spark.range(n).select(
+        F.col("id"),
+        (F.xxhash64("id") % 1000).alias("a"),
+        (F.xxhash64("id", F.lit(1)) % 1000).alias("b"),
+    ).repartition(6).write.parquet(raw)
+
+    out = compact_sink(spark, raw, key="a", target_rows_per_file=n // 8, zorder_cols=["a", "b"])
+    files = sorted(_glob.glob(f"{out}/*.parquet"))
+    assert len(files) >= 4
+    back = spark.read.parquet(out)
+    assert back.count() == n and set(back.columns) == {"id", "a", "b"}
+
+    for col in ("a", "b"):
+        widths = []
+        for f in files:
+            t = pq.read_table(f, columns=[col]).column(col).to_pylist()
+            if t:
+                widths.append((max(t) - min(t)) / 1998.0)  # global span ~[-999, 999]
+        # every file covers a minority of the column range, on BOTH columns
+        assert sum(widths) / len(widths) < 0.6, (col, widths)
+
+
 def test_streaming_dedup_against_snapshot(spark, tmp_path):
     """Two-layer ingest dedup: the stream-static anti-join drops hashes the
     corpus snapshot already holds (via the bucketed index), and watermark
