@@ -840,3 +840,72 @@ def doc_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- per-source adaptive quality cut -------------------------------------------------
+
+_ADAPTIVE_Q = 0.25  # drop the bottom quartile of each source
+
+_ADAPTIVE_ORACLE = f"""
+WITH stats AS (
+    SELECT doc_id, source,
+           len(list_filter(regexp_extract_all(lower(text), '{TOKEN_RE}'),
+                           w -> w IN {{stopwords}})) * 1.0
+             / NULLIF(len(regexp_extract_all(lower(text), '{TOKEN_RE}')), 0)
+               AS stopword_ratio
+    FROM documents
+),
+thr AS (
+    SELECT source, quantile_cont(stopword_ratio, {_ADAPTIVE_Q}) AS source_q25
+    FROM stats GROUP BY source
+)
+SELECT s.doc_id, s.source, s.stopword_ratio, t.source_q25,
+       s.stopword_ratio >= t.source_q25 AS keep
+FROM stats s JOIN thr t USING (source)
+ORDER BY s.doc_id
+"""
+
+
+def _adaptive_oracle() -> str:
+    from .text import STOPWORDS, _sql_in
+
+    return _ADAPTIVE_ORACLE.replace("{stopwords}", _sql_in(STOPWORDS))
+
+
+@register("doc_adaptive_quality_cut", _adaptive_oracle(), extra=True)
+def doc_adaptive_quality_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source ADAPTIVE quality threshold: drop each source's own bottom
+    quartile by stopword ratio instead of applying one global cutoff — the
+    curation policy for heterogeneous mixes, where a fixed threshold wipes
+    out informal sources and lets a formal source's worst pages through.
+    Complements ``doc_quality_filter`` (global heuristic score) and
+    ``doc_source_cap`` (count cap): this one moves the BAR per source.
+
+    Scale: the per-source thresholds are one groupBy with an exact
+    interpolated ``percentile`` (== DuckDB ``quantile_cont``, the verified
+    pairing from ``price_percentiles``) — swap ``approx_percentile`` at
+    100 TB where the exact form's per-group sorted buffer hurts; thresholds
+    are one row per source and broadcast back, so the corpus never
+    shuffles — score, join, verdict are all map-side."""
+    from .text import STOPWORDS
+
+    d = _docs(spark, sf_dir)
+    toks = _tokens()
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda w: F.array_contains(stop_arr, w)))
+    ratio = n_stop * F.lit(1.0) / F.nullif(F.size(toks).cast("double"), F.lit(0.0))
+    stats = d.select("doc_id", "source", ratio.alias("stopword_ratio"))
+    thr = stats.groupBy("source").agg(
+        F.expr(f"percentile(stopword_ratio, {_ADAPTIVE_Q})").alias("source_q25")
+    )
+    return (
+        stats.join(F.broadcast(thr), "source")
+        .select(
+            "doc_id",
+            "source",
+            "stopword_ratio",
+            "source_q25",
+            (F.col("stopword_ratio") >= F.col("source_q25")).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
