@@ -421,3 +421,33 @@ def test_repeated_spans_windows_partitioned_and_text_free_shuffles(spark, sf_dir
     for ln in plan.splitlines():
         if "Exchange hashpartitioning" in ln:
             assert "text#" not in ln, ln
+
+
+def test_span_scrub_windows_partitioned_and_tokens_shuffle_by_doc(spark, sf_dir):
+    """The scrub's island windows stay PARTITIONED by doc_id, nothing runs
+    row-wise in Python, and wherever token TEXT crosses an Exchange the key
+    is doc_id — grams/positions shuffle as hashed longs only."""
+    plan = exec_plan_of(spark, sf_dir, "doc_span_scrub")
+    assert "BatchEvalPython" not in plan and "CartesianProduct" not in plan
+    window_lines = [ln for ln in plan.splitlines() if "Window [" in ln]
+    assert window_lines
+    for ln in window_lines:
+        assert "windowspecdefinition(doc_id#" in ln, ln
+    assert "Exchange SinglePartition" not in plan
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln and "tok#" in ln:
+            assert "doc_id#" in ln, ln
+
+
+def test_adaptive_quality_cut_broadcasts_thresholds(spark, sf_dir):
+    """Per-source thresholds are one tiny aggregate that broadcasts back —
+    the corpus side must join via BroadcastHashJoin, never a sort-merge
+    shuffle of the scored documents."""
+    plan = exec_plan_of(spark, sf_dir, "doc_adaptive_quality_cut")
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan
+    # the only hash Exchanges key on `source` (the threshold aggregate) —
+    # scored documents reach the join without shuffling
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert "source#" in ln, ln
