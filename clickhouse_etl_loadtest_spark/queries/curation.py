@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.hashing import h60, h60_sql_duckdb
+from ..functions.hashing import h32, h32_sql_duckdb, h60, h60_sql_duckdb
 from . import register
 from .text import TOKEN_RE, _docs, _tokens
 
@@ -908,4 +908,109 @@ def doc_adaptive_quality_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("stopword_ratio") >= F.col("source_q25")).alias("keep"),
         )
         .orderBy("doc_id")
+    )
+
+
+# --- DSIR-style importance resampling (data selection toward a target mix) -----------
+
+# Hashed n-gram importance resampling (Xie et al. 2023, "Data Selection for
+# Language Models via Importance Resampling", NeurIPS — public). A small
+# "target" corpus defines the distribution we WANT; every raw-pool document
+# gets an importance weight = log p_target(doc) - log p_raw(doc) under
+# bag-of-hashed-unigram bucket LMs, then Gumbel-top-k gives a weighted sample
+# WITHOUT replacement in one pass (Vieira 2014's Gumbel-max trick; the noise
+# here is hash-derived so both engines draw identical "randomness").
+_DSIR_TARGET_MOD = 7  # doc_id % 7 == 0 stands in for the curated target set
+_DSIR_BUCKETS = 256  # hashed-feature buckets (DSIR uses 10k; fixture-sized here)
+_DSIR_TOP_K = 200
+
+_DSIR_U_DENOM = float((1 << 32) + 1)  # h32 in [0, 2^32) -> u = (h+1)/denom in (0,1)
+
+_DSIR_ORACLE = f"""
+WITH tok AS (
+    SELECT doc_id,
+           {h32_sql_duckdb("unnest(regexp_extract_all(lower(text), '" + TOKEN_RE + "'))")} % {_DSIR_BUCKETS} AS b
+    FROM documents
+),
+tgt AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS ct FROM tok
+        WHERE doc_id % {_DSIR_TARGET_MOD} = 0 GROUP BY b),
+rawp AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS cr FROM tok
+         WHERE doc_id % {_DSIR_TARGET_MOD} <> 0 GROUP BY b),
+tt AS (SELECT CAST(SUM(ct) AS BIGINT) AS tot_t FROM tgt),
+tr AS (SELECT CAST(SUM(cr) AS BIGINT) AS tot_r FROM rawp),
+scored AS (
+    SELECT t.doc_id,
+           CAST(ln((COALESCE(g.ct, 0) + 1.0) / (tt.tot_t + {_DSIR_BUCKETS}))
+              - ln((COALESCE(r.cr, 0) + 1.0) / (tr.tot_r + {_DSIR_BUCKETS}))
+                AS DECIMAL(38,18)) AS lr
+    FROM tok t LEFT JOIN tgt g USING (b) LEFT JOIN rawp r USING (b), tt, tr
+    WHERE t.doc_id % {_DSIR_TARGET_MOD} <> 0
+),
+docscore AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(lr) AS DOUBLE) AS log_weight
+    FROM scored GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, log_weight,
+       log_weight - ln(-ln(
+           ({h32_sql_duckdb("'dsir-' || CAST(doc_id AS VARCHAR)")} + 1.0) / {_DSIR_U_DENOM!r}
+       )) AS sample_key
+FROM docscore
+ORDER BY sample_key DESC, doc_id
+LIMIT {_DSIR_TOP_K}
+"""
+
+
+@register("doc_dsir_sample", _DSIR_ORACLE, extra=True)
+def doc_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling: re-weight the raw pool toward a target
+    corpus' hashed-unigram distribution, then draw a top-k weighted sample
+    without replacement via deterministic Gumbel keys.
+
+    Both bucket LMs are add-1 smoothed over {_DSIR_BUCKETS} buckets; a
+    document's log-weight is the sum of its tokens' bucket log-ratios,
+    accumulated as DECIMAL(38,18) so the sum is exact and
+    order-independent (same discipline as ``doc_unigram_logprob``).
+    Documents with zero tokens never enter the pool (no features = no
+    weight), matching the paper's formulation.
+
+    Scale (100 TB): tokens hash to bucket ids INSIDE the array before the
+    explode (longs shuffle, never words); both LM tables are at most
+    {_DSIR_BUCKETS} rows — broadcast joins regardless of corpus size — and
+    the totals are 1-row broadcasts. Per-doc scoring is one partial-agg
+    shuffle on doc_id, and the final selection is orderBy+limit =
+    TakeOrderedAndProject (per-partition top-k, no global sort). The only
+    corpus-scale shuffle is the per-doc aggregation; everything else is
+    map-side.
+    """
+    tok = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.explode(F.transform(_tokens(), lambda w: h32(w) % _DSIR_BUCKETS)).alias("b"),
+    )
+    is_target = F.col("doc_id") % _DSIR_TARGET_MOD == 0
+    tgt = tok.where(is_target).groupBy("b").agg(F.count(F.lit(1)).alias("ct"))
+    rawp = tok.where(~is_target).groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
+    tt = tgt.agg(F.sum("ct").alias("tot_t"))
+    tr = rawp.agg(F.sum("cr").alias("tot_r"))
+    lr = (
+        F.log((F.coalesce(F.col("ct"), F.lit(0)) + 1.0) / (F.col("tot_t") + _DSIR_BUCKETS))
+        - F.log((F.coalesce(F.col("cr"), F.lit(0)) + 1.0) / (F.col("tot_r") + _DSIR_BUCKETS))
+    ).cast("decimal(38,18)")
+    docscore = (
+        tok.where(~is_target)
+        .join(F.broadcast(tgt), "b", "left")
+        .join(F.broadcast(rawp), "b", "left")
+        .crossJoin(F.broadcast(tt))
+        .crossJoin(F.broadcast(tr))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_tokens"), F.sum(lr).alias("_lw"))
+        .select("doc_id", "n_tokens", F.col("_lw").cast("double").alias("log_weight"))
+    )
+    u = (h32(F.concat(F.lit("dsir-"), F.col("doc_id").cast("string"))) + 1.0) / F.lit(
+        _DSIR_U_DENOM
+    )
+    return (
+        docscore.withColumn("sample_key", F.col("log_weight") - F.log(-F.log(u)))
+        .orderBy(F.col("sample_key").desc(), "doc_id")
+        .limit(_DSIR_TOP_K)
     )

@@ -451,3 +451,22 @@ def test_adaptive_quality_cut_broadcasts_thresholds(spark, sf_dir):
     for ln in plan.splitlines():
         if "Exchange hashpartitioning" in ln:
             assert "source#" in ln, ln
+
+
+def test_dsir_sample_lm_tables_broadcast_and_topk_never_sorts(spark, sf_dir):
+    """DSIR scoring must join the (<=256-row) bucket-LM tables by broadcast —
+    never a sort-merge shuffle of the exploded corpus tokens — and the final
+    weighted selection must be TakeOrderedAndProject (per-partition top-k),
+    not a global range-partitioned sort. Token buckets shuffle as longs
+    (hashed inside the array before the explode): any hash Exchange carries
+    bucket ids or doc_ids, never text."""
+    plan = exec_plan_of(spark, sf_dir, "doc_dsir_sample")
+    assert "BatchEvalPython" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2  # tgt + rawp bucket LMs
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert "text#" not in ln, ln
+            assert ("b#" in ln) or ("doc_id#" in ln), ln
