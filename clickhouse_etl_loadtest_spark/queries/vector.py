@@ -723,3 +723,61 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.clustering import kmeans_fit_assign
 
     return kmeans_fit_assign(_emb(spark, sf_dir), k=_KMEANS_K, iterations=_KMEANS_ITERS).orderBy("vec_id")
+
+
+# --- cluster-balanced diversity sampling ---------------------------------------------
+
+# Keep the N most central members of EVERY k-means cluster: the
+# "cluster-then-sample-evenly" diversity pass (the selection half of
+# SemDeDup-style semantic curation, Abbas et al. 2023 — public): instead of
+# sampling the corpus uniformly (which over-represents dense regions), cap
+# every semantic cluster at the same budget.
+_BALANCE_N = 20
+
+
+def _cluster_balanced_oracle(k: int, iters: int, n: int) -> str:
+    """Wrap the unrolled Lloyd oracle with a per-cluster centrality rank."""
+    return f"""
+SELECT vec_id, cluster, dist2, rank_in_cluster FROM (
+    SELECT vec_id, cluster, dist2,
+           ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY dist2, vec_id) AS rank_in_cluster
+    FROM ({_kmeans_oracle(k, iters)}) base
+) ranked
+WHERE rank_in_cluster <= {n}
+ORDER BY vec_id
+"""
+
+
+@register(
+    "embedding_cluster_balanced_sample",
+    _cluster_balanced_oracle(_KMEANS_K, _KMEANS_ITERS, _BALANCE_N),
+    extra=True,
+)
+def embedding_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced sample: fit the deterministic k-means (same constants
+    as ``kmeans_clusters``), then keep each cluster's {_BALANCE_N} most
+    central vectors (rank by dist2, ties to the lowest vec_id) — equal
+    representation per semantic region regardless of cluster population.
+
+    Scale (100 TB): assignment is map-only (codebook in the UDF closure);
+    the rank window partitions by cluster, so the sort parallelism is k —
+    fine for k in the thousands, but for small k over a huge corpus swap the
+    exact rank for a per-cluster dist2 THRESHOLD (approx_percentile at
+    n/|cluster|, one k-row broadcast back, map-only filter) — same contract,
+    no per-cluster sort. The exact-rank form is the oracle-verifiable twin,
+    same pairing discipline as `events_value_quantiles` vs the sketch form.
+    Residual cross-engine risk: a near-exact dist2 tie at the rank-{_BALANCE_N}
+    boundary could flip membership — same accepted class as the k-means
+    argmin tie (vanishingly unlikely on real-valued embeddings).
+    """
+    from pyspark.sql import Window
+
+    from ..operators.clustering import kmeans_fit_assign
+
+    assigned = kmeans_fit_assign(_emb(spark, sf_dir), k=_KMEANS_K, iterations=_KMEANS_ITERS)
+    w = Window.partitionBy("cluster").orderBy("dist2", "vec_id")
+    return (
+        assigned.withColumn("rank_in_cluster", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank_in_cluster") <= _BALANCE_N)
+        .orderBy("vec_id")
+    )
