@@ -1014,3 +1014,30 @@ def doc_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("sample_key").desc(), "doc_id")
         .limit(_DSIR_TOP_K)
     )
+
+
+# --- BPE tokenizer training (iterative; pytest-verified reference twin) --------------
+
+_BPE_NUM_MERGES = 24
+
+
+@register("doc_bpe_merges", None, extra=True)
+def doc_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn a BPE merge table from the document corpus (operators/bpe.py)
+    and return it as (merge_rank, merge_left, merge_right, pair_count).
+
+    Iterative and data-dependent (each merge choice depends on the previous
+    merge's result), so — like ``kmeans_clusters``' driver loop — there is
+    no single-statement SQL twin; correctness is pinned against a
+    pure-Python reference implementation in tests/test_bpe.py
+    (rows-only driver tier, the contract's documented path for iterative
+    algorithms). The merge table itself is tokenizer state: KBs on the
+    driver regardless of corpus size, like the k-means codebook.
+    """
+    from ..operators.bpe import bpe_train
+
+    merges = bpe_train(_docs(spark, sf_dir), num_merges=_BPE_NUM_MERGES)
+    rows = [(i, l, r, c) for i, (l, r, c) in enumerate(merges)]
+    return spark.createDataFrame(
+        rows, "merge_rank int, merge_left string, merge_right string, pair_count bigint"
+    )
