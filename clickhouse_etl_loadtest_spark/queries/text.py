@@ -587,17 +587,10 @@ ORDER BY doc_a, doc_b
 """
 
 
-@register("doc_minhash_lsh_pairs", _MINHASH_LSH_ORACLE, headline=True)
-def doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash (16 perms) + LSH banding (4x4) candidate pairs — the scalable
-    fuzzy-dedup path (Broder 1997 resemblance sketches + banding).
-
-    Scale: signatures are one groupBy(doc_id) with 16 MIN aggregates
-    (map-side combine); the LSH self-join only shuffles (band, 4-int
-    signature) keys, and candidate volume is controlled by band geometry, not
-    corpus size. 100 TB corpora tune (perms, band_size) — constants here
-    chosen so the sf0.01 fixture yields verifiable pairs.
-    """
+def _minhash_bands_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, band, sig) LSH band rows for every document — the shared
+    front half of the MinHash family (pair generation, fuzzy keep,
+    contamination screening all consume this)."""
     sh = _shingles_df(spark, sf_dir)
     # hash INSIDE the array before exploding: the Generate then emits 8-byte
     # longs instead of ~30-byte shingle strings (measured 1.49 s -> 1.00 s
@@ -613,9 +606,23 @@ def doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{band}, concat_ws('_', {', '.join(f'mh{band * _BAND_SIZE + r}' for r in range(_BAND_SIZE))})"
         for band in range(_NUM_PERMS // _BAND_SIZE)
     )
-    bands = mins.selectExpr(
+    return mins.selectExpr(
         "doc_id", f"stack({_NUM_PERMS // _BAND_SIZE}, {stack_expr}) AS (band, sig)"
     )
+
+
+@register("doc_minhash_lsh_pairs", _MINHASH_LSH_ORACLE, headline=True)
+def doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash (16 perms) + LSH banding (4x4) candidate pairs — the scalable
+    fuzzy-dedup path (Broder 1997 resemblance sketches + banding).
+
+    Scale: signatures are one groupBy(doc_id) with 16 MIN aggregates
+    (map-side combine); the LSH self-join only shuffles (band, 4-int
+    signature) keys, and candidate volume is controlled by band geometry, not
+    corpus size. 100 TB corpora tune (perms, band_size) — constants here
+    chosen so the sf0.01 fixture yields verifiable pairs.
+    """
+    bands = _minhash_bands_df(spark, sf_dir)
     # bucket-collect + array-side pair expansion instead of a self-join: one
     # shuffle on (band, sig), no recomputation of the minhash pipeline for a
     # second join side, and candidate volume stays bounded by bucket size
@@ -1514,3 +1521,78 @@ def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(window).cast("bigint").alias("n_chunk_tokens"),
         h60(F.concat_ws(" ", window)).alias("chunk_hash"),
     ).orderBy("doc_id", "chunk_id")
+
+
+# --- FUZZY benchmark-contamination screening (near-dup, not just verbatim) ----------
+
+# One shared LSH band (estimated Jaccard above the band-geometry threshold)
+# flags a training doc as a NEAR-duplicate of some eval doc — the screen that
+# catches paraphrased/lightly-edited benchmark leakage, which the exact
+# shingle-overlap check (doc_contamination_check) misses by construction.
+_FUZZY_CONTAM_ORACLE = f"""
+WITH sh AS ({_SHINGLES_SQL}),
+hashed AS (
+    SELECT doc_id, {h32_sql_duckdb("unnest(shingles)")} AS sh FROM sh
+),
+mh AS (
+    SELECT doc_id,
+           {_minhash_exprs_sql}
+    FROM hashed GROUP BY doc_id
+),
+bands AS ({_band_sql}),
+eval_bands AS (
+    SELECT DISTINCT band, sig FROM bands WHERE doc_id < {_EVAL_SET_MAX_DOC}
+),
+hits AS (
+    SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_band_hits
+    FROM bands b JOIN eval_bands e ON b.band = e.band AND b.sig = e.sig
+    WHERE b.doc_id >= {_EVAL_SET_MAX_DOC}
+    GROUP BY b.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(h.n_band_hits, 0) AS BIGINT) AS n_band_hits,
+       COALESCE(h.n_band_hits, 0) >= 1 AS flagged
+FROM documents d LEFT JOIN hits h USING (doc_id)
+WHERE d.doc_id >= {_EVAL_SET_MAX_DOC}
+ORDER BY d.doc_id
+"""
+
+
+@register("doc_fuzzy_contamination", _FUZZY_CONTAM_ORACLE, extra=True)
+def doc_fuzzy_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy decontamination: flag training documents whose MinHash LSH
+    signature shares ≥1 band with any held-out eval document (same eval
+    stand-in split as ``doc_contamination_check``). A band collision means
+    estimated Jaccard is above the band-geometry threshold — this catches
+    PARAPHRASED benchmark leakage the exact-overlap screen cannot.
+
+    Scale (100 TB): the eval suite reduces to DISTINCT (band, sig) keys —
+    eval sets are MBs by definition, so this side always broadcasts; corpus
+    bands probe it map-side and only (doc_id, hit) pairs reach the per-doc
+    aggregation. Never O(corpus × eval); the corpus-scale shuffles are the
+    signature groupBy and the per-doc hit count, both with map-side combine
+    (n_band_hits ∈ [0, {_NUM_PERMS // _BAND_SIZE}]).
+    """
+    bands = _minhash_bands_df(spark, sf_dir)
+    eval_bands = (
+        bands.where(F.col("doc_id") < _EVAL_SET_MAX_DOC).select("band", "sig").distinct()
+    )
+    hits = (
+        bands.where(F.col("doc_id") >= _EVAL_SET_MAX_DOC)
+        .join(F.broadcast(eval_bands), ["band", "sig"])
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_band_hits"))
+    )
+    n = F.coalesce(F.col("n_band_hits"), F.lit(0))
+    return (
+        _docs(spark, sf_dir)
+        .where(F.col("doc_id") >= _EVAL_SET_MAX_DOC)
+        .select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            n.cast("bigint").alias("n_band_hits"),
+            (n >= 1).alias("flagged"),
+        )
+        .orderBy("doc_id")
+    )

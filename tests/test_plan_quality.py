@@ -470,3 +470,18 @@ def test_dsir_sample_lm_tables_broadcast_and_topk_never_sorts(spark, sf_dir):
         if "Exchange hashpartitioning" in ln:
             assert "text#" not in ln, ln
             assert ("b#" in ln) or ("doc_id#" in ln), ln
+
+
+def test_fuzzy_contamination_broadcasts_eval_bands(spark, sf_dir):
+    """The eval-side band index must broadcast (eval suites are MBs by
+    definition) — the corpus bands probe it map-side, so no sort-merge join
+    and no Exchange keyed on the band signature for the probe itself; the
+    only corpus-scale hash Exchanges are the signature groupBy and the
+    per-doc hit count (doc_id keys)."""
+    plan = exec_plan_of(spark, sf_dir, "doc_fuzzy_contamination")
+    assert "BatchEvalPython" not in plan and "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert "text#" not in ln and "shingles#" not in ln, ln
