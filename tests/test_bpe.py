@@ -130,3 +130,29 @@ def test_bpe_early_stop_on_rare_pairs(spark):
     # words ('on'/'on' in 'only'/'once', etc.) — must stop well before 50
     assert len(merges) < 50
     assert all(c >= 2 for _, _, c in merges)
+
+
+def test_fertility_matches_python_reference(spark, sf_dir):
+    """doc_bpe_fertility must equal the all-Python pipeline: train, segment
+    every word occurrence, aggregate by source."""
+    from clickhouse_etl_loadtest_spark.queries import load_all
+    import re
+
+    docs = _docs(spark, sf_dir)
+    wc = {r["word"]: r["cnt"] for r in words_with_counts(docs).collect()}
+    merges, _ = _ref_bpe(wc, num_merges=24)
+    seg_cache = {}
+    for w in wc:
+        syms = tuple(list(w) + [EOW])
+        for left, right, _ in merges:
+            syms = _ref_merge_word(syms, left, right)
+        seg_cache[w] = len(syms)
+    expected = {}
+    for r in docs.select("source", "text").collect():
+        words = re.findall(r"[a-z0-9]+", r["text"].lower())
+        n_w, n_p = expected.get(r["source"], (0, 0))
+        expected[r["source"]] = (n_w + len(words), n_p + sum(seg_cache[w] for w in words))
+    got = load_all()["doc_bpe_fertility"].fn(spark, sf_dir).collect()
+    assert {r["source"]: (r["n_words"], r["n_pieces"]) for r in got} == expected
+    for r in got:
+        assert abs(r["pieces_per_word"] - r["n_pieces"] / r["n_words"]) < 1e-12
