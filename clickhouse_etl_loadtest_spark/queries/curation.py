@@ -1095,3 +1095,71 @@ def doc_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- learned quality classifier (distilled from the heuristic filter) ----------------
+
+_LOGREG_FEATURES = ["stopword_ratio", "punct_ratio", "log_tokens", "log_chars"]
+_LOGREG_ITERS = 30
+_LOGREG_LR = 0.3
+
+# weights are deterministic per fixture (DECIMAL gradient sums) — train once
+# per session however many times the query runs (same memo pattern as the
+# BPE merge table)
+_LOGREG_CACHE: dict[str, list] = {}
+
+
+def _quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-only feature projection mirroring ``doc_quality_filter``'s
+    signals, plus its keep verdict as the training label."""
+    from .text import STOPWORDS
+
+    d = _docs(spark, sf_dir)
+    toks = _tokens()
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda w: F.array_contains(stop_arr, w)))
+    n_punct = F.length("text") - F.length(F.regexp_replace("text", "[^a-zA-Z0-9 ]", ""))
+    stopword_ratio = n_stop * F.lit(1.0) / F.nullif(n_tokens.cast("double"), F.lit(0.0))
+    punct_ratio = n_punct * F.lit(1.0) / F.nullif(F.col("n_chars").cast("double"), F.lit(0.0))
+    quality = (
+        F.when(F.col("n_chars").between(100, 20000), 1).otherwise(0)
+        + F.when(punct_ratio < 0.1, 1).otherwise(0)
+        + F.when(n_tokens >= 20, 1).otherwise(0)
+    )
+    return d.select(
+        "doc_id",
+        F.coalesce(stopword_ratio, F.lit(0.0)).alias("stopword_ratio"),
+        F.coalesce(punct_ratio, F.lit(0.0)).alias("punct_ratio"),
+        F.log1p(n_tokens.cast("double")).alias("log_tokens"),
+        F.log1p(F.col("n_chars").cast("double")).alias("log_chars"),
+        (quality >= 2).alias("label"),
+    )
+
+
+@register("doc_quality_classifier", None, extra=True)
+def doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a logistic-regression quality classifier that distills the
+    heuristic filter (``doc_quality_filter``'s verdict as labels, its raw
+    signals as features), then score every document — the
+    replace-the-hand-rule-with-a-model step of a curation pipeline
+    (operators/logreg.py has the scale analysis).
+
+    Iterative driver-loop training (one DECIMAL-summed gradient aggregate
+    per step) ⇒ rows-only driver tier like ``kmeans_clusters`` and
+    ``doc_bpe_merges``; the full weight trajectory is differentially tested
+    against a pure-Python twin in tests/test_logreg.py.
+    """
+    from ..operators.logreg import logistic_fit, logistic_predict
+
+    feats = _quality_features(spark, sf_dir)
+    if sf_dir not in _LOGREG_CACHE:
+        _LOGREG_CACHE[sf_dir] = logistic_fit(
+            feats, _LOGREG_FEATURES, "label", iterations=_LOGREG_ITERS, lr=_LOGREG_LR
+        )
+    w = _LOGREG_CACHE[sf_dir]
+    return (
+        logistic_predict(feats, _LOGREG_FEATURES, w)
+        .select("doc_id", "label", "prob", "pred")
+        .orderBy("doc_id")
+    )
