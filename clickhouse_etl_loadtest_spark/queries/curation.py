@@ -1163,3 +1163,87 @@ def doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "label", "prob", "pred")
         .orderBy("doc_id")
     )
+
+
+# --- bigram-LM cross-entropy scoring (the shuffle-join sibling of the unigram) -------
+
+_BIGRAM_ORACLE = f"""
+WITH tok AS (
+    SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks FROM documents
+),
+uni AS (SELECT {h60_sql_duckdb("unnest(toks)")} AS wh FROM tok),
+v AS (SELECT CAST(COUNT(DISTINCT wh) AS BIGINT) AS vsize FROM uni),
+bi AS (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(toks) - 1),
+                                 i -> {h60_sql_duckdb("toks[i]")})) AS h1,
+           unnest(list_transform(generate_series(1, len(toks) - 1),
+                                 i -> {h60_sql_duckdb("toks[i + 1]")})) AS h2
+    FROM tok
+    WHERE len(toks) >= 2
+),
+c1 AS (SELECT h1, CAST(COUNT(*) AS BIGINT) AS n_ctx FROM bi GROUP BY h1),
+c12 AS (SELECT h1, h2, CAST(COUNT(*) AS BIGINT) AS n_pair FROM bi GROUP BY h1, h2),
+scored AS (
+    SELECT b.doc_id,
+           CAST(-ln((p.n_pair + 1.0) / (c.n_ctx + v.vsize)) AS DECIMAL(38,18)) AS nl
+    FROM bi b JOIN c12 p USING (h1, h2) JOIN c1 c USING (h1), v
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(nl) AS DOUBLE) / COUNT(*) AS cross_entropy_nats
+FROM scored GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+@register("doc_bigram_logprob", _BIGRAM_ORACLE, extra=True)
+def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document cross-entropy under a corpus-trained BIGRAM LM with add-1
+    smoothing (mean ``-ln p(w_i | w_{i-1})`` in nats) — the sharper
+    perplexity-filter signal (KenLM-style pipelines train n-gram models;
+    this is the n=2 member expressed Spark-first).
+
+    The deliberate contrast with ``doc_unigram_logprob``: a UNIGRAM vocab
+    table broadcasts, but the bigram table is quadratically larger and
+    corpus-limited — at 100 TB it does NOT fit an executor broadcast, so
+    the probability join is a hash-partitioned shuffle join by design.
+    The plan pre-joins the two frequency tables (vocab-scale) into one
+    probability table, so the corpus-scale bigram stream shuffles exactly
+    twice: once into the probability join, once for the per-doc
+    re-aggregation. Bigrams are built INSIDE the token array (zip_with on
+    hashed tokens) before the explode — every shuffle carries (h1, h2)
+    longs, never token text. Log-probs sum as DECIMAL(38,18), exact and
+    order-independent. Documents with fewer than 2 tokens have no bigram
+    distribution and are excluded (matching the oracle).
+    """
+    th = F.transform(_tokens(), lambda w: h60(w))
+    n = F.size(th)
+    pairs = F.zip_with(
+        F.slice(th, 1, n - 1),
+        F.slice(th, 2, n - 1),
+        lambda a, b: F.struct(a.alias("h1"), b.alias("h2")),
+    )
+    d = _docs(spark, sf_dir).where(F.size(_tokens()) >= 2)
+    bi = d.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", F.col("p.h1").alias("h1"), F.col("p.h2").alias("h2")
+    )
+    uni = _docs(spark, sf_dir).select(F.explode(th).alias("wh"))
+    v = uni.agg(F.countDistinct("wh").alias("vsize"))
+    c1 = bi.groupBy("h1").agg(F.count(F.lit(1)).alias("n_ctx"))
+    c12 = bi.groupBy("h1", "h2").agg(F.count(F.lit(1)).alias("n_pair"))
+    probs = c12.join(c1, "h1")
+    nl = (-F.log((F.col("n_pair") + 1.0) / (F.col("n_ctx") + F.col("vsize")))).cast(
+        "decimal(38,18)"
+    )
+    return (
+        bi.join(probs, ["h1", "h2"])
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_bigrams"), F.sum(nl).alias("_s"))
+        .select(
+            "doc_id",
+            "n_bigrams",
+            (F.col("_s").cast("double") / F.col("n_bigrams")).alias("cross_entropy_nats"),
+        )
+        .orderBy("doc_id")
+    )

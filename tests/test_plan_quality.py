@@ -485,3 +485,18 @@ def test_fuzzy_contamination_broadcasts_eval_bands(spark, sf_dir):
     for ln in plan.splitlines():
         if "Exchange hashpartitioning" in ln:
             assert "text#" not in ln and "shingles#" not in ln, ln
+
+
+def test_bigram_logprob_shuffles_hashes_only_and_prejoins_probs(spark, sf_dir):
+    """The bigram stream must shuffle as (h1, h2) longs — never token text —
+    and the probability join must consume ONE pre-joined frequency table
+    (the bigram table is corpus-limited, so no broadcast assumption on it;
+    the only broadcast is the 1-row vocabulary size)."""
+    plan = exec_plan_of(spark, sf_dir, "doc_bigram_logprob")
+    assert "BatchEvalPython" not in plan and "CartesianProduct" not in plan
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert "text#" not in ln, ln
+    # vocabulary size rides a broadcast nested-loop of a 1-row aggregate —
+    # fine; what must NOT happen is a nested-loop between corpus-scale sides
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
