@@ -781,3 +781,36 @@ def embedding_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataF
         .where(F.col("rank_in_cluster") <= _BALANCE_N)
         .orderBy("vec_id")
     )
+
+
+# --- PCA residual audit (decorrelation screening before quantization/IVF) ------------
+
+_PCA_K = 8
+
+# moments are deterministic per fixture (DECIMAL sums) — one covariance pass
+# per session however many times the query runs (same memo pattern as the
+# BPE merge table / logreg weights)
+_PCA_CACHE: dict[str, tuple] = {}
+
+
+@register("embedding_pca_residuals", None, extra=True)
+def embedding_pca_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA energy audit: fit the top-{_PCA_K} principal components of the
+    embedding corpus (operators/pca.py — one DECIMAL-summed moment pass +
+    driver-side eigh), then score every vector's centered energy split into
+    captured-by-top-k vs residual — the outlier/intrinsic-dimension signal
+    an embedding pipeline checks before PCA-whitened quantization or IVF.
+
+    All outputs are squared projections, so they are invariant to the
+    eigenbasis sign ambiguity. Iterative/linear-algebra driver state ⇒
+    rows-only tier (like ``kmeans_clusters``); differential-tested against
+    a numpy twin on identical moment arithmetic in tests/test_pca.py.
+    """
+    from ..operators.pca import covariance_moments, pca_residuals, top_components
+
+    if sf_dir not in _PCA_CACHE:
+        _, mean, cov = covariance_moments(_emb(spark, sf_dir))
+        _, comps = top_components(cov, _PCA_K)
+        _PCA_CACHE[sf_dir] = (mean, comps)
+    mean, comps = _PCA_CACHE[sf_dir]
+    return pca_residuals(_emb(spark, sf_dir), mean, comps).orderBy("vec_id")

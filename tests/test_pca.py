@@ -1,0 +1,107 @@
+"""Distributed PCA correctness: the moment pass must match a numpy twin on
+identical (DECIMAL-quantized) arithmetic, the covariance must be bit-stable
+across partitionings, and the residual outputs must satisfy the energy
+invariants regardless of the eigenbasis sign ambiguity."""
+
+from decimal import ROUND_HALF_UP, Decimal
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from clickhouse_etl_loadtest_spark.operators.pca import (
+    covariance_moments,
+    pca_residuals,
+    top_components,
+)
+
+_Q = Decimal("1e-18")
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _qsum(values):
+    """Replicate Spark's cast(double as decimal(38,18)) + exact DECIMAL sum:
+    shortest-repr decimal conversion, half-up at 1e-18."""
+    return sum((Decimal(repr(float(v))).quantize(_Q, ROUND_HALF_UP) for v in values), Decimal(0))
+
+
+def _ref_moments(x: np.ndarray):
+    n, d = x.shape
+    mean = np.array([float(_qsum(x[:, i])) / n for i in range(d)])
+    cov = np.zeros((d, d))
+    for i in range(d):
+        for j in range(i, d):
+            e = float(_qsum(x[:, i] * x[:, j])) / n - mean[i] * mean[j]
+            cov[i, j] = cov[j, i] = e
+    return mean, cov
+
+
+def test_moments_match_numpy_twin(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    x = np.array(
+        [[float(v) for v in r["embedding"]] for r in emb.orderBy("vec_id").collect()],
+        dtype=np.float64,
+    )
+    ref_mean, ref_cov = _ref_moments(x)
+    n, mean, cov = covariance_moments(emb)
+    assert n == len(x)
+    assert np.allclose(mean, ref_mean, atol=1e-15)
+    assert np.allclose(cov, ref_cov, atol=1e-12)
+
+
+def test_moments_bitstable_across_partitionings(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    _, m1, c1 = covariance_moments(emb.repartition(1))
+    _, m16, c16 = covariance_moments(emb.repartition(16))
+    assert (m1 == m16).all()
+    assert (c1 == c16).all()
+
+
+def test_residuals_match_numpy_and_satisfy_energy_invariants(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    n, mean, cov = covariance_moments(emb)
+    _, comps = top_components(cov, 8)
+    rows = pca_residuals(emb, mean, comps).orderBy("vec_id").collect()
+    x = np.array(
+        [[float(v) for v in r["embedding"]] for r in emb.orderBy("vec_id").collect()],
+        dtype=np.float64,
+    )
+    centered = x - mean
+    total = (centered**2).sum(axis=1)
+    proj = centered @ comps.T
+    topk = (proj**2).sum(axis=1)
+    got_total = np.array([r["total_energy"] for r in rows])
+    got_topk = np.array([r["topk_energy"] for r in rows])
+    got_res = np.array([r["residual_energy"] for r in rows])
+    assert np.allclose(got_total, total, rtol=1e-9)
+    assert np.allclose(got_topk, topk, rtol=1e-9)
+    assert (got_res >= -1e-9).all()
+    assert all(0.0 <= r["explained"] <= 1.0 + 1e-12 for r in rows)
+
+
+def test_more_components_capture_more_energy(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    _, mean, cov = covariance_moments(emb)
+    _, c2 = top_components(cov, 2)
+    _, c8 = top_components(cov, 8)
+    e2 = pca_residuals(emb, mean, c2).agg(F.sum("topk_energy")).first()[0]
+    e8 = pca_residuals(emb, mean, c8).agg(F.sum("topk_energy")).first()[0]
+    assert e8 >= e2 - 1e-9
+    # and the top-k eigenvalues explain the captured energy on average:
+    # sum of per-vector topk energies / n == sum of top-k eigenvalues
+    w8, _ = top_components(cov, 8)
+    n = emb.count()
+    assert abs(e8 / n - w8.sum()) < 1e-9 * max(1.0, w8.sum())
+
+
+def test_residual_scoring_is_map_only(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    _, mean, cov = covariance_moments(emb)
+    _, comps = top_components(cov, 4)
+    plan = pca_residuals(emb, mean, comps)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
