@@ -124,3 +124,101 @@ def pca_residuals(
             ),
         )
     )
+
+
+# --- streaming twin: incrementally folded moment state -------------------------------
+#
+# DECIMAL moment sums are exact and associative, so folding per micro-batch
+# is BIT-IDENTICAL to the one-shot pass over the full history — the same
+# no-merge-penalty property the HLL cardinality state exploits
+# (operators/cardsketch.py), here for dense second moments. State is
+# O(d^2) decimals regardless of stream length; snapshots are batch-id-keyed
+# parquet overwrites (replay-idempotent, the streamhh/fuzzydedup recipe).
+
+
+def _batch_moment_rows(batch_df: DataFrame, d: int, vec_col: str) -> DataFrame:
+    """(i, j, s) DECIMAL sum rows for one batch: j = -1 marks first moments."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    firsts = (
+        batch_df.select(F.posexplode(v).alias("i", "x"))
+        .groupBy("i")
+        .agg(F.sum(F.col("x").cast("decimal(38,18)")).alias("s"))
+        .select("i", F.lit(-1).alias("j"), "s")
+    )
+    pairs = F.flatten(
+        F.transform(
+            v,
+            lambda x, i: F.transform(
+                F.slice(v, i + 1, F.lit(d) - i),
+                lambda y, k: F.struct(i.alias("i"), (i + k).alias("j"), (x * y).alias("p")),
+            ),
+        )
+    )
+    seconds = (
+        batch_df.select(F.explode(pairs).alias("q"))
+        .groupBy(F.col("q.i").alias("i"), F.col("q.j").alias("j"))
+        .agg(F.sum(F.col("q.p").cast("decimal(38,18)")).alias("s"))
+    )
+    return firsts.union(seconds)
+
+
+def update_moments(
+    spark, batch_df: DataFrame, state_path: str, batch_id: int, vec_col: str = "embedding"
+) -> dict:
+    """Fold one micro-batch's moment sums into the persistent state — a
+    ``foreachBatch`` body (``batch_id`` is the foreachBatch argument).
+    Returns ``{"n_seen": ..., "d": ...}``. Replays overwrite their own
+    batch-keyed snapshot and merge against the pre-batch state only."""
+    from .streamhh import _batch_part, _read_latest
+
+    d_row = batch_df.select(F.size(F.col(vec_col)).alias("d")).first()
+    d = int(d_row["d"]) if d_row else 0
+    prev_m, _ = _read_latest(spark, f"{state_path}/moments", batch_id)
+    prev_meta, _ = _read_latest(spark, f"{state_path}/meta", batch_id)
+    n_prev = 0
+    if prev_meta is not None:
+        row = prev_meta.first()
+        n_prev = int(row["n_seen"])
+        d = d or int(row["d"])
+        if int(row["d"]) != d:
+            raise ValueError(
+                f"moment state at {state_path} has d={row['d']}; batch has d={d}"
+            )
+    n_batch = batch_df.count()
+    batch_m = _batch_moment_rows(batch_df, d, vec_col)
+    merged = (
+        batch_m
+        if prev_m is None
+        else prev_m.union(batch_m).groupBy("i", "j").agg(F.sum("s").alias("s"))
+    )
+    part = _batch_part(batch_id)
+    merged.coalesce(1).write.mode("overwrite").parquet(f"{state_path}/moments/batch={part}")
+    spark.createDataFrame([(n_prev + n_batch, d)], schema="n_seen bigint, d int").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{state_path}/meta/batch={part}")
+    return {"n_seen": n_prev + n_batch, "d": d}
+
+
+def moments_from_state(spark, state_path: str) -> tuple[int, np.ndarray, np.ndarray]:
+    """Finalize the persistent state to (n, mean, cov) — identical to
+    running :func:`covariance_moments` over the full folded history."""
+    from .streamhh import _read_latest
+
+    m, _ = _read_latest(spark, f"{state_path}/moments", None)
+    meta, _ = _read_latest(spark, f"{state_path}/meta", None)
+    if m is None or meta is None:
+        raise FileNotFoundError(f"no moment state at {state_path}")
+    row = meta.first()
+    n, d = int(row["n_seen"]), int(row["d"])
+    mean = np.zeros(d)
+    cov = np.zeros((d, d))
+    rows = m.collect()
+    for r in rows:
+        if r["j"] == -1:
+            mean[r["i"]] = float(r["s"]) / n
+    for r in rows:
+        if r["j"] >= 0:
+            e = float(r["s"]) / n - mean[r["i"]] * mean[r["j"]]
+            cov[r["i"], r["j"]] = e
+            cov[r["j"], r["i"]] = e
+    return n, mean, cov

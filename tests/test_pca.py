@@ -105,3 +105,77 @@ def test_residual_scoring_is_map_only(spark, sf_dir):
     assert "Exchange SinglePartition" not in plan
     assert "Join" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_streaming_moment_fold_equals_one_shot(spark, sf_dir, tmp_path):
+    """Folding per-batch DECIMAL moment sums must be BIT-identical to the
+    one-shot pass over the full corpus (exact associative sums — the dense
+    analogue of the HLL no-merge-penalty property)."""
+    from clickhouse_etl_loadtest_spark.operators.pca import (
+        moments_from_state,
+        update_moments,
+    )
+
+    emb = _emb(spark, sf_dir)
+    state = str(tmp_path / "pca-state")
+    for b in range(3):
+        update_moments(spark, emb.where(F.col("vec_id") % 3 == b), state, batch_id=b)
+    n_s, mean_s, cov_s = moments_from_state(spark, state)
+    n_f, mean_f, cov_f = covariance_moments(emb)
+    assert n_s == n_f
+    assert (mean_s == mean_f).all()
+    assert (cov_s == cov_f).all()
+
+
+def test_streaming_moment_replay_is_idempotent(spark, sf_dir, tmp_path):
+    from clickhouse_etl_loadtest_spark.operators.pca import (
+        moments_from_state,
+        update_moments,
+    )
+
+    emb = _emb(spark, sf_dir)
+    state = str(tmp_path / "pca-state")
+    update_moments(spark, emb.where(F.col("vec_id") % 2 == 0), state, batch_id=0)
+    update_moments(spark, emb.where(F.col("vec_id") % 2 == 1), state, batch_id=1)
+    before = moments_from_state(spark, state)
+    # checkpoint-recovery replay of the LAST batch: same id, same data
+    update_moments(spark, emb.where(F.col("vec_id") % 2 == 1), state, batch_id=1)
+    after = moments_from_state(spark, state)
+    assert before[0] == after[0]
+    assert (before[1] == after[1]).all()
+    assert (before[2] == after[2]).all()
+
+
+def test_streaming_moments_as_real_foreachbatch_body(spark, sf_dir, tmp_path):
+    """Drive the fold through an actual availableNow foreachBatch stream;
+    the finalized moments must equal the one-shot batch pass bit-for-bit."""
+    from clickhouse_etl_loadtest_spark.operators.pca import (
+        moments_from_state,
+        update_moments,
+    )
+
+    emb = _emb(spark, sf_dir)
+    staging = str(tmp_path / "staging")
+    emb.repartition(3).write.parquet(staging)
+    state = str(tmp_path / "pca-state")
+
+    def _fold(batch_df, batch_id):
+        update_moments(batch_df.sparkSession, batch_df, state, batch_id=batch_id)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(staging).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staging)
+    )
+    q = (
+        stream.writeStream.foreachBatch(_fold)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    assert q.awaitTermination(300)
+    n_s, mean_s, cov_s = moments_from_state(spark, state)
+    n_f, mean_f, cov_f = covariance_moments(spark.read.parquet(staging))
+    assert n_s == n_f
+    assert (mean_s == mean_f).all()
+    assert (cov_s == cov_f).all()
