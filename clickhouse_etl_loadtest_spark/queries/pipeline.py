@@ -457,3 +457,158 @@ def events_spike_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_start", "event_type")
     )
+
+
+# --- windowFunnel equivalent (ClickHouse parity) -------------------------------------
+
+# ClickHouse's windowFunnel(window)(ts, cond1, cond2, ...) is the signature
+# event-analytics operator of the reference's sink engine. Semantics here
+# (documented, exists-chain form): funnel_level(user) = the deepest L such
+# that SOME chain t1 < t2 < ... < tL exists with step_i matching the i-th
+# event type and every t_i within [t1, t1 + window]. For a fixed t1 the
+# greedy "earliest next step" choice is optimal (a smaller t2 only enlarges
+# the candidate set for t3), so existence reduces to a min-filter chain —
+# evaluable entirely with higher-order array functions, no join, no window.
+_FUNNEL_STEPS = ("view", "click", "purchase")
+_FUNNEL_WINDOW_US = 2 * 3600 * 1_000_000  # 2 hours
+_FUNNEL_INF = 9_223_372_036_854_775_807
+
+_WINDOW_FUNNEL_ORACLE = f"""
+WITH per_user AS (
+    SELECT user_id,
+           list(epoch_us(ts)) FILTER (WHERE event_type = 'view') AS a1,
+           list(epoch_us(ts)) FILTER (WHERE event_type = 'click') AS a2,
+           list(epoch_us(ts)) FILTER (WHERE event_type = 'purchase') AS a3
+    FROM events GROUP BY user_id
+),
+lv AS (
+    SELECT user_id,
+           COALESCE(len(a1), 0) > 0 AS r1,
+           len(list_filter(COALESCE(a1, []), t1 ->
+               len(list_filter(COALESCE(a2, []), t2 ->
+                   t2 > t1 AND t2 <= t1 + {_FUNNEL_WINDOW_US})) > 0)) > 0 AS r2,
+           len(list_filter(COALESCE(a1, []), t1 ->
+               len(list_filter(COALESCE(a3, []), t3 ->
+                   t3 <= t1 + {_FUNNEL_WINDOW_US} AND
+                   t3 > COALESCE(list_min(list_filter(COALESCE(a2, []), t2 ->
+                       t2 > t1 AND t2 <= t1 + {_FUNNEL_WINDOW_US})), {_FUNNEL_INF})
+               )) > 0)) > 0 AS r3
+    FROM per_user
+)
+SELECT user_id,
+       CAST(CASE WHEN r3 THEN 3 WHEN r2 THEN 2 WHEN r1 THEN 1 ELSE 0 END AS INT)
+           AS funnel_level
+FROM lv
+ORDER BY user_id
+"""
+
+
+@register("events_window_funnel", _WINDOW_FUNNEL_ORACLE, extra=True)
+def events_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user funnel depth over the step sequence {_FUNNEL_STEPS} within a
+    2-hour window — the ``windowFunnel`` capability of the reference's sink
+    engine, re-expressed Spark-first.
+
+    Scale: ONE shuffle (groupBy user_id with collect_list partial
+    aggregation); the chain search runs inside each user's arrays via
+    higher-order functions — JVM codegen, no self-joins, no per-step join
+    cascade, no Python. Per-user event counts are bounded in practice
+    (sessions, not corpora); pathological users degrade that user's task
+    only. Timestamps compare as epoch micros (exact integers in both
+    engines).
+    """
+    # fixture ts is TIMESTAMP_NTZ — cast through TIMESTAMP (session tz UTC,
+    # no DST discontinuity; same recipe as operators/asof.py) for unix_micros
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    step = lambda s: F.sort_array(
+        F.collect_list(F.when(F.col("event_type") == s, ts_us))
+    )  # noqa: E731 — collect_list drops the non-matching nulls
+    per_user = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(step("view").alias("a1"), step("click").alias("a2"), step("purchase").alias("a3"))
+    )
+    w = F.lit(_FUNNEL_WINDOW_US)
+    inf = F.lit(_FUNNEL_INF)
+    next_min = lambda arr, lo, hi: F.coalesce(  # noqa: E731
+        F.array_min(F.filter(arr, lambda t: (t > lo) & (t <= hi))), inf
+    )
+    r2 = F.exists(
+        F.col("a1"), lambda t1: F.size(F.filter(F.col("a2"), lambda t2: (t2 > t1) & (t2 <= t1 + w))) > 0
+    )
+    r3 = F.exists(
+        F.col("a1"),
+        lambda t1: F.size(
+            F.filter(
+                F.col("a3"),
+                lambda t3: (t3 <= t1 + w) & (t3 > next_min(F.col("a2"), t1, t1 + w)),
+            )
+        )
+        > 0,
+    )
+    level = (
+        F.when(r3, 3).when(r2, 2).when(F.size("a1") > 0, 1).otherwise(0).cast("int")
+    )
+    return per_user.select("user_id", level.alias("funnel_level")).orderBy("user_id")
+
+
+# --- retention cohorts (ClickHouse `retention` parity) -------------------------------
+
+_RETENTION_OFFSETS = (1, 7)
+
+_RETENTION_ORACLE = f"""
+WITH per_user AS (
+    SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day,
+           list(DISTINCT CAST(ts AS DATE)) AS days
+    FROM events GROUP BY user_id
+),
+flags AS (
+    SELECT user_id, first_day,
+           {", ".join(f"len(list_filter(days, d -> d = first_day + {k})) > 0 AS back_{k}" for k in _RETENTION_OFFSETS)}
+    FROM per_user
+)
+SELECT strftime(first_day, '%Y-%m-%d') AS cohort_day,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       {", ".join(f"CAST(SUM(CASE WHEN back_{k} THEN 1 ELSE 0 END) AS BIGINT) AS retained_{k}d" for k in _RETENTION_OFFSETS)}
+FROM flags
+GROUP BY first_day
+ORDER BY cohort_day
+"""
+
+
+@register("events_retention_cohorts", _RETENTION_ORACLE, extra=True)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-cohort retention: users grouped by their first active day, with
+    counts of who returned exactly N days later (N in {_RETENTION_OFFSETS})
+    — the ``retention`` aggregate of the reference's sink engine.
+
+    Scale: one groupBy(user_id) collecting DISTINCT active DAYS (bounded by
+    the calendar, not event volume — partial aggregation dedups map-side),
+    then one cohort-keyed rollup. No joins, no windows; both shuffles carry
+    (user_id, small date array) / (date, counters).
+    """
+    d = _t(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    )
+    per_user = d.groupBy("user_id").agg(
+        F.min("day").alias("first_day"), F.collect_set("day").alias("days")
+    )
+    def _came_back(k: int):
+        # closure (not a default arg) so PySpark sees a unary lambda
+        return F.exists(F.col("days"), lambda x: x == F.date_add(F.col("first_day"), k))
+
+    flags = per_user.select(
+        "first_day",
+        *[_came_back(k).alias(f"back_{k}") for k in _RETENTION_OFFSETS],
+    )
+    return (
+        flags.groupBy(F.date_format("first_day", "yyyy-MM-dd").alias("cohort_day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            *[
+                F.sum(F.col(f"back_{k}").cast("int")).alias(f"retained_{k}d")
+                for k in _RETENTION_OFFSETS
+            ],
+        )
+        .orderBy("cohort_day")
+    )

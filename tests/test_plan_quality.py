@@ -500,3 +500,14 @@ def test_bigram_logprob_shuffles_hashes_only_and_prejoins_probs(spark, sf_dir):
     # vocabulary size rides a broadcast nested-loop of a 1-row aggregate —
     # fine; what must NOT happen is a nested-loop between corpus-scale sides
     assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_window_funnel_is_single_shuffle_no_joins(spark, sf_dir):
+    """The funnel must be ONE groupBy(user_id) with the chain search inside
+    per-user arrays — no per-step join cascade, no window sort, no Python."""
+    plan = exec_plan_of(spark, sf_dir, "events_window_funnel")
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan
+    hash_exchanges = [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
+    assert len(hash_exchanges) == 1 and "user_id#" in hash_exchanges[0]
