@@ -814,3 +814,48 @@ def embedding_pca_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
         _PCA_CACHE[sf_dir] = (mean, comps)
     mean, comps = _PCA_CACHE[sf_dir]
     return pca_residuals(_emb(spark, sf_dir), mean, comps).orderBy("vec_id")
+
+
+# --- product quantization: train / encode / ADC search -------------------------------
+
+_PQ_M, _PQ_KSUB, _PQ_ITERS = 8, 16, 3
+
+# codebooks are deterministic per fixture — train once per session (same
+# memo pattern as the BPE merge table / k-means-adjacent caches)
+_PQ_CACHE: dict[str, list] = {}
+
+
+def _pq_codebooks(spark: SparkSession, sf_dir: str) -> list:
+    from ..operators.pq import pq_train
+
+    if sf_dir not in _PQ_CACHE:
+        _PQ_CACHE[sf_dir] = pq_train(
+            _emb(spark, sf_dir), m=_PQ_M, ksub=_PQ_KSUB, iterations=_PQ_ITERS
+        )
+    return _PQ_CACHE[sf_dir]
+
+
+@register("pq_adc_search_topk", None, extra=True)
+def pq_adc_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized ANN end-to-end (operators/pq.py): train per-subspace
+    codebooks (joint Lloyd, one corpus scan per iteration for all {_PQ_M}
+    subspaces), encode the corpus to {_PQ_M}-byte codes, and answer the
+    standard query set (vec_id < {_N_QUERIES}) by ADC — each corpus row
+    scored with {_PQ_M} table lookups per query, queries riding the UDF
+    closure as precomputed distance tables.
+
+    This is the memory-side half of IVF-PQ, the standard 100 TB ANN layout
+    (compose with ``ivf_search_topk``'s coarse cells). Iterative trained
+    state ⇒ rows-only driver tier; the training loop, encode, table math,
+    and recall floor are differentially tested against a numpy twin in
+    tests/test_pq.py.
+    """
+    from ..operators.pq import pq_adc_topk, pq_encode
+
+    e = _emb(spark, sf_dir)
+    cb = _pq_codebooks(spark, sf_dir)
+    queries = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in e.where(F.col("vec_id") < _N_QUERIES).orderBy("vec_id").collect()
+    ]
+    return pq_adc_topk(pq_encode(e, cb), cb, queries, k=_TOPK)
