@@ -192,3 +192,29 @@ def pq_adc_topk(
         )
         .orderBy("q_id", "rank")
     )
+
+
+def adc_distance_col(codebooks: list[list[list[float]]], queries: list[tuple[int, list[float]]]):
+    """Column factory for per-pair ADC distance: given a row's ``codes``
+    array and its ``q_id``, return the table-approximated squared L2 to that
+    query. For candidate-gated search (IVF-PQ) where each row already names
+    its query — contrast :func:`pq_adc_topk`, which scores every row against
+    ALL queries. Tables ride the closure (broadcast)."""
+    cb = _codebook_tensor(codebooks)
+    qx = np.asarray([v for _, v in queries], dtype=np.float64)
+    qsv = _subvectors(qx, cb.shape[0])
+    tables = ((qsv[:, :, None, :] - cb[None, :, :, :]) ** 2).sum(axis=3)  # (q, m, ksub)
+    qidx = {int(q): i for i, (q, _) in enumerate(queries)}
+
+    @F.pandas_udf("double")
+    def adist(codes: pd.Series, q_id: pd.Series) -> pd.Series:
+        if len(codes) == 0:
+            return pd.Series([], dtype="float64")
+        c = np.asarray(codes.tolist(), dtype=np.int64)  # (b, m)
+        qi = np.asarray([qidx[int(q)] for q in q_id], dtype=np.int64)  # (b,)
+        out = np.zeros(len(qi))
+        for s in range(c.shape[1]):
+            out += tables[qi, s, c[:, s]]
+        return pd.Series(out)
+
+    return adist

@@ -859,3 +859,53 @@ def pq_adc_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in e.where(F.col("vec_id") < _N_QUERIES).orderBy("vec_id").collect()
     ]
     return pq_adc_topk(pq_encode(e, cb), cb, queries, k=_TOPK)
+
+
+@register("ivfpq_search_topk", None, extra=True)
+def ivfpq_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ end-to-end — the full 100 TB ANN layout composed from its two
+    verified halves: coarse IVF cells gate candidates (each query probes its
+    {_NPROBE} nearest cells; same broadcast-codebook machinery as
+    ``ivf_search_topk``), then candidates rank by PQ ADC distance (m table
+    lookups per pair via ``operators/pq.py::adc_distance_col``) instead of
+    exact vectors — at scale only the m-byte codes ride the candidate join,
+    the float corpus is never touched at query time.
+
+    Output (q_id, vec_id, adist, rank); self-matches excluded like
+    ``ivf_search_topk``. Rows-only tier (trained state); invariants and the
+    numpy ADC twin are pinned in tests/test_pq.py.
+    """
+    from ..operators.pq import adc_distance_col, pq_encode
+
+    e = _emb(spark, sf_dir)
+    cb = _pq_codebooks(spark, sf_dir)
+    queries = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in e.where(F.col("vec_id") < _N_QUERIES).orderBy("vec_id").collect()
+    ]
+    with_cells = e.crossJoin(F.broadcast(_codebook(e))).withColumn(
+        "cell_dists", _cell_dists(F.col("cells"), F.col("embedding"))
+    )
+    assign = pq_encode(with_cells, cb).select(
+        F.col("vec_id").alias("n_id"),
+        F.col("cell_dists")[0]["cell"].alias("cell"),
+        "codes",
+    )
+    probes = with_cells.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.explode(
+            F.transform(F.slice("cell_dists", 1, _NPROBE), lambda s: s["cell"])
+        ).alias("cell"),
+    )
+    adist = adc_distance_col(cb, queries)
+    cand = (
+        assign.join(F.broadcast(probes), "cell")
+        .where(F.col("n_id") != F.col("q_id"))
+        .select("q_id", F.col("n_id").alias("vec_id"), adist(F.col("codes"), F.col("q_id")).alias("adist"))
+    )
+    topk = Window.partitionBy("q_id").orderBy("adist", "vec_id")
+    return (
+        cand.withColumn("rank", F.row_number().over(topk).cast("int"))
+        .where(F.col("rank") <= _TOPK)
+        .orderBy("q_id", "rank")
+    )

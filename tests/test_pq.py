@@ -124,3 +124,62 @@ def test_adc_plan_never_shuffles_the_corpus_before_scoring(spark, sf_dir):
     # the only hash Exchange is the per-query rank window's
     ex = [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
     assert len(ex) == 1 and "qi#" in ex[0]
+
+
+def test_ivfpq_candidates_gated_by_probe_cells_and_adist_exact(spark, sf_dir):
+    """The composed IVF-PQ search: every returned neighbor must live in one
+    of its query's probed coarse cells, its adist must equal the numpy table
+    computation for that (query, codes) pair, ranks must be adist-monotone,
+    and recall vs exact L2 must clear the measured floor."""
+    from clickhouse_etl_loadtest_spark.queries import load_all
+    from clickhouse_etl_loadtest_spark.queries.vector import (
+        _NPROBE,
+        _PQ_ITERS,
+        _PQ_KSUB,
+        _PQ_M,
+        _TOPK,
+    )
+
+    x = _x(spark, sf_dir)
+    emb = _emb(spark, sf_dir)
+    rows = emb.orderBy("vec_id").collect()
+    labels = np.asarray([int(r["label"]) for r in rows])
+    cb = pq_train(emb, m=_PQ_M, ksub=_PQ_KSUB, iterations=_PQ_ITERS)
+    cbt = _codebook_tensor(cb)
+    codes = _assign_codes(cbt, x)
+
+    # numpy coarse structure: per-label centroids, nearest-cell assignment
+    cells = sorted(set(labels))
+    cents = np.stack([x[labels == c].mean(axis=0) for c in cells])
+    d2cell = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)  # (n, n_cells)
+    assigned_cell = np.asarray(cells)[d2cell.argmin(axis=1)]
+    probe_sets = {
+        qi: set(np.asarray(cells)[np.argsort(d2cell[qi], kind="stable")[:_NPROBE]])
+        for qi in range(8)
+    }
+
+    out = load_all()["ivfpq_search_topk"].fn(spark, sf_dir).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["q_id"], []).append(r)
+    hits = total = 0
+    for qi in range(8):
+        rs = sorted(by_q[qi], key=lambda r: r["rank"])
+        assert len(rs) == _TOPK
+        prev = -1.0
+        for r in rs:
+            assert assigned_cell[r["vec_id"]] in probe_sets[qi], r
+            # numpy ADC for this exact pair
+            qsv = x[qi].reshape(_PQ_M, -1)
+            ref = sum(
+                ((qsv[s] - cbt[s, codes[r["vec_id"], s]]) ** 2).sum() for s in range(_PQ_M)
+            )
+            assert abs(r["adist"] - ref) <= 1e-9 * max(1.0, ref)
+            assert r["adist"] >= prev - 1e-12
+            prev = r["adist"]
+        d2 = ((x - x[qi]) ** 2).sum(axis=1)
+        exact = set(np.argsort(d2, kind="stable")[1 : _TOPK + 1])  # excl. self
+        hits += len(exact & {r["vec_id"] for r in rs})
+        total += _TOPK
+    # coarse gating + PQ on i.i.d. random vectors: measured-with-margin floor
+    assert hits / total >= 0.1, hits / total
