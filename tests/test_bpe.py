@@ -156,3 +156,25 @@ def test_fertility_matches_python_reference(spark, sf_dir):
     assert {r["source"]: (r["n_words"], r["n_pieces"]) for r in got} == expected
     for r in got:
         assert abs(r["pieces_per_word"] - r["n_pieces"] / r["n_words"]) < 1e-12
+
+
+@pytest.mark.parametrize("seed", [11, 23, 47])
+def test_bpe_train_matches_reference_on_random_corpora(spark, seed):
+    """Randomized differential: synthetic corpora with controlled repetition
+    (so real merges exist) must train to the exact reference merge sequence —
+    catches tie-break and fold bugs the fixture corpus might not exercise."""
+    import random
+
+    rng = random.Random(seed)
+    alphabet = "abcd"
+    words = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 6)))
+        for _ in range(40)
+    ]
+    texts = [
+        " ".join(rng.choice(words) for _ in range(rng.randint(3, 30))) for _ in range(25)
+    ]
+    docs = spark.createDataFrame([(t,) for t in texts], "text string")
+    wc = {r["word"]: r["cnt"] for r in words_with_counts(docs).collect()}
+    ref_merges, _ = _ref_bpe(wc, num_merges=12)
+    assert bpe_train(docs, num_merges=12) == ref_merges

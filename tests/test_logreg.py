@@ -96,3 +96,11 @@ def test_predict_is_map_only(spark, sf_dir):
     assert "Exchange SinglePartition" not in plan
     assert "Join" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_fit_rejects_empty_input(spark):
+    import pytest as _pytest
+
+    empty = spark.createDataFrame([], "a double, b double, y boolean")
+    with _pytest.raises(ValueError, match="empty input"):
+        logistic_fit(empty, ["a", "b"], "y", iterations=1)

@@ -183,3 +183,13 @@ def test_ivfpq_candidates_gated_by_probe_cells_and_adist_exact(spark, sf_dir):
         total += _TOPK
     # coarse gating + PQ on i.i.d. random vectors: measured-with-margin floor
     assert hits / total >= 0.1, hits / total
+
+
+def test_pq_train_rejects_bad_shapes(spark, sf_dir):
+    import pytest as _pytest
+
+    emb = _emb(spark, sf_dir)
+    with _pytest.raises(ValueError, match="not divisible"):
+        pq_train(emb, m=7)
+    with _pytest.raises(ValueError, match="smaller than ksub"):
+        pq_train(emb.limit(3), m=8, ksub=16)
