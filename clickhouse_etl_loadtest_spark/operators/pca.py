@@ -36,7 +36,10 @@ def covariance_moments(vectors: DataFrame, vec_col: str = "embedding") -> tuple[
     normalization. Sums are DECIMAL(38,18) so the result is partitioning-
     independent."""
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    d = vectors.select(F.size(v).alias("d")).first()["d"]
+    d_row = vectors.select(F.size(v).alias("d")).first()
+    if d_row is None:
+        raise ValueError("covariance_moments: empty input")
+    d = d_row["d"]
 
     firsts = vectors.select(F.posexplode(v).alias("i", "x"))
     s1 = (
@@ -168,21 +171,30 @@ def update_moments(
     """Fold one micro-batch's moment sums into the persistent state — a
     ``foreachBatch`` body (``batch_id`` is the foreachBatch argument).
     Returns ``{"n_seen": ..., "d": ...}``. Replays overwrite their own
-    batch-keyed snapshot and merge against the pre-batch state only."""
+    batch-keyed snapshot and merge against the pre-batch state only.
+
+    An EMPTY batch before any state exists is a no-op (no snapshot is
+    written): streams routinely fire an empty batch 0 before producers
+    start, and persisting a d=0 meta would poison every later batch's
+    dimension check. A replay of that empty batch writes nothing again —
+    still idempotent."""
     from .streamhh import _batch_part, _read_latest
 
     d_row = batch_df.select(F.size(F.col(vec_col)).alias("d")).first()
-    d = int(d_row["d"]) if d_row else 0
+    d_batch = int(d_row["d"]) if d_row else None
     prev_m, _ = _read_latest(spark, f"{state_path}/moments", batch_id)
     prev_meta, _ = _read_latest(spark, f"{state_path}/meta", batch_id)
+    if prev_meta is None and d_batch is None:
+        return {"n_seen": 0, "d": 0}
     n_prev = 0
+    d = d_batch
     if prev_meta is not None:
         row = prev_meta.first()
         n_prev = int(row["n_seen"])
-        d = d or int(row["d"])
-        if int(row["d"]) != d:
+        d = int(row["d"])
+        if d_batch is not None and d_batch != d:
             raise ValueError(
-                f"moment state at {state_path} has d={row['d']}; batch has d={d}"
+                f"moment state at {state_path} has d={d}; batch has d={d_batch}"
             )
     n_batch = batch_df.count()
     batch_m = _batch_moment_rows(batch_df, d, vec_col)
@@ -210,6 +222,8 @@ def moments_from_state(spark, state_path: str) -> tuple[int, np.ndarray, np.ndar
         raise FileNotFoundError(f"no moment state at {state_path}")
     row = meta.first()
     n, d = int(row["n_seen"]), int(row["d"])
+    if n == 0:
+        raise ValueError(f"moment state at {state_path} folded zero vectors")
     mean = np.zeros(d)
     cov = np.zeros((d, d))
     rows = m.collect()

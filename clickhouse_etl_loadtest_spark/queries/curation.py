@@ -967,7 +967,7 @@ def doc_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus' hashed-unigram distribution, then draw a top-k weighted sample
     without replacement via deterministic Gumbel keys.
 
-    Both bucket LMs are add-1 smoothed over {_DSIR_BUCKETS} buckets; a
+    Both bucket LMs are add-1 smoothed over _DSIR_BUCKETS buckets; a
     document's log-weight is the sum of its tokens' bucket log-ratios,
     accumulated as DECIMAL(38,18) so the sum is exact and
     order-independent (same discipline as ``doc_unigram_logprob``).
@@ -976,7 +976,7 @@ def doc_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale (100 TB): tokens hash to bucket ids INSIDE the array before the
     explode (longs shuffle, never words); both LM tables are at most
-    {_DSIR_BUCKETS} rows — broadcast joins regardless of corpus size — and
+    _DSIR_BUCKETS rows — broadcast joins regardless of corpus size — and
     the totals are 1-row broadcasts. Per-doc scoring is one partial-agg
     shuffle on doc_id, and the final selection is orderBy+limit =
     TakeOrderedAndProject (per-partition top-k, no global sort). The only
@@ -1110,30 +1110,20 @@ _LOGREG_CACHE: dict[str, list] = {}
 
 
 def _quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Map-only feature projection mirroring ``doc_quality_filter``'s
-    signals, plus its keep verdict as the training label."""
-    from .text import STOPWORDS
+    """Map-only feature projection over the SHARED quality signals
+    (``text.quality_signal_cols`` — same expressions, same thresholds as
+    ``doc_quality_filter``), with the filter's keep verdict as the
+    training label; tuning the filter retunes the teacher here too."""
+    from .text import quality_signal_cols
 
-    d = _docs(spark, sf_dir)
-    toks = _tokens()
-    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
-    n_tokens = F.size(toks)
-    n_stop = F.size(F.filter(toks, lambda w: F.array_contains(stop_arr, w)))
-    n_punct = F.length("text") - F.length(F.regexp_replace("text", "[^a-zA-Z0-9 ]", ""))
-    stopword_ratio = n_stop * F.lit(1.0) / F.nullif(n_tokens.cast("double"), F.lit(0.0))
-    punct_ratio = n_punct * F.lit(1.0) / F.nullif(F.col("n_chars").cast("double"), F.lit(0.0))
-    quality = (
-        F.when(F.col("n_chars").between(100, 20000), 1).otherwise(0)
-        + F.when(punct_ratio < 0.1, 1).otherwise(0)
-        + F.when(n_tokens >= 20, 1).otherwise(0)
-    )
-    return d.select(
+    sig = quality_signal_cols()
+    return _docs(spark, sf_dir).select(
         "doc_id",
-        F.coalesce(stopword_ratio, F.lit(0.0)).alias("stopword_ratio"),
-        F.coalesce(punct_ratio, F.lit(0.0)).alias("punct_ratio"),
-        F.log1p(n_tokens.cast("double")).alias("log_tokens"),
+        F.coalesce(sig["stopword_ratio"], F.lit(0.0)).alias("stopword_ratio"),
+        F.coalesce(sig["punct_ratio"], F.lit(0.0)).alias("punct_ratio"),
+        F.log1p(sig["n_tokens"].cast("double")).alias("log_tokens"),
         F.log1p(F.col("n_chars").cast("double")).alias("log_chars"),
-        (quality >= 2).alias("label"),
+        sig["keep"].alias("label"),
     )
 
 

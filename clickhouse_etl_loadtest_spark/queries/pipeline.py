@@ -505,7 +505,7 @@ ORDER BY user_id
 
 @register("events_window_funnel", _WINDOW_FUNNEL_ORACLE, extra=True)
 def events_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-user funnel depth over the step sequence {_FUNNEL_STEPS} within a
+    """Per-user funnel depth over the step sequence _FUNNEL_STEPS within a
     2-hour window — the ``windowFunnel`` capability of the reference's sink
     engine, re-expressed Spark-first.
 
@@ -579,7 +579,7 @@ ORDER BY cohort_day
 @register("events_retention_cohorts", _RETENTION_ORACLE, extra=True)
 def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Day-cohort retention: users grouped by their first active day, with
-    counts of who returned exactly N days later (N in {_RETENTION_OFFSETS})
+    counts of who returned exactly N days later (N in _RETENTION_OFFSETS)
     — the ``retention`` aggregate of the reference's sink engine.
 
     Scale: one groupBy(user_id) collecting DISTINCT active DAYS (bounded by

@@ -132,11 +132,11 @@ ORDER BY doc_id
 """
 
 
-@register("doc_quality_filter", _QUALITY_ORACLE, extra=True)
-def doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heuristic quality scoring (length / punctuation / stopword signals)
-    with a keep/drop verdict — the C4/Gopher-style pre-training filter shape."""
-    d = _docs(spark, sf_dir)
+def quality_signal_cols() -> dict[str, Column]:
+    """The quality-filter signals and verdict as column expressions — the
+    single source of truth shared by ``doc_quality_filter`` and the
+    distilled classifier (``curation.doc_quality_classifier``): tuning a
+    threshold here changes the teacher and the student's labels together."""
     toks = _tokens()
     stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
     n_tokens = F.size(toks)
@@ -149,14 +149,29 @@ def doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.when(punct_ratio < 0.1, 1).otherwise(0)
         + F.when(n_tokens >= 20, 1).otherwise(0)
     )
+    return {
+        "n_tokens": n_tokens,
+        "stopword_ratio": stopword_ratio,
+        "punct_ratio": punct_ratio,
+        "quality_score": quality,
+        "keep": quality >= 2,
+    }
+
+
+@register("doc_quality_filter", _QUALITY_ORACLE, extra=True)
+def doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring (length / punctuation / stopword signals)
+    with a keep/drop verdict — the C4/Gopher-style pre-training filter shape."""
+    d = _docs(spark, sf_dir)
+    sig = quality_signal_cols()
     return d.select(
         "doc_id",
         "lang",
-        n_tokens.cast("bigint").alias("n_tokens"),
-        stopword_ratio.alias("stopword_ratio"),
-        punct_ratio.alias("punct_ratio"),
-        quality.cast("int").alias("quality_score"),
-        (quality >= 2).alias("keep"),
+        sig["n_tokens"].cast("bigint").alias("n_tokens"),
+        sig["stopword_ratio"].alias("stopword_ratio"),
+        sig["punct_ratio"].alias("punct_ratio"),
+        sig["quality_score"].cast("int").alias("quality_score"),
+        sig["keep"].alias("keep"),
     ).orderBy("doc_id")
 
 
@@ -339,8 +354,8 @@ def doc_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hamming-distance near-dup pairs over the SimHash signatures — the
     second classic fuzzy-dedup family beside MinHash-Jaccard (Manku/Jain/
     Sarma, WWW 2007: banded fingerprint tables). Unlike cosine-threshold
-    LSH, the banding here is EXACT: with {_HAM_BANDS} bands of
-    {_BAND_BITS} bits, any pair within Hamming {_HAM_K} must agree on at
+    LSH, the banding here is EXACT: with _HAM_BANDS bands of
+    _BAND_BITS bits, any pair within Hamming _HAM_K must agree on at
     least one whole band (pigeonhole), so recall is 1.0 by construction at
     any corpus.
 
@@ -521,7 +536,7 @@ ORDER BY doc_a, doc_b
 @register("doc_shingle_containment_pairs", _CONTAINMENT_ORACLE)
 def doc_shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shingle CONTAINMENT pairs (Broder's resemblance vs containment):
-    |A∩B| / min(|A|, |B|) ≥ {_CONTAINMENT_THRESHOLD}. Catches the asymmetric
+    |A∩B| / min(|A|, |B|) ≥ _CONTAINMENT_THRESHOLD. Catches the asymmetric
     near-dups Jaccard misses — a short document quoted wholesale inside a
     long one scores low on Jaccard (union is large) but ~1.0 on containment.
     On the sf0.01 fixture this flags 28 pairs vs Jaccard's 25.
@@ -587,11 +602,18 @@ ORDER BY doc_a, doc_b
 """
 
 
-def _minhash_bands_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, band, sig) LSH band rows for every document — the shared
-    front half of the MinHash family (pair generation, fuzzy keep,
-    contamination screening all consume this)."""
+def _minhash_bands_df(
+    spark: SparkSession, sf_dir: str, doc_predicate: Column | None = None
+) -> DataFrame:
+    """(doc_id, band, sig) LSH band rows — the shared front half of the
+    MinHash family (pair generation, fuzzy keep, contamination screening).
+    ``doc_predicate`` (on doc_id) prunes BELOW the signature pipeline, so a
+    caller needing disjoint slices (e.g. eval vs corpus) computes each
+    slice's signatures once, over that slice only — never the full pipeline
+    per consumer."""
     sh = _shingles_df(spark, sf_dir)
+    if doc_predicate is not None:
+        sh = sh.where(doc_predicate)
     # hash INSIDE the array before exploding: the Generate then emits 8-byte
     # longs instead of ~30-byte shingle strings (measured 1.49 s -> 1.00 s
     # on the sf0.1 signature stage; same md5 count, narrower rows)
@@ -1085,7 +1107,7 @@ ORDER BY doc_id
 @register("doc_pack_sequences", _PACK_ORACLE, extra=True)
 def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing: assign docs (in stable doc_id order) to training
-    sequences of ~{_PACK_LIMIT} tokens via a cumulative-sum window — the
+    sequences of ~_PACK_LIMIT tokens via a cumulative-sum window — the
     standard pretraining packing prep.
 
     Scale: a single global ordering window is fine for metadata-sized rows
@@ -1141,7 +1163,7 @@ ORDER BY doc_id, rnk
 
 @register("doc_tfidf_top_terms", _TFIDF_ORACLE, extra=True)
 def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TF-IDF feature extraction: top-{_TFIDF_TOPK} characteristic terms per
+    """TF-IDF feature extraction: top-_TFIDF_TOPK characteristic terms per
     document.
 
     Scale: tf is one (doc_id, token) aggregation; df is one (token)
@@ -1569,16 +1591,19 @@ def doc_fuzzy_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale (100 TB): the eval suite reduces to DISTINCT (band, sig) keys —
     eval sets are MBs by definition, so this side always broadcasts; corpus
     bands probe it map-side and only (doc_id, hit) pairs reach the per-doc
-    aggregation. Never O(corpus × eval); the corpus-scale shuffles are the
-    signature groupBy and the per-doc hit count, both with map-side combine
-    (n_band_hits ∈ [0, {_NUM_PERMS // _BAND_SIZE}]).
+    aggregation. Never O(corpus × eval); each side's signatures compute
+    ONCE over that side's slice only (the doc_id predicate pushes below the
+    signature pipeline — splitting one full pass, not doubling it), with
+    map-side combine on both corpus-scale shuffles
+    (n_band_hits <= _NUM_PERMS / _BAND_SIZE).
     """
-    bands = _minhash_bands_df(spark, sf_dir)
     eval_bands = (
-        bands.where(F.col("doc_id") < _EVAL_SET_MAX_DOC).select("band", "sig").distinct()
+        _minhash_bands_df(spark, sf_dir, F.col("doc_id") < _EVAL_SET_MAX_DOC)
+        .select("band", "sig")
+        .distinct()
     )
     hits = (
-        bands.where(F.col("doc_id") >= _EVAL_SET_MAX_DOC)
+        _minhash_bands_df(spark, sf_dir, F.col("doc_id") >= _EVAL_SET_MAX_DOC)
         .join(F.broadcast(eval_bands), ["band", "sig"])
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_band_hits"))

@@ -384,7 +384,7 @@ ORDER BY vec_id
 @register("ann_lsh_buckets", _LSH_ORACLE, extra=True)
 def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH (Charikar 2002 SimHash for vectors): sign of the
-    projection onto {_N_PLANES} fixed hyperplanes packs into a bucket id.
+    projection onto _N_PLANES fixed hyperplanes packs into a bucket id.
     Near-dup / ANN candidates = same-bucket vectors.
 
     The hyperplane coefficients derive from md5 (rational arithmetic), so the
@@ -568,7 +568,7 @@ ORDER BY q_id, rnk
 @register("ivf_search_topk", _IVF_SEARCH_ORACLE)
 def ivf_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end IVF search: coarse-quantize the corpus into centroid cells,
-    probe each query's {_NPROBE} nearest cells, exact-cosine-rerank ONLY the
+    probe each query's _NPROBE nearest cells, exact-cosine-rerank ONLY the
     candidates in those cells — the composition that replaces brute force at
     100 TB (ann_cosine_topk stays the exact recall baseline).
 
@@ -632,7 +632,7 @@ ORDER BY bf.q_id
 
 @register("ann_recall_eval", _RECALL_ORACLE, extra=True)
 def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall@{_TOPK} of the IVF probe search against the exact brute-force
+    """Recall@_TOPK of the IVF probe search against the exact brute-force
     top-k — the quality dial every ANN deployment tunes (nprobe up = recall
     up = cost up). Composes the two registered operators, so the number
     measures exactly what users of those operators get.
@@ -755,7 +755,7 @@ ORDER BY vec_id
 )
 def embedding_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-balanced sample: fit the deterministic k-means (same constants
-    as ``kmeans_clusters``), then keep each cluster's {_BALANCE_N} most
+    as ``kmeans_clusters``), then keep each cluster's _BALANCE_N most
     central vectors (rank by dist2, ties to the lowest vec_id) — equal
     representation per semantic region regardless of cluster population.
 
@@ -766,7 +766,7 @@ def embedding_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataF
     n/|cluster|, one k-row broadcast back, map-only filter) — same contract,
     no per-cluster sort. The exact-rank form is the oracle-verifiable twin,
     same pairing discipline as `events_value_quantiles` vs the sketch form.
-    Residual cross-engine risk: a near-exact dist2 tie at the rank-{_BALANCE_N}
+    Residual cross-engine risk: a near-exact dist2 tie at the rank-_BALANCE_N
     boundary could flip membership — same accepted class as the k-means
     argmin tie (vanishingly unlikely on real-valued embeddings).
     """
@@ -795,7 +795,7 @@ _PCA_CACHE: dict[str, tuple] = {}
 
 @register("embedding_pca_residuals", None, extra=True)
 def embedding_pca_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PCA energy audit: fit the top-{_PCA_K} principal components of the
+    """PCA energy audit: fit the top-_PCA_K principal components of the
     embedding corpus (operators/pca.py — one DECIMAL-summed moment pass +
     driver-side eigh), then score every vector's centered energy split into
     captured-by-top-k vs residual — the outlier/intrinsic-dimension signal
@@ -835,13 +835,25 @@ def _pq_codebooks(spark: SparkSession, sf_dir: str) -> list:
     return _PQ_CACHE[sf_dir]
 
 
+def _query_vectors(spark: SparkSession, sf_dir: str) -> list:
+    """The standard query set (vec_id < _N_QUERIES) as [(q_id, vector)] —
+    shared by every trained-search query so the set is defined once."""
+    return [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in _emb(spark, sf_dir)
+        .where(F.col("vec_id") < _N_QUERIES)
+        .orderBy("vec_id")
+        .collect()
+    ]
+
+
 @register("pq_adc_search_topk", None, extra=True)
 def pq_adc_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantized ANN end-to-end (operators/pq.py): train per-subspace
-    codebooks (joint Lloyd, one corpus scan per iteration for all {_PQ_M}
-    subspaces), encode the corpus to {_PQ_M}-byte codes, and answer the
-    standard query set (vec_id < {_N_QUERIES}) by ADC — each corpus row
-    scored with {_PQ_M} table lookups per query, queries riding the UDF
+    codebooks (joint Lloyd, one corpus scan per iteration for all _PQ_M
+    subspaces), encode the corpus to _PQ_M-byte codes, and answer the
+    standard query set (vec_id < _N_QUERIES) by ADC — each corpus row
+    scored with _PQ_M table lookups per query, queries riding the UDF
     closure as precomputed distance tables.
 
     This is the memory-side half of IVF-PQ, the standard 100 TB ANN layout
@@ -854,18 +866,14 @@ def pq_adc_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _emb(spark, sf_dir)
     cb = _pq_codebooks(spark, sf_dir)
-    queries = [
-        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
-        for r in e.where(F.col("vec_id") < _N_QUERIES).orderBy("vec_id").collect()
-    ]
-    return pq_adc_topk(pq_encode(e, cb), cb, queries, k=_TOPK)
+    return pq_adc_topk(pq_encode(e, cb), cb, _query_vectors(spark, sf_dir), k=_TOPK)
 
 
 @register("ivfpq_search_topk", None, extra=True)
 def ivfpq_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ end-to-end — the full 100 TB ANN layout composed from its two
     verified halves: coarse IVF cells gate candidates (each query probes its
-    {_NPROBE} nearest cells; same broadcast-codebook machinery as
+    _NPROBE nearest cells; same broadcast-codebook machinery as
     ``ivf_search_topk``), then candidates rank by PQ ADC distance (m table
     lookups per pair via ``operators/pq.py::adc_distance_col``) instead of
     exact vectors — at scale only the m-byte codes ride the candidate join,
@@ -879,10 +887,7 @@ def ivfpq_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _emb(spark, sf_dir)
     cb = _pq_codebooks(spark, sf_dir)
-    queries = [
-        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
-        for r in e.where(F.col("vec_id") < _N_QUERIES).orderBy("vec_id").collect()
-    ]
+    queries = _query_vectors(spark, sf_dir)
     with_cells = e.crossJoin(F.broadcast(_codebook(e))).withColumn(
         "cell_dists", _cell_dists(F.col("cells"), F.col("embedding"))
     )

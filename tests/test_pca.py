@@ -179,3 +179,23 @@ def test_streaming_moments_as_real_foreachbatch_body(spark, sf_dir, tmp_path):
     assert n_s == n_f
     assert (mean_s == mean_f).all()
     assert (cov_s == cov_f).all()
+
+
+def test_streaming_moments_tolerate_leading_empty_batch(spark, sf_dir, tmp_path):
+    """An empty batch 0 (routine before producers start) must be a no-op,
+    not a persisted d=0 meta that poisons every later batch."""
+    from clickhouse_etl_loadtest_spark.operators.pca import (
+        moments_from_state,
+        update_moments,
+    )
+
+    emb = _emb(spark, sf_dir)
+    state = str(tmp_path / "pca-state")
+    out0 = update_moments(spark, emb.where(F.lit(False)), state, batch_id=0)
+    assert out0 == {"n_seen": 0, "d": 0}
+    update_moments(spark, emb, state, batch_id=1)
+    # an empty batch AFTER state exists folds as a no-op too
+    update_moments(spark, emb.where(F.lit(False)), state, batch_id=2)
+    n_s, mean_s, cov_s = moments_from_state(spark, state)
+    n_f, mean_f, cov_f = covariance_moments(emb)
+    assert n_s == n_f and (mean_s == mean_f).all() and (cov_s == cov_f).all()
