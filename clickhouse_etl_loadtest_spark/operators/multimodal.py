@@ -22,6 +22,7 @@ import hashlib
 from collections.abc import Iterator
 from typing import Callable
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -259,3 +260,122 @@ def resize_media(df: DataFrame, target_bytes: int = 256, format_aware: bool = Fa
             yield pd.DataFrame(out_rows)
 
     return df.mapInPandas(_resize, schema=RESIZED_SCHEMA)
+
+
+# --- perceptual-hash near-duplicate detection (image dedup) --------------------------
+#
+# aHash (average hash; classic public recipe): grayscale -> block-average to
+# a g x g grid -> threshold each cell at the grid mean -> pack to g*g bits.
+# Invariant to uniform brightness shifts EXACTLY (the mean shifts equally)
+# and stable under resampling (block averages change little), so re-encoded
+# / resized / brightness-tweaked copies land within a few Hamming bits —
+# the image-side analogue of the text stack's SimHash family. Pairing then
+# reuses the banded-Hamming machinery (pigeonhole: with 4 bands of 16 bits,
+# Hamming <= 3 implies >= one identical band — recall 1.0 by construction),
+# so after the one Arrow-batched hash pass everything is JVM column ops:
+# band explode, bucket-collect pair expansion, xor + bit_count verify.
+# Scale: the corpus shuffles only (band, 16-bit key, 64-bit hash) longs.
+
+_AHASH_GRID = 8
+_AHASH_BANDS = 4
+_AHASH_BAND_BITS = (_AHASH_GRID * _AHASH_GRID) // _AHASH_BANDS  # 16
+
+
+def ahash_pixels(pixels, grid: int = _AHASH_GRID) -> int:
+    """64-bit average hash of an (h, w, 3) uint8 array."""
+    gray = np.asarray(pixels, dtype=np.float64).mean(axis=2)
+    h, w = gray.shape
+    ys = (np.arange(grid + 1) * h) // grid
+    xs = (np.arange(grid + 1) * w) // grid
+    blocks = np.empty((grid, grid))
+    for r in range(grid):
+        for c in range(grid):
+            blocks[r, c] = gray[ys[r] : max(ys[r + 1], ys[r] + 1), xs[c] : max(xs[c + 1], xs[c] + 1)].mean()
+    bits = (blocks > blocks.mean()).ravel()
+    out = 0
+    for b in bits:
+        out = (out << 1) | int(b)
+    # reinterpret as SIGNED int64 (bit 63 set would overflow a LongType /
+    # pandas Int64 otherwise); xor + bit_count downstream are bit-identical
+    if out >= 1 << 63:
+        out -= 1 << 64
+    return out
+
+
+def media_ahash(df: DataFrame, data_col: str = "data", id_col: str = "media_id") -> DataFrame:
+    """Arrow-batched hash stage: adds ``ahash`` (nullable long — null for
+    payloads that are not decodable PPM images). One Python roundtrip per
+    batch; the binary column never leaves this stage."""
+    from .codecs import decode_ppm, sniff_format
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = []
+            for b in pdf[data_col]:
+                raw = bytes(b)
+                if sniff_format(raw) == "ppm":
+                    try:
+                        hashes.append(ahash_pixels(decode_ppm(raw)["pixels"]))
+                    except Exception:
+                        hashes.append(None)
+                else:
+                    hashes.append(None)
+            yield pd.DataFrame({id_col: pdf[id_col].values, "ahash": pd.array(hashes, dtype="Int64")})
+
+    return df.mapInPandas(_hash, schema=f"{id_col} long, ahash long")
+
+
+def phash_near_pairs(
+    hashed: DataFrame, max_hamming: int = 3, id_col: str = "media_id"
+) -> DataFrame:
+    """Near-duplicate image pairs: Hamming(ahash_a, ahash_b) <= max_hamming.
+    Banded exact-recall candidate generation (same geometry argument as the
+    text SimHash operator), bucket-collect pair expansion, then a join-free
+    xor + bit_count verify — all JVM-side."""
+    if max_hamming >= _AHASH_BANDS:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs > {_AHASH_BANDS} bands for recall 1.0"
+        )
+    h = hashed.where(F.col("ahash").isNotNull())
+    mask = (1 << _AHASH_BAND_BITS) - 1
+    bands = h.select(
+        id_col,
+        "ahash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        # logical shift: arithmetic shiftright would sign-extend bit 63
+                        F.shiftrightunsigned("ahash", b * _AHASH_BAND_BITS).bitwiseAND(mask).alias("key"),
+                    )
+                    for b in range(_AHASH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "ahash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    buckets = (
+        bands.groupBy("band", "key")
+        .agg(F.sort_array(F.collect_set(F.struct(F.col(id_col).alias("i"), F.col("ahash").alias("h")))).alias("ms"))
+        .where(F.size("ms") >= 2)
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("ms"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ms"), i + 2, F.size(F.col("ms"))),
+                lambda y: F.struct(
+                    x["i"].alias("media_a"),
+                    y["i"].alias("media_b"),
+                    F.bit_count(x["h"].bitwiseXOR(y["h"])).alias("hamming"),
+                ),
+            ),
+        )
+    )
+    return (
+        buckets.select(F.explode(pairs).alias("p"))
+        .select("p.media_a", "p.media_b", "p.hamming")
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+        .orderBy("media_a", "media_b")
+    )

@@ -1,0 +1,125 @@
+"""Perceptual-hash image dedup (operators/multimodal.py ahash/phash):
+planted near-duplicates (brightness shift, resample) must pair up within
+the Hamming budget, unrelated noise images must not, and the invariances
+the hash claims must hold exactly where claimed."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from clickhouse_etl_loadtest_spark.operators.codecs import encode_ppm, resize_ppm
+from clickhouse_etl_loadtest_spark.operators.multimodal import (
+    ahash_pixels,
+    media_ahash,
+    phash_near_pairs,
+)
+
+
+def _img(rng, h=32, w=32):
+    return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8).astype(np.uint8)
+
+
+def _smooth_img(rng, h=32, w=32):
+    """Spatially correlated image (low-frequency pattern + mild noise) —
+    the realistic case; pure white noise is aHash's adversarial worst case
+    under resampling because block means hover at the global mean."""
+    y = np.arange(h)[:, None] / h
+    x = np.arange(w)[None, :] / w
+    # per-image random spatial frequencies/orientation so DIFFERENT images
+    # have genuinely different coarse structure (one shared mode would make
+    # every image a near-dup of every other by construction)
+    fy, fx = rng.integers(1, 5, size=2)
+    phase = rng.uniform(0, 2 * np.pi, size=(3, 2))
+    base = np.stack(
+        [
+            128
+            + 60 * np.sin(2 * np.pi * fy * y + phase[c, 0])
+            + 60 * np.cos(2 * np.pi * fx * x + phase[c, 1])
+            for c in range(3)
+        ],
+        axis=2,
+    )
+    noise = rng.normal(0, 8, size=(h, w, 3))
+    return np.clip(base + noise, 0, 255).astype(np.uint8)
+
+
+def test_ahash_exactly_invariant_to_uniform_brightness():
+    """A uniform brightness shift moves every block mean AND the global mean
+    by the same amount, so the thresholded bits are bit-identical."""
+    rng = np.random.default_rng(7)
+    base = (_img(rng).astype(np.int64) % 200).astype(np.uint8)  # headroom: +10 never clips
+    assert ahash_pixels(base) == ahash_pixels((base + 10).astype(np.uint8))
+
+
+def test_ahash_stable_under_resample():
+    rng = np.random.default_rng(11)
+    px = _smooth_img(rng, 40, 40)
+    data = encode_ppm(px)
+    resized = resize_ppm(data, 32, 32)
+    from clickhouse_etl_loadtest_spark.operators.codecs import decode_ppm
+
+    h1 = ahash_pixels(px)
+    h2 = ahash_pixels(decode_ppm(resized)["pixels"])
+    assert bin(h1 ^ h2).count("1") <= 3  # correlated images: few bits move
+
+
+def test_phash_near_pairs_finds_planted_dupes_only(spark):
+    rng = np.random.default_rng(42)
+    rows = []
+    originals = {}
+    for i in range(20):
+        px = np.clip(_smooth_img(rng).astype(np.int64), 0, 200).astype(np.uint8)
+        originals[i] = px
+        rows.append((i, bytearray(encode_ppm(px))))
+    # planted duplicates: 20+i is a brightness-shifted copy of i (exact hash
+    # match), 40+i is a resampled copy (within a few bits)
+    for i in (0, 3, 7):
+        rows.append((20 + i, bytearray(encode_ppm((originals[i] + 10).astype(np.uint8)))))
+        rows.append((40 + i, bytearray(resize_ppm(encode_ppm(originals[i]), 28, 28))))
+    # one non-image payload: must be ignored, not crash
+    rows.append((99, bytearray(b"not an image at all")))
+    df = spark.createDataFrame(rows, "media_id long, data binary")
+    hashed = media_ahash(df)
+    assert hashed.where(F.col("media_id") == 99).first()["ahash"] is None
+    got = {
+        (r["media_a"], r["media_b"]) for r in phash_near_pairs(hashed, max_hamming=3).collect()
+    }
+    for i in (0, 3, 7):
+        assert (i, 20 + i) in got, (i, sorted(got))
+    planted = {(i, 20 + i) for i in (0, 3, 7)} | {(i, 40 + i) for i in (0, 3, 7)} | {
+        (20 + i, 40 + i) for i in (0, 3, 7)
+    }
+    # any extra pair must be a TRUE perceptual collision (reference numpy
+    # hashes within budget) — never a pipeline artifact; and the operator
+    # must have missed nothing the reference finds among the originals
+    ref = {i: ahash_pixels(px) for i, px in originals.items()}
+    for a, b in got - planted:
+        if a in ref and b in ref:
+            assert bin((ref[a] ^ ref[b]) & ((1 << 64) - 1)).count("1") <= 3, (a, b)
+    for a in ref:
+        for b in ref:
+            if a < b and bin((ref[a] ^ ref[b]) & ((1 << 64) - 1)).count("1") <= 3:
+                assert (a, b) in got, (a, b)
+
+
+def test_phash_rejects_unattainable_recall(spark):
+    df = spark.createDataFrame([(1, 5)], "media_id long, ahash long")
+    with pytest.raises(ValueError, match="needs > 4 bands"):
+        phash_near_pairs(df, max_hamming=4)
+
+
+def test_phash_plan_is_hash_only_after_the_arrow_stage(spark):
+    rng = np.random.default_rng(3)
+    rows = [(i, bytearray(encode_ppm(_img(rng)))) for i in range(6)]
+    df = spark.createDataFrame(rows, "media_id long, data binary")
+    plan = (
+        phash_near_pairs(media_ahash(df), max_hamming=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in plan  # bucket-collect pair expansion, no self-join
+    assert "BatchEvalPython" not in plan  # only the Arrow MapInPandas stage
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert "data#" not in ln, ln  # binaries never shuffle
