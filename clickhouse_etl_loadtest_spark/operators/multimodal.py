@@ -379,3 +379,60 @@ def phash_near_pairs(
         .distinct()
         .orderBy("media_a", "media_b")
     )
+
+
+# --- audio fingerprinting (the WAV-side twin of the image aHash) ---------------------
+#
+# Energy-envelope fingerprint: mix to mono, split into 64 equal frames,
+# per-frame RMS energy, threshold at the MEDIAN frame energy -> 64 balanced
+# bits. Exactly invariant to uniform gain (energies and their median scale
+# together) and stable under resampling (frame energies are averages).
+# Pairing reuses :func:`phash_near_pairs` unchanged — the fingerprint rides
+# the same ``ahash`` column contract.
+
+_AFP_FRAMES = _AHASH_GRID * _AHASH_GRID  # 64 bits, same band geometry
+
+
+def audio_fingerprint_samples(samples, frames: int = _AFP_FRAMES) -> int | None:
+    """Signed-64-bit envelope fingerprint of an (n, ch) int16 array; None
+    for clips too short to fill one sample per frame."""
+    mono = np.asarray(samples, dtype=np.float64).mean(axis=1)
+    n = mono.shape[0]
+    if n < frames:
+        return None
+    bounds = (np.arange(frames + 1) * n) // frames
+    energy = np.asarray(
+        [np.sqrt(np.mean(mono[bounds[i] : bounds[i + 1]] ** 2)) for i in range(frames)]
+    )
+    bits = energy > np.median(energy)
+    out = 0
+    for b in bits:
+        out = (out << 1) | int(b)
+    if out >= 1 << 63:
+        out -= 1 << 64
+    return out
+
+
+def media_audio_fingerprint(
+    df: DataFrame, data_col: str = "data", id_col: str = "media_id"
+) -> DataFrame:
+    """Arrow-batched fingerprint stage: adds ``ahash`` (nullable long — null
+    for payloads that are not decodable PCM16 WAV). Same column contract as
+    :func:`media_ahash`, so :func:`phash_near_pairs` pairs either."""
+    from .codecs import decode_wav, sniff_format
+
+    def _fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = []
+            for b in pdf[data_col]:
+                raw = bytes(b)
+                if sniff_format(raw) == "wav":
+                    try:
+                        hashes.append(audio_fingerprint_samples(decode_wav(raw)["samples"]))
+                    except Exception:
+                        hashes.append(None)
+                else:
+                    hashes.append(None)
+            yield pd.DataFrame({id_col: pdf[id_col].values, "ahash": pd.array(hashes, dtype="Int64")})
+
+    return df.mapInPandas(_fp, schema=f"{id_col} long, ahash long")

@@ -123,3 +123,87 @@ def test_phash_plan_is_hash_only_after_the_arrow_stage(spark):
     for ln in plan.splitlines():
         if "Exchange hashpartitioning" in ln:
             assert "data#" not in ln, ln  # binaries never shuffle
+
+
+# --- audio fingerprint (the WAV twin) ------------------------------------------------
+
+
+def _am_tone(rng, n=8000, sr=16000):
+    """Amplitude-modulated tone: structured energy envelope (the realistic
+    case — constant-amplitude signals have a flat envelope, the fingerprint's
+    adversarial worst case, like white noise for the image hash)."""
+    t = np.arange(n) / sr
+    f_env = rng.uniform(0.5, 4.0)
+    f_car = rng.uniform(200, 2000)
+    phase = rng.uniform(0, 2 * np.pi)
+    env = 0.2 + 0.8 * np.abs(np.sin(2 * np.pi * f_env * t + phase))
+    sig = 12000 * env * np.sin(2 * np.pi * f_car * t)
+    return sig.astype(np.int16)[:, None]
+
+
+def test_audio_fingerprint_exactly_invariant_to_gain():
+    from clickhouse_etl_loadtest_spark.operators.multimodal import (
+        audio_fingerprint_samples,
+    )
+
+    rng = np.random.default_rng(5)
+    s = (_am_tone(rng) // 2).astype(np.int16)  # headroom: x2 never clips
+    assert audio_fingerprint_samples(s) == audio_fingerprint_samples((s * 2).astype(np.int16))
+
+
+def test_audio_fingerprint_stable_under_resample():
+    from clickhouse_etl_loadtest_spark.operators.codecs import decode_wav, encode_wav, resize_wav
+    from clickhouse_etl_loadtest_spark.operators.multimodal import (
+        audio_fingerprint_samples,
+    )
+
+    rng = np.random.default_rng(9)
+    s = _am_tone(rng)
+    h1 = audio_fingerprint_samples(s)
+    resized = decode_wav(resize_wav(encode_wav(s), target_samples=6400))["samples"]
+    h2 = audio_fingerprint_samples(resized)
+    assert bin((h1 ^ h2) & ((1 << 64) - 1)).count("1") <= 3
+
+
+def test_audio_fingerprint_short_clip_is_null():
+    from clickhouse_etl_loadtest_spark.operators.multimodal import (
+        audio_fingerprint_samples,
+    )
+
+    assert audio_fingerprint_samples(np.zeros((10, 1), dtype=np.int16)) is None
+
+
+def test_audio_pairing_reuses_band_machinery(spark):
+    from clickhouse_etl_loadtest_spark.operators.codecs import encode_wav
+    from clickhouse_etl_loadtest_spark.operators.multimodal import (
+        media_audio_fingerprint,
+    )
+
+    rng = np.random.default_rng(21)
+    rows = []
+    tones = {}
+    for i in range(12):
+        s = (_am_tone(rng) // 2).astype(np.int16)
+        tones[i] = s
+        rows.append((i, bytearray(encode_wav(s))))
+    for i in (1, 4):  # planted: gain-doubled copies
+        rows.append((100 + i, bytearray(encode_wav((tones[i] * 2).astype(np.int16)))))
+    rows.append((99, bytearray(b"RIFFgarbage")))  # undecodable: ignored
+    df = spark.createDataFrame(rows, "media_id long, data binary")
+    hashed = media_audio_fingerprint(df)
+    assert hashed.where(F.col("media_id") == 99).first()["ahash"] is None
+    got = {
+        (r["media_a"], r["media_b"])
+        for r in phash_near_pairs(hashed, max_hamming=3).collect()
+    }
+    for i in (1, 4):
+        assert (i, 100 + i) in got, sorted(got)
+    # extras must be true envelope collisions, never artifacts
+    from clickhouse_etl_loadtest_spark.operators.multimodal import (
+        audio_fingerprint_samples,
+    )
+
+    ref = {i: audio_fingerprint_samples(s) for i, s in tones.items()}
+    for a, b in got - {(i, 100 + i) for i in (1, 4)}:
+        if a in ref and b in ref:
+            assert bin((ref[a] ^ ref[b]) & ((1 << 64) - 1)).count("1") <= 3, (a, b)
