@@ -236,8 +236,10 @@ def main() -> None:
     # Reference max-scale wave: 20M records (BASELINE.md's largest variant,
     # 2,333 s there) with RocksDB state + state-store metrics recorded.
     # Same cold/steady split as the 5M loadtest: identical-plan runs swing
-    # 18-25 s with host I/O load (measured r4), so the steady run is the
-    # comparable signal and the cold run ships alongside for the spread.
+    # 18-35 s standalone and up to ~57 s inside a full bench under heavy
+    # host I/O (measured r4; RocksDB update time is the swing), so the
+    # steady run is the comparable signal and the cold run ships alongside
+    # for the spread.
     streaming_20m = None
     if os.environ.get("SPARK_GRAFT_STREAM_20M", "1") == "1":
         streaming_20m_cold = run_streaming_loadtest(
