@@ -1237,3 +1237,143 @@ def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003 — public) --------
+
+# Local document fingerprinting with a GUARANTEE fixed shingles lack: pick
+# the minimum gram hash in every sliding window of _WINNOW_W consecutive
+# k-gram positions (ties -> leftmost position), and any verbatim overlap of
+# at least _WINNOW_K + _WINNOW_W - 1 tokens between two documents shares at
+# least one SELECTED fingerprint — detection is certain, while storage drops
+# to an expected 2/(w+1) density of positions. The MOSS algorithm.
+_WINNOW_K = 4  # tokens per gram
+_WINNOW_W = 4  # window of consecutive gram positions
+_POS_RADIX = 1 << 20  # pos < 2^20: (hash, pos) packs into one DECIMAL key
+
+# combined key = hash * 2^20 + pos: lexicographic (hash, pos) min under
+# plain numeric MIN — min hash, ties to the LEFTMOST position; exact in
+# DECIMAL(38,0) / HUGEINT in both engines (hash < 2^60 => key < 2^80)
+_WINNOW_SEL_CTES = f"""
+tok AS (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks FROM documents),
+g AS (
+    SELECT doc_id,
+           unnest(generate_series(1, len(toks) - {_WINNOW_K - 1})) AS pos,
+           unnest(list_transform(generate_series(1, len(toks) - {_WINNOW_K - 1}),
+                  i -> {h60_sql_duckdb("toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3]")})) AS gh
+    FROM tok WHERE len(toks) >= {_WINNOW_K}
+),
+keyed AS (
+    SELECT doc_id, pos,
+           CAST(gh AS HUGEINT) * {_POS_RADIX} + pos AS key,
+           COUNT(*) OVER (PARTITION BY doc_id) AS n_grams
+    FROM g
+),
+wm AS (
+    SELECT doc_id, pos, n_grams,
+           MIN(key) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN {_WINNOW_W - 1} PRECEDING AND CURRENT ROW) AS sel
+    FROM keyed
+),
+selected AS (
+    SELECT DISTINCT doc_id, n_grams, sel,
+           CAST((sel - sel % {_POS_RADIX}) / {_POS_RADIX} AS BIGINT) AS fp_hash
+    FROM wm WHERE pos >= {_WINNOW_W}
+)"""
+
+_WINNOW_ORACLE = f"""
+WITH {_WINNOW_SEL_CTES}
+SELECT doc_id,
+       CAST(MAX(n_grams) AS BIGINT) AS n_grams,
+       CAST(COUNT(*) AS BIGINT) AS n_selected,
+       COUNT(*) * 1.0 / MAX(n_grams) AS density
+FROM selected GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+def _winnow_selected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_grams, sel DECIMAL, fp_hash) — the selected fingerprints."""
+    from pyspark.sql import Window
+
+    toks = _tokens()
+    g = (
+        _docs(spark, sf_dir)
+        .where(F.size(toks) >= _WINNOW_K)
+        .select("doc_id", F.posexplode(_positional_gram_hashes(toks, _WINNOW_K)).alias("i", "gh"))
+        .select("doc_id", (F.col("i") + 1).alias("pos"), "gh")
+    )
+    key = (F.col("gh").cast("decimal(38,0)") * _POS_RADIX + F.col("pos")).alias("key")
+    wdoc = Window.partitionBy("doc_id")
+    wroll = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-( _WINNOW_W - 1), 0)
+    keyed = g.select("doc_id", "pos", key, F.count(F.lit(1)).over(wdoc).alias("n_grams"))
+    sel = (
+        keyed.withColumn("sel", F.min("key").over(wroll))
+        .where(F.col("pos") >= _WINNOW_W)
+        .select("doc_id", "n_grams", "sel")
+        .distinct()
+    )
+    fp = ((F.col("sel") - F.col("sel") % _POS_RADIX) / _POS_RADIX).cast("long")
+    return sel.withColumn("fp_hash", fp)
+
+
+@register("doc_winnow_fingerprints", _WINNOW_ORACLE, extra=True)
+def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint selection per document: gram count, selected
+    count, and density (theory: E[density] = 2/(w+1) ≈ 0.4 at w=4 — the
+    storage the guarantee costs).
+
+    Scale: gram hashes are built in-array and the rolling-min window
+    partitions by doc_id (no global sort); the packed DECIMAL key makes the
+    lexicographic (hash, leftmost-pos) tie rule a plain numeric MIN, exact
+    and engine-identical. Everything after the explode shuffles 16-byte
+    keys only.
+    """
+    return (
+        _winnow_selected(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(
+            F.max("n_grams").alias("n_grams"),
+            F.count(F.lit(1)).alias("n_selected"),
+            (F.count(F.lit(1)) * 1.0 / F.max("n_grams")).alias("density"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_WINNOW_MATCH_MIN = 2
+
+_WINNOW_MATCHES_ORACLE = f"""
+WITH {_WINNOW_SEL_CTES},
+fp AS (SELECT DISTINCT doc_id, fp_hash FROM selected)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM fp a JOIN fp b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+GROUP BY doc_a, doc_b
+HAVING COUNT(*) >= {_WINNOW_MATCH_MIN}
+ORDER BY doc_a, doc_b
+"""
+
+
+@register("doc_winnow_matches", _WINNOW_MATCHES_ORACLE, extra=True)
+def doc_winnow_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document winnowing matches: pairs sharing ≥ {_WINNOW_MATCH_MIN}
+    selected fingerprints — overlap detection with the winnowing GUARANTEE
+    (any verbatim overlap of ≥ k+w-1 tokens shares a fingerprint), at the
+    2/(w+1) storage density the selection buys.
+
+    Scale: the pair join runs on the SELECTED fingerprints only (an
+    expected 2/(w+1) fraction of gram positions) — same equi-join machinery
+    as the shingle family, smaller input by construction.
+    """
+    fp = _winnow_selected(spark, sf_dir).select("doc_id", "fp_hash").distinct()
+    a = fp.select(F.col("doc_id").alias("doc_a"), "fp_hash")
+    b = fp.select(F.col("doc_id").alias("doc_b"), "fp_hash")
+    return (
+        a.join(b, ["fp_hash"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= _WINNOW_MATCH_MIN)
+        .orderBy("doc_a", "doc_b")
+    )
