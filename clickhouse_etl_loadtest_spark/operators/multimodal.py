@@ -281,6 +281,18 @@ _AHASH_BANDS = 4
 _AHASH_BAND_BITS = (_AHASH_GRID * _AHASH_GRID) // _AHASH_BANDS  # 16
 
 
+def _pack_bits_signed64(bits) -> int:
+    """Pack a 64-bool sequence into a SIGNED int64 (bit 63 set would
+    overflow LongType / pandas Int64 as unsigned); xor + bit_count
+    downstream are bit-identical either way."""
+    out = 0
+    for b in bits:
+        out = (out << 1) | int(b)
+    if out >= 1 << 63:
+        out -= 1 << 64
+    return out
+
+
 def ahash_pixels(pixels, grid: int = _AHASH_GRID) -> int:
     """64-bit average hash of an (h, w, 3) uint8 array."""
     gray = np.asarray(pixels, dtype=np.float64).mean(axis=2)
@@ -291,31 +303,27 @@ def ahash_pixels(pixels, grid: int = _AHASH_GRID) -> int:
     for r in range(grid):
         for c in range(grid):
             blocks[r, c] = gray[ys[r] : max(ys[r + 1], ys[r] + 1), xs[c] : max(xs[c + 1], xs[c] + 1)].mean()
-    bits = (blocks > blocks.mean()).ravel()
-    out = 0
-    for b in bits:
-        out = (out << 1) | int(b)
-    # reinterpret as SIGNED int64 (bit 63 set would overflow a LongType /
-    # pandas Int64 otherwise); xor + bit_count downstream are bit-identical
-    if out >= 1 << 63:
-        out -= 1 << 64
-    return out
+    return _pack_bits_signed64((blocks > blocks.mean()).ravel())
 
 
-def media_ahash(df: DataFrame, data_col: str = "data", id_col: str = "media_id") -> DataFrame:
-    """Arrow-batched hash stage: adds ``ahash`` (nullable long — null for
-    payloads that are not decodable PPM images). One Python roundtrip per
-    batch; the binary column never leaves this stage."""
-    from .codecs import decode_ppm, sniff_format
+def _media_hash_stage(
+    df: DataFrame, fmt: str, hasher, data_col: str, id_col: str
+) -> DataFrame:
+    """Shared Arrow-batched fingerprint stage: adds ``ahash`` (nullable
+    long — null for payloads not matching ``fmt`` or failing to decode).
+    One Python roundtrip per batch; the binary column never leaves this
+    stage. ``hasher(raw_bytes) -> int | None`` supplies the per-format
+    fingerprint (image aHash, audio envelope, ...)."""
+    from .codecs import sniff_format
 
     def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             hashes = []
             for b in pdf[data_col]:
                 raw = bytes(b)
-                if sniff_format(raw) == "ppm":
+                if sniff_format(raw) == fmt:
                     try:
-                        hashes.append(ahash_pixels(decode_ppm(raw)["pixels"]))
+                        hashes.append(hasher(raw))
                     except Exception:
                         hashes.append(None)
                 else:
@@ -325,59 +333,34 @@ def media_ahash(df: DataFrame, data_col: str = "data", id_col: str = "media_id")
     return df.mapInPandas(_hash, schema=f"{id_col} long, ahash long")
 
 
+def media_ahash(df: DataFrame, data_col: str = "data", id_col: str = "media_id") -> DataFrame:
+    """Image fingerprint stage: aHash over decodable PPM payloads."""
+    from .codecs import decode_ppm
+
+    return _media_hash_stage(
+        df, "ppm", lambda raw: ahash_pixels(decode_ppm(raw)["pixels"]), data_col, id_col
+    )
+
+
 def phash_near_pairs(
     hashed: DataFrame, max_hamming: int = 3, id_col: str = "media_id"
 ) -> DataFrame:
-    """Near-duplicate image pairs: Hamming(ahash_a, ahash_b) <= max_hamming.
-    Banded exact-recall candidate generation (same geometry argument as the
-    text SimHash operator), bucket-collect pair expansion, then a join-free
-    xor + bit_count verify — all JVM-side."""
-    if max_hamming >= _AHASH_BANDS:
-        raise ValueError(
-            f"max_hamming={max_hamming} needs > {_AHASH_BANDS} bands for recall 1.0"
-        )
-    h = hashed.where(F.col("ahash").isNotNull())
-    mask = (1 << _AHASH_BAND_BITS) - 1
-    bands = h.select(
-        id_col,
-        "ahash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        # logical shift: arithmetic shiftright would sign-extend bit 63
-                        F.shiftrightunsigned("ahash", b * _AHASH_BAND_BITS).bitwiseAND(mask).alias("key"),
-                    )
-                    for b in range(_AHASH_BANDS)
-                ]
-            )
-        ).alias("bk"),
-    ).select(id_col, "ahash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    buckets = (
-        bands.groupBy("band", "key")
-        .agg(F.sort_array(F.collect_set(F.struct(F.col(id_col).alias("i"), F.col("ahash").alias("h")))).alias("ms"))
-        .where(F.size("ms") >= 2)
-    )
-    pairs = F.flatten(
-        F.transform(
-            F.col("ms"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ms"), i + 2, F.size(F.col("ms"))),
-                lambda y: F.struct(
-                    x["i"].alias("media_a"),
-                    y["i"].alias("media_b"),
-                    F.bit_count(x["h"].bitwiseXOR(y["h"])).alias("hamming"),
-                ),
-            ),
-        )
-    )
-    return (
-        buckets.select(F.explode(pairs).alias("p"))
-        .select("p.media_a", "p.media_b", "p.hamming")
-        .where(F.col("hamming") <= max_hamming)
-        .distinct()
-        .orderBy("media_a", "media_b")
+    """Near-duplicate media pairs: Hamming(hash_a, hash_b) <= max_hamming
+    over the ``ahash`` column (image aHash or audio fingerprint — same
+    contract). Delegates to the shared banded-Hamming machinery
+    (operators/banded.py): exact-recall candidate generation, bucket-collect
+    pair expansion, join-free xor + bit_count verify — all JVM-side."""
+    from .banded import banded_hamming_pairs
+
+    return banded_hamming_pairs(
+        hashed,
+        hash_col="ahash",
+        id_col=id_col,
+        n_bands=_AHASH_BANDS,
+        band_bits=_AHASH_BAND_BITS,
+        max_hamming=max_hamming,
+        out_a="media_a",
+        out_b="media_b",
     )
 
 
@@ -404,35 +387,21 @@ def audio_fingerprint_samples(samples, frames: int = _AFP_FRAMES) -> int | None:
     energy = np.asarray(
         [np.sqrt(np.mean(mono[bounds[i] : bounds[i + 1]] ** 2)) for i in range(frames)]
     )
-    bits = energy > np.median(energy)
-    out = 0
-    for b in bits:
-        out = (out << 1) | int(b)
-    if out >= 1 << 63:
-        out -= 1 << 64
-    return out
+    return _pack_bits_signed64(energy > np.median(energy))
 
 
 def media_audio_fingerprint(
     df: DataFrame, data_col: str = "data", id_col: str = "media_id"
 ) -> DataFrame:
-    """Arrow-batched fingerprint stage: adds ``ahash`` (nullable long — null
-    for payloads that are not decodable PCM16 WAV). Same column contract as
-    :func:`media_ahash`, so :func:`phash_near_pairs` pairs either."""
-    from .codecs import decode_wav, sniff_format
+    """Audio fingerprint stage: energy envelope over decodable PCM16 WAV.
+    Same ``ahash`` column contract as :func:`media_ahash`, so
+    :func:`phash_near_pairs` pairs either."""
+    from .codecs import decode_wav
 
-    def _fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            hashes = []
-            for b in pdf[data_col]:
-                raw = bytes(b)
-                if sniff_format(raw) == "wav":
-                    try:
-                        hashes.append(audio_fingerprint_samples(decode_wav(raw)["samples"]))
-                    except Exception:
-                        hashes.append(None)
-                else:
-                    hashes.append(None)
-            yield pd.DataFrame({id_col: pdf[id_col].values, "ahash": pd.array(hashes, dtype="Int64")})
-
-    return df.mapInPandas(_fp, schema=f"{id_col} long, ahash long")
+    return _media_hash_stage(
+        df,
+        "wav",
+        lambda raw: audio_fingerprint_samples(decode_wav(raw)["samples"]),
+        data_col,
+        id_col,
+    )

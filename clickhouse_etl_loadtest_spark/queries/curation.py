@@ -1249,18 +1249,29 @@ def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 # to an expected 2/(w+1) density of positions. The MOSS algorithm.
 _WINNOW_K = 4  # tokens per gram
 _WINNOW_W = 4  # window of consecutive gram positions
-_POS_RADIX = 1 << 20  # pos < 2^20: (hash, pos) packs into one DECIMAL key
+# pos < 2^31 (a 2-billion-token document does not exist): (hash, pos) packs
+# into one key with hash < 2^60 => key < 2^91, well inside DECIMAL(38,0) /
+# HUGEINT range in both engines
+_POS_RADIX = 1 << 31
 
-# combined key = hash * 2^20 + pos: lexicographic (hash, pos) min under
+# the k-gram concat is BUILT from _WINNOW_K so oracle and Spark can never
+# desynchronize on the gram width
+_WINNOW_GRAM_SQL = " || ' ' || ".join(
+    f"toks[i + {j}]" if j else "toks[i]" for j in range(_WINNOW_K)
+)
+
+# combined key = hash * radix + pos: lexicographic (hash, pos) min under
 # plain numeric MIN — min hash, ties to the LEFTMOST position; exact in
-# DECIMAL(38,0) / HUGEINT in both engines (hash < 2^60 => key < 2^80)
+# DECIMAL(38,0) / HUGEINT in both engines. fp_hash extraction uses
+# INTEGER division (`//`) — DuckDB's `/` is DOUBLE division and rounds
+# 60-bit hashes.
 _WINNOW_SEL_CTES = f"""
 tok AS (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks FROM documents),
 g AS (
     SELECT doc_id,
            unnest(generate_series(1, len(toks) - {_WINNOW_K - 1})) AS pos,
            unnest(list_transform(generate_series(1, len(toks) - {_WINNOW_K - 1}),
-                  i -> {h60_sql_duckdb("toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3]")})) AS gh
+                  i -> {h60_sql_duckdb(_WINNOW_GRAM_SQL)})) AS gh
     FROM tok WHERE len(toks) >= {_WINNOW_K}
 ),
 keyed AS (
@@ -1277,7 +1288,7 @@ wm AS (
 ),
 selected AS (
     SELECT DISTINCT doc_id, n_grams, sel,
-           CAST((sel - sel % {_POS_RADIX}) / {_POS_RADIX} AS BIGINT) AS fp_hash
+           CAST(sel // {_POS_RADIX} AS BIGINT) AS fp_hash
     FROM wm WHERE pos >= {_WINNOW_W}
 )"""
 
@@ -1292,8 +1303,13 @@ ORDER BY doc_id
 """
 
 
-def _winnow_selected(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, n_grams, sel DECIMAL, fp_hash) — the selected fingerprints."""
+def _winnow_selected(
+    spark: SparkSession, sf_dir: str, with_counts: bool = True
+) -> DataFrame:
+    """(doc_id[, n_grams], sel DECIMAL, fp_hash) — the selected
+    fingerprints. ``with_counts=False`` skips the per-doc gram-count window
+    entirely (the matches query doesn't use it, and its unbounded
+    COUNT(*) OVER pass is not free at corpus scale)."""
     from pyspark.sql import Window
 
     toks = _tokens()
@@ -1304,15 +1320,19 @@ def _winnow_selected(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", (F.col("i") + 1).alias("pos"), "gh")
     )
     key = (F.col("gh").cast("decimal(38,0)") * _POS_RADIX + F.col("pos")).alias("key")
-    wdoc = Window.partitionBy("doc_id")
-    wroll = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-( _WINNOW_W - 1), 0)
-    keyed = g.select("doc_id", "pos", key, F.count(F.lit(1)).over(wdoc).alias("n_grams"))
+    wroll = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-(_WINNOW_W - 1), 0)
+    extra = []
+    if with_counts:
+        extra = [F.count(F.lit(1)).over(Window.partitionBy("doc_id")).alias("n_grams")]
+    keyed = g.select("doc_id", "pos", key, *extra)
     sel = (
         keyed.withColumn("sel", F.min("key").over(wroll))
         .where(F.col("pos") >= _WINNOW_W)
-        .select("doc_id", "n_grams", "sel")
+        .drop("pos", "key")
         .distinct()
     )
+    # exact DECIMAL arithmetic: sel is an exact multiple of the radix plus
+    # pos, so the subtraction/division below is integral and lossless
     fp = ((F.col("sel") - F.col("sel") % _POS_RADIX) / _POS_RADIX).cast("long")
     return sel.withColumn("fp_hash", fp)
 
@@ -1341,7 +1361,10 @@ def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_WINNOW_MATCH_MIN = 2
+# >= 1 shared fingerprint keeps the winnowing GUARANTEE intact: a single
+# minimal k+w-1-token overlap selects exactly one common fingerprint, and
+# filtering it out would contradict the certainty the algorithm buys
+_WINNOW_MATCH_MIN = 1
 
 _WINNOW_MATCHES_ORACLE = f"""
 WITH {_WINNOW_SEL_CTES},
@@ -1357,16 +1380,20 @@ ORDER BY doc_a, doc_b
 
 @register("doc_winnow_matches", _WINNOW_MATCHES_ORACLE, extra=True)
 def doc_winnow_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cross-document winnowing matches: pairs sharing ≥ {_WINNOW_MATCH_MIN}
-    selected fingerprints — overlap detection with the winnowing GUARANTEE
-    (any verbatim overlap of ≥ k+w-1 tokens shares a fingerprint), at the
-    2/(w+1) storage density the selection buys.
+    """Cross-document winnowing matches: every pair sharing a selected
+    fingerprint, with the shared count — overlap detection with the
+    winnowing GUARANTEE (any verbatim overlap of ≥ k+w-1 tokens shares at
+    least one fingerprint, so no qualifying pair is ever missed), at the
+    2/(w+1) storage density the selection buys. Rank or threshold on
+    ``n_shared`` downstream to trade precision for recall.
 
     Scale: the pair join runs on the SELECTED fingerprints only (an
     expected 2/(w+1) fraction of gram positions) — same equi-join machinery
     as the shingle family, smaller input by construction.
     """
-    fp = _winnow_selected(spark, sf_dir).select("doc_id", "fp_hash").distinct()
+    fp = _winnow_selected(spark, sf_dir, with_counts=False).select(
+        "doc_id", "fp_hash"
+    ).distinct()
     a = fp.select(F.col("doc_id").alias("doc_a"), "fp_hash")
     b = fp.select(F.col("doc_id").alias("doc_b"), "fp_hash")
     return (

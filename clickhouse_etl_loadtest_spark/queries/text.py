@@ -363,51 +363,21 @@ def doc_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     structs, so the verify step needs no join at all — one shuffle on
     (band, band-key), pair volume bounded by bucket sizes, then a per-pair
     bit_count. Same bucket-collect shape as doc_minhash_lsh_pairs
-    (plan-asserted: no join operator anywhere in the plan).
+    (plan-asserted: no join operator anywhere in the plan). The pairing
+    machinery is shared with the image/audio fingerprint families
+    (operators/banded.py).
     """
-    sig = doc_simhash(spark, sf_dir)
-    band_rows = F.explode(
-        F.array(
-            *[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.shiftright("simhash", b * _BAND_BITS)
-                    .bitwiseAND((1 << _BAND_BITS) - 1)
-                    .alias("key"),
-                )
-                for b in range(_HAM_BANDS)
-            ]
-        )
-    )
-    banded = sig.select(
-        F.struct("doc_id", "simhash").alias("ds"), band_rows.alias("bk")
-    ).select(F.col("bk.band").alias("band"), F.col("bk.key").alias("key"), "ds")
-    buckets = (
-        banded.groupBy("band", "key")
-        .agg(F.array_sort(F.collect_set("ds")).alias("members"))
-        .where(F.size("members") >= 2)
-    )
-    pairs = F.flatten(
-        F.transform(
-            F.col("members"),
-            lambda x, i: F.transform(
-                F.slice(F.col("members"), i + 2, F.size(F.col("members"))),
-                lambda y: F.struct(
-                    x["doc_id"].alias("doc_a"),
-                    y["doc_id"].alias("doc_b"),
-                    F.bit_count(x["simhash"].bitwiseXOR(y["simhash"]))
-                    .cast("int")
-                    .alias("hamming"),
-                ),
-            ),
-        )
-    )
-    return (
-        buckets.select(F.explode(pairs).alias("p"))
-        .select("p.*")
-        .where(F.col("hamming") <= _HAM_K)
-        .distinct()
-        .orderBy("doc_a", "doc_b")
+    from ..operators.banded import banded_hamming_pairs
+
+    return banded_hamming_pairs(
+        doc_simhash(spark, sf_dir),
+        hash_col="simhash",
+        id_col="doc_id",
+        n_bands=_HAM_BANDS,
+        band_bits=_BAND_BITS,
+        max_hamming=_HAM_K,
+        out_a="doc_a",
+        out_b="doc_b",
     )
 
 
