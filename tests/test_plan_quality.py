@@ -511,3 +511,19 @@ def test_window_funnel_is_single_shuffle_no_joins(spark, sf_dir):
     assert "BatchEvalPython" not in plan
     hash_exchanges = [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
     assert len(hash_exchanges) == 1 and "user_id#" in hash_exchanges[0]
+
+
+def test_trade_flows_broadcasts_both_nation_sides(spark, sf_dir):
+    """Q7 shape: both nation copies must broadcast (fixed cardinality at any
+    SF) and the pair-inequality filter must not become a nested-loop join."""
+    plan = plan_of(spark, sf_dir, "nation_trade_flows")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_product_profit_pushes_the_part_name_filter(spark, sf_dir):
+    """Q9 shape: the part name predicate reaches the part scan — the join
+    never sees filtered-out parts."""
+    plan = plan_of(spark, sf_dir, "product_profit_by_nation_year")
+    assert "PushedFilters: [IsNotNull(p_name), StringContains(p_name,g)" in plan
+    assert "CartesianProduct" not in plan
