@@ -102,3 +102,49 @@ def test_pushdown_reaches_parquet_and_orc_but_not_csv(spark, sf_dir, tmp_path):
     assert "Batched: true" in plans["parquet"].split("FileScan")[1]
     assert "Batched: true" in plans["orc"].split("FileScan")[1]
     assert "Batched: false" in plans["csv"].split("FileScan")[1]
+
+
+def test_json_landing_stream_compacts_to_parquet(spark, sf_dir, tmp_path):
+    """The land -> compact pattern the module docstring prescribes, proven as
+    a REAL stream: JSON-lines files arrive continuously (availableNow file
+    stream with the declared schema), each micro-batch appends to a
+    batch-keyed parquet sink, and the compaction pass produces the
+    analytical layout — row- and value-identical to the landed data."""
+    from clickhouse_etl_loadtest_spark.streaming.sink import compact_sink
+
+    src = load_table(spark, sf_dir, "events").limit(600).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    landing = str(tmp_path / "landing")
+    # several JSON files so the file stream yields multiple micro-batches
+    write_table(src.repartition(3), landing, "json")
+    sink = str(tmp_path / "sink")
+
+    def _ingest(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(sink)
+
+    stream = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", "1")
+        .json(landing)
+    )
+    q = (
+        stream.writeStream.foreachBatch(_ingest)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    assert q.awaitTermination(300)
+
+    out = compact_sink(spark, sink, key="event_id", target_rows_per_file=200)
+    back = spark.read.parquet(out)
+    assert _sorted_rows(back, ["event_id"]) == _sorted_rows(src, ["event_id"])
+    # the compacted table is the analytical format: vectorized scan with
+    # pushdown — the whole point of not querying the landing zone
+    plan = (
+        back.where(F.col("event_id") > 100)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Batched: true" in plan and "PushedFilters: [IsNotNull(event_id)" in plan
