@@ -612,3 +612,41 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_day")
     )
+
+
+_FUNNEL_CONVERSION_ORACLE = f"""
+WITH funnel AS ({_WINDOW_FUNNEL_ORACLE.replace("ORDER BY user_id", "")})
+SELECT CAST(level AS INT) AS level,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(COUNT(*)) OVER (ORDER BY level DESC) AS BIGINT) AS n_reached,
+       SUM(COUNT(*)) OVER (ORDER BY level DESC) * 1.0
+           / SUM(COUNT(*)) OVER () AS reach_rate
+FROM (SELECT user_id, funnel_level AS level FROM funnel)
+GROUP BY level
+ORDER BY level
+"""
+
+
+@register("events_funnel_conversion", _FUNNEL_CONVERSION_ORACLE, extra=True)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The funnel's aggregate twin — the conversion table an analytics
+    dashboard actually renders: per depth, how many users topped out there,
+    how many reached AT LEAST that depth (a reverse-cumulative sum over the
+    handful of level rows), and the reach rate over all scored users.
+
+    Scale: composes ``events_window_funnel`` (one corpus-scale shuffle)
+    with a rollup over at most len(steps)+1 rows — the cumulative window
+    runs on that tiny aggregate, never on users.
+    """
+    from pyspark.sql import Window
+
+    levels = events_window_funnel(spark, sf_dir).groupBy(
+        F.col("funnel_level").alias("level")
+    ).agg(F.count(F.lit(1)).alias("n_users"))
+    w_cum = Window.orderBy(F.desc("level")).rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        levels.withColumn("n_reached", F.sum("n_users").over(w_cum))
+        .withColumn("reach_rate", F.col("n_reached") * 1.0 / F.sum("n_users").over(w_all))
+        .orderBy("level")
+    )
