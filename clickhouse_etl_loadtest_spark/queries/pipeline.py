@@ -473,7 +473,7 @@ _FUNNEL_STEPS = ("view", "click", "purchase")
 _FUNNEL_WINDOW_US = 2 * 3600 * 1_000_000  # 2 hours
 _FUNNEL_INF = 9_223_372_036_854_775_807
 
-_WINDOW_FUNNEL_ORACLE = f"""
+_WINDOW_FUNNEL_CORE = f"""
 WITH per_user AS (
     SELECT user_id,
            list(epoch_us(ts)) FILTER (WHERE event_type = 'view') AS a1,
@@ -499,8 +499,11 @@ SELECT user_id,
        CAST(CASE WHEN r3 THEN 3 WHEN r2 THEN 2 WHEN r1 THEN 1 ELSE 0 END AS INT)
            AS funnel_level
 FROM lv
-ORDER BY user_id
 """
+
+# per-query ORDER BY appended here; the conversion rollup reuses the
+# ORDER-BY-free core directly (no fragile string surgery on a sibling)
+_WINDOW_FUNNEL_ORACLE = _WINDOW_FUNNEL_CORE + "ORDER BY user_id\n"
 
 
 @register("events_window_funnel", _WINDOW_FUNNEL_ORACLE, extra=True)
@@ -615,7 +618,7 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _FUNNEL_CONVERSION_ORACLE = f"""
-WITH funnel AS ({_WINDOW_FUNNEL_ORACLE.replace("ORDER BY user_id", "")})
+WITH funnel AS ({_WINDOW_FUNNEL_CORE})
 SELECT CAST(level AS INT) AS level,
        CAST(COUNT(*) AS BIGINT) AS n_users,
        CAST(SUM(COUNT(*)) OVER (ORDER BY level DESC) AS BIGINT) AS n_reached,

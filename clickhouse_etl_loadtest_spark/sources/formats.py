@@ -85,10 +85,20 @@ def write_table(df: DataFrame, path: str, fmt: str, mode: str = "overwrite") -> 
 
 
 def read_table(
-    spark: SparkSession, path: str, fmt: str, schema: StructType | str | None = None
+    spark: SparkSession,
+    path: str,
+    fmt: str,
+    schema: StructType | str | None = None,
+    multiline_csv: bool = True,
 ) -> DataFrame:
     """Read ``path`` as ``fmt``. Landing formats REQUIRE the declared
-    ``schema`` (inference is a full extra scan and type-unsafe)."""
+    ``schema`` (inference is a full extra scan and type-unsafe).
+
+    ``multiline_csv`` (default on, matching the lossless writer) makes CSV
+    files NON-SPLITTABLE — one task parses each whole file, however large.
+    That is the price of embedded newlines; pass ``False`` for landing
+    zones that guarantee newline-free fields so big CSV files split
+    normally across the cluster."""
     _check_fmt(fmt)
     r = spark.read
     if fmt in LANDING_FORMATS:
@@ -102,7 +112,7 @@ def read_table(
             r.option("header", "true")
             .option("nullValue", _CSV_NULL)
             .option("escape", '"')
-            .option("multiLine", "true")  # embedded newlines inside quoted text
+            .option("multiLine", str(multiline_csv).lower())
             .options(**_CSV_WS_OPTS)
         )
     return r.format(fmt).load(path)

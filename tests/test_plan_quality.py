@@ -514,10 +514,15 @@ def test_window_funnel_is_single_shuffle_no_joins(spark, sf_dir):
 
 
 def test_trade_flows_broadcasts_both_nation_sides(spark, sf_dir):
-    """Q7 shape: both nation copies must broadcast (fixed cardinality at any
-    SF) and the pair-inequality filter must not become a nested-loop join."""
-    plan = plan_of(spark, sf_dir, "nation_trade_flows")
-    assert plan.count("BroadcastHashJoin") >= 2
+    """Q7 shape: BOTH nation copies specifically must broadcast (fixed
+    cardinality at any SF — a bare BroadcastHashJoin count would pass via
+    size-based supplier/customer broadcasts at fixture scale even with the
+    nation hints removed), and the pair-inequality filter must not become
+    a nested-loop join."""
+    plan = exec_plan_of(spark, sf_dir, "nation_trade_flows")
+    bhj = [ln for ln in plan.splitlines() if "BroadcastHashJoin" in ln]
+    assert any("n1_key#" in ln for ln in bhj), bhj
+    assert any("n2_key#" in ln for ln in bhj), bhj
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
 
 
