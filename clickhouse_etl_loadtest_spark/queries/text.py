@@ -1591,3 +1591,66 @@ def doc_fuzzy_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- leakage-safe train/val/test split ----------------------------------------------
+
+# Split assignment keyed by the NEAR-DUP CLUSTER, not the document: a naive
+# per-doc split leaks whenever two near-duplicates straddle train and test
+# (the classic eval-inflation bug); hashing the cluster id instead pins
+# every member of a duplicate cluster to one side. Singletons are their own
+# cluster (cluster_id = doc_id).
+_LEAKAGE_SPLIT_ORACLE = f"""
+WITH RECURSIVE {_VERIFIED_CTES},
+edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM verified
+    UNION
+    SELECT doc_b AS src, doc_a AS dst FROM verified
+),
+reach(src, dst) AS (
+    SELECT src, src FROM edges
+    UNION
+    SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+comp AS (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src),
+assigned AS (
+    SELECT d.doc_id,
+           CAST(COALESCE(c.cluster_id, d.doc_id) AS BIGINT) AS cluster_id
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+)
+SELECT doc_id, cluster_id,
+       CASE WHEN {h60_sql_duckdb("'split-' || CAST(cluster_id AS VARCHAR)")} % 10 < 8 THEN 'train'
+            WHEN {h60_sql_duckdb("'split-' || CAST(cluster_id AS VARCHAR)")} % 10 = 8 THEN 'val'
+            ELSE 'test' END AS split
+FROM assigned
+ORDER BY doc_id
+"""
+
+
+@register("doc_leakage_safe_split", _LEAKAGE_SPLIT_ORACLE, extra=True)
+def doc_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe 80/10/10 split: hash the duplicate-CLUSTER id (connected
+    components over the verified near-dup pairs; singletons are their own
+    cluster), so near-duplicates can never straddle train and eval — the
+    split-integrity fix for the classic eval-inflation bug
+    (``doc_train_test_split`` is the per-doc form this corrects).
+
+    Scale: the component iteration runs on the verified-pair graph (tiny vs
+    the corpus, operators/graph.py); the corpus side is one hash-keyed left
+    join of (doc_id, cluster_id) pairs plus a map-only hash split —
+    document text never moves.
+    """
+    from ..operators.graph import connected_components
+
+    cc = connected_components(_verified_pairs(spark, sf_dir), "doc_a", "doc_b").select(
+        F.col("id").alias("doc_id"), F.col("label").alias("_cl")
+    )
+    assigned = (
+        _docs(spark, sf_dir)
+        .select("doc_id")
+        .join(cc, "doc_id", "left")
+        .select("doc_id", F.coalesce("_cl", "doc_id").alias("cluster_id"))
+    )
+    m = h60(F.concat(F.lit("split-"), F.col("cluster_id").cast("string"))) % 10
+    split = F.when(m < 8, "train").when(m == 8, "val").otherwise("test")
+    return assigned.withColumn("split", split).orderBy("doc_id")

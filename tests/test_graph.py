@@ -52,3 +52,35 @@ def test_nonconvergence_raises(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(edges, max_iter=1)
+
+
+def test_leakage_safe_split_never_straddles_near_dup_pairs(spark, sf_dir):
+    """The property the query exists for: every verified near-dup pair lands
+    entirely in one split (a per-doc hash split violates this on the
+    fixture), and the split covers every document exactly once."""
+    from clickhouse_etl_loadtest_spark.queries import load_all
+    from clickhouse_etl_loadtest_spark.queries.text import _verified_pairs
+
+    out = load_all()["doc_leakage_safe_split"].fn(spark, sf_dir)
+    split_of = {r["doc_id"]: r["split"] for r in out.collect()}
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert len(split_of) == n_docs
+    pairs = _verified_pairs(spark, sf_dir).collect()
+    assert pairs, "fixture must contain verified near-dup pairs"
+    for r in pairs:
+        assert split_of[r["doc_a"]] == split_of[r["doc_b"]], (r["doc_a"], r["doc_b"])
+    # and the per-doc form (the bug this corrects) DOES straddle on this
+    # fixture — proving the distinction is real, not vacuous
+    from clickhouse_etl_loadtest_spark.functions.hashing import h60
+
+    from pyspark.sql import functions as F
+
+    naive = {
+        r["doc_id"]: r["m"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", (h60(F.concat(F.lit("split-"), F.col("doc_id").cast("string"))) % 10).alias("m"))
+        .collect()
+    }
+    def bucket(m):
+        return "train" if m < 8 else ("val" if m == 8 else "test")
+    assert any(bucket(naive[r["doc_a"]]) != bucket(naive[r["doc_b"]]) for r in pairs)
