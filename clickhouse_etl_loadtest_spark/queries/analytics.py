@@ -60,7 +60,7 @@ ORDER BY l_returnflag, l_linestatus
 """
 
 
-@register("pricing_summary", _Q1_ORACLE, headline=True)
+@register("pricing_summary", _Q1_ORACLE, headline=True, extra=True)
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: one wide partial-aggregatable groupBy.
 
@@ -151,7 +151,7 @@ ORDER BY revenue DESC, n_name
 """
 
 
-@register("region_revenue", _Q5_ORACLE, headline=True)
+@register("region_revenue", _Q5_ORACLE, headline=True, extra=True)
 def region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: 6-way star join through broadcast dimensions.
 
@@ -244,7 +244,7 @@ ORDER BY o_custkey, order_seq
 """
 
 
-@register("running_customer_spend", _RUNNING_ORACLE)
+@register("running_customer_spend", _RUNNING_ORACLE, extra=True)
 def running_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running-total window (frame ROWS UNBOUNDED PRECEDING..CURRENT)."""
     o = _t(spark, sf_dir, "orders")
@@ -836,7 +836,7 @@ ORDER BY event_type
 """
 
 
-@register("events_value_quantiles", _QUANTILES_ORACLE)
+@register("events_value_quantiles", _QUANTILES_ORACLE, extra=True)
 def events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-type distinct users + interpolated percentiles — the
     value-verifiable twin of approx_events_sketch (which stays registered as
@@ -1041,7 +1041,7 @@ ORDER BY c_custkey
 """
 
 
-@register("customer_balance_ranks_scaled", _RANKFN_SCALED_ORACLE)
+@register("customer_balance_ranks_scaled", _RANKFN_SCALED_ORACLE, extra=True)
 def customer_balance_ranks_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The fact-scale form of ``customer_balance_ranks``: rank functions
     partition by nation (bounded partitions — no single-partition global
@@ -1173,7 +1173,7 @@ ORDER BY supp_nation, cust_nation, l_year
 """
 
 
-@register("nation_trade_flows", _Q7_ORACLE, extra=True)
+@register("nation_trade_flows", _Q7_ORACLE)
 def nation_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape (volume shipping): cross-border revenue between every
     (supplier nation, customer nation) pair by ship year — the deepest join
@@ -1228,7 +1228,7 @@ ORDER BY n_name, o_year DESC
 """
 
 
-@register("product_profit_by_nation_year", _Q9_ORACLE, extra=True)
+@register("product_profit_by_nation_year", _Q9_ORACLE)
 def product_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 shape (product-type profit): revenue minus cost
     (``p_retailprice * l_quantity`` stands in for the absent partsupp

@@ -128,7 +128,7 @@ ORDER BY content_hash
 """
 
 
-@register("doc_snapshot_diff", _SNAPSHOT_DIFF_ORACLE)
+@register("doc_snapshot_diff", _SNAPSHOT_DIFF_ORACLE, extra=True)
 def doc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Release-over-release corpus diff: classify every distinct document
     content as added / removed / unchanged between two snapshots — the audit
@@ -230,7 +230,7 @@ ORDER BY source
 """
 
 
-@register("source_mixing_weights", _MIX_ORACLE)
+@register("source_mixing_weights", _MIX_ORACLE, extra=True)
 def source_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source sampling weights that rebalance the corpus to a uniform
     token mix (weight = target_share / actual_share) — the knob a data-mixture
@@ -299,7 +299,7 @@ def _gram_hashes(toks: Column, k: int) -> Column:
     return F.array_distinct(F.transform(acc, h60))
 
 
-@register("doc_boilerplate_ngrams", _BOILERPLATE_ORACLE)
+@register("doc_boilerplate_ngrams", _BOILERPLATE_ORACLE, extra=True)
 def doc_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document boilerplate coverage: the fraction of a document's
     distinct word-5-grams that also appear in >= 2 distinct documents —
@@ -359,7 +359,7 @@ ORDER BY source, doc_id
 """
 
 
-@register("doc_source_cap", _SOURCE_CAP_ORACLE)
+@register("doc_source_cap", _SOURCE_CAP_ORACLE, extra=True)
 def doc_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cap each source (domain) at N documents, preferring the longest — the
     "no single domain dominates the mix" pass that runs alongside
@@ -407,7 +407,7 @@ ORDER BY doc_id
 """
 
 
-@register("doc_unigram_logprob", _LM_ORACLE)
+@register("doc_unigram_logprob", _LM_ORACLE, extra=True)
 def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document cross-entropy under a corpus-trained unigram LM (mean
     ``-ln p(token)`` in nats) — the perplexity-filtering signal quality
@@ -653,7 +653,7 @@ ORDER BY t.doc_id
 """
 
 
-@register("doc_span_dup_coverage", _SPAN_COVERAGE_ORACLE, extra=True)
+@register("doc_span_dup_coverage", _SPAN_COVERAGE_ORACLE)
 def doc_span_dup_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document duplication coverage: the fraction of a document's tokens
     that sit inside a cross-document verbatim repeated span (the merged
@@ -872,7 +872,7 @@ def _adaptive_oracle() -> str:
     return _ADAPTIVE_ORACLE.replace("{stopwords}", _sql_in(STOPWORDS))
 
 
-@register("doc_adaptive_quality_cut", _adaptive_oracle(), extra=True)
+@register("doc_adaptive_quality_cut", _adaptive_oracle())
 def doc_adaptive_quality_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source ADAPTIVE quality threshold: drop each source's own bottom
     quartile by stopword ratio instead of applying one global cutoff — the
@@ -961,7 +961,7 @@ LIMIT {_DSIR_TOP_K}
 """
 
 
-@register("doc_dsir_sample", _DSIR_ORACLE, extra=True)
+@register("doc_dsir_sample", _DSIR_ORACLE)
 def doc_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance resampling: re-weight the raw pool toward a target
     corpus' hashed-unigram distribution, then draw a top-k weighted sample
@@ -1037,7 +1037,7 @@ def _trained_merges(spark: SparkSession, sf_dir: str) -> list:
     return _BPE_MERGE_CACHE[key]
 
 
-@register("doc_bpe_merges", None, extra=True)
+@register("doc_bpe_merges", None)
 def doc_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learn a BPE merge table from the document corpus (operators/bpe.py)
     and return it as (merge_rank, merge_left, merge_right, pair_count).
@@ -1057,7 +1057,7 @@ def doc_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("doc_bpe_fertility", None, extra=True)
+@register("doc_bpe_fertility", None)
 def doc_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer fertility audit: per source, how many BPE pieces the learned
     tokenizer (same merge table as ``doc_bpe_merges``) spends per word — the
@@ -1127,7 +1127,7 @@ def _quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("doc_quality_classifier", None, extra=True)
+@register("doc_quality_classifier", None)
 def doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train a logistic-regression quality classifier that distills the
     heuristic filter (``doc_quality_filter``'s verdict as labels, its raw
@@ -1186,7 +1186,7 @@ ORDER BY doc_id
 """
 
 
-@register("doc_bigram_logprob", _BIGRAM_ORACLE, extra=True)
+@register("doc_bigram_logprob", _BIGRAM_ORACLE)
 def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document cross-entropy under a corpus-trained BIGRAM LM with add-1
     smoothing (mean ``-ln p(w_i | w_{i-1})`` in nats) — the sharper
@@ -1337,7 +1337,7 @@ def _winnow_selected(
     return sel.withColumn("fp_hash", fp)
 
 
-@register("doc_winnow_fingerprints", _WINNOW_ORACLE, extra=True)
+@register("doc_winnow_fingerprints", _WINNOW_ORACLE)
 def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprint selection per document: gram count, selected
     count, and density (theory: E[density] = 2/(w+1) ≈ 0.4 at w=4 — the
@@ -1378,7 +1378,7 @@ ORDER BY doc_a, doc_b
 """
 
 
-@register("doc_winnow_matches", _WINNOW_MATCHES_ORACLE, extra=True)
+@register("doc_winnow_matches", _WINNOW_MATCHES_ORACLE)
 def doc_winnow_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document winnowing matches: every pair sharing a selected
     fingerprint, with the shared count — overlap detection with the

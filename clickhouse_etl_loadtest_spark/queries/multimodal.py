@@ -118,7 +118,7 @@ ORDER BY media_id, frame_no
 """
 
 
-@register("multimodal_resize_frames", _RESIZE_FRAMES_ORACLE)
+@register("multimodal_resize_frames", _RESIZE_FRAMES_ORACLE, extra=True)
 def multimodal_resize_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The media-transform pipeline chained end-to-end: stride resize to 256
     bytes, then frame-sample the video payloads into 64-byte chunks — two

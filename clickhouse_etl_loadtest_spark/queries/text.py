@@ -1280,7 +1280,7 @@ ORDER BY d.doc_id
 """
 
 
-@register("doc_contamination_check", _CONTAM_ORACLE)
+@register("doc_contamination_check", _CONTAM_ORACLE, extra=True)
 def doc_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark-contamination screening: flag training documents sharing at
     least _CONTAM_MIN_OVERLAP distinct 3-gram shingles with a held-out eval
@@ -1330,7 +1330,7 @@ ORDER BY doc_id
 """
 
 
-@register("doc_stratified_sample", _STRAT_ORACLE)
+@register("doc_stratified_sample", _STRAT_ORACLE, extra=True)
 def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-balanced downsampling: keep each document with probability
     target/|lang| where target = the smallest language's count, so every
@@ -1425,7 +1425,7 @@ ORDER BY doc_a, doc_b
 """
 
 
-@register("doc_edit_distance_rerank", _EDIT_RERANK_ORACLE)
+@register("doc_edit_distance_rerank", _EDIT_RERANK_ORACLE, extra=True)
 def doc_edit_distance_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-level rerank of the MinHash-LSH candidate pairs: normalized
     Levenshtein similarity (1 - dist/max_len) — the precision pass a fuzzy
@@ -1489,7 +1489,7 @@ ORDER BY doc_id, chunk_id
 """
 
 
-@register("doc_chunk_windows", _CHUNK_ORACLE)
+@register("doc_chunk_windows", _CHUNK_ORACLE, extra=True)
 def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping token-window chunking: split every document into 64-token
     windows advancing 48 tokens at a time (16-token overlap; see _CHUNK_SIZE/
@@ -1550,7 +1550,7 @@ ORDER BY d.doc_id
 """
 
 
-@register("doc_fuzzy_contamination", _FUZZY_CONTAM_ORACLE, extra=True)
+@register("doc_fuzzy_contamination", _FUZZY_CONTAM_ORACLE)
 def doc_fuzzy_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy decontamination: flag training documents whose MinHash LSH
     signature shares ≥1 band with any held-out eval document (same eval
@@ -1627,7 +1627,7 @@ ORDER BY doc_id
 """
 
 
-@register("doc_leakage_safe_split", _LEAKAGE_SPLIT_ORACLE, extra=True)
+@register("doc_leakage_safe_split", _LEAKAGE_SPLIT_ORACLE)
 def doc_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe 80/10/10 split: hash the duplicate-CLUSTER id (connected
     components over the verified near-dup pairs; singletons are their own

@@ -139,7 +139,7 @@ ORDER BY vec_a, vec_b
 _NEARDUP_BLOCKS = 8
 
 
-@register("embedding_near_dup_pairs", _NEARDUP_ORACLE)
+@register("embedding_near_dup_pairs", _NEARDUP_ORACLE, extra=True)
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (threshold set semantics — no
     rank boundary, so float fold-order differences cannot change the result
@@ -204,7 +204,7 @@ ORDER BY e.vec_id
 """
 
 
-@register("semantic_dedup_keep", _SEMANTIC_KEEP_ORACLE)
+@register("semantic_dedup_keep", _SEMANTIC_KEEP_ORACLE, extra=True)
 def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-based semantic dedup end-to-end: of every near-duplicate
     pair (cosine >= threshold), the lower vec_id survives — the vector twin
@@ -565,7 +565,7 @@ ORDER BY q_id, rnk
 """
 
 
-@register("ivf_search_topk", _IVF_SEARCH_ORACLE)
+@register("ivf_search_topk", _IVF_SEARCH_ORACLE, extra=True)
 def ivf_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end IVF search: coarse-quantize the corpus into centroid cells,
     probe each query's _NPROBE nearest cells, exact-cosine-rerank ONLY the
@@ -712,7 +712,7 @@ def _kmeans_oracle(k: int, iters: int) -> str:
     )
 
 
-@register("kmeans_clusters", _kmeans_oracle(_KMEANS_K, _KMEANS_ITERS))
+@register("kmeans_clusters", _kmeans_oracle(_KMEANS_K, _KMEANS_ITERS), extra=True)
 def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lloyd's k-means over the embedding corpus (operators/clustering.py).
     The init and every step are deterministic (k lowest vec_id seeds, argmin
@@ -751,7 +751,6 @@ ORDER BY vec_id
 @register(
     "embedding_cluster_balanced_sample",
     _cluster_balanced_oracle(_KMEANS_K, _KMEANS_ITERS, _BALANCE_N),
-    extra=True,
 )
 def embedding_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-balanced sample: fit the deterministic k-means (same constants
@@ -793,7 +792,7 @@ _PCA_K = 8
 _PCA_CACHE: dict[str, tuple] = {}
 
 
-@register("embedding_pca_residuals", None, extra=True)
+@register("embedding_pca_residuals", None)
 def embedding_pca_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PCA energy audit: fit the top-_PCA_K principal components of the
     embedding corpus (operators/pca.py — one DECIMAL-summed moment pass +
@@ -847,7 +846,7 @@ def _query_vectors(spark: SparkSession, sf_dir: str) -> list:
     ]
 
 
-@register("pq_adc_search_topk", None, extra=True)
+@register("pq_adc_search_topk", None)
 def pq_adc_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantized ANN end-to-end (operators/pq.py): train per-subspace
     codebooks (joint Lloyd, one corpus scan per iteration for all _PQ_M
@@ -869,7 +868,7 @@ def pq_adc_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_topk(pq_encode(e, cb), cb, _query_vectors(spark, sf_dir), k=_TOPK)
 
 
-@register("ivfpq_search_topk", None, extra=True)
+@register("ivfpq_search_topk", None)
 def ivfpq_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ end-to-end — the full 100 TB ANN layout composed from its two
     verified halves: coarse IVF cells gate candidates (each query probes its
