@@ -18,6 +18,39 @@ import urllib.request
 PROFILE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_PROFILE.json")
 WARM_RUNS = int(os.environ.get("SPARK_GRAFT_WARM_RUNS", "5"))
 
+# Median calibration() seconds on this box in a measured-quiet state
+# (local[32], load < 1, measured 2026-08-14: 12 consecutive runs settled at
+# 1.13-1.33 s after one codegen-warm run). Committed as a constant so every
+# run — builder's or driver's — normalizes against the SAME yardstick; a run
+# whose own calibration comes in at 2x this is a run on a 2x-contended host,
+# and its normalized walls say what the plan would have cost on the quiet box.
+CALIB_REF_SEC = 1.15
+
+
+def calibration(spark, n_runs: int = 5) -> float:
+    """Fixed CPU-bound yardstick: generated data, pure codegen + one 1M-key
+    shuffle, zero disk I/O, deterministic. Host slowdowns (co-tenant CPU,
+    thermal, scheduler pressure) move this number in proportion to how they
+    move every other wall number in the bench; dividing raw walls by
+    (calib / CALIB_REF_SEC) separates "the plan regressed" from "the box was
+    busy" — the round-4 open question that raw walls could not answer.
+    Median of ``n_runs`` (swallows one unlucky scheduling quantum)."""
+    from pyspark.sql import functions as F
+
+    runs = []
+    for _ in range(n_runs):
+        t0 = time.perf_counter()
+        (
+            spark.range(0, 40_000_000, 1, 32)
+            .selectExpr("(id * 2654435761) % 1048576 AS k", "id % 997 AS v")
+            .groupBy("k")
+            .agg(F.sum("v").alias("s"), F.count("*").alias("c"))
+            .selectExpr("sum(s * c) AS chk")
+            .collect()
+        )
+        runs.append(time.perf_counter() - t0)
+    return round(statistics.median(runs), 3)
+
 
 def _completed_stage_metrics(spark) -> dict[int, int]:
     """Map completed stageId -> executorRunTime ms via the UI REST API.
@@ -109,6 +142,18 @@ def main() -> None:
     warm.write.mode("overwrite").parquet("/tmp/bench-warmup")
     spark.read.parquet("/tmp/bench-warmup").count()
 
+    # Calibration BEFORE the queries section: every wall number below ships
+    # raw and normalized by (calib / CALIB_REF_SEC). A contended host inflates
+    # calibration and the queries alike; the normalized number is the
+    # apples-to-apples plan cost (round-4 lesson: official walls doubled on
+    # unchanged code with no way to prove the box did it). One discarded run
+    # first: the yardstick's own whole-stage codegen costs ~4 s once, and
+    # CALIB_REF_SEC was measured post-warm.
+    calibration(spark, n_runs=1)
+    calib = {"ref_sec": CALIB_REF_SEC}
+    calib["queries_sec"] = calibration(spark)
+    print(f"# calibration (queries section): {calib['queries_sec']}s vs ref {CALIB_REF_SEC}s", file=sys.stderr)
+
     # Each query is timed 1 cold + WARM_RUNS warm times. The cold run pays
     # Janino whole-stage-codegen compilation and first-touch class loading —
     # a once-per-executor cost that amortizes to nothing at 100 TB (seconds
@@ -155,11 +200,17 @@ def main() -> None:
         )
     total = round(sum(timings.values()), 3)
     cold_total = round(sum(cold.values()), 3)
+    # host-speed factor for this section: <1 on a contended box
+    q_factor = CALIB_REF_SEC / calib["queries_sec"] if calib["queries_sec"] else 1.0
+    timings_norm = {n: round(t * q_factor, 3) for n, t in timings.items()}
+    total_norm = round(sum(timings_norm.values()), 3)
 
-    # Diff against the committed previous-round profile, then rewrite it so
-    # the next round diffs against this one (the file is committed with each
-    # round's results). wall_delta alone can lie on a noisy box; cpu_delta
-    # moving WITH it is what indicts the plan.
+    # Diff against the committed previous-round profile (since round 4 that
+    # file is the DRIVER-environment run — the driver's round-end commit
+    # includes the rewrite below — so deltas are same-environment). The noise
+    # detector works on NORMALIZED walls when the previous profile carries a
+    # calibration (falls back to raw for pre-calibration profiles): a raw
+    # delta that disappears under normalization is the host, not the plan.
     prev_profile = None
     if os.path.exists(PROFILE_PATH):
         try:
@@ -168,7 +219,10 @@ def main() -> None:
         except (OSError, ValueError):
             prev_profile = None
     profile_delta = None
+    noise_flags: list[str] = []
     if prev_profile:
+        prev_calib = (prev_profile.get("calibration") or {}).get("queries_sec")
+        prev_factor = CALIB_REF_SEC / prev_calib if prev_calib else None
         profile_delta = {}
         for name in timings:
             p = prev_profile.get("queries", {}).get(name)
@@ -177,28 +231,21 @@ def main() -> None:
             d = {"wall_delta_sec": round(timings[name] - p["warm_median_sec"], 3)}
             if name in stage_cpu and p.get("stage_cpu_ms") is not None:
                 d["cpu_delta_ms"] = stage_cpu[name] - p["stage_cpu_ms"]
-            d["noise"] = abs(d["wall_delta_sec"]) <= 2 * max(
-                spread[name]["stdev"], p.get("warm_stdev_sec", 0.0)
-            )
+            if prev_factor is not None:
+                prev_norm = p.get("warm_median_norm_sec", round(p["warm_median_sec"] * prev_factor, 3))
+                d["wall_delta_norm_sec"] = round(timings_norm[name] - prev_norm, 3)
+                d["noise"] = abs(d["wall_delta_norm_sec"]) <= 2 * max(
+                    spread[name]["stdev"] * q_factor,
+                    p.get("warm_stdev_sec", 0.0) * prev_factor,
+                    0.05,  # floor: sub-50ms normalized deltas are scheduler jitter
+                )
+            else:
+                d["noise"] = abs(d["wall_delta_sec"]) <= 2 * max(
+                    spread[name]["stdev"], p.get("warm_stdev_sec", 0.0)
+                )
+            if not d["noise"]:
+                noise_flags.append(name)
             profile_delta[name] = d
-    with open(PROFILE_PATH, "w") as f:
-        json.dump(
-            {
-                "queries": {
-                    name: {
-                        "warm_median_sec": timings[name],
-                        "warm_stdev_sec": spread[name]["stdev"],
-                        "cold_sec": cold[name],
-                        "stage_cpu_ms": stage_cpu.get(name),
-                    }
-                    for name in timings
-                },
-                "warm_total_sec": total,
-                "warm_runs": WARM_RUNS,
-            },
-            f,
-            indent=1,
-        )
 
     # Reference-comparable load test: 5M records / dup 0.1 — the exact workload
     # + metric formulas of BASELINE.md row 1 (5M @ 2 procs: 8,705 kafka RPS,
@@ -206,6 +253,7 @@ def main() -> None:
     # Run twice for the same cold/steady split as the queries: single-run
     # wall on this box swings 2-3x with host I/O load (measured 13-38 s for
     # an identical plan), so the steady run is the comparable signal.
+    calib["loadtest_sec"] = calibration(spark)
     loadtest = run_loadtest(spark)
     loadtest_steady = run_loadtest(spark)
 
@@ -231,6 +279,7 @@ def main() -> None:
     # Streaming-mode run of the same pipeline (Structured Streaming dedup via
     # dropDuplicatesWithinWatermark + chunked foreachBatch sink) — the
     # reference's actual execution model; baseline 8.0-9.4k rec/s.
+    calib["stream_sec"] = calibration(spark)
     streaming = run_streaming_loadtest(spark)
 
     # Reference max-scale wave: 20M records (BASELINE.md's largest variant,
@@ -252,30 +301,117 @@ def main() -> None:
             k: streaming_20m_cold[k] for k in ("duration_sec", "result_glassflow_rps")
         }
 
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
+    calib["end_sec"] = calibration(spark)
+    # the 20M wave sits between the stream and end calibrations; normalize by
+    # the slower of the two (conservative: never makes the wave look better
+    # than the worst host state that bracketed it)
+    stream_factor = CALIB_REF_SEC / max(calib["stream_sec"], calib["end_sec"])
+    if streaming_20m is not None:
+        streaming_20m["duration_sec_norm"] = round(
+            streaming_20m["duration_sec"] * stream_factor, 1
+        )
+
+    # Rewrite the committed profile with the FULL diagnostics (spread,
+    # stage-CPU, deltas, loadtest + streaming detail, calibration). The
+    # round-end commit makes the driver's own run the next round's delta
+    # baseline; `best` carries the best warm total ever observed as a
+    # separate field (round-4 lesson: best-of-round is advocacy, not a
+    # baseline).
+    best = (prev_profile or {}).get("best")
+    if not best or total_norm < best.get("warm_total_norm_sec", float("inf")):
+        best = {
+            "warm_total_sec": total,
+            "warm_total_norm_sec": total_norm,
+            "cold_total_sec": cold_total,
+            "calib_queries_sec": calib["queries_sec"],
+        }
+    with open(PROFILE_PATH, "w") as f:
+        json.dump(
             {
-                "metric": "headline_queries_wall_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "queries_cold": cold,
+                "queries": {
+                    name: {
+                        "warm_median_sec": timings[name],
+                        "warm_median_norm_sec": timings_norm[name],
+                        "warm_stdev_sec": spread[name]["stdev"],
+                        "cold_sec": cold[name],
+                        "stage_cpu_ms": stage_cpu.get(name),
+                    }
+                    for name in timings
+                },
+                "warm_total_sec": total,
+                "warm_total_norm_sec": total_norm,
+                "cold_total_sec": cold_total,
+                "warm_runs": WARM_RUNS,
+                "calibration": calib,
                 "queries_spread": spread,
-                "queries_stage_cpu_ms": stage_cpu or None,
                 "profile_delta_vs_prev_round": profile_delta,
-                "warm_runs_per_query": WARM_RUNS,
-                "cold_value": cold_total,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "loadtest_5m": loadtest,
                 "loadtest_5m_steady": loadtest_steady,
                 "loadtest_5m_by_processes": sweep or None,
                 "streaming_loadtest_1m": streaming,
                 "streaming_loadtest_20m": streaming_20m,
-            }
+                "best": best,
+            },
+            f,
+            indent=1,
         )
-    )
+
+    # ONE compact stdout line for the driver. Hard budget: the driver parses
+    # the JSON out of a ~2000-char stdout tail — round 4's line outgrew it
+    # and the official bench recorded `parsed: null`. Full diagnostics live
+    # in BENCH_PROFILE.json (committed); this line carries only the numbers
+    # the gates read, raw AND normalized.
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "headline_queries_wall_sec",
+        "value": total,
+        "value_norm": total_norm,
+        "unit": "sec",
+        "queries": timings,
+        "queries_norm": timings_norm,
+        "cold_value": cold_total,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "calib": calib,
+        "noise_flags": noise_flags,
+        "loadtest_5m": _compact_loadtest(loadtest),
+        "loadtest_5m_steady": _compact_loadtest(loadtest_steady),
+        "sweep_glassflow_rps": {p: r["glassflow_rps"] for p, r in sweep.items()} or None,
+        "streaming_loadtest_1m": _compact_loadtest(streaming),
+        "streaming_loadtest_20m": _compact_stream20m(streaming_20m),
+        "detail": "BENCH_PROFILE.json",
+    }
+    line = json.dumps(out, separators=(",", ":"))
+    for drop in ("queries_norm", "sweep_glassflow_rps", "calib", "noise_flags"):
+        if len(line) <= 1800:
+            break
+        out.pop(drop, None)
+        line = json.dumps(out, separators=(",", ":"))
+    print(f"# stdout line length: {len(line)} chars (budget 1800)", file=sys.stderr)
+    print(line)
     spark.stop()
+
+
+def _compact_loadtest(r: dict | None) -> dict | None:
+    if r is None:
+        return None
+    return {
+        "glassflow_rps": r["result_glassflow_rps"],
+        "duration_sec": r["duration_sec"],
+        "success": r["result_success"],
+    }
+
+
+def _compact_stream20m(r: dict | None) -> dict | None:
+    if r is None:
+        return None
+    out = _compact_loadtest(r)
+    out["duration_sec_norm"] = r.get("duration_sec_norm")
+    out["cold_duration_sec"] = (r.get("cold_run") or {}).get("duration_sec")
+    ss = r.get("state_store") or {}
+    out["num_keys"] = ss.get("num_keys")
+    out["update_time_ms_sum"] = ss.get("update_time_ms_sum")
+    out["commit_time_ms_sum"] = ss.get("commit_time_ms_sum")
+    return out
 
 
 def run_loadtest(spark, total_records: int = 5_000_000, n_proc: int | None = None) -> dict:
