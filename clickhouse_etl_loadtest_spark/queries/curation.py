@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import h32, h32_sql_duckdb, h60, h60_sql_duckdb
 from . import register
-from .text import TOKEN_RE, _docs, _tokens
+from .text import STOPWORDS, TOKEN_RE, _docs, _sql_in, _tokens
 
 # --- incremental dedup vs a prior snapshot ------------------------------------------
 
@@ -1109,6 +1109,72 @@ _LOGREG_LR = 0.3
 _LOGREG_CACHE: dict[str, list] = {}
 
 
+def _logreg_oracle(iters: int, lr: float) -> str:
+    """Unroll the full-batch gradient-descent loop as chained CTEs — the
+    ``_kmeans_oracle`` pattern applied to ``operators/logreg.py``: per
+    iteration one CTE computes the 5 gradient sums (each row's contribution
+    cast to DECIMAL(38,18) BEFORE summing — the same order-independent
+    accumulation as the Spark side) and the next CTE applies
+    ``w - lr * g / n`` with the identical left-associated float expression.
+    Every chained CTE is MATERIALIZED: w(t-1) is referenced twice per step,
+    so default inlining would expand 2^iters scans of ``documents`` (observed
+    as a file-handle explosion). The only cross-engine wobble is libm
+    ``exp``/``ln`` (≤1 ulp/term);
+    the emitted ``prob`` is rounded to 9 decimals on BOTH sides so the
+    trajectory-accumulated ~1e-12 never reaches the driver's value hash."""
+    feats = ["stopword_ratio", "punct_ratio", "log_tokens", "log_chars"]
+    ctes = [
+        f"""raw AS MATERIALIZED (
+    SELECT doc_id, n_chars,
+           len(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS n_tokens,
+           len(list_filter(regexp_extract_all(lower(text), '{TOKEN_RE}'),
+                           w -> w IN {_sql_in(STOPWORDS)})) AS n_stop,
+           length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS n_punct
+    FROM documents
+), feat AS MATERIALIZED (
+    SELECT doc_id,
+           COALESCE(n_stop * 1.0 / NULLIF(CAST(n_tokens AS DOUBLE), 0.0), 0.0) AS stopword_ratio,
+           COALESCE(n_punct * 1.0 / NULLIF(CAST(n_chars AS DOUBLE), 0.0), 0.0) AS punct_ratio,
+           ln(1.0 + CAST(n_tokens AS DOUBLE)) AS log_tokens,
+           ln(1.0 + CAST(n_chars AS DOUBLE)) AS log_chars,
+           ((CASE WHEN n_chars BETWEEN 100 AND 20000 THEN 1 ELSE 0 END
+             + CASE WHEN n_punct * 1.0 / NULLIF(CAST(n_chars AS DOUBLE), 0.0) < 0.1 THEN 1 ELSE 0 END
+             + CASE WHEN n_tokens >= 20 THEN 1 ELSE 0 END) >= 2) AS label
+    FROM raw
+), nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM feat),
+w0 AS (SELECT 0.0 AS b, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3, 0.0 AS w4)"""
+    ]
+    # z folded left in the Spark _logit order: ((((b + w1*x1) + w2*x2) + ...)
+    z = "w.b + " + " + ".join(f"w.w{j + 1} * f.{c}" for j, c in enumerate(feats))
+    err = f"(1.0 / (1.0 + exp(-({z}))) - CASE WHEN f.label THEN 1.0 ELSE 0.0 END)"
+    for t in range(1, iters + 1):
+        gsums = ", ".join(
+            [f"SUM(CAST({err} AS DECIMAL(38,18))) AS g0"]
+            + [
+                f"SUM(CAST({err} * f.{c} AS DECIMAL(38,18))) AS g{j + 1}"
+                for j, c in enumerate(feats)
+            ]
+        )
+        ctes.append(f"g{t} AS MATERIALIZED (SELECT {gsums} FROM feat f, w{t - 1} w)")
+        upd = ", ".join(
+            [f"w.b - {lr} * CAST(g.g0 AS DOUBLE) / nn.n AS b"]
+            + [
+                f"w.w{j + 1} - {lr} * CAST(g.g{j + 1} AS DOUBLE) / nn.n AS w{j + 1}"
+                for j in range(len(feats))
+            ]
+        )
+        ctes.append(f"w{t} AS MATERIALIZED (SELECT {upd} FROM w{t - 1} w, g{t} g, nn)")
+    prob = f"1.0 / (1.0 + exp(-({z})))"
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT f.doc_id, f.label, round({prob}, 9) AS prob, {prob} >= 0.5 AS pred
+FROM feat f, w{iters} w
+ORDER BY f.doc_id"""
+    )
+
+
 def _quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map-only feature projection over the SHARED quality signals
     (``text.quality_signal_cols`` — same expressions, same thresholds as
@@ -1127,7 +1193,7 @@ def _quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("doc_quality_classifier", None)
+@register("doc_quality_classifier", _logreg_oracle(_LOGREG_ITERS, _LOGREG_LR))
 def doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train a logistic-regression quality classifier that distills the
     heuristic filter (``doc_quality_filter``'s verdict as labels, its raw
@@ -1136,9 +1202,11 @@ def doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/logreg.py has the scale analysis).
 
     Iterative driver-loop training (one DECIMAL-summed gradient aggregate
-    per step) ⇒ rows-only driver tier like ``kmeans_clusters`` and
-    ``doc_bpe_merges``; the full weight trajectory is differentially tested
-    against a pure-Python twin in tests/test_logreg.py.
+    per step), VALUE-checked since round 5: the ``_logreg_oracle`` unrolls
+    the full 30-step GD trajectory as chained materialized CTEs (the
+    ``_kmeans_oracle`` pattern), so the driver hashes doc-level
+    probabilities, not just row counts. The weight trajectory is also
+    differentially tested against a pure-Python twin in tests/test_logreg.py.
     """
     from ..operators.logreg import logistic_fit, logistic_predict
 
@@ -1150,7 +1218,10 @@ def doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = _LOGREG_CACHE[sf_dir]
     return (
         logistic_predict(feats, _LOGREG_FEATURES, w)
-        .select("doc_id", "label", "prob", "pred")
+        # 9-dp rounding on BOTH engines (oracle mirrors it): the weight
+        # trajectory agrees to ~1e-12 (libm exp wobble accumulated over 30
+        # steps), which 9 dp absorbs; pred compares the UNROUNDED prob
+        .select("doc_id", "label", F.round("prob", 9).alias("prob"), "pred")
         .orderBy("doc_id")
     )
 

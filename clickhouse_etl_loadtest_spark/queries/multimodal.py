@@ -69,24 +69,88 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
-@register("multimodal_frame_sample", None, extra=True)
+# Frames over the RAW payload (no resize stage): byte j of a payload is hex
+# chars [2j+1, 2j+2] of hex(encode(text)), frames are 64-byte chunks, at most
+# 4 kept. 'video' kind <=> doc_id % 3 = 2 (MEDIA_KINDS round-robin).
+_FRAME_SAMPLE_ORACLE = """
+WITH v AS (
+    SELECT doc_id AS media_id, hex(encode(text)) AS hx
+    FROM documents WHERE doc_id % 3 = 2
+)
+SELECT media_id, CAST(k AS INT) AS frame_no,
+       CAST(length(substr(hx, 128 * k + 1, 128)) / 2 AS BIGINT) AS frame_bytes,
+       substr(hx, 128 * k + 1, 128) AS frame_hex
+FROM v, generate_series(0, 3) AS s(k)
+WHERE 128 * k < length(hx)
+ORDER BY media_id, frame_no
+"""
+
+
+@register("multimodal_frame_sample", _FRAME_SAMPLE_ORACLE, extra=True)
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Video frame sampling (1 row -> N frames): extra (driver-visible
-    coverage lives in the chained ``multimodal_resize_frames``)."""
-    media = build_media_table(spark, sf_dir)
-    return sample_frames(media).orderBy("media_id", "frame_no")
+    """Video frame sampling (1 row -> N frames) on the raw payloads, frames
+    emitted as hex so the SQL twin can replay the chunk arithmetic on
+    hex(encode(text)) — the standalone half of ``multimodal_resize_frames``,
+    now value-checked on its own (it was rows-only through round 4)."""
+    media = build_media_table(spark, sf_dir).where(F.length("data") > 0)
+    return (
+        sample_frames(media)
+        .select(
+            "media_id",
+            "frame_no",
+            F.length("frame").cast("bigint").alias("frame_bytes"),
+            F.hex("frame").alias("frame_hex"),
+        )
+        .orderBy("media_id", "frame_no")
+    )
 
 
-@register("multimodal_resize", None, extra=True)
+# Stride resize replayed on hex strings over ALL kinds (the sibling oracle's
+# resz CTE without the video filter): byte floor(i * (n/256.0)) for i in
+# 0..255 repeats numpy's multiply-then-floor IEEE order bit-for-bit.
+_RESIZE_ORACLE = """
+WITH v AS (
+    SELECT doc_id AS media_id,
+           CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+           hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+    FROM documents
+),
+resz AS (
+    SELECT media_id,
+           string_agg(substr(hx, 2 * CAST(floor(i * (n / 256.0)) AS INT) + 1, 2), '' ORDER BY i) AS rhx
+    FROM v, generate_series(0, 255) AS t(i)
+    WHERE n > 256
+    GROUP BY media_id
+    UNION ALL
+    SELECT media_id, hx AS rhx FROM v WHERE n <= 256
+)
+SELECT media_id, kind, CAST(n AS BIGINT) AS orig_bytes,
+       CAST(length(rhx) / 2 AS BIGINT) AS resized_bytes, rhx AS resized_hex
+FROM resz JOIN v USING (media_id)
+ORDER BY media_id
+"""
+
+
+@register("multimodal_resize", _RESIZE_ORACLE, extra=True)
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Payload resize/downsample (stride sampling standing in for the gated
-    PIL path): extra (driver-visible coverage lives in the chained
-    ``multimodal_resize_frames``); determinism + size bounds pinned in
-    tests/test_multimodal.py."""
+    PIL path), the resized BYTES exposed as hex so the stride arithmetic is
+    value-checked per row (sizes alone hid the payload through round 4);
+    determinism + size bounds additionally pinned in tests/test_multimodal.py."""
     from ..operators.multimodal import resize_media
 
     media = build_media_table(spark, sf_dir)
-    return resize_media(media).drop("data").orderBy("media_id")
+    return (
+        resize_media(media)
+        .select(
+            "media_id",
+            "kind",
+            F.col("orig_bytes").cast("bigint").alias("orig_bytes"),
+            F.col("resized_bytes").cast("bigint").alias("resized_bytes"),
+            F.hex("data").alias("resized_hex"),
+        )
+        .orderBy("media_id")
+    )
 
 
 # Chained resize -> frame-sample, fully value-checked: the stride resize picks

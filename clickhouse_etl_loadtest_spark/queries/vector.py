@@ -801,9 +801,20 @@ def embedding_pca_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
     an embedding pipeline checks before PCA-whitened quantization or IVF.
 
     All outputs are squared projections, so they are invariant to the
-    eigenbasis sign ambiguity. Iterative/linear-algebra driver state ⇒
-    rows-only tier (like ``kmeans_clusters``); differential-tested against
-    a numpy twin on identical moment arithmetic in tests/test_pca.py.
+    eigenbasis sign ambiguity.
+
+    Why this stays rows-only (no DuckDB value oracle — the documented
+    non-expressibility proof): ``total_energy`` alone is SQL-recomputable
+    (DECIMAL moment sums), but ``topk_energy`` requires the top-8
+    eigenvectors of the 64x64 covariance. SQL has no eigensolver; unrolling
+    power iteration + deflation as CTEs computes a DIFFERENT float
+    trajectory than LAPACK ``eigh`` (divide-and-conquer on the
+    tridiagonalized matrix), so their results agree only to iterative-
+    convergence tolerance, not to the 9-significant-digit hash the driver
+    uses — and swapping the operator itself to power iteration to match the
+    oracle would trade the numerically right tool for a checkable one.
+    The value-level check lives in tests/test_pca.py instead: a numpy twin
+    on identical moment arithmetic, bit-stable across partitionings.
     """
     from ..operators.pca import covariance_moments, pca_residuals, top_components
 
