@@ -447,7 +447,12 @@ def run_loadtest(spark, total_records: int = 5_000_000, n_proc: int | None = Non
         shutil.rmtree(work, ignore_errors=True)
 
 
-def run_streaming_loadtest(spark, total_records: int = 1_000_000, state_metrics: bool = False) -> dict:
+def run_streaming_loadtest(
+    spark,
+    total_records: int = 1_000_000,
+    state_metrics: bool = False,
+    rocksdb_overrides: dict | None = None,
+) -> dict:
     import shutil
     import tempfile
 
@@ -482,6 +487,14 @@ def run_streaming_loadtest(spark, total_records: int = 1_000_000, state_metrics:
         "spark.sql.streaming.stateStore.rocksdb.writeBufferSizeMB": "256",
         "spark.sql.streaming.stateStore.rocksdb.maxWriteBufferNumber": "4",
     }
+    # bisect hook (see SCALING.md's 20M-wave conf table): lets a probe run
+    # the same wave under e.g. round-3 RocksDB settings without editing this
+    # file; None value = remove the key entirely (fall back to Spark default)
+    for k, v in (rocksdb_overrides or {}).items():
+        if v is None:
+            rocksdb_conf.pop(k, None)
+        else:
+            rocksdb_conf[k] = v
     saved = {k: spark.conf.get(k, None) for k in rocksdb_conf}
     if state_metrics:
         # RocksDB state store (W4) for the max-scale wave: the reference's
