@@ -34,6 +34,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.hashing import h32, h32_sql_duckdb, h60, h60_sql_duckdb
+from ..operators.bpe import EOW as _BPE_EOW
 from . import register
 from .text import STOPWORDS, TOKEN_RE, _docs, _sql_in, _tokens
 
@@ -1037,18 +1038,74 @@ def _trained_merges(spark: SparkSession, sf_dir: str) -> list:
     return _BPE_MERGE_CACHE[key]
 
 
-@register("doc_bpe_merges", None)
+def _bpe_sym_ctes(num_merges: int, min_pair_count: int = 2) -> str:
+    """Unroll the BPE trainer loop (operators/bpe.py::bpe_train) as chained
+    MATERIALIZED CTEs: s{t} holds the symbolized word-count table after t
+    merges, m{t} the t-th winning pair. The fold applying a merge wraps each
+    symbol as a 1-element list so DuckDB's list_reduce (whose accumulator
+    must match the element type) can rebuild the array exactly like Spark's
+    F.aggregate fold — leftmost-first non-overlapping, a just-merged symbol
+    eligible as the next LEFT. Early stop parity: m{t} filters
+    pair_count >= min_pair_count; once it is empty, the LEFT JOIN passes
+    s{t-1} through unchanged, so every later m is empty too (same fixpoint
+    the driver loop's break reaches). Exact integer counts + byte-wise
+    string ties ⇒ no float risk anywhere in this oracle."""
+    apply_fold = (
+        "list_reduce(list_transform(s.syms, x -> [x]), "
+        "(acc, xs) -> CASE WHEN len(acc) > 0 AND list_extract(acc, len(acc)) = m.l "
+        "AND list_extract(xs, 1) = m.r "
+        "THEN list_append(list_slice(acc, 1, len(acc) - 1), m.l || m.r) "
+        "ELSE list_concat(acc, xs) END)"
+    )
+    ctes = [
+        f"""wc AS MATERIALIZED (
+    SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+        SELECT unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS word FROM documents
+    ) GROUP BY word
+), s0 AS MATERIALIZED (SELECT list_append(str_split(word, ''), '{_BPE_EOW}') AS syms, cnt FROM wc)"""
+    ]
+    for t in range(1, num_merges + 1):
+        ctes.append(
+            f"pc{t} AS MATERIALIZED (SELECT p.l AS l, p.r AS r, CAST(SUM(cnt) AS BIGINT) AS pair_count FROM ("
+            f"SELECT unnest(list_transform(generate_series(1, len(syms) - 1), "
+            f"i -> {{'l': syms[i], 'r': syms[i + 1]}})) AS p, cnt FROM s{t - 1} WHERE len(syms) >= 2"
+            f") GROUP BY p.l, p.r)"
+        )
+        ctes.append(
+            f"m{t} AS MATERIALIZED (SELECT l, r, pair_count FROM pc{t} "
+            f"WHERE pair_count >= {min_pair_count} ORDER BY pair_count DESC, l, r LIMIT 1)"
+        )
+        ctes.append(
+            f"s{t} AS MATERIALIZED (SELECT CASE WHEN m.l IS NULL THEN s.syms ELSE {apply_fold} END AS syms, s.cnt "
+            f"FROM s{t - 1} s LEFT JOIN m{t} m ON TRUE)"
+        )
+    union = " UNION ALL ".join(f"SELECT {t} AS t, * FROM m{t}" for t in range(1, num_merges + 1))
+    ctes.append(f"merges AS MATERIALIZED (SELECT * FROM ({union}))")
+    return ",\n".join(ctes)
+
+
+def _bpe_merges_oracle(num_merges: int) -> str:
+    return f"""
+WITH {_bpe_sym_ctes(num_merges)}
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY t) - 1 AS INT) AS merge_rank,
+       l AS merge_left, r AS merge_right, pair_count
+FROM merges
+ORDER BY merge_rank
+"""
+
+
+@register("doc_bpe_merges", _bpe_merges_oracle(_BPE_NUM_MERGES))
 def doc_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learn a BPE merge table from the document corpus (operators/bpe.py)
     and return it as (merge_rank, merge_left, merge_right, pair_count).
 
-    Iterative and data-dependent (each merge choice depends on the previous
-    merge's result), so — like ``kmeans_clusters``' driver loop — there is
-    no single-statement SQL twin; correctness is pinned against a
-    pure-Python reference implementation in tests/test_bpe.py
-    (rows-only driver tier, the contract's documented path for iterative
-    algorithms). The merge table itself is tokenizer state: KBs on the
-    driver regardless of corpus size, like the k-means codebook.
+    VALUE-checked since round 5: the trainer loop unrolls exactly as
+    chained CTEs (``_bpe_sym_ctes``) — pair counting, tie-breaks, the merge
+    fold, and the min-count early stop are all integer/byte-wise, so the
+    oracle is float-free. Also pinned against a pure-Python reference
+    trainer in tests/test_bpe.py. The merge table itself is tokenizer
+    state: KBs on the driver regardless of corpus size, like the k-means
+    codebook.
     """
     merges = _trained_merges(spark, sf_dir)
     rows = [(i, l, r, c) for i, (l, r, c) in enumerate(merges)]
@@ -1057,7 +1114,58 @@ def doc_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("doc_bpe_fertility", None)
+def _bpe_fertility_oracle(num_merges: int, seg_iters: int = 12) -> str:
+    """Extend the unrolled trainer with the encode path
+    (operators/bpe.py::bpe_segment_words): per distinct word, repeatedly
+    apply the LOWEST-rank merge present anywhere in the piece list (greedy
+    leftmost non-overlap, same fold) until none applies. Each application
+    shortens the list by >=1, so ``seg_iters`` = 12 covers any word up to
+    12 chars + EOW — the fixture vocabulary tops out at 8; a passthrough
+    LEFT JOIN makes extra iterations no-ops. Float-free like the trainer
+    oracle; the final ratio divides two exact BIGINTs identically in both
+    engines."""
+    fold = (
+        "list_reduce(list_transform(s.pieces, x -> [x]), "
+        "(acc, xs) -> CASE WHEN len(acc) > 0 AND list_extract(acc, len(acc)) = b.l "
+        "AND list_extract(xs, 1) = b.r "
+        "THEN list_append(list_slice(acc, 1, len(acc) - 1), b.l || b.r) "
+        "ELSE list_concat(acc, xs) END)"
+    )
+    ctes = [
+        _bpe_sym_ctes(num_merges),
+        "mr AS MATERIALIZED (SELECT l, r, ROW_NUMBER() OVER (ORDER BY t) - 1 AS rk FROM merges)",
+        f"seg0 AS MATERIALIZED (SELECT word, list_append(str_split(word, ''), '{_BPE_EOW}') AS pieces FROM wc)",
+    ]
+    for u in range(1, seg_iters + 1):
+        ctes.append(
+            f"best{u} AS MATERIALIZED (SELECT word, l, r FROM ("
+            f"SELECT g.word, m.l, m.r, ROW_NUMBER() OVER (PARTITION BY g.word ORDER BY m.rk) AS rn "
+            f"FROM (SELECT word, unnest(list_transform(generate_series(1, len(pieces) - 1), "
+            f"i -> {{'l': pieces[i], 'r': pieces[i + 1]}})) AS p FROM seg{u - 1} WHERE len(pieces) >= 2) g "
+            f"JOIN mr m ON m.l = g.p.l AND m.r = g.p.r"
+            f") WHERE rn = 1)"
+        )
+        ctes.append(
+            f"seg{u} AS MATERIALIZED (SELECT s.word, CASE WHEN b.l IS NULL THEN s.pieces ELSE {fold} END AS pieces "
+            f"FROM seg{u - 1} s LEFT JOIN best{u} b ON s.word = b.word)"
+        )
+    joined = ",\n".join(ctes)
+    return f"""
+WITH {joined},
+ppw AS (SELECT word, len(pieces) AS n_pieces FROM seg{seg_iters}),
+tok AS (
+    SELECT source, unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS word FROM documents
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(p.n_pieces) AS BIGINT) AS n_pieces,
+       CAST(SUM(p.n_pieces) AS DOUBLE) / COUNT(*) AS pieces_per_word
+FROM tok t JOIN ppw p USING (word)
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register("doc_bpe_fertility", _bpe_fertility_oracle(_BPE_NUM_MERGES))
 def doc_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer fertility audit: per source, how many BPE pieces the learned
     tokenizer (same merge table as ``doc_bpe_merges``) spends per word — the
@@ -1068,8 +1176,9 @@ def doc_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     directly — distinct words segment once (Arrow-batched, O(vocab)) and the
     piece counts broadcast-join back to the corpus word stream, so the
     corpus-side cost is one explode + map-side join + one groupBy(source).
-    Pinned against a pure-Python reference in tests/test_bpe.py (iterative
-    tokenizer state ⇒ rows-only driver tier, like ``doc_bpe_merges``).
+    VALUE-checked since round 5 (``_bpe_fertility_oracle`` = the unrolled
+    trainer + encode chain, float-free); also pinned against a pure-Python
+    reference in tests/test_bpe.py.
     """
     from ..operators.bpe import bpe_segment_words, words_with_counts
 

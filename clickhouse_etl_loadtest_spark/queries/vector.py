@@ -857,7 +857,145 @@ def _query_vectors(spark: SparkSession, sf_dir: str) -> list:
     ]
 
 
-@register("pq_adc_search_topk", None)
+def _pq_ctes(m: int, ksub: int, iters: int) -> str:
+    """Unroll joint-Lloyd PQ training + encode + query distance tables as
+    chained MATERIALIZED CTEs — the ``_kmeans_oracle`` pattern applied to
+    ``operators/pq.py`` with sub_id as an extra group key (all m subspaces
+    train in the same CTE chain, mirroring the joint loop). Determinism
+    carries over exactly: init = the ksub lowest-vec_id subvectors, argmin
+    ties to the lowest cluster (numpy first-min ≡ ORDER BY d2, cluster),
+    empty codes keep their codeword (COALESCE). Residual cross-engine float
+    wobble (AVG partial-sum order, numpy pairwise vs SQL sequential sums)
+    sits ~13 orders below the distances — same accepted class as
+    ``_kmeans_oracle``, driver-green since round 2. MATERIALIZED for the
+    same reason as ``_logreg_oracle``: pcb{{t-1}} is referenced twice per
+    iteration, so inlining would expand exponentially."""
+    dsub = DIM // m
+    ctes = [
+        f"sve AS MATERIALIZED (SELECT vec_id, CAST((i - 1) // {dsub} AS INT) AS sub_id, "
+        f"CAST((i - 1) % {dsub} AS INT) AS j, CAST(embedding[i] AS DOUBLE) AS v "
+        f"FROM embeddings, generate_series(1, {DIM}) AS t(i))",
+        f"seed_ids AS (SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster "
+        f"FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {ksub}))",
+        "pcb0 AS MATERIALIZED (SELECT s.cluster, v.sub_id, v.j, v.v AS cv "
+        "FROM seed_ids s JOIN sve v USING (vec_id))",
+    ]
+    for t in range(1, iters + 1):
+        ctes.append(
+            f"pd{t} AS MATERIALIZED (SELECT ve.vec_id, ve.sub_id, c.cluster, "
+            f"SUM((ve.v - c.cv) * (ve.v - c.cv)) AS d2 "
+            f"FROM sve ve JOIN pcb{t - 1} c ON ve.sub_id = c.sub_id AND ve.j = c.j "
+            f"GROUP BY ve.vec_id, ve.sub_id, c.cluster)"
+        )
+        ctes.append(
+            f"pa{t} AS MATERIALIZED (SELECT vec_id, sub_id, cluster FROM ("
+            f"SELECT vec_id, sub_id, cluster, "
+            f"ROW_NUMBER() OVER (PARTITION BY vec_id, sub_id ORDER BY d2, cluster) AS rnk "
+            f"FROM pd{t}) WHERE rnk = 1)"
+        )
+        ctes.append(
+            f"pcb{t} AS MATERIALIZED (SELECT p.cluster, p.sub_id, p.j, COALESCE(mu.cv, p.cv) AS cv "
+            f"FROM pcb{t - 1} p LEFT JOIN ("
+            f"SELECT a.cluster, a.sub_id, v.j, AVG(v.v) AS cv "
+            f"FROM pa{t} a JOIN sve v ON a.vec_id = v.vec_id AND a.sub_id = v.sub_id "
+            f"GROUP BY a.cluster, a.sub_id, v.j) mu "
+            f"ON p.cluster = mu.cluster AND p.sub_id = mu.sub_id AND p.j = mu.j)"
+        )
+    # encode with the FINAL codebook (pq_encode runs one more assignment pass)
+    ctes.append(
+        f"pdF AS MATERIALIZED (SELECT ve.vec_id, ve.sub_id, c.cluster, "
+        f"SUM((ve.v - c.cv) * (ve.v - c.cv)) AS d2 "
+        f"FROM sve ve JOIN pcb{iters} c ON ve.sub_id = c.sub_id AND ve.j = c.j "
+        f"GROUP BY ve.vec_id, ve.sub_id, c.cluster)"
+    )
+    ctes.append(
+        "pq_codes AS MATERIALIZED (SELECT vec_id, sub_id, cluster FROM ("
+        "SELECT vec_id, sub_id, cluster, "
+        "ROW_NUMBER() OVER (PARTITION BY vec_id, sub_id ORDER BY d2, cluster) AS rnk "
+        "FROM pdF) WHERE rnk = 1)"
+    )
+    # per-query ADC tables: distance of each query subvector to each codeword
+    ctes.append(
+        f"qtab AS MATERIALIZED (SELECT q.vec_id AS q_id, q.sub_id, c.cluster, "
+        f"SUM((q.v - c.cv) * (q.v - c.cv)) AS td "
+        f"FROM sve q JOIN pcb{iters} c ON q.sub_id = c.sub_id AND q.j = c.j "
+        f"WHERE q.vec_id < {_N_QUERIES} GROUP BY q.vec_id, q.sub_id, c.cluster)"
+    )
+    return ",\n".join(ctes)
+
+
+def _pq_adc_oracle(m: int, ksub: int, iters: int, k: int) -> str:
+    return f"""
+WITH {_pq_ctes(m, ksub, iters)},
+scored AS (
+    SELECT t.q_id, a.vec_id, SUM(t.td) AS adist
+    FROM pq_codes a JOIN qtab t ON a.sub_id = t.sub_id AND a.cluster = t.cluster
+    GROUP BY t.q_id, a.vec_id
+)
+SELECT CAST(q_id AS INT) AS q_id, vec_id, adist, CAST(rnk AS INT) AS rank
+FROM (
+    SELECT q_id, vec_id, adist,
+           ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adist, vec_id) AS rnk
+    FROM scored
+) WHERE rnk <= {k}
+ORDER BY q_id, rank
+"""
+
+
+def _ivfpq_oracle(m: int, ksub: int, iters: int, k: int) -> str:
+    # coarse half verbatim from _IVF_SEARCH_ORACLE (driver-green r2-r4),
+    # fine half from the PQ chain above
+    return f"""
+WITH expanded AS (
+    SELECT label, i, CAST(embedding[i] AS DOUBLE) AS v
+    FROM embeddings, generate_series(1, {DIM}) AS t(i)
+),
+centroids AS (
+    SELECT label AS c_label, i, AVG(v) AS cv FROM expanded GROUP BY label, i
+),
+vec_expanded AS (
+    SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+    FROM embeddings, generate_series(1, {DIM}) AS t(i)
+),
+dists AS ({_IVF_DISTS_SQL}),
+assign AS (
+    SELECT vec_id, c_label AS cell FROM (
+        SELECT vec_id, c_label,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2, c_label) AS rnk
+        FROM dists
+    ) WHERE rnk = 1
+),
+probes AS (
+    SELECT vec_id AS q_id, c_label AS cell FROM (
+        SELECT vec_id, c_label,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2, c_label) AS rnk
+        FROM dists WHERE vec_id < {_N_QUERIES}
+    ) WHERE rnk <= {_NPROBE}
+),
+cand AS (
+    SELECT p.q_id, a.vec_id
+    FROM probes p JOIN assign a ON p.cell = a.cell
+    WHERE a.vec_id <> p.q_id
+),
+{_pq_ctes(m, ksub, iters)},
+scored AS (
+    SELECT c.q_id, c.vec_id, SUM(t.td) AS adist
+    FROM cand c
+    JOIN pq_codes kc ON kc.vec_id = c.vec_id
+    JOIN qtab t ON t.q_id = c.q_id AND t.sub_id = kc.sub_id AND t.cluster = kc.cluster
+    GROUP BY c.q_id, c.vec_id
+)
+SELECT q_id, vec_id, adist, CAST(rnk AS INT) AS rank
+FROM (
+    SELECT q_id, vec_id, adist,
+           ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adist, vec_id) AS rnk
+    FROM scored
+) WHERE rnk <= {k}
+ORDER BY q_id, rank
+"""
+
+
+@register("pq_adc_search_topk", _pq_adc_oracle(_PQ_M, _PQ_KSUB, _PQ_ITERS, _TOPK))
 def pq_adc_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantized ANN end-to-end (operators/pq.py): train per-subspace
     codebooks (joint Lloyd, one corpus scan per iteration for all _PQ_M
@@ -867,10 +1005,11 @@ def pq_adc_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     closure as precomputed distance tables.
 
     This is the memory-side half of IVF-PQ, the standard 100 TB ANN layout
-    (compose with ``ivf_search_topk``'s coarse cells). Iterative trained
-    state ⇒ rows-only driver tier; the training loop, encode, table math,
-    and recall floor are differentially tested against a numpy twin in
-    tests/test_pq.py.
+    (compose with ``ivf_search_topk``'s coarse cells). VALUE-checked since
+    round 5: ``_pq_adc_oracle`` unrolls the joint-Lloyd training, encode,
+    and ADC table math as chained CTEs, so the driver hashes (q_id, vec_id,
+    adist, rank) rows. The training loop and recall floor remain
+    differentially tested against a numpy twin in tests/test_pq.py.
     """
     from ..operators.pq import pq_adc_topk, pq_encode
 
@@ -879,7 +1018,7 @@ def pq_adc_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_topk(pq_encode(e, cb), cb, _query_vectors(spark, sf_dir), k=_TOPK)
 
 
-@register("ivfpq_search_topk", None)
+@register("ivfpq_search_topk", _ivfpq_oracle(_PQ_M, _PQ_KSUB, _PQ_ITERS, _TOPK))
 def ivfpq_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ end-to-end — the full 100 TB ANN layout composed from its two
     verified halves: coarse IVF cells gate candidates (each query probes its
@@ -890,8 +1029,9 @@ def ivfpq_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the float corpus is never touched at query time.
 
     Output (q_id, vec_id, adist, rank); self-matches excluded like
-    ``ivf_search_topk``. Rows-only tier (trained state); invariants and the
-    numpy ADC twin are pinned in tests/test_pq.py.
+    ``ivf_search_topk``. VALUE-checked since round 5 (``_ivfpq_oracle`` =
+    the driver-green coarse-cell SQL composed with the unrolled PQ chain);
+    invariants and the numpy ADC twin stay pinned in tests/test_pq.py.
     """
     from ..operators.pq import adc_distance_col, pq_encode
 
