@@ -178,3 +178,23 @@ def test_bpe_train_matches_reference_on_random_corpora(spark, seed):
     wc = {r["word"]: r["cnt"] for r in words_with_counts(docs).collect()}
     ref_merges, _ = _ref_bpe(wc, num_merges=12)
     assert bpe_train(docs, num_merges=12) == ref_merges
+
+
+def test_fertility_oracle_segmentation_margin(spark, sf_dir):
+    """The _bpe_fertility_oracle unrolls segmentation for a FIXED 12
+    iterations (each application shortens a word's piece list by >= 1, so
+    12 covers any word up to 12 chars + EOW). If a regenerated fixture ever
+    grows longer pre-tokens, the oracle would silently under-segment — this
+    guard turns that into a loud failure naming the fix (raise seg_iters)."""
+    from clickhouse_etl_loadtest_spark.queries.text import TOKEN_RE, _docs
+
+    max_len = (
+        _docs(spark, sf_dir)
+        .select(F.explode(F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RE), 0)).alias("w"))
+        .agg(F.max(F.length("w")).alias("m"))
+        .first()["m"]
+    )
+    assert max_len <= 12, (
+        f"fixture words reach {max_len} chars > the fertility oracle's 12 "
+        f"segmentation iterations — raise seg_iters in _bpe_fertility_oracle"
+    )
