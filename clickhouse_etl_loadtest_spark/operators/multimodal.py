@@ -405,3 +405,70 @@ def media_audio_fingerprint(
         data_col,
         id_col,
     )
+
+
+# --- real-file ingestion: a media directory -> the media-table contract --------------
+
+# extension -> kind routing for directory ingestion; anything unknown lands
+# as 'other' so a stray file never silently masquerades as decodable media
+MEDIA_EXT_KINDS = {
+    "wav": "audio",
+    "ppm": "image",
+    "png": "image",
+    "jpg": "image",
+    "jpeg": "image",
+    "mp4": "video",
+    "mkv": "video",
+}
+
+
+def read_media_dir(
+    spark,
+    path: str,
+    glob: str | None = None,
+    recursive: bool = True,
+) -> DataFrame:
+    """Ingest a directory of real media files into the media-table contract
+    (media_id, kind, data, meta) via Spark's built-in ``binaryFile`` source —
+    the missing first mile before :func:`decode_media_typed` /
+    :func:`resize_media` / :func:`sample_frames`, which until round 5 only
+    ever saw payloads synthesized from the documents fixture.
+
+    - ``media_id`` = 60-bit hash of the file path (deterministic across
+      runs and cluster sizes; no window/zipWithIndex — an id assignment that
+      needed a global ordering would serialize the scan).
+    - ``kind`` routes by extension (MEDIA_EXT_KINDS, unknown -> 'other');
+      content-sniffing stays in codecs.sniff_format at decode time.
+    - ``meta`` carries the source facts (path, byte length, mtime).
+
+    Scale: binaryFile parallelizes by FILE — each row is one file's bytes,
+    so a 100 TB media corpus of small files wants the same medicine as any
+    small-files problem (compact into larger archives, or raise
+    ``spark.sql.files.maxPartitionBytes`` so Spark bundles many files per
+    task); files over 2 GB exceed the source's single-row limit and should
+    ship as chunked rows instead. Filters on path/length push into the
+    source (PushedFilters), so kind-scoped reads prune before bytes move.
+    """
+    from ..functions.hashing import h60
+
+    reader = (
+        spark.read.format("binaryFile")
+        .option("recursiveFileLookup", "true" if recursive else "false")
+    )
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    files = reader.load(path)
+    ext = F.lower(F.regexp_extract(F.col("path"), r"\.([A-Za-z0-9]+)$", 1))
+    kind_map = F.create_map(
+        *[F.lit(x) for kv in MEDIA_EXT_KINDS.items() for x in kv]
+    )
+    return files.select(
+        h60(F.col("path")).alias("media_id"),
+        F.coalesce(kind_map[ext], F.lit("other")).alias("kind"),
+        F.col("content").alias("data"),
+        F.struct(
+            F.col("path").alias("path"),
+            F.col("length").alias("n_bytes"),
+            F.col("modificationTime").alias("mtime"),
+        ).alias("meta"),
+    )
