@@ -1584,3 +1584,80 @@ def doc_winnow_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_shared") >= _WINNOW_MATCH_MIN)
         .orderBy("doc_a", "doc_b")
     )
+
+
+# --- temperature-scaled mixture sampling ----------------------------------------------
+
+# standard multilingual/multi-source rebalancing (Conneau et al. 2020, XLM-R,
+# arXiv:1911.02116 §3.1): sample sources with probability proportional to
+# token_share ** (1/T); T=1 keeps the natural mix, T->0 approaches uniform.
+# The exact double literal for 1/T is inlined into BOTH engines' expressions
+# so the pow() inputs are bit-identical.
+_MIX_TEMPERATURE = 0.7
+_MIX_ALPHA = 1.0 / _MIX_TEMPERATURE
+_MIX_BUDGET_TOKENS = 1_000_000
+
+_TEMP_MIX_ORACLE = f"""
+WITH per_source AS (
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(regexp_extract_all(lower(text), '{TOKEN_RE}'))) AS BIGINT) AS n_tokens
+    FROM documents GROUP BY source
+),
+tot AS (SELECT SUM(n_tokens) AS total_tokens FROM per_source),
+powed AS (
+    SELECT source, n_docs, n_tokens,
+           n_tokens * 1.0 / total_tokens AS token_share,
+           pow(n_tokens * 1.0 / total_tokens, {_MIX_ALPHA!r}) AS p_alpha
+    FROM per_source, tot
+),
+z AS (SELECT SUM(p_alpha) AS z FROM powed)
+SELECT source, n_docs, n_tokens, token_share,
+       p_alpha / z AS sample_prob,
+       {_MIX_BUDGET_TOKENS} * (p_alpha / z) / n_tokens AS epochs_at_budget
+FROM powed, z
+ORDER BY source
+"""
+
+
+@register("doc_temperature_mixture", _TEMP_MIX_ORACLE, extra=True)
+def doc_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixture (q_s ∝ p_s^(1/T), T=0.7): the
+    standard up/down-sampling recipe for multi-source training mixes —
+    ``sample_prob`` is the per-source draw probability, ``epochs_at_budget``
+    how many times the source repeats when filling a fixed token budget
+    (>1 means up-sampled). Complements ``source_mixing_weights``' uniform
+    target with the tempered interpolation everyone actually ships.
+
+    Scale: identical shape to ``source_mixing_weights`` — one shuffle on
+    ``source`` for the rollup, then TWO 1-row broadcast joins (grand total,
+    then the normalizer Z over per-source rows). Source cardinality is
+    domains, so everything after the first aggregation is trivially small.
+    """
+    d = _docs(spark, sf_dir).select("source", F.size(_tokens()).cast("long").alias("n_toks"))
+    per_source = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_toks").alias("n_tokens")
+    )
+    totals = per_source.agg(F.sum("n_tokens").alias("total_tokens"))
+    share = F.col("n_tokens") * 1.0 / F.col("total_tokens")
+    powed = per_source.crossJoin(F.broadcast(totals)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        share.alias("token_share"),
+        F.pow(share, F.lit(_MIX_ALPHA)).alias("p_alpha"),
+    )
+    z = powed.agg(F.sum("p_alpha").alias("z"))
+    prob = F.col("p_alpha") / F.col("z")
+    return (
+        powed.crossJoin(F.broadcast(z))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "token_share",
+            prob.alias("sample_prob"),
+            (F.lit(float(_MIX_BUDGET_TOKENS)) * prob / F.col("n_tokens")).alias("epochs_at_budget"),
+        )
+        .orderBy("source")
+    )

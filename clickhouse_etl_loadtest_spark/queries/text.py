@@ -1654,3 +1654,59 @@ def doc_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = h60(F.concat(F.lit("split-"), F.col("cluster_id").cast("string"))) % 10
     split = F.when(m < 8, "train").when(m == 8, "val").otherwise("test")
     return assigned.withColumn("split", split).orderBy("doc_id")
+
+
+# --- positional inverted index --------------------------------------------------------
+
+_INVIDX_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS t FROM documents
+),
+pos AS (
+    SELECT doc_id, t[i] AS token, i AS pos
+    FROM toks, UNNEST(generate_series(1, len(t))) AS u(i)
+)
+SELECT token, doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       CAST(MIN(pos) AS BIGINT) AS first_pos,
+       CAST(MAX(pos) AS BIGINT) AS last_pos,
+       array_to_string(list_sort(list(pos)), ',') AS positions_csv
+FROM pos
+GROUP BY token, doc_id
+ORDER BY token, doc_id
+"""
+
+
+@register("doc_inverted_index", _INVIDX_ORACLE, extra=True)
+def doc_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional inverted index build: one row per (token, doc_id) posting
+    with occurrence count, first/last position and the full sorted position
+    list — the primitive behind corpus search, phrase queries and the
+    contamination/span passes above (which recompute positions inline today).
+
+    Scale: the text body is projected away before ``posexplode``, so the one
+    shuffle carries (token, doc_id, pos) triples; the groupBy key is
+    (token, doc_id) — a hot stopword fans out across documents rather than
+    concentrating on one reducer, so there is no single-key skew by
+    construction. Position lists are bounded by document length. The final
+    ``orderBy`` exists for the oracle diff; a production index write is
+    ``repartitionByRange(token).sortWithinPartitions(token, doc_id)`` so each
+    parquet file is a contiguous, binary-searchable term range.
+    """
+    d = _docs(spark, sf_dir)
+    pos = d.select("doc_id", F.posexplode(_tokens()).alias("pos0", "token")).select(
+        "doc_id", "token", (F.col("pos0") + 1).alias("pos")
+    )
+    return (
+        pos.groupBy("token", "doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min("pos").cast("bigint").alias("first_pos"),
+            F.max("pos").cast("bigint").alias("last_pos"),
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list("pos")), lambda x: x.cast("string")),
+                ",",
+            ).alias("positions_csv"),
+        )
+        .orderBy("token", "doc_id")
+    )
