@@ -1710,3 +1710,135 @@ def doc_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("token", "doc_id")
     )
+
+
+# --- BM25 relevance scoring -----------------------------------------------------------
+
+# Okapi BM25 (Robertson & Zaragoza 2009) with the standard k1/b and the
+# Lucene-style non-negative idf: ln(1 + (N - df + 0.5)/(df + 0.5)).
+# Fixed query terms drawn from the fixtures' vocabulary; scores are emitted
+# per matching document WITHOUT a top-k cut — a rank cut at a float boundary
+# is the one place two engines can legitimately disagree, so ranking is left
+# to the consumer's orderBy while the value gate checks every score.
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_QUERY = ("fast", "table", "merge")
+
+_BM25_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS t FROM documents
+),
+dl AS (SELECT doc_id, len(t) AS dl FROM toks),
+stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, AVG(dl) AS avgdl FROM dl),
+hits AS (
+    SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM (SELECT doc_id, unnest(t) AS token FROM toks)
+    WHERE token IN {_sql_in(_BM25_QUERY)}
+    GROUP BY doc_id, token
+),
+df AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM hits GROUP BY token)
+SELECT h.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_query_terms,
+       SUM(
+           ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+           * h.tf * ({_BM25_K1} + 1.0)
+           / (h.tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * d.dl / avgdl))
+       ) AS bm25
+FROM hits h
+JOIN df USING (token)
+JOIN dl d USING (doc_id), stats
+GROUP BY h.doc_id
+ORDER BY h.doc_id
+"""
+
+
+@register("doc_bm25_scores", _BM25_ORACLE, extra=True)
+def doc_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 relevance scores for a fixed query over the corpus — the
+    ranked-retrieval stage a search/contamination pipeline runs on top of the
+    inverted index (``doc_inverted_index``).
+
+    Scale: query terms are filtered out of the token array BEFORE the
+    explode, so the shuffle carries only the |Q| query terms' postings
+    (corpus-scale but maximally pruned). df is ≤|Q| rows and N/avgdl one row
+    — both broadcast back; nothing after the tf rollup is corpus-wide.
+    """
+    d = _docs(spark, sf_dir)
+    q = list(_BM25_QUERY)
+    dl = d.select("doc_id", F.size(_tokens()).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    qtok = F.filter(_tokens(), lambda t: t.isin(q))
+    tf = (
+        d.select("doc_id", F.explode(qtok).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    idf = F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    denom = F.col("tf") + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+    term_score = idf * F.col("tf") * (_BM25_K1 + 1.0) / denom
+    return (
+        tf.join(F.broadcast(df_), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_query_terms"),
+            F.sum(term_score).alias("bm25"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --- positional phrase search ---------------------------------------------------------
+
+_PHRASE = ("fast", "table")
+
+_PHRASE_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS t FROM documents
+),
+pos AS (
+    SELECT doc_id, t[i] AS token, i AS pos
+    FROM toks, UNNEST(generate_series(1, len(t))) AS u(i)
+)
+SELECT p1.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_hits,
+       CAST(MIN(p1.pos) AS BIGINT) AS first_hit
+FROM pos p1
+JOIN pos p2 ON p1.doc_id = p2.doc_id AND p2.pos = p1.pos + 1
+WHERE p1.token = '{_PHRASE[0]}' AND p2.token = '{_PHRASE[1]}'
+GROUP BY p1.doc_id
+ORDER BY p1.doc_id
+"""
+
+
+@register("doc_phrase_search", _PHRASE_ORACLE, extra=True)
+def doc_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search (the _PHRASE bigram) via positional postings:
+    adjacent positions of the two terms join on (doc_id, pos) — the classic
+    inverted-index phrase-query plan, all-integer so exact in any engine.
+
+    Scale: each side filters to ONE term's postings before the join, so the
+    equi-join carries two pruned posting lists keyed by (doc_id, pos) —
+    never the corpus; a k-word phrase chains k-1 such joins, pruning further
+    at each step (start with the rarest term first, exactly as a search
+    engine orders its intersections).
+    """
+    d = _docs(spark, sf_dir)
+    pos = d.select("doc_id", F.posexplode(_tokens()).alias("pos0", "token"))
+    p1 = pos.where(F.col("token") == _PHRASE[0]).select("doc_id", "pos0")
+    p2 = pos.where(F.col("token") == _PHRASE[1]).select(
+        "doc_id", (F.col("pos0") - 1).alias("pos0")
+    )
+    return (
+        p1.join(p2, ["doc_id", "pos0"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_hits"),
+            (F.min("pos0") + 1).cast("bigint").alias("first_hit"),
+        )
+        .orderBy("doc_id")
+    )
