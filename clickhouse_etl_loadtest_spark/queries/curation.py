@@ -1589,11 +1589,13 @@ def doc_winnow_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- temperature-scaled mixture sampling ----------------------------------------------
 
 # standard multilingual/multi-source rebalancing (Conneau et al. 2020, XLM-R,
-# arXiv:1911.02116 §3.1): sample sources with probability proportional to
-# token_share ** (1/T); T=1 keeps the natural mix, T->0 approaches uniform.
+# arXiv:1911.02116 §3.1, there written q_i ∝ p_i^α with α<1): sample sources
+# with probability proportional to token_share ** (1/T). T=1 keeps the
+# natural mix; T>1 flattens toward uniform (up-samples tail sources, the
+# usual direction — T=2 ≡ α=0.5); T<1 would sharpen toward the head.
 # The exact double literal for 1/T is inlined into BOTH engines' expressions
 # so the pow() inputs are bit-identical.
-_MIX_TEMPERATURE = 0.7
+_MIX_TEMPERATURE = 2.0
 _MIX_ALPHA = 1.0 / _MIX_TEMPERATURE
 _MIX_BUDGET_TOKENS = 1_000_000
 
@@ -1622,7 +1624,7 @@ ORDER BY source
 
 @register("doc_temperature_mixture", _TEMP_MIX_ORACLE, extra=True)
 def doc_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Temperature-scaled source mixture (q_s ∝ p_s^(1/T), T=0.7): the
+    """Temperature-scaled source mixture (q_s ∝ p_s^(1/T), T=2): the
     standard up/down-sampling recipe for multi-source training mixes —
     ``sample_prob`` is the per-source draw probability, ``epochs_at_budget``
     how many times the source repeats when filling a fixed token budget
