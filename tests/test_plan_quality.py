@@ -532,3 +532,40 @@ def test_product_profit_pushes_the_part_name_filter(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "product_profit_by_nation_year")
     assert "PushedFilters: [IsNotNull(p_name), StringContains(p_name,g)" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_inverted_index_text_free_shuffle_no_skew_key(spark, sf_dir):
+    """The postings rollup shuffles (token, doc_id, pos) — the document body
+    must never cross the exchange, and the groupBy key must be the composite
+    (token, doc_id) so a hot token fans out across documents."""
+    plan = exec_plan_of(spark, sf_dir, "doc_inverted_index")
+    above_generate = plan.split("Generate")[0]
+    assert "text#" not in above_generate
+    agg_lines = [ln for ln in plan.splitlines() if "HashAggregate" in ln and "keys=" in ln]
+    assert agg_lines and all("token#" in ln and "doc_id#" in ln for ln in agg_lines), agg_lines
+
+
+def test_bm25_prunes_to_query_terms_and_broadcasts_stats(spark, sf_dir):
+    """Query terms are filtered inside the token array BEFORE the explode
+    (the corpus-scale shuffle carries |Q| terms' postings only); df and
+    N/avgdl come back as broadcasts, and nothing degenerates into a
+    cartesian."""
+    plan = exec_plan_of(spark, sf_dir, "doc_bm25_scores")
+    above_generate = plan.split("Generate")[0]
+    assert "text#" not in above_generate
+    # the array-level filter runs pre-explode: the Generate's child projects
+    # a filtered array, visible as the filter HOF in the plan
+    assert "ArrayFilter" in plan or "array_filter" in plan.lower() or "filter(" in plan
+    assert plan.count("BroadcastExchange") >= 2  # df + stats (1-row each)
+    assert "CartesianProduct" not in plan
+
+
+def test_phrase_search_single_term_postings_join(spark, sf_dir):
+    """Each join side filters to ONE term's postings before the (doc_id, pos)
+    equi-join — the plan must show the token equality filters and a real
+    equi-join, never a nested loop over the corpus."""
+    plan = exec_plan_of(spark, sf_dir, "doc_phrase_search")
+    above_generate = plan.split("Generate")[0]
+    assert "text#" not in above_generate
+    assert "= fast)" in plan and "= table)" in plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
