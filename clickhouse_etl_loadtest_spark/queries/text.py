@@ -1739,11 +1739,11 @@ hits AS (
 df AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM hits GROUP BY token)
 SELECT h.doc_id,
        CAST(COUNT(*) AS BIGINT) AS n_query_terms,
-       SUM(
+       CAST(SUM(CAST(
            ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
            * h.tf * ({_BM25_K1} + 1.0)
            / (h.tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * d.dl / avgdl))
-       ) AS bm25
+       AS DECIMAL(38,18))) AS DOUBLE) AS bm25
 FROM hits h
 JOIN df USING (token)
 JOIN dl d USING (doc_id), stats
@@ -1786,7 +1786,7 @@ def doc_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_query_terms"),
-            F.sum(term_score).alias("bm25"),
+            F.sum(term_score.cast("decimal(38,18)")).cast("double").alias("bm25"),
         )
         .orderBy("doc_id")
     )

@@ -1064,3 +1064,134 @@ def ivfpq_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= _TOPK)
         .orderBy("q_id", "rank")
     )
+
+
+# --- hybrid text+vector retrieval (reciprocal rank fusion) ---------------------------
+
+# RRF (Cormack et al. 2009): score(d) = sum over systems of 1/(k + rank_d),
+# k=60 the standard damping. Items carry both modalities via the fixtures'
+# id convention (doc_id == vec_id where both exist). Each side is cut to its
+# own top-K FIRST (TakeOrdered — at corpus scale you fuse top-k lists, never
+# full rankings), so the rank windows run over <= K rows.
+_RRF_K = 60
+_RRF_TOPK = 50
+_RRF_QUERY_VEC = 0  # vec_id of the query embedding
+
+_HYBRID_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, regexp_extract_all(lower(text), '{{TOKEN_RE}}') AS t FROM documents
+),
+dl AS (SELECT doc_id, len(t) AS dl FROM toks),
+stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, AVG(dl) AS avgdl FROM dl),
+hits AS (
+    SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM (SELECT doc_id, unnest(t) AS token FROM toks)
+    WHERE token IN {{BM25_IN}}
+    GROUP BY doc_id, token
+),
+df AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM hits GROUP BY token),
+bm AS (
+    SELECT h.doc_id AS item_id,
+           CAST(SUM(CAST(
+               ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+               * h.tf * ({{K1}} + 1.0)
+               / (h.tf + {{K1}} * (1.0 - {{B}} + {{B}} * d.dl / avgdl))
+           AS DECIMAL(38,18))) AS DOUBLE) AS bm25
+    FROM hits h JOIN df USING (token) JOIN dl d USING (doc_id), stats
+    GROUP BY h.doc_id
+),
+t_top AS (SELECT * FROM bm ORDER BY bm25 DESC, item_id LIMIT {_RRF_TOPK}),
+t_rank AS (
+    SELECT item_id,
+           CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, item_id) AS INT) AS text_rank
+    FROM t_top
+),
+q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = {_RRF_QUERY_VEC}),
+cos AS (
+    SELECT vec_id AS item_id,
+           {{DOT}} / ({{QNORM}} * {{CNORM}}) AS cosine
+    FROM embeddings, q WHERE vec_id <> {_RRF_QUERY_VEC}
+),
+v_top AS (SELECT * FROM cos ORDER BY cosine DESC, item_id LIMIT {_RRF_TOPK}),
+v_rank AS (
+    SELECT item_id,
+           CAST(ROW_NUMBER() OVER (ORDER BY cosine DESC, item_id) AS INT) AS vec_rank
+    FROM v_top
+)
+SELECT COALESCE(t.item_id, v.item_id) AS item_id,
+       t.text_rank, v.vec_rank,
+       COALESCE(1.0 / ({_RRF_K} + t.text_rank), 0.0)
+       + COALESCE(1.0 / ({_RRF_K} + v.vec_rank), 0.0) AS rrf
+FROM t_rank t FULL OUTER JOIN v_rank v USING (item_id)
+ORDER BY item_id
+"""
+
+
+def _hybrid_oracle() -> str:
+    from .text import _BM25_B, _BM25_K1, _BM25_QUERY, _sql_in, TOKEN_RE
+
+    return _HYBRID_ORACLE.format(
+        TOKEN_RE=TOKEN_RE,
+        BM25_IN=_sql_in(_BM25_QUERY),
+        K1=_BM25_K1,
+        B=_BM25_B,
+        DOT=_dot_sql("q_emb", "embedding"),
+        QNORM=_norm_sql("q_emb"),
+        CNORM=_norm_sql("embedding"),
+    )
+
+
+@register("hybrid_search_rrf", _hybrid_oracle(), extra=True)
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: fuse BM25 text ranks (``doc_bm25_scores``) with
+    exact-cosine vector ranks via reciprocal rank fusion
+    (1/(60+rank), Cormack et al. 2009) — the standard first-stage ranker of
+    a RAG / retrieval pipeline, here over the fixtures' shared id space
+    (doc_id == vec_id where both modalities exist).
+
+    Scale: each side cuts to its own top-K first — TakeOrderedAndProject on
+    the corpus, so the only unpartitioned windows run over <= K rows (rank
+    assignment inside a driver-sized list, exactly how production fusion
+    works). The fuse itself is a K-row full outer join. BM25 sums are
+    DECIMAL-exact, so the cut order is partition-independent.
+    """
+    from .text import doc_bm25_scores
+
+    t_top = (
+        doc_bm25_scores(spark, sf_dir)
+        .select(F.col("doc_id").alias("item_id"), "bm25")
+        .orderBy(F.desc("bm25"), "item_id")
+        .limit(_RRF_TOPK)
+    )
+    t_rank = t_top.withColumn(
+        "text_rank",
+        F.row_number().over(Window.orderBy(F.desc("bm25"), "item_id")).cast("int"),
+    ).select("item_id", "text_rank")
+
+    e = _emb(spark, sf_dir)
+    q = e.where(F.col("vec_id") == _RRF_QUERY_VEC).select(
+        F.col("embedding").alias("q_emb"),
+        _norm(F.col("embedding")).alias("q_norm"),
+    )
+    cos = (
+        e.where(F.col("vec_id") != _RRF_QUERY_VEC)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("item_id"),
+            (_dot(F.col("q_emb"), F.col("embedding")) / (F.col("q_norm") * _norm(F.col("embedding")))).alias("cosine"),
+        )
+    )
+    v_top = cos.orderBy(F.desc("cosine"), "item_id").limit(_RRF_TOPK)
+    v_rank = v_top.withColumn(
+        "vec_rank",
+        F.row_number().over(Window.orderBy(F.desc("cosine"), "item_id")).cast("int"),
+    ).select("item_id", "vec_rank")
+
+    rrf = F.coalesce(1.0 / (_RRF_K + F.col("text_rank")), F.lit(0.0)) + F.coalesce(
+        1.0 / (_RRF_K + F.col("vec_rank")), F.lit(0.0)
+    )
+    return (
+        t_rank.join(v_rank, "item_id", "full_outer")
+        .select("item_id", "text_rank", "vec_rank", rrf.alias("rrf"))
+        .orderBy("item_id")
+    )

@@ -569,3 +569,13 @@ def test_phrase_search_single_term_postings_join(spark, sf_dir):
     assert "text#" not in above_generate
     assert "= fast)" in plan and "= table)" in plan
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_hybrid_rrf_cuts_with_take_ordered_not_global_sort(spark, sf_dir):
+    """Both modality cuts must be TakeOrderedAndProject (per-partition heads
+    + driver merge); the only full Sorts allowed are over the <= 2K fused
+    rows, and the corpus side of the cosine join stays shuffle-free up to
+    the cut."""
+    plan = exec_plan_of(spark, sf_dir, "hybrid_search_rrf")
+    assert plan.count("TakeOrderedAndProject") >= 2
+    assert "CartesianProduct" not in plan

@@ -155,3 +155,51 @@ def test_temperature_flattens_toward_uniform(spark, tmp_path):
     # exact closed form: q = p^alpha / Z
     pa_big, pa_small = big["token_share"] ** _MIX_ALPHA, small["token_share"] ** _MIX_ALPHA
     assert big["sample_prob"] == pytest.approx(pa_big / (pa_big + pa_small), rel=1e-12)
+
+
+# --- hybrid RRF ---------------------------------------------------------------------
+
+
+def _write_embeddings(spark, tmp_path, vecs):
+    spark.createDataFrame(
+        [(i, [float(x) for x in v], 0) for i, v in enumerate(vecs)],
+        schema="vec_id long, embedding array<float>, label int",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+
+
+def test_hybrid_rrf_hand_computed(spark, tmp_path):
+    # text side: doc 1 matches 'merge' (rare) + short -> text_rank 1;
+    # doc 2 matches 'fast' twice -> rank 2; doc 3 matches 'fast' once,
+    # longer -> rank 3; doc 4 matches nothing -> no text rank.
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            "merge a b c",
+            "fast fast b c",
+            "fast c d e f g",
+            "x y z",
+        ],
+    )
+    # vector side: query is vec 0 = e1. cosines against it: vec 1 = e1
+    # (cos 1.0), vec 2 = (1,1,0,...)/sqrt2 (cos ~0.707), vec 3 = e2 (cos 0),
+    # vec 4 = -e1 (cos -1). doc_id/vec_id share the id space; doc 4 has the
+    # worst vector rank but still gets one (top-50 keeps all 4 candidates).
+    dim = 64
+    e1 = [1.0] + [0.0] * (dim - 1)
+    e2 = [0.0, 1.0] + [0.0] * (dim - 2)
+    diag = [1.0, 1.0] + [0.0] * (dim - 2)
+    neg = [-1.0] + [0.0] * (dim - 1)
+    _write_embeddings(spark, tmp_path, [e1, e1, diag, e2, neg])
+    rows = {r["item_id"]: r for r in REG["hybrid_search_rrf"].fn(spark, sf).collect()}
+    assert set(rows) == {1, 2, 3, 4}
+    assert [rows[i]["text_rank"] for i in (1, 2, 3)] == [1, 2, 3]
+    assert rows[4]["text_rank"] is None
+    assert [rows[i]["vec_rank"] for i in (1, 2, 3, 4)] == [1, 2, 3, 4]
+    for i in (1, 2, 3, 4):
+        expected = (
+            1.0 / (60 + rows[i]["text_rank"]) if rows[i]["text_rank"] else 0.0
+        ) + 1.0 / (60 + rows[i]["vec_rank"])
+        assert rows[i]["rrf"] == pytest.approx(expected, rel=1e-12)
+    # fusion semantics: the item strong in BOTH modalities wins overall
+    assert rows[1]["rrf"] == max(r["rrf"] for r in rows.values())
