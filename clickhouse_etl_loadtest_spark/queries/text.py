@@ -1842,3 +1842,63 @@ def doc_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- one-pass corpus profile ----------------------------------------------------------
+
+_CORPUS_PROFILE_ORACLE = f"""
+WITH d AS (
+    SELECT lang, source, n_chars,
+           {h60_sql_duckdb("text")} AS content_hash,
+           len(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS n_tokens
+    FROM documents
+)
+SELECT
+    CAST(COUNT(*) AS BIGINT) AS n_docs,
+    CAST(COUNT(DISTINCT lang) AS BIGINT) AS lang_distinct,
+    CAST(COUNT(DISTINCT source) AS BIGINT) AS source_distinct,
+    CAST(COUNT(DISTINCT content_hash) AS BIGINT) AS distinct_content,
+    CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+    CAST(MIN(n_tokens) AS BIGINT) AS tokens_min,
+    CAST(MAX(n_tokens) AS BIGINT) AS tokens_max,
+    CAST(SUM(CAST(n_tokens AS DECIMAL(20,2))) AS DOUBLE) / COUNT(*) AS tokens_mean,
+    CAST(SUM(CAST(n_chars AS DECIMAL(20,2))) AS DOUBLE) / COUNT(*) AS chars_mean,
+    CAST(SUM(CASE WHEN n_tokens = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty
+FROM d
+"""
+
+
+@register("doc_corpus_profile", _CORPUS_PROFILE_ORACLE, extra=True)
+def doc_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus data-card profile in ONE pass (the ``documents`` twin of
+    ``events_profile``): row/language/source cardinalities, exact-duplicate
+    signal (``n_docs - distinct_content``), token totals and length moments,
+    empty-doc count — the header numbers of every dataset card.
+
+    Scale: a single aggregation over one scan — profiling 100 TB must never
+    be one job per column. Tokenization stays a per-row projection (no
+    explode: token counts come from ``size``), the content hash is 60-bit so
+    the distinct aggregates carry longs, and means sum as DECIMAL so the
+    report is partition-count-independent.
+    """
+    d = _docs(spark, sf_dir)
+    n_tokens = F.size(_tokens())
+    n = F.count(F.lit(1))
+    return d.select(
+        "lang",
+        "source",
+        "n_chars",
+        h60(F.col("text")).alias("content_hash"),
+        n_tokens.alias("n_tokens"),
+    ).agg(
+        n.alias("n_docs"),
+        F.countDistinct("lang").alias("lang_distinct"),
+        F.countDistinct("source").alias("source_distinct"),
+        F.countDistinct("content_hash").alias("distinct_content"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.min("n_tokens").cast("bigint").alias("tokens_min"),
+        F.max("n_tokens").cast("bigint").alias("tokens_max"),
+        (F.sum(F.col("n_tokens").cast("decimal(20,2)")).cast("double") / n).alias("tokens_mean"),
+        (F.sum(F.col("n_chars").cast("decimal(20,2)")).cast("double") / n).alias("chars_mean"),
+        F.sum(F.when(F.col("n_tokens") == 0, 1).otherwise(0)).alias("n_empty"),
+    )
