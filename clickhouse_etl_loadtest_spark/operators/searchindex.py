@@ -1,0 +1,116 @@
+"""Incremental positional inverted index: the streaming-maintenance twin of
+``queries/text.py::doc_inverted_index``.
+
+A corpus that streams in (landing waves, CDC batches) should not rebuild its
+search index from scratch per wave. ``index_batch`` is a ``foreachBatch``
+body: it computes the batch's postings and lands them in a per-batch
+partition of a persistent parquet index; ``read_search_index`` merges the
+partitions with latest-batch-wins semantics per document, so re-ingesting a
+revised document atomically replaces its postings.
+
+Reference scope: the reference repo has no search path at all; this extends
+the LLM-pipeline search stack (COVERAGE.md search rows).
+
+Scale:
+- the batch-side postings computation is the same one-pruned-shuffle plan as
+  the batch query (text projected away before ``posexplode``, composite
+  (token, doc_id) grouping key — no single-key skew);
+- the index grows by appended partitions, never rewritten: each batch writes
+  only its own ``batch=b<id>`` subdir (overwrite on replay — idempotent, the
+  same recovery contract as ``operators/fuzzydedup.py::admit_batch``);
+- latest-wins resolution joins postings against a (doc_id, max batch_seq)
+  rollup — doc-cardinality, hash-partitioned, no broadcast assumption;
+- a production layout would periodically compact cold batches with
+  ``repartitionByRange(token)`` into term-range files (see
+  ``doc_inverted_index``'s docstring); the per-batch partitions are the hot
+  tail of that lifecycle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.utils import AnalysisException
+
+# same token grammar as queries/text.py::TOKEN_RE (kept literal here:
+# operators must not import from the query registry layer)
+DEFAULT_TOKEN_RE = "[a-z0-9]+"
+
+
+def postings_table(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_re: str = DEFAULT_TOKEN_RE,
+) -> DataFrame:
+    """Positional postings for one corpus slice: one row per (token, id) with
+    occurrence count, first/last position (1-based) and the sorted position
+    list — identical semantics to ``doc_inverted_index`` (equality is pinned
+    by ``tests/test_searchindex.py``)."""
+    toks = F.expr(f"regexp_extract_all(lower({text_col}), '{token_re}', 0)")
+    pos = df.select(F.col(id_col).alias("doc_id"), F.posexplode(toks).alias("pos0", "token")).select(
+        "doc_id", "token", (F.col("pos0") + 1).alias("pos")
+    )
+    return pos.groupBy("token", "doc_id").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.min("pos").cast("bigint").alias("first_pos"),
+        F.max("pos").cast("bigint").alias("last_pos"),
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list("pos")), lambda x: x.cast("string")),
+            ",",
+        ).alias("positions_csv"),
+    )
+
+
+def index_batch(
+    batch_df: DataFrame,
+    index_path: str,
+    batch_id: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_re: str = DEFAULT_TOKEN_RE,
+) -> int:
+    """``foreachBatch`` body: land the batch's postings in the persistent
+    index. Returns the number of posting rows written.
+
+    Idempotency: with ``batch_id`` (the ``foreachBatch`` argument) the write
+    overwrites exactly its own ``batch=b<id>`` partition subdir, so a
+    checkpoint-recovery replay replaces its own partial append and nothing
+    else. Without ``batch_id`` the append lands in ``batch=adhoc`` and is
+    at-least-once. ``batch_seq`` (the numeric batch id, -1 for adhoc) is
+    stored IN the rows so ``read_search_index`` can resolve documents
+    re-ingested across batches without parsing partition strings.
+    """
+    postings = postings_table(batch_df, id_col=id_col, text_col=text_col, token_re=token_re)
+    seq = batch_id if batch_id is not None else -1
+    postings = postings.withColumn("batch_seq", F.lit(seq).cast("int")).localCheckpoint()
+    n = postings.count()
+    part = f"b{batch_id}" if batch_id is not None else "adhoc"
+    mode = "overwrite" if batch_id is not None else "append"
+    postings.write.mode(mode).parquet(f"{index_path}/batch={part}")
+    return n
+
+
+def read_search_index(spark: SparkSession, index_path: str) -> DataFrame:
+    """The merged index: latest-batch-wins per document. A document
+    re-ingested in a later batch contributes ONLY its newest postings —
+    stale rows are filtered by a (doc_id, max(batch_seq)) rollup join
+    (doc-cardinality, hash-partitioned). Returns the ``doc_inverted_index``
+    column contract plus ``batch_seq``."""
+    try:
+        idx = spark.read.parquet(index_path)
+    except AnalysisException as e:
+        msg = str(e)
+        if "PATH_NOT_FOUND" in msg or "UNABLE_TO_INFER_SCHEMA" in msg:
+            return spark.createDataFrame(
+                [],
+                schema=(
+                    "token string, doc_id long, n_occurrences bigint, first_pos bigint,"
+                    " last_pos bigint, positions_csv string, batch_seq int"
+                ),
+            )
+        raise
+    latest = idx.groupBy("doc_id").agg(F.max("batch_seq").alias("batch_seq"))
+    return idx.join(latest, ["doc_id", "batch_seq"]).select(
+        "token", "doc_id", "n_occurrences", "first_pos", "last_pos", "positions_csv", "batch_seq"
+    )

@@ -1,0 +1,107 @@
+"""Incremental inverted index (operators/searchindex.py): streamed waves
+must converge to the batch query's exact output, replays must be no-ops,
+and a re-ingested document must atomically replace its postings."""
+
+from pyspark.sql import functions as F
+
+from clickhouse_etl_loadtest_spark.operators.searchindex import (
+    index_batch,
+    postings_table,
+    read_search_index,
+)
+from clickhouse_etl_loadtest_spark.queries import load_all
+
+REG = load_all()
+
+DOCS = [
+    (1, "alpha beta alpha gamma"),
+    (2, "beta beta delta"),
+    (3, "gamma alpha"),
+    (4, "epsilon"),
+    (5, "delta gamma delta"),
+    (6, "alpha epsilon beta"),
+]
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, schema="doc_id long, text string")
+
+
+def _canon(df):
+    return sorted(
+        tuple(r)
+        for r in df.select(
+            "token", "doc_id", "n_occurrences", "first_pos", "last_pos", "positions_csv"
+        ).collect()
+    )
+
+
+def test_streamed_waves_equal_batch_query(spark, tmp_path):
+    """Drive index_batch as a REAL foreachBatch body (file stream,
+    availableNow, several micro-batches) and require the merged index to
+    equal both postings_table on the full corpus and the registry's
+    doc_inverted_index on the same documents — pinning the operator and the
+    query to one semantics."""
+    staging = str(tmp_path / "staging")
+    index = str(tmp_path / "index")
+    # three files so availableNow + maxFilesPerTrigger yields >1 micro-batch
+    for i, lo in enumerate((0, 2, 4)):
+        _df(spark, DOCS[lo : lo + 2]).coalesce(1).write.mode("overwrite").parquet(
+            f"{staging}/wave{i}"
+        )
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{staging}/wave*")
+    )
+    q = (
+        stream.writeStream.foreachBatch(lambda bdf, bid: index_batch(bdf, index, batch_id=bid))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+
+    merged = read_search_index(spark, index)
+    full = _df(spark, DOCS)
+    assert _canon(merged) == _canon(postings_table(full))
+
+    # and against the registry query over a documents.parquet fixture dir
+    sf = str(tmp_path / "fixture")
+    full.select(
+        "doc_id", "text", F.lit("en").alias("lang"), F.lit("s").alias("source"),
+        F.length("text").alias("n_chars"),
+    ).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    assert _canon(merged) == _canon(REG["doc_inverted_index"].fn(spark, sf))
+
+
+def test_replay_is_idempotent(spark, tmp_path):
+    index = str(tmp_path / "index")
+    index_batch(_df(spark, DOCS[:3]), index, batch_id=0)
+    index_batch(_df(spark, DOCS[3:]), index, batch_id=1)
+    before = _canon(read_search_index(spark, index))
+    # checkpoint-recovery replay of batch 1: same rows, same batch_id
+    index_batch(_df(spark, DOCS[3:]), index, batch_id=1)
+    assert _canon(read_search_index(spark, index)) == before
+
+
+def test_reingested_doc_replaces_postings(spark, tmp_path):
+    index = str(tmp_path / "index")
+    index_batch(_df(spark, [(1, "old words here"), (2, "stable text")]), index, batch_id=0)
+    index_batch(_df(spark, [(1, "brand new body")]), index, batch_id=1)
+    merged = read_search_index(spark, index)
+    doc1 = {r["token"] for r in merged.where(F.col("doc_id") == 1).collect()}
+    assert doc1 == {"brand", "new", "body"}  # no stale 'old'/'words'/'here'
+    assert {r["token"] for r in merged.where(F.col("doc_id") == 2).collect()} == {
+        "stable",
+        "text",
+    }
+    # batch_seq records provenance: doc 1 from batch 1, doc 2 from batch 0
+    seqs = {r["doc_id"]: r["batch_seq"] for r in merged.select("doc_id", "batch_seq").distinct().collect()}
+    assert seqs == {1: 1, 2: 0}
+
+
+def test_empty_index_reads_empty(spark, tmp_path):
+    out = read_search_index(spark, str(tmp_path / "nope"))
+    assert out.count() == 0
+    assert "positions_csv" in out.columns
