@@ -1259,3 +1259,220 @@ def product_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(F.sum(profit).cast("double").alias("profit"))
         .orderBy("nation", F.desc("o_year"))
     )
+
+
+# --- Q4 shape: priority counts of orders with a late shipment ----------------------
+
+_LATE_DAYS = 60
+
+_Q4_ORACLE = f"""
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders o
+WHERE EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL {_LATE_DAYS} DAY
+)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register("late_orders_by_priority", _Q4_ORACLE, extra=True)
+def late_orders_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (adapted: the fixtures carry no commitdate, so "late"
+    is shipped > {60} days after the order date): order counts by priority
+    where at least one lineitem shipped late — the canonical EXISTS
+    decorrelation test.
+
+    Scale: Catalyst decorrelates the EXISTS into a left-semi join on
+    l_orderkey; the lineitem side prunes to (l_orderkey, l_shipdate) before
+    the shuffle, and the date comparison is exact integer microseconds in
+    both engines.
+    """
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = li.join(
+        o.select("o_orderkey", "o_orderdate"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    ).where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr(f"INTERVAL {_LATE_DAYS} DAY"))
+    return (
+        o.join(late.select("l_orderkey").distinct(), F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# --- Q17 shape: revenue locked in small-quantity orders of a brand -----------------
+
+_Q17_BRAND_PREFIX = "Brand#1"
+
+_Q17_ORACLE = f"""
+WITH pq AS (
+    SELECT l_partkey,
+           CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+       CAST(COUNT(*) AS BIGINT) AS n_small_lines
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN pq ON l.l_partkey = pq.l_partkey
+WHERE p.p_brand LIKE '{_Q17_BRAND_PREFIX}%'
+  AND 5.0 * l.l_quantity * pq.n_lines < pq.sum_qty
+"""
+
+
+@register("small_quantity_part_revenue", _Q17_ORACLE, extra=True)
+def small_quantity_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: average yearly revenue that would be lost by
+    refusing small orders (quantity < 20% of the part's average) for one
+    brand — the canonical correlated-scalar-aggregate decorrelation.
+
+    The threshold compare is algebraically cleared of division
+    (5·qty·n < Σqty): quantities are integral doubles, so both sides are
+    exact and the boundary cannot drift between engines. Scale: the per-part
+    rollup is one shuffle on l_partkey and joins back on the same key —
+    co-partitioned with the probe side; the brand filter pushes to the part
+    scan and semi-prunes lineitem via the join.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(F.col("p_brand").startswith(_Q17_BRAND_PREFIX))
+    pq = li.groupBy("l_partkey").agg(
+        F.sum("l_quantity").cast("double").alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+    return (
+        li.join(F.broadcast(p.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey"))
+        .join(pq, "l_partkey")
+        .where(5.0 * F.col("l_quantity") * F.col("n_lines") < F.col("sum_qty"))
+        .agg(
+            (_dsum("l_extendedprice") / 7.0).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_small_lines"),
+        )
+    )
+
+
+# --- Q21 shape: the supplier who alone shipped late in multi-supplier orders -------
+
+_Q21_ORACLE = f"""
+WITH late AS (
+    SELECT l.l_orderkey, l.l_suppkey
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate > o.o_orderdate + INTERVAL {_LATE_DAYS} DAY
+),
+multi AS (
+    SELECT l_orderkey FROM lineitem
+    GROUP BY l_orderkey HAVING COUNT(DISTINCT l_suppkey) >= 2
+),
+sole_late AS (
+    SELECT l_orderkey, MIN(l_suppkey) AS l_suppkey
+    FROM late GROUP BY l_orderkey HAVING COUNT(DISTINCT l_suppkey) = 1
+)
+SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM sole_late sl
+JOIN multi m ON sl.l_orderkey = m.l_orderkey
+JOIN supplier s ON sl.l_suppkey = s.s_suppkey
+GROUP BY s.s_name
+ORDER BY numwait DESC, s.s_name
+"""
+
+
+@register("sole_late_supplier_waits", _Q21_ORACLE, extra=True)
+def sole_late_supplier_waits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (lateness adapted to shipdate - orderdate): per
+    supplier, how many multi-supplier orders they ALONE held up — the
+    EXISTS + NOT-EXISTS double correlation, decorrelated into two
+    aggregates over the same key.
+
+    Scale: all three rollups shuffle on l_orderkey (co-partitioned — one
+    exchange family, AQE reuses it), carrying only (orderkey, suppkey);
+    supplier is a broadcast dimension at any SF.
+    """
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    late = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).where(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr(f"INTERVAL {_LATE_DAYS} DAY")
+    ).select("l_orderkey", "l_suppkey")
+    multi = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("_ns")
+    ).where(F.col("_ns") >= 2).select("l_orderkey")
+    sole_late = (
+        late.groupBy("l_orderkey")
+        .agg(F.countDistinct("l_suppkey").alias("_nl"), F.min("l_suppkey").alias("l_suppkey"))
+        .where(F.col("_nl") == 1)
+        .select("l_orderkey", "l_suppkey")
+    )
+    return (
+        sole_late.join(multi, "l_orderkey")
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+    )
+
+
+# --- Q22 shape: well-funded customers who never ordered, by segment ----------------
+
+_Q22_BIG_ORDER = 400_000
+
+_Q22_ORACLE = f"""
+WITH pos AS (
+    SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM customer WHERE c_acctbal > 0.0
+),
+idle AS (
+    SELECT c.c_mktsegment, c.c_acctbal
+    FROM customer c, pos
+    WHERE CAST(c.c_acctbal AS DECIMAL(18,2)) * pos.n > pos.total
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > {_Q22_BIG_ORDER})
+)
+SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+FROM idle
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+@register("idle_rich_customers_by_segment", _Q22_ORACLE, extra=True)
+def idle_rich_customers_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (segment stands in for the fixtures' missing phone
+    prefix, and — since every fixture customer has orders — "idle" means no
+    order above {400k}): customers with above-average balance who never
+    placed a large order, rolled up by market segment — global-scalar
+    threshold + filtered anti-join.
+
+    The above-average compare is division-free (bal·n > Σbal in
+    DECIMAL(18,2) — cents are exact), so the threshold boundary is
+    bit-identical across engines. Scale: the global rollup is a 1-row
+    broadcast; the NOT EXISTS is a left-anti shuffle join on custkey
+    carrying key columns only.
+    """
+    c = _t(spark, sf_dir, "customer")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice") > _Q22_BIG_ORDER)
+        .select("o_custkey")
+    )
+    pos = c.where(F.col("c_acctbal") > 0.0).agg(
+        F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("decimal(38,2)").alias("total"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return (
+        c.crossJoin(F.broadcast(pos))
+        .where(F.col("c_acctbal").cast("decimal(18,2)") * F.col("n") > F.col("total"))
+        .join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("total_acctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
