@@ -1663,3 +1663,101 @@ def doc_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- Kneser-Ney bigram cross-entropy (the smoothed upgrade of the add-1 bigram) ------
+
+# fixed absolute discount (Kneser & Ney 1995; Chen & Goodman 1999 use
+# count-of-count-estimated d — fixed 0.75 keeps the model closed-form and
+# cross-engine exact). Interpolated form:
+#   P(w2|w1) = max(c12 - d, 0)/c1 + (d * N1+(w1.)/c1) * (N1+(.w2)/n_types)
+# Every factor is a ratio of corpus integers; both engines evaluate the
+# IDENTICAL parse tree, so the doubles agree bit-for-bit before the ln.
+_KN_D = 0.75
+
+_KN_ORACLE = f"""
+WITH tok AS (
+    SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks FROM documents
+),
+bi AS (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(toks) - 1),
+                                 i -> {h60_sql_duckdb("toks[i]")})) AS h1,
+           unnest(list_transform(generate_series(1, len(toks) - 1),
+                                 i -> {h60_sql_duckdb("toks[i + 1]")})) AS h2
+    FROM tok
+    WHERE len(toks) >= 2
+),
+c1 AS (SELECT h1, CAST(COUNT(*) AS BIGINT) AS n_ctx FROM bi GROUP BY h1),
+c12 AS (SELECT h1, h2, CAST(COUNT(*) AS BIGINT) AS n_pair FROM bi GROUP BY h1, h2),
+n1f AS (SELECT h1, CAST(COUNT(*) AS BIGINT) AS n1p_fwd FROM c12 GROUP BY h1),
+n1b AS (SELECT h2, CAST(COUNT(*) AS BIGINT) AS n1p_bwd FROM c12 GROUP BY h2),
+t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_types FROM c12),
+scored AS (
+    SELECT b.doc_id,
+           CAST(-ln(
+               GREATEST(p.n_pair - {_KN_D}, 0.0) / c.n_ctx
+               + (({_KN_D} * f.n1p_fwd) / c.n_ctx) * (w.n1p_bwd * 1.0 / t.n_types)
+           ) AS DECIMAL(38,18)) AS nl
+    FROM bi b
+    JOIN c12 p USING (h1, h2) JOIN c1 c USING (h1)
+    JOIN n1f f USING (h1) JOIN n1b w USING (h2), t
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(nl) AS DOUBLE) / COUNT(*) AS cross_entropy_nats
+FROM scored GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+@register("doc_kneser_ney_logprob", _KN_ORACLE, extra=True)
+def doc_kneser_ney_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document cross-entropy under an interpolated Kneser-Ney bigram LM
+    (fixed discount d=0.75) — the smoothing KenLM-style perplexity filters
+    actually use: probability mass discounted from seen bigrams backs off to
+    the CONTINUATION unigram (how many contexts a word follows), not the raw
+    frequency, which is what separates KN from the add-1 sibling
+    ``doc_bigram_logprob``.
+
+    Scale: identical topology to the add-1 bigram — bigrams built inside the
+    token array from 60-bit hashes (shuffles carry longs, never text), the
+    four count tables (c1, c12, N1+ forward/backward) are vocab-scale and
+    pre-join into one probability table, the type total is a 1-row
+    broadcast; the corpus-scale stream shuffles exactly twice. Log-probs sum
+    as DECIMAL(38,18), exact and order-independent.
+    """
+    th = F.transform(_tokens(), lambda w: h60(w))
+    n = F.size(th)
+    pairs = F.zip_with(
+        F.slice(th, 1, n - 1),
+        F.slice(th, 2, n - 1),
+        lambda a, b: F.struct(a.alias("h1"), b.alias("h2")),
+    )
+    d = _docs(spark, sf_dir).where(F.size(_tokens()) >= 2)
+    bi = d.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", F.col("p.h1").alias("h1"), F.col("p.h2").alias("h2")
+    )
+    c1 = bi.groupBy("h1").agg(F.count(F.lit(1)).alias("n_ctx"))
+    c12 = bi.groupBy("h1", "h2").agg(F.count(F.lit(1)).alias("n_pair"))
+    n1f = c12.groupBy("h1").agg(F.count(F.lit(1)).alias("n1p_fwd"))
+    n1b = c12.groupBy("h2").agg(F.count(F.lit(1)).alias("n1p_bwd"))
+    t = c12.agg(F.count(F.lit(1)).alias("n_types"))
+    probs = c12.join(c1, "h1").join(n1f, "h1").join(n1b, "h2")
+    p_kn = (
+        F.greatest(F.col("n_pair") - _KN_D, F.lit(0.0)) / F.col("n_ctx")
+        + ((_KN_D * F.col("n1p_fwd")) / F.col("n_ctx"))
+        * (F.col("n1p_bwd") * 1.0 / F.col("n_types"))
+    )
+    nl = (-F.log(p_kn)).cast("decimal(38,18)")
+    return (
+        bi.join(probs, ["h1", "h2"])
+        .crossJoin(F.broadcast(t))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_bigrams"), F.sum(nl).alias("_s"))
+        .select(
+            "doc_id",
+            "n_bigrams",
+            (F.col("_s").cast("double") / F.col("n_bigrams")).alias("cross_entropy_nats"),
+        )
+        .orderBy("doc_id")
+    )
