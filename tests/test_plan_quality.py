@@ -579,3 +579,34 @@ def test_hybrid_rrf_cuts_with_take_ordered_not_global_sort(spark, sf_dir):
     plan = exec_plan_of(spark, sf_dir, "hybrid_search_rrf")
     assert plan.count("TakeOrderedAndProject") >= 2
     assert "CartesianProduct" not in plan
+
+
+def test_q17_rollup_and_probe_copartition_no_cartesian(spark, sf_dir):
+    """Q17 shape: the per-part rollup joins back on its own grouping key
+    (co-partitioned exchange family), the brand filter pushes to the part
+    scan, and nothing degenerates into a nested loop."""
+    plan = plan_of(spark, sf_dir, "small_quantity_part_revenue")
+    assert "PushedFilters: [IsNotNull(p_brand), StringStartsWith(p_brand,Brand#1)" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q21_rollups_carry_keys_only(spark, sf_dir):
+    """Q21 shape: every corpus-side shuffle carries (orderkey, suppkey[,
+    shipdate]) — the lineitem scan must read exactly those three columns."""
+    plan = plan_of(spark, sf_dir, "sole_late_supplier_waits")
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln and "l_orderkey" in ln]
+    assert read and all(
+        "l_extendedprice" not in ln and "l_quantity" not in ln for ln in read
+    ), read
+    assert "CartesianProduct" not in plan
+
+
+def test_q22_threshold_broadcasts_and_anti_join(spark, sf_dir):
+    """Q22 shape: the global-threshold rollup comes back as a 1-row
+    broadcast, the no-big-order test is a real anti join, and the big-order
+    price filter pushes into the orders scan."""
+    plan = exec_plan_of(spark, sf_dir, "idle_rich_customers_by_segment")
+    assert "LeftAnti" in plan
+    assert plan.count("BroadcastExchange") >= 1
+    formatted = plan_of(spark, sf_dir, "idle_rich_customers_by_segment")
+    assert "GreaterThan(o_totalprice,400000" in formatted
