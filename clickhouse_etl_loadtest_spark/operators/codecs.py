@@ -1,11 +1,12 @@
-"""Dependency-free real media codecs: PCM16 WAV (RIFF) and binary PPM (P6).
+"""Dependency-free real media codecs: PCM16 WAV (RIFF), binary PPM (P6) and
+8-bit non-interlaced PNG (zlib is stdlib).
 
 The multimodal stages (operators/multimodal.py) default to a deterministic
-byte-level fake because this environment ships no media libraries; these two
-formats need nothing beyond ``struct``/numpy, so the decode / resize stages
-can exercise at least one GENUINE binary format end-to-end (header parse,
-payload reinterpretation, format-aware resample) while PIL/librosa/ffmpeg
-stay import-gated for the rest.
+byte-level fake because this environment ships no media libraries; these
+formats need nothing beyond ``struct``/``zlib``/numpy, so the decode /
+resize stages exercise GENUINE binary formats end-to-end (chunk walks, CRC
+checks, inflate + the five PNG row filters, format-aware resample) while
+PIL/librosa/ffmpeg stay import-gated for the rest.
 
 All functions are plain bytes -> dict/bytes transforms, called from Arrow
 batches inside ``mapInPandas`` — one Python roundtrip per batch, never per
@@ -15,6 +16,7 @@ row (same execution contract as the fake path).
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 
@@ -147,13 +149,15 @@ def sniff_format(data: bytes) -> str:
         return "wav"
     if data[:2] == PPM_MAGIC:
         return "ppm"
+    if data[:8] == PNG_MAGIC:
+        return "png"
     return "raw"
 
 
 # malformed-payload fallback: a magic-prefix match is a hint, not a guarantee
 # (RIFF-but-not-WAVE, PCM24 WAV, text starting "P6x", truncated headers) — one
 # bad row must degrade to byte stats, never kill the whole mapInPandas stage
-_DECODE_ERRORS = (ValueError, struct.error, ZeroDivisionError, IndexError)
+_DECODE_ERRORS = (ValueError, struct.error, ZeroDivisionError, IndexError, zlib.error)
 
 
 def real_decode(data: bytes) -> dict:
@@ -186,6 +190,14 @@ def real_decode(data: bytes) -> dict:
         elif kind == "ppm":
             d = decode_ppm(data)
             out.update(format="ppm", width=d["width"], height=d["height"])
+        elif kind == "png":
+            d = decode_png(data)
+            out.update(
+                format="png",
+                width=d["width"],
+                height=d["height"],
+                n_channels=d["n_channels"],
+            )
     except _DECODE_ERRORS:
         pass  # keep the raw byte stats
     return out
@@ -219,6 +231,144 @@ def real_resize(data: bytes, target_bytes: int = 256) -> bytes:
             if d["width"] * d["height"] <= side * side:
                 return data
             return resize_ppm(data, min(side, d["width"]), min(side, d["height"]))
+        if kind == "png":
+            d = decode_png(data)
+            # budget pixels by channel count; compressed size then lands
+            # under target for natural images (filter-0 zlib)
+            side = max(1, int((target_bytes // d["n_channels"]) ** 0.5))
+            if d["width"] * d["height"] <= side * side:
+                return data
+            return resize_png(data, min(side, d["width"]), min(side, d["height"]))
     except _DECODE_ERRORS:
         pass  # malformed: fall through to byte-stride
     return stride_sample(data, target_bytes)
+
+
+# --- PNG (8-bit gray/RGB/RGBA, non-interlaced) --------------------------------
+
+# zlib is stdlib, so PNG needs no external dependency either: chunk walk,
+# IDAT inflate, and the five per-row filters from the spec (RFC 2083 §6).
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}  # gray, RGB, RGBA
+
+
+def _png_chunk(ctype: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + ctype
+        + payload
+        + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """Minimal PNG writer: (h, w) gray, (h, w, 3) RGB or (h, w, 4) RGBA
+    uint8, filter 0 (None) on every row, one IDAT."""
+    arr = np.asarray(pixels, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, ch = arr.shape
+    color = {1: 0, 3: 2, 4: 6}[ch]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+    return (
+        PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _png_unfilter(raw: bytes, w: int, h: int, ch: int) -> np.ndarray:
+    """Reverse the five PNG row filters (None/Sub/Up/Average/Paeth)."""
+    stride = w * ch
+    out = np.zeros((h, stride), dtype=np.int32)
+    pos = 0
+    for y in range(h):
+        ftype = raw[pos]
+        row = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=pos + 1).astype(np.int32)
+        pos += 1 + stride
+        prev = out[y - 1] if y > 0 else np.zeros(stride, dtype=np.int32)
+        if ftype == 0:
+            out[y] = row
+        elif ftype == 1:  # Sub: left neighbor (sequential along the row)
+            acc = row.copy()
+            for x in range(ch, stride):
+                acc[x] = (acc[x] + acc[x - ch]) & 0xFF
+            out[y] = acc
+        elif ftype == 2:  # Up
+            out[y] = (row + prev) & 0xFF
+        elif ftype == 3:  # Average
+            acc = row.copy()
+            for x in range(stride):
+                left = acc[x - ch] if x >= ch else 0
+                acc[x] = (acc[x] + ((left + prev[x]) >> 1)) & 0xFF
+            out[y] = acc
+        elif ftype == 4:  # Paeth
+            acc = row.copy()
+            for x in range(stride):
+                a = acc[x - ch] if x >= ch else 0
+                b = prev[x]
+                c = prev[x - ch] if x >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                acc[x] = (acc[x] + pred) & 0xFF
+            out[y] = acc
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+    return out.astype(np.uint8).reshape(h, w, ch)
+
+
+def decode_png(data: bytes) -> dict:
+    """Chunk-walking PNG parser: 8-bit gray/RGB/RGBA, non-interlaced, CRC
+    checked on IHDR/IDAT; ancillary chunks skipped."""
+    if data[:8] != PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        ctype = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + length]
+        if len(payload) != length:
+            raise ValueError("truncated PNG chunk")
+        if ctype in (b"IHDR", b"IDAT"):
+            (crc,) = struct.unpack(">I", data[pos + 8 + length : pos + 12 + length])
+            if zlib.crc32(ctype + payload) & 0xFFFFFFFF != crc:
+                raise ValueError(f"PNG CRC mismatch in {ctype.decode('ascii')}")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", payload)
+        elif ctype == b"IDAT":
+            idat.append(payload)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, color, _comp, _filt, interlace = ihdr
+    if depth != 8 or interlace != 0 or color not in _PNG_CHANNELS:
+        raise ValueError(f"unsupported PNG variant (depth={depth}, color={color}, interlace={interlace})")
+    ch = _PNG_CHANNELS[color]
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != h * (1 + w * ch):
+        raise ValueError("PNG pixel payload length mismatch")
+    pixels = _png_unfilter(raw, w, h, ch)
+    return {
+        "format": "png",
+        "width": w,
+        "height": h,
+        "n_channels": ch,
+        "pixels": pixels,
+    }
+
+
+def resize_png(data: bytes, target_w: int, target_h: int) -> bytes:
+    """Nearest-neighbor resize; output is a valid PNG of the same color type."""
+    d = decode_png(data)
+    px = d["pixels"]
+    h, w = px.shape[:2]
+    yi = (np.arange(target_h) * (h / target_h)).astype(np.int64)
+    xi = (np.arange(target_w) * (w / target_w)).astype(np.int64)
+    out = px[yi][:, xi]
+    return encode_png(out[:, :, 0] if d["n_channels"] == 1 else out)

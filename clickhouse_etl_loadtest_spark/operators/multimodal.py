@@ -307,21 +307,24 @@ def ahash_pixels(pixels, grid: int = _AHASH_GRID) -> int:
 
 
 def _media_hash_stage(
-    df: DataFrame, fmt: str, hasher, data_col: str, id_col: str
+    df: DataFrame, fmt: str | tuple[str, ...], hasher, data_col: str, id_col: str
 ) -> DataFrame:
     """Shared Arrow-batched fingerprint stage: adds ``ahash`` (nullable
-    long — null for payloads not matching ``fmt`` or failing to decode).
-    One Python roundtrip per batch; the binary column never leaves this
-    stage. ``hasher(raw_bytes) -> int | None`` supplies the per-format
-    fingerprint (image aHash, audio envelope, ...)."""
+    long — null for payloads not matching ``fmt`` (a format name or a tuple
+    of them) or failing to decode). One Python roundtrip per batch; the
+    binary column never leaves this stage. ``hasher(raw_bytes) -> int |
+    None`` supplies the per-format fingerprint (image aHash, audio
+    envelope, ...)."""
     from .codecs import sniff_format
+
+    fmts = (fmt,) if isinstance(fmt, str) else tuple(fmt)
 
     def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             hashes = []
             for b in pdf[data_col]:
                 raw = bytes(b)
-                if sniff_format(raw) == fmt:
+                if sniff_format(raw) in fmts:
                     try:
                         hashes.append(hasher(raw))
                     except Exception:
@@ -334,12 +337,18 @@ def _media_hash_stage(
 
 
 def media_ahash(df: DataFrame, data_col: str = "data", id_col: str = "media_id") -> DataFrame:
-    """Image fingerprint stage: aHash over decodable PPM payloads."""
-    from .codecs import decode_ppm
+    """Image fingerprint stage: aHash over decodable PPM and PNG payloads
+    (one hash contract across image formats, so a PPM and its PNG re-encode
+    fingerprint identically — pinned in tests/test_png.py)."""
+    from .codecs import decode_png, decode_ppm, sniff_format
 
-    return _media_hash_stage(
-        df, "ppm", lambda raw: ahash_pixels(decode_ppm(raw)["pixels"]), data_col, id_col
-    )
+    def _hash_image(raw: bytes) -> int:
+        px = (decode_ppm(raw) if sniff_format(raw) == "ppm" else decode_png(raw))["pixels"]
+        if px.ndim == 3 and px.shape[2] == 4:
+            px = px[:, :, :3]  # alpha carries no luminance
+        return ahash_pixels(px)
+
+    return _media_hash_stage(df, ("ppm", "png"), _hash_image, data_col, id_col)
 
 
 def phash_near_pairs(
