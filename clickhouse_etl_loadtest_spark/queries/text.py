@@ -1902,3 +1902,91 @@ def doc_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(F.col("n_chars").cast("decimal(20,2)")).cast("double") / n).alias("chars_mean"),
         F.sum(F.when(F.col("n_tokens") == 0, 1).otherwise(0)).alias("n_empty"),
     )
+
+
+# --- Gopher quality rules (Rae et al. 2021, Table A1) ---------------------------------
+
+# every threshold compare is cross-multiplied to integer arithmetic, so the
+# rule verdicts are exact in any engine (no float ratio ever hits a boundary)
+_GOPHER_MIN_WORDS, _GOPHER_MAX_WORDS = 50, 100_000
+_GOPHER_MIN_MWL, _GOPHER_MAX_MWL = 3, 10  # mean word length bounds
+_GOPHER_MAX_SYMBOL_RATIO_10 = 1  # symbols/words <= 0.1  <=>  10*symbols <= 1*words
+_GOPHER_MIN_ALPHA_FRAC = (4, 5)  # alpha words / words >= 0.8  <=>  5*alpha >= 4*words
+_GOPHER_MIN_STOPWORD_HITS = 2  # distinct stopwords present
+
+_GOPHER_ORACLE = f"""
+WITH w AS (
+    SELECT doc_id,
+           regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks,
+           regexp_extract_all(text, '[^ ]+') AS words,
+           len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\\.\\.\\.')) AS n_symbols
+    FROM documents
+),
+m AS (
+    SELECT doc_id,
+           CAST(len(words) AS BIGINT) AS n_words,
+           CAST(len(list_filter(words, x -> regexp_matches(x, '[a-zA-Z]'))) AS BIGINT) AS n_alpha_words,
+           CAST(list_sum(list_prepend(0, list_transform(words, x -> len(x)))) AS BIGINT) AS total_word_chars,
+           n_symbols,
+           CAST(len(list_distinct(list_filter(toks, t -> t IN {_sql_in(STOPWORDS)}))) AS BIGINT) AS n_stop_distinct
+    FROM w
+)
+SELECT doc_id, n_words,
+       n_words BETWEEN {_GOPHER_MIN_WORDS} AND {_GOPHER_MAX_WORDS} AS rule_word_count,
+       (total_word_chars >= {_GOPHER_MIN_MWL} * n_words AND total_word_chars <= {_GOPHER_MAX_MWL} * n_words) AS rule_mean_word_len,
+       10 * n_symbols <= {_GOPHER_MAX_SYMBOL_RATIO_10} * n_words AS rule_symbol_ratio,
+       {_GOPHER_MIN_ALPHA_FRAC[1]} * n_alpha_words >= {_GOPHER_MIN_ALPHA_FRAC[0]} * n_words AS rule_alpha_words,
+       n_stop_distinct >= {_GOPHER_MIN_STOPWORD_HITS} AS rule_stopwords,
+       (n_words BETWEEN {_GOPHER_MIN_WORDS} AND {_GOPHER_MAX_WORDS}
+        AND total_word_chars >= {_GOPHER_MIN_MWL} * n_words AND total_word_chars <= {_GOPHER_MAX_MWL} * n_words
+        AND 10 * n_symbols <= {_GOPHER_MAX_SYMBOL_RATIO_10} * n_words
+        AND {_GOPHER_MIN_ALPHA_FRAC[1]} * n_alpha_words >= {_GOPHER_MIN_ALPHA_FRAC[0]} * n_words
+        AND n_stop_distinct >= {_GOPHER_MIN_STOPWORD_HITS}) AS keep
+FROM m
+ORDER BY doc_id
+"""
+
+
+@register("doc_gopher_rules", _GOPHER_ORACLE, extra=True)
+def doc_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher repetition-free quality rules (Rae et al. 2021, Table A1),
+    each emitted as its own verdict column plus the conjunction: word-count
+    bounds, mean-word-length bounds, symbol-to-word ratio, alpha-word
+    fraction, distinct-stopword floor. (The bullet/ellipsis line rules are
+    omitted: the fixtures are single-line documents, so they are vacuously
+    true — noted rather than faked.)
+
+    Every threshold is cross-multiplied into integer arithmetic
+    (e.g. 5·alpha ≥ 4·words instead of alpha/words ≥ 0.8), so rule verdicts
+    can never drift across engines at a float boundary. Map-only: one scan,
+    no shuffle except the oracle-diff orderBy.
+    """
+    d = _docs(spark, sf_dir)
+    words = F.expr("regexp_extract_all(text, '[^ ]+', 0)")
+    toks = _tokens()
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    n_words = F.size(words).cast("bigint")
+    n_alpha = F.size(F.filter(words, lambda x: x.rlike("[a-zA-Z]"))).cast("bigint")
+    total_chars = F.aggregate(
+        F.transform(words, lambda x: F.length(x).cast("bigint")), F.lit(0).cast("bigint"), lambda a, x: a + x
+    )
+    n_symbols = (
+        F.size(F.expr("regexp_extract_all(text, '#', 0)"))
+        + F.size(F.expr(r"regexp_extract_all(text, '\\.\\.\\.', 0)"))
+    ).cast("bigint")
+    n_stop = F.size(F.array_distinct(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))).cast("bigint")
+    r_wc = n_words.between(_GOPHER_MIN_WORDS, _GOPHER_MAX_WORDS)
+    r_mwl = (total_chars >= _GOPHER_MIN_MWL * n_words) & (total_chars <= _GOPHER_MAX_MWL * n_words)
+    r_sym = (10 * n_symbols) <= (_GOPHER_MAX_SYMBOL_RATIO_10 * n_words)
+    r_alpha = (_GOPHER_MIN_ALPHA_FRAC[1] * n_alpha) >= (_GOPHER_MIN_ALPHA_FRAC[0] * n_words)
+    r_stop = n_stop >= _GOPHER_MIN_STOPWORD_HITS
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        r_wc.alias("rule_word_count"),
+        r_mwl.alias("rule_mean_word_len"),
+        r_sym.alias("rule_symbol_ratio"),
+        r_alpha.alias("rule_alpha_words"),
+        r_stop.alias("rule_stopwords"),
+        (r_wc & r_mwl & r_sym & r_alpha & r_stop).alias("keep"),
+    ).orderBy("doc_id")
