@@ -1476,3 +1476,91 @@ def idle_rich_customers_by_segment(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("c_mktsegment")
     )
+
+
+# --- window-function gallery --------------------------------------------------------
+
+_WINDOW_GALLERY_ORACLE = """
+SELECT o_custkey, o_orderkey,
+       CAST(ROW_NUMBER() OVER w AS INT) AS rn,
+       CAST(NTILE(4) OVER w AS INT) AS quartile,
+       PERCENT_RANK() OVER w AS pct_rank,
+       CUME_DIST() OVER w AS cume,
+       FIRST_VALUE(o_totalprice) OVER w2 AS first_price,
+       LAST_VALUE(o_totalprice) OVER w2 AS last_price,
+       NTH_VALUE(o_totalprice, 2) OVER w2 AS second_price
+FROM orders
+WHERE o_custkey % 10 = 0
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+       w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+ORDER BY o_custkey, o_orderkey
+"""
+
+
+@register("customer_order_window_gallery", _WINDOW_GALLERY_ORACLE, extra=True)
+def customer_order_window_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining ANSI window functions in one query: NTILE, PERCENT_RANK,
+    CUME_DIST, FIRST/LAST/NTH_VALUE — per-customer order history, with the
+    (o_orderdate, o_orderkey) tiebreak making every rank deterministic and
+    the full-partition frame spelled out for the VALUE family (the default
+    frame stops at CURRENT ROW — the classic LAST_VALUE trap, avoided
+    identically in both engines).
+
+    Scale: one window family over one shuffle PARTITIONED BY o_custkey —
+    per-customer sorts only; pct_rank/cume are exact integer ratios.
+    """
+    from pyspark.sql.window import Window
+
+    o = _t(spark, sf_dir, "orders").where(F.col("o_custkey") % 10 == 0)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w2 = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).cast("int").alias("rn"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.first("o_totalprice").over(w2).alias("first_price"),
+        F.last("o_totalprice").over(w2).alias("last_price"),
+        F.nth_value("o_totalprice", 2).over(w2).alias("second_price"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+# --- UNPIVOT / melt -----------------------------------------------------------------
+
+_UNPIVOT_ORACLE = """
+SELECT l_orderkey, l_linenumber, measure, value
+FROM (
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
+    FROM lineitem WHERE l_orderkey % 100 = 0
+)
+UNPIVOT (value FOR measure IN (l_quantity, l_extendedprice, l_discount))
+ORDER BY l_orderkey, l_linenumber, measure
+"""
+
+
+@register("lineitem_unpivot_measures", _UNPIVOT_ORACLE, extra=True)
+def lineitem_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt: the wide-to-long reshape (inverse of
+    ``events_pivot_by_type``), via Spark's ``stack`` expression — three
+    measure columns become (measure, value) rows.
+
+    Scale: map-only row expansion (an Expand node, no shuffle, no Python);
+    3× the rows but one-third the columns each — the shape feature stores
+    and metric pipelines ingest.
+    """
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 100 == 0)
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.expr(
+                "stack(3, 'l_quantity', l_quantity,"
+                " 'l_extendedprice', l_extendedprice,"
+                " 'l_discount', l_discount) AS (measure, value)"
+            ),
+        )
+        .orderBy("l_orderkey", "l_linenumber", "measure")
+    )
