@@ -1,5 +1,6 @@
-"""Dependency-free real media codecs: PCM16 WAV (RIFF), binary PPM (P6) and
-8-bit non-interlaced PNG (zlib is stdlib).
+"""Dependency-free real media codecs: PCM16 WAV (RIFF), binary PPM (P6),
+8-bit non-interlaced PNG (zlib is stdlib) and baseline JPEG (operators/jpeg.py,
+re-exported here for the dispatch).
 
 The multimodal stages (operators/multimodal.py) default to a deterministic
 byte-level fake because this environment ships no media libraries; these
@@ -19,6 +20,8 @@ import struct
 import zlib
 
 import numpy as np
+
+from .jpeg import JPEG_MAGIC, decode_jpeg, resize_jpeg  # noqa: F401 (re-export)
 
 WAV_MAGIC = b"RIFF"
 PPM_MAGIC = b"P6"
@@ -151,6 +154,8 @@ def sniff_format(data: bytes) -> str:
         return "ppm"
     if data[:8] == PNG_MAGIC:
         return "png"
+    if data[:3] == JPEG_MAGIC:
+        return "jpeg"
     return "raw"
 
 
@@ -198,6 +203,14 @@ def real_decode(data: bytes) -> dict:
                 height=d["height"],
                 n_channels=d["n_channels"],
             )
+        elif kind == "jpeg":
+            d = decode_jpeg(data)
+            out.update(
+                format="jpeg",
+                width=d["width"],
+                height=d["height"],
+                n_channels=d["n_channels"],
+            )
     except _DECODE_ERRORS:
         pass  # keep the raw byte stats
     return out
@@ -239,6 +252,12 @@ def real_resize(data: bytes, target_bytes: int = 256) -> bytes:
             if d["width"] * d["height"] <= side * side:
                 return data
             return resize_png(data, min(side, d["width"]), min(side, d["height"]))
+        if kind == "jpeg":
+            d = decode_jpeg(data)
+            side = max(1, int((target_bytes // d["n_channels"]) ** 0.5))
+            if d["width"] * d["height"] <= side * side:
+                return data
+            return resize_jpeg(data, min(side, d["width"]), min(side, d["height"]))
     except _DECODE_ERRORS:
         pass  # malformed: fall through to byte-stride
     return stride_sample(data, target_bytes)

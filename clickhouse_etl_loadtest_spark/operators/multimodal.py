@@ -337,18 +337,23 @@ def _media_hash_stage(
 
 
 def media_ahash(df: DataFrame, data_col: str = "data", id_col: str = "media_id") -> DataFrame:
-    """Image fingerprint stage: aHash over decodable PPM and PNG payloads
-    (one hash contract across image formats, so a PPM and its PNG re-encode
-    fingerprint identically — pinned in tests/test_png.py)."""
-    from .codecs import decode_png, decode_ppm, sniff_format
+    """Image fingerprint stage: aHash over decodable PPM, PNG and JPEG
+    payloads (one hash contract across image formats — a PPM and its
+    lossless PNG re-encode fingerprint identically, pinned in
+    tests/test_png.py; a lossy JPEG re-encode lands within a few Hamming
+    bits, pinned in tests/test_jpeg.py — which is exactly what the
+    banded-Hamming pairing downstream is for)."""
+    from .codecs import decode_jpeg, decode_png, decode_ppm, sniff_format
+
+    _decoders = {"ppm": decode_ppm, "png": decode_png, "jpeg": decode_jpeg}
 
     def _hash_image(raw: bytes) -> int:
-        px = (decode_ppm(raw) if sniff_format(raw) == "ppm" else decode_png(raw))["pixels"]
+        px = _decoders[sniff_format(raw)](raw)["pixels"]
         if px.ndim == 3 and px.shape[2] == 4:
             px = px[:, :, :3]  # alpha carries no luminance
         return ahash_pixels(px)
 
-    return _media_hash_stage(df, ("ppm", "png"), _hash_image, data_col, id_col)
+    return _media_hash_stage(df, ("ppm", "png", "jpeg"), _hash_image, data_col, id_col)
 
 
 def phash_near_pairs(

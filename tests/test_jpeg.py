@@ -1,0 +1,148 @@
+"""Baseline JPEG codec (operators/jpeg.py): exactness where the math is
+exact (DC-only images), fidelity bounds where it is lossy, entropy-coding
+edge paths (ZRL runs, byte stuffing), explicit rejection of the variants
+outside the declared baseline scope, import-gated PIL cross-validation, and
+the Spark ingestion/fingerprint integration."""
+
+import numpy as np
+import pytest
+
+from clickhouse_etl_loadtest_spark.operators.codecs import real_decode, sniff_format
+from clickhouse_etl_loadtest_spark.operators.jpeg import (
+    _T,
+    _ZIGZAG,
+    decode_jpeg,
+    encode_jpeg,
+    resize_jpeg,
+)
+
+
+def _psnr(a, b):
+    mse = ((a.astype(float) - b.astype(float)) ** 2).mean()
+    return 10 * np.log10(255.0**2 / mse) if mse else float("inf")
+
+
+def test_uniform_images_reconstruct_exactly():
+    for val in (0, 77, 128, 255):
+        g = np.full((16, 24), val, dtype=np.uint8)
+        d = decode_jpeg(encode_jpeg(g))
+        assert (d["width"], d["height"], d["n_channels"]) == (24, 16, 1)
+        assert int(np.abs(d["pixels"][:, :, 0].astype(int) - val).max()) <= 1
+    c = np.full((8, 8, 3), 200, dtype=np.uint8)
+    d = decode_jpeg(encode_jpeg(c))
+    assert int(np.abs(d["pixels"].astype(int) - 200).max()) <= 1
+
+
+def test_smooth_gradient_fidelity():
+    h, w = 40, 56
+    y, x = np.mgrid[0:h, 0:w]
+    px = np.stack([(x * 4) % 256, (y * 4) % 256, ((x + y) * 2) % 256], axis=-1).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(px))["pixels"]
+    assert _psnr(px, out) > 30.0
+
+
+def test_odd_dimensions_pad_and_crop():
+    px = np.random.default_rng(3).integers(0, 256, size=(13, 9, 3)).astype(np.uint8)
+    d = decode_jpeg(encode_jpeg(px))
+    assert (d["width"], d["height"]) == (9, 13)
+
+
+def test_zrl_long_zero_runs():
+    """A single highest-frequency coefficient forces a 62-zero AC run —
+    three ZRL symbols before the value; built by inverse-DCT of a chosen
+    coefficient block so the path is hit deterministically."""
+    coef = np.zeros((8, 8))
+    coef[7, 7] = 400.0  # survives quantization (qt[7,7]=99 -> q=4)
+    block = _T.T @ coef @ _T + 128.0
+    px = np.clip(np.round(block), 0, 255).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(px))["pixels"][:, :, 0]
+    assert _psnr(px, out) > 25.0
+    # and the reconstructed block is NOT flat — the (7,7) energy survived
+    assert out.std() > 5.0
+
+
+def test_byte_stuffing_roundtrip():
+    rng = np.random.default_rng(9)
+    for _ in range(8):
+        px = rng.integers(0, 256, size=(24, 24, 3)).astype(np.uint8)
+        data = encode_jpeg(px)
+        if b"\xff\x00" in data[2:-2]:
+            decode_jpeg(data)  # must not mistake stuffed FFs for markers
+            return
+    pytest.fail("no encode produced a stuffed 0xFF byte to exercise")
+
+
+def test_rejects_out_of_scope_variants():
+    base = encode_jpeg(np.zeros((8, 8), dtype=np.uint8))
+    # progressive: rewrite SOF0 marker to SOF2
+    prog = base.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(ValueError, match="non-baseline"):
+        decode_jpeg(prog)
+    # subsampled: flip the component h/v byte from 0x11 to 0x22
+    i = base.index(b"\xff\xc0")
+    sub = bytearray(base)
+    sub[i + 11] = 0x22  # SOF0 payload: len(2) prec(1) h(2) w(2) n(1) id(1) -> hv
+    with pytest.raises(ValueError, match="subsampled"):
+        decode_jpeg(bytes(sub))
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\xff\xd8\xff" + b"\x00" * 10)
+
+
+def test_truncated_stream_degrades_to_raw():
+    px = np.random.default_rng(1).integers(0, 256, size=(16, 16, 3)).astype(np.uint8)
+    data = encode_jpeg(px)[: len(encode_jpeg(px)) // 2]
+    assert sniff_format(data) == "jpeg"
+    out = real_decode(data)
+    assert out["format"] in ("raw", "jpeg")  # malformed -> raw; a lucky cut may parse headers
+    if out["format"] == "raw":
+        assert out["n_bytes"] == len(data)
+
+
+def test_resize_keeps_format():
+    px = np.random.default_rng(2).integers(0, 256, size=(32, 32, 3)).astype(np.uint8)
+    small = resize_jpeg(encode_jpeg(px), 8, 8)
+    d = decode_jpeg(small)
+    assert (d["width"], d["height"], d["format"]) == (8, 8, "jpeg")
+
+
+def test_pil_cross_validation():
+    PIL = pytest.importorskip("PIL.Image")
+    import io
+
+    px = np.random.default_rng(4).integers(0, 256, size=(24, 16, 3)).astype(np.uint8)
+    # our encoder -> PIL decoder: decoders may differ by IDCT rounding only
+    ours = decode_jpeg(encode_jpeg(px))["pixels"]
+    pil = np.asarray(PIL.open(io.BytesIO(encode_jpeg(px))))
+    assert int(np.abs(ours.astype(int) - pil.astype(int)).max()) <= 2
+    # PIL encoder (4:4:4, high quality) -> our decoder
+    buf = io.BytesIO()
+    PIL.fromarray(px).save(buf, format="JPEG", quality=95, subsampling=0)
+    dec = decode_jpeg(buf.getvalue())["pixels"]
+    assert _psnr(px, dec) > 30.0
+
+
+def test_jpeg_through_media_ingestion_and_ahash(spark, tmp_path):
+    from clickhouse_etl_loadtest_spark.operators.codecs import encode_ppm
+    from clickhouse_etl_loadtest_spark.operators.multimodal import (
+        decode_media_typed,
+        media_ahash,
+        read_media_dir,
+    )
+
+    rng = np.random.default_rng(6)
+    # smooth image so the lossy re-encode stays aHash-close
+    y, x = np.mgrid[0:32, 0:32]
+    px = np.stack([(x * 8) % 256, (y * 8) % 256, ((x + y) * 4) % 256], axis=-1).astype(np.uint8)
+    (tmp_path / "img.jpg").write_bytes(encode_jpeg(px))
+    media = read_media_dir(spark, str(tmp_path))
+    r = decode_media_typed(media).collect()[0]
+    assert (r["kind"], r["format"], r["width"], r["height"]) == ("image", "jpeg", 32, 32)
+
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_ppm(px))), (2, bytearray(encode_jpeg(px)))],
+        schema="media_id long, data binary",
+    )
+    hashes = {row["media_id"]: row["ahash"] for row in media_ahash(df).collect()}
+    assert hashes[1] is not None and hashes[2] is not None
+    hamming = bin((hashes[1] ^ hashes[2]) & ((1 << 64) - 1)).count("1")
+    assert hamming <= 6  # lossy re-encode stays within banded-Hamming reach
