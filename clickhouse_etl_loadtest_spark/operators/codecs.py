@@ -21,7 +21,13 @@ import zlib
 
 import numpy as np
 
-from .jpeg import JPEG_MAGIC, decode_jpeg, resize_jpeg  # noqa: F401 (re-export)
+from .jpeg import (  # noqa: F401 (re-export)
+    JPEG_MAGIC,
+    decode_avi,
+    decode_jpeg,
+    encode_avi_mjpeg,
+    resize_jpeg,
+)
 
 WAV_MAGIC = b"RIFF"
 PPM_MAGIC = b"P6"
@@ -148,8 +154,12 @@ def resize_ppm(data: bytes, target_w: int, target_h: int) -> bytes:
 
 
 def sniff_format(data: bytes) -> str:
-    if data[:4] == WAV_MAGIC:
-        return "wav"
+    if data[:4] == WAV_MAGIC:  # RIFF container: disambiguate by form type
+        if data[8:12] == b"WAVE":
+            return "wav"
+        if data[8:12] == b"AVI ":
+            return "avi"
+        return "raw"
     if data[:2] == PPM_MAGIC:
         return "ppm"
     if data[:8] == PNG_MAGIC:
@@ -210,6 +220,18 @@ def real_decode(data: bytes) -> dict:
                 width=d["width"],
                 height=d["height"],
                 n_channels=d["n_channels"],
+            )
+        elif kind == "avi":
+            d = decode_avi(data)
+            # n_samples carries the frame count, sample_rate the fps —
+            # one uniform decode schema across modalities
+            out.update(
+                format="avi",
+                width=d["width"],
+                height=d["height"],
+                n_samples=d["n_frames"],
+                sample_rate=int(d["fps"]) if d["fps"] else None,
+                duration_ms=d["duration_ms"],
             )
     except _DECODE_ERRORS:
         pass  # keep the raw byte stats

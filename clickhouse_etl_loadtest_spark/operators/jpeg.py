@@ -422,3 +422,100 @@ def resize_jpeg(data: bytes, target_w: int, target_h: int) -> bytes:
     xi = (np.arange(target_w) * (w / target_w)).astype(np.int64)
     out = px[yi][:, xi]
     return encode_jpeg(out[:, :, 0] if d["n_channels"] == 1 else out)
+
+
+# --- MJPEG-in-AVI: the minimal real video container ---------------------------------
+
+# RIFF('AVI ') with an hdrl header list and a movi list of '00dc' chunks,
+# each chunk one complete baseline JPEG — the oldest, simplest real video
+# format there is, and the one a dependency-free frame sampler can honestly
+# support end-to-end (every sampled frame decodes with decode_jpeg above).
+AVI_MAGIC_PREFIX = b"RIFF"
+AVI_FOURCC = b"AVI "
+
+
+def _riff_chunk(fourcc: bytes, body: bytes) -> bytes:
+    pad = b"\x00" if len(body) & 1 else b""
+    return fourcc + struct.pack("<I", len(body)) + body + pad
+
+
+def _riff_list(list_type: bytes, body: bytes) -> bytes:
+    return _riff_chunk(b"LIST", list_type + body)
+
+
+def encode_avi_mjpeg(frames: list, fps: int = 10) -> bytes:
+    """Write an MJPEG AVI: ``frames`` is a list of (h, w[, 3]) uint8 arrays,
+    all the same shape; each becomes one '00dc' chunk holding a full
+    baseline JPEG."""
+    if not frames:
+        raise ValueError("MJPEG AVI needs at least one frame")
+    h, w = np.asarray(frames[0]).shape[:2]
+    jpegs = [encode_jpeg(np.asarray(f, dtype=np.uint8)) for f in frames]
+    avih = struct.pack(
+        "<10I",
+        1_000_000 // fps,  # dwMicroSecPerFrame
+        max(len(j) for j in jpegs) * fps,
+        0,
+        0x10,  # AVIF_HASINDEX off, AVIF_WASCAPTUREFILE-ish flags kept minimal
+        len(jpegs),
+        0,
+        1,  # one stream
+        max(len(j) for j in jpegs),
+        w,
+        h,
+    ) + b"\x00" * 16
+    strh = (
+        b"vids"
+        + b"MJPG"
+        + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, fps, 0, len(jpegs), max(len(j) for j in jpegs), 0, 0)
+        + struct.pack("<4h", 0, 0, w, h)
+    )
+    strf = struct.pack("<IiiHH4I2i", 40, w, h, 1, 24, 0x47504A4D, w * h * 3, 0, 0, 0, 0)  # 'MJPG'
+    hdrl = _riff_list(
+        b"hdrl",
+        _riff_chunk(b"avih", avih) + _riff_list(b"strl", _riff_chunk(b"strh", strh) + _riff_chunk(b"strf", strf)),
+    )
+    movi = _riff_list(b"movi", b"".join(_riff_chunk(b"00dc", j) for j in jpegs))
+    body = AVI_FOURCC + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi(data: bytes) -> dict:
+    """Parse an MJPEG AVI: header metadata + the list of per-frame JPEG
+    payloads (NOT decoded — callers pick frames, then ``decode_jpeg``)."""
+    if data[:4] != b"RIFF" or data[8:12] != AVI_FOURCC:
+        raise ValueError("not a RIFF/AVI payload")
+    width = height = n_frames = 0
+    fps = 0.0
+    frames: list[bytes] = []
+
+    def walk(buf: bytes) -> None:
+        nonlocal width, height, n_frames, fps
+        pos = 0
+        while pos + 8 <= len(buf):
+            fourcc = buf[pos : pos + 4]
+            (size,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
+            body = buf[pos + 8 : pos + 8 + size]
+            if fourcc == b"LIST":
+                walk(body[4:])  # skip the list type, recurse into children
+            elif fourcc == b"avih":
+                vals = struct.unpack("<10I", body[:40])
+                n_frames = vals[4]
+                width, height = vals[8], vals[9]
+                fps = 1_000_000.0 / vals[0] if vals[0] else 0.0
+            elif fourcc.endswith(b"dc"):
+                frames.append(body)
+            pos += 8 + size + (size & 1)
+
+    walk(data[12:])
+    if not frames:
+        raise ValueError("AVI contains no video frames")
+    return {
+        "format": "avi",
+        "width": width,
+        "height": height,
+        "n_frames": n_frames or len(frames),
+        "fps": fps,
+        "duration_ms": int(round(len(frames) * 1000.0 / fps)) if fps else None,
+        "frames": frames,
+    }

@@ -433,6 +433,7 @@ MEDIA_EXT_KINDS = {
     "jpeg": "image",
     "mp4": "video",
     "mkv": "video",
+    "avi": "video",
 }
 
 
@@ -486,3 +487,49 @@ def read_media_dir(
             F.col("modificationTime").alias("mtime"),
         ).alias("meta"),
     )
+
+
+def sample_frames_real(df: DataFrame, max_frames: int = 4) -> DataFrame:
+    """Format-aware frame sampling: MJPEG-AVI payloads yield REAL frames —
+    up to ``max_frames`` evenly spaced '00dc' JPEG chunks, each of which
+    decodes standalone with ``codecs.decode_jpeg`` — while non-video-format
+    payloads fall back to ``sample_frames``' byte-chunk arithmetic (the
+    deterministic stand-in the fake path and its oracle replay).
+
+    Same Arrow-batched ``mapInPandas`` contract and FRAME_SCHEMA as
+    ``sample_frames``; selection is index-based (``linspace`` over frame
+    numbers), the sampling rule every keyframe thumbnailer uses.
+    """
+    from .codecs import decode_avi, sniff_format
+
+    frame_bytes = 64  # fallback chunk size, matching sample_frames' default
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, nos, frames = [], [], []
+            for mid, b in zip(pdf["media_id"], pdf["data"]):
+                raw = bytes(b)
+                if sniff_format(raw) == "avi":
+                    try:
+                        all_frames = decode_avi(raw)["frames"]
+                    except ValueError:
+                        all_frames = None
+                    if all_frames:
+                        n = min(max_frames, len(all_frames))
+                        picks = [
+                            int(round(i * (len(all_frames) - 1) / max(n - 1, 1)))
+                            for i in range(n)
+                        ]
+                        for out_no, src_no in enumerate(picks):
+                            ids.append(mid)
+                            nos.append(out_no)
+                            frames.append(all_frames[src_no])
+                        continue
+                n_chunks = -(-len(raw) // frame_bytes) if raw else 1
+                for i in range(min(max_frames, max(1, n_chunks))):
+                    ids.append(mid)
+                    nos.append(i)
+                    frames.append(raw[i * frame_bytes : (i + 1) * frame_bytes])
+            yield pd.DataFrame({"media_id": ids, "frame_no": nos, "frame": frames})
+
+    return df.where(F.col("kind") == "video").mapInPandas(_frames, schema=FRAME_SCHEMA)

@@ -146,3 +146,72 @@ def test_jpeg_through_media_ingestion_and_ahash(spark, tmp_path):
     assert hashes[1] is not None and hashes[2] is not None
     hamming = bin((hashes[1] ^ hashes[2]) & ((1 << 64) - 1)).count("1")
     assert hamming <= 6  # lossy re-encode stays within banded-Hamming reach
+
+
+# --- MJPEG-AVI container ------------------------------------------------------
+
+
+def _frames(colors, shape=(16, 24, 3)):
+    return [np.full(shape, c, dtype=np.uint8) for c in colors]
+
+
+def test_avi_container_roundtrip():
+    from clickhouse_etl_loadtest_spark.operators.jpeg import decode_avi, encode_avi_mjpeg
+
+    avi = encode_avi_mjpeg(_frames([10, 60, 110, 160, 210]), fps=5)
+    d = decode_avi(avi)
+    assert (d["width"], d["height"], d["n_frames"], d["fps"]) == (24, 16, 5, 5.0)
+    assert d["duration_ms"] == 1000
+    for i, fb in enumerate(d["frames"]):
+        px = decode_jpeg(fb)["pixels"]
+        assert abs(int(px.astype(int).mean()) - (10 + 50 * i)) <= 1
+
+
+def test_riff_sniff_disambiguation():
+    from clickhouse_etl_loadtest_spark.operators.codecs import encode_wav
+    from clickhouse_etl_loadtest_spark.operators.jpeg import encode_avi_mjpeg
+
+    wav = encode_wav(np.zeros(100, dtype=np.int16))
+    avi = encode_avi_mjpeg(_frames([50]), fps=2)
+    assert sniff_format(wav) == "wav"
+    assert sniff_format(avi) == "avi"
+    assert sniff_format(b"RIFF\x00\x00\x00\x00JUNK") == "raw"
+    d = real_decode(avi)
+    assert (d["format"], d["width"], d["height"], d["n_samples"], d["sample_rate"]) == (
+        "avi", 24, 16, 1, 2,
+    )
+
+
+def test_sample_frames_real_extracts_decodable_frames(spark):
+    from clickhouse_etl_loadtest_spark.operators.jpeg import encode_avi_mjpeg
+    from clickhouse_etl_loadtest_spark.operators.multimodal import sample_frames_real
+
+    # 9 frames, max 4 -> evenly spaced picks land on source frames 0, 3, 5, 8
+    avi = encode_avi_mjpeg(_frames(list(range(10, 100, 10))), fps=3)
+    df = spark.createDataFrame(
+        [(1, "video", bytearray(avi)), (2, "video", bytearray(b"not a container"))],
+        schema="media_id long, kind string, data binary",
+    )
+    out = sample_frames_real(df, max_frames=4).collect()
+    real = sorted((r["frame_no"], bytes(r["frame"])) for r in out if r["media_id"] == 1)
+    assert [n for n, _ in real] == [0, 1, 2, 3]
+    means = [int(decode_jpeg(fb)["pixels"].astype(int).mean()) for _, fb in real]
+    assert [round(m, -1) for m in means] == [10, 40, 60, 90]  # frames 0,3,5,8
+    # non-container video payloads fall back to byte chunks
+    fallback = [r for r in out if r["media_id"] == 2]
+    assert len(fallback) == 1 and bytes(fallback[0]["frame"]) == b"not a container"
+
+
+def test_avi_file_through_media_ingestion(spark, tmp_path):
+    from clickhouse_etl_loadtest_spark.operators.jpeg import encode_avi_mjpeg
+    from clickhouse_etl_loadtest_spark.operators.multimodal import (
+        decode_media_typed,
+        read_media_dir,
+    )
+
+    (tmp_path / "clip.avi").write_bytes(encode_avi_mjpeg(_frames([30, 90, 150]), fps=3))
+    media = read_media_dir(spark, str(tmp_path))
+    r = decode_media_typed(media).collect()[0]
+    assert (r["kind"], r["format"], r["width"], r["height"], r["n_samples"], r["duration_ms"]) == (
+        "video", "avi", 24, 16, 3, 1000,
+    )
