@@ -413,3 +413,37 @@ def resize_png(data: bytes, target_w: int, target_h: int) -> bytes:
     xi = (np.arange(target_w) * (w / target_w)).astype(np.int64)
     out = px[yi][:, xi]
     return encode_png(out[:, :, 0] if d["n_channels"] == 1 else out)
+
+
+# --- audio spectrogram features ------------------------------------------------
+
+
+def spectrogram_features(samples: np.ndarray, n_frames: int = 8, n_bands: int = 8) -> np.ndarray:
+    """Log-power spectrogram embedding of a PCM sample array: mono mix ->
+    ``n_frames`` equal time frames -> Hann window -> rFFT power ->
+    ``n_bands`` equal frequency bands -> log -> per-feature mean removal.
+
+    The mean removal makes the feature EXACTLY gain-invariant (a gain g
+    multiplies power by g², adding a constant 2·log g to every log band,
+    which the centering cancels) — same invariance contract as the aHash /
+    audio-fingerprint stages, pinned in tests. Output is a fixed
+    float32[n_frames * n_bands] vector regardless of clip length — directly
+    usable by the embedding operators (ANN, near-dup, k-means) at DIM=64
+    with the defaults."""
+    s = np.asarray(samples, dtype=np.float64)
+    if s.ndim == 2:
+        s = s.mean(axis=1)
+    n = len(s)
+    if n < n_frames:
+        s = np.pad(s, (0, n_frames - n))
+        n = len(s)
+    frame_len = n // n_frames
+    out = np.empty((n_frames, n_bands))
+    window = np.hanning(frame_len) if frame_len > 1 else np.ones(frame_len)
+    for i in range(n_frames):
+        frame = s[i * frame_len : (i + 1) * frame_len] * window
+        power = np.abs(np.fft.rfft(frame)) ** 2
+        bands = np.array_split(power, n_bands)
+        out[i] = [np.log(b.sum() + 1e-12) for b in bands]
+    out -= out.mean()
+    return out.reshape(-1).astype(np.float32)

@@ -533,3 +533,95 @@ def sample_frames_real(df: DataFrame, max_frames: int = 4) -> DataFrame:
             yield pd.DataFrame({"media_id": ids, "frame_no": nos, "frame": frames})
 
     return df.where(F.col("kind") == "video").mapInPandas(_frames, schema=FRAME_SCHEMA)
+
+
+SPECTROGRAM_SCHEMA = "media_id bigint, feature array<float>"
+
+
+def media_spectrogram(df: DataFrame, data_col: str = "data", id_col: str = "media_id") -> DataFrame:
+    """Audio embedding stage: log-power spectrogram features over decodable
+    WAV payloads (``codecs.spectrogram_features`` — Hann-windowed rFFT,
+    8 frames × 8 bands, mean-centered so EXACTLY gain-invariant). Output is
+    a fixed float32[64] vector per clip — the same shape as the embeddings
+    table, so the ANN / near-dup / k-means operators consume it unchanged
+    (audio near-dup = this stage + ``blockjoin``'s cosine machinery).
+    Non-WAV payloads yield null. Arrow-batched; binaries never leave the
+    stage."""
+    from .codecs import decode_wav, sniff_format, spectrogram_features
+
+    def _feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for b in pdf[data_col]:
+                raw = bytes(b)
+                if sniff_format(raw) == "wav":
+                    try:
+                        feats.append(spectrogram_features(decode_wav(raw)["samples"]).tolist())
+                    except Exception:
+                        feats.append(None)
+                else:
+                    feats.append(None)
+            yield pd.DataFrame({id_col: pdf[id_col].values, "feature": feats})
+
+    return df.mapInPandas(_feat, schema=SPECTROGRAM_SCHEMA)
+
+
+MOTION_SCHEMA = (
+    "media_id bigint, n_frames int, mean_motion double, max_motion double, n_cuts int"
+)
+
+
+def video_motion_scores(
+    df: DataFrame,
+    max_frames: int = 8,
+    cut_threshold: float = 30.0,
+    data_col: str = "data",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Video motion/scene-cut stage over MJPEG-AVI payloads: sample up to
+    ``max_frames`` evenly spaced frames, decode each (real JPEG decode),
+    score consecutive-frame motion as mean |pixel delta| and count scene
+    cuts (motion above ``cut_threshold``) — the shot-boundary heuristic a
+    video curation pipeline thresholds on. Non-AVI payloads yield null
+    scores. Arrow-batched; frames never leave the stage."""
+    from .codecs import decode_avi, decode_jpeg, sniff_format
+
+    def _motion(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"media_id": [], "n_frames": [], "mean_motion": [], "max_motion": [], "n_cuts": []}
+            for mid, b in zip(pdf[id_col], pdf[data_col]):
+                raw = bytes(b)
+                vals = (None, None, None, None)
+                if sniff_format(raw) == "avi":
+                    try:
+                        frames = decode_avi(raw)["frames"]
+                        n = min(max_frames, len(frames))
+                        picks = [
+                            int(round(i * (len(frames) - 1) / max(n - 1, 1))) for i in range(n)
+                        ]
+                        px = [decode_jpeg(frames[i])["pixels"].astype(np.float64) for i in picks]
+                        diffs = [
+                            float(np.abs(a - c).mean()) for a, c in zip(px, px[1:])
+                        ]
+                        if diffs:
+                            vals = (
+                                n,
+                                float(np.mean(diffs)),
+                                float(np.max(diffs)),
+                                int(sum(d > cut_threshold for d in diffs)),
+                            )
+                        else:
+                            vals = (n, 0.0, 0.0, 0)
+                    except ValueError:
+                        pass
+                rows["media_id"].append(mid)
+                rows["n_frames"].append(vals[0])
+                rows["mean_motion"].append(vals[1])
+                rows["max_motion"].append(vals[2])
+                rows["n_cuts"].append(vals[3])
+            out = pd.DataFrame(rows)
+            out["n_frames"] = out["n_frames"].astype("Int32")
+            out["n_cuts"] = out["n_cuts"].astype("Int32")
+            yield out
+
+    return df.mapInPandas(_motion, schema=MOTION_SCHEMA)
