@@ -105,3 +105,27 @@ def test_motion_frame_sampling_cap(spark):
     r = video_motion_scores(df, max_frames=5).collect()[0]
     assert r["n_frames"] == 5  # evenly spaced cap, not all 24
     assert r["mean_motion"] > 0
+
+
+def test_audio_near_dup_end_to_end(spark):
+    """The promised composition: spectrogram embeddings feed the exact
+    blocked-cosine near-dup join unchanged — a clip and its slightly
+    gain/noise-perturbed twin pair up, a different-frequency clip does not."""
+    from clickhouse_etl_loadtest_spark.operators.blockjoin import blocked_cosine_pairs
+
+    rng = np.random.default_rng(0)
+    base = _tone(440).astype(np.float64)
+    perturbed = base * 0.8 + rng.normal(0, 20, size=base.shape)
+    other = _tone(1800).astype(np.float64)
+    feats = [
+        (1, spectrogram_features(base).tolist()),
+        (2, spectrogram_features(perturbed).tolist()),
+        (3, spectrogram_features(other).tolist()),
+    ]
+    df = spark.createDataFrame(feats, schema="vec_id long, embedding array<float>")
+    pairs = {
+        (r["vec_a"], r["vec_b"])
+        for r in blocked_cosine_pairs(df, threshold=0.9).collect()
+    }
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
