@@ -1990,3 +1990,92 @@ def doc_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         r_stop.alias("rule_stopwords"),
         (r_wc & r_mwl & r_sym & r_alpha & r_stop).alias("keep"),
     ).orderBy("doc_id")
+
+
+# --- feature-hashing text embeddings --------------------------------------------------
+
+# the hashing trick (Weinberger et al. 2009): token -> bucket h mod D with a
+# sign bit from an independent hash bit, summed per doc, L2-normalized — a
+# dependency-free text embedder whose output matches the embeddings table's
+# shape, so the ANN / near-dup / clustering operators run on documents
+# directly (no external model). D=64 matches the fixtures' DIM.
+_HASH_EMB_DIM = 64
+
+_HASH_EMB_ORACLE = f"""
+WITH tok AS (
+    SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS token
+    FROM documents
+),
+hb AS (SELECT doc_id, {h60_sql_duckdb("token")} AS h FROM tok),
+sb AS (
+    SELECT doc_id,
+           CAST(h % {_HASH_EMB_DIM} AS INT) AS bucket,
+           CASE WHEN ((h >> 6) & 1) = 0 THEN 1 ELSE -1 END AS sgn
+    FROM hb
+),
+counts AS (
+    SELECT doc_id, bucket, CAST(SUM(sgn) AS BIGINT) AS v
+    FROM sb GROUP BY doc_id, bucket
+),
+docs AS (SELECT DISTINCT doc_id FROM counts),
+dense AS (
+    SELECT d.doc_id, gs.b AS bucket, COALESCE(c.v, 0) AS v
+    FROM docs d
+    CROSS JOIN (SELECT unnest(generate_series(0, {_HASH_EMB_DIM} - 1)) AS b) gs
+    LEFT JOIN counts c ON c.doc_id = d.doc_id AND c.bucket = gs.b
+),
+vecs AS (SELECT doc_id, list(v ORDER BY bucket) AS raw FROM dense GROUP BY doc_id)
+SELECT doc_id,
+       list_transform(raw, x -> CAST(x AS DOUBLE)
+           / sqrt(list_sum(list_prepend(0, list_transform(raw, y -> CAST(y * y AS DOUBLE)))))) AS embedding
+FROM vecs
+ORDER BY doc_id
+"""
+
+
+@register("doc_embedding_hashed", _HASH_EMB_ORACLE, extra=True)
+def doc_embedding_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing text embeddings (Weinberger et al. 2009): signed
+    token-hash buckets summed per document and L2-normalized into a dense
+    float vector of the embeddings table's dimension — the dependency-free
+    text→vector bridge that lets the ANN / near-dup / k-means operators run
+    on raw documents. Documents with zero tokens have no embedding (norm
+    undefined) and are excluded, matching the oracle.
+
+    Scale: one shuffle of (doc_id, bucket, sign) triples — 60-bit hashes
+    computed BEFORE the explode-adjacent projection, text never shuffles;
+    the per-doc densification is a map-side ``map_from_entries`` over at
+    most D entries, no second corpus shuffle (sequence+transform, not a
+    bucket cross join). Norms are exact integer sums of squares under the
+    sqrt, so both engines divide identical doubles.
+    """
+    d = _docs(spark, sf_dir)
+    hb = d.select("doc_id", F.explode(_tokens()).alias("token")).select(
+        "doc_id", h60(F.col("token")).alias("h")
+    )
+    sb = hb.select(
+        "doc_id",
+        F.pmod(F.col("h"), _HASH_EMB_DIM).cast("int").alias("bucket"),
+        F.when(F.shiftright(F.col("h"), 6) % 2 == 0, 1).otherwise(-1).alias("sgn"),
+    )
+    counts = sb.groupBy("doc_id", "bucket").agg(F.sum("sgn").alias("v"))
+    vec_map = F.map_from_entries(F.collect_list(F.struct("bucket", "v")))
+    raw = F.transform(
+        F.sequence(F.lit(0), F.lit(_HASH_EMB_DIM - 1)),
+        lambda b: F.coalesce(F.element_at(F.col("m"), b.cast("int")), F.lit(0).cast("bigint")),
+    )
+    norm = F.sqrt(
+        F.aggregate(
+            F.col("raw"), F.lit(0).cast("bigint"), lambda a, x: a + x * x
+        ).cast("double")
+    )
+    return (
+        counts.groupBy("doc_id")
+        .agg(vec_map.alias("m"))
+        .select("doc_id", raw.alias("raw"))
+        .select(
+            "doc_id",
+            F.transform(F.col("raw"), lambda x: x.cast("double") / norm).alias("embedding"),
+        )
+        .orderBy("doc_id")
+    )

@@ -203,3 +203,20 @@ def test_hybrid_rrf_hand_computed(spark, tmp_path):
         assert rows[i]["rrf"] == pytest.approx(expected, rel=1e-12)
     # fusion semantics: the item strong in BOTH modalities wins overall
     assert rows[1]["rrf"] == max(r["rrf"] for r in rows.values())
+
+
+# --- feature-hashing embeddings -----------------------------------------------------
+
+
+def test_hashed_embeddings_separate_near_dups_from_strangers(spark, tmp_path):
+    import numpy as np
+
+    base = "spark table scan merge batch window filter join group value " * 5
+    near = base.replace("window", "pane", 1)  # one-token mutation
+    other = " ".join(f"w{i}" for i in range(50))
+    sf = _write_docs(spark, tmp_path, [base, near, other])
+    rows = {r["doc_id"]: np.array(r["embedding"]) for r in REG["doc_embedding_hashed"].fn(spark, sf).collect()}
+    assert all(abs(np.linalg.norm(v) - 1.0) < 1e-9 for v in rows.values())
+    cos = lambda a, b: float(a @ b)
+    assert cos(rows[1], rows[2]) > 0.95  # near-dup pair
+    assert cos(rows[1], rows[3]) < 0.5  # unrelated doc
