@@ -2001,8 +2001,8 @@ def doc_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 # directly (no external model). D=64 matches the fixtures' DIM.
 _HASH_EMB_DIM = 64
 
-_HASH_EMB_ORACLE = f"""
-WITH tok AS (
+_HASH_EMB_CTE = f"""
+tok AS (
     SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS token
     FROM documents
 ),
@@ -2024,12 +2024,18 @@ dense AS (
     CROSS JOIN (SELECT unnest(generate_series(0, {_HASH_EMB_DIM} - 1)) AS b) gs
     LEFT JOIN counts c ON c.doc_id = d.doc_id AND c.bucket = gs.b
 ),
-vecs AS (SELECT doc_id, list(v ORDER BY bucket) AS raw FROM dense GROUP BY doc_id)
-SELECT doc_id,
-       list_transform(raw, x -> CAST(x AS DOUBLE)
-           / sqrt(list_sum(list_prepend(0, list_transform(raw, y -> CAST(y * y AS DOUBLE)))))) AS embedding
-FROM vecs
-ORDER BY doc_id
+vecs AS (SELECT doc_id, list(v ORDER BY bucket) AS raw FROM dense GROUP BY doc_id),
+emb AS (
+    SELECT doc_id,
+           list_transform(raw, x -> CAST(x AS DOUBLE)
+               / sqrt(list_sum(list_prepend(0, list_transform(raw, y -> CAST(y * y AS DOUBLE)))))) AS embedding
+    FROM vecs
+)
+"""
+
+_HASH_EMB_ORACLE = f"""
+WITH {_HASH_EMB_CTE}
+SELECT doc_id, embedding FROM emb ORDER BY doc_id
 """
 
 
@@ -2078,4 +2084,73 @@ def doc_embedding_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(F.col("raw"), lambda x: x.cast("double") / norm).alias("embedding"),
         )
         .orderBy("doc_id")
+    )
+
+
+# --- text ANN: cosine top-k over the hashed embeddings --------------------------------
+
+_HANN_TOPK = 5
+_HANN_N_QUERIES = 8  # doc_id < 8 are the query documents
+
+_HANN_DOT = (
+    f"list_reduce(list_prepend(0.0, list_transform(generate_series(1, {_HASH_EMB_DIM}), "
+    f"i -> qe[i] * ce[i])), (acc, x) -> acc + x)"
+)
+
+_HASH_ANN_ORACLE = f"""
+WITH {{CTE}},
+q AS (SELECT doc_id AS q_id, embedding AS qe FROM emb WHERE doc_id < {_HANN_N_QUERIES}),
+c AS (SELECT doc_id AS n_id, embedding AS ce FROM emb),
+scored AS (
+    SELECT q_id, n_id, {_HANN_DOT} AS cosine
+    FROM q JOIN c ON q_id <> n_id
+),
+ranked AS (
+    SELECT q_id, n_id, cosine,
+           ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rnk
+    FROM scored
+)
+SELECT q_id, n_id, cosine, CAST(rnk AS INT) AS rnk
+FROM ranked WHERE rnk <= {_HANN_TOPK}
+ORDER BY q_id, rnk
+"""
+
+
+def _hash_ann_oracle() -> str:
+    return _HASH_ANN_ORACLE.format(CTE=_HASH_EMB_CTE)
+
+
+@register("doc_hashed_ann_topk", _hash_ann_oracle(), extra=True)
+def doc_hashed_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text ANN end-to-end with no external model: hashed embeddings
+    (``doc_embedding_hashed``) -> exact cosine top-k, the document-side twin
+    of ``ann_cosine_topk``. Vectors are unit-norm by construction, so the
+    score is a plain dot product — computed with the same sequential fold in
+    both engines, making ranks tie-stable.
+
+    Scale: the 8 query vectors broadcast; the corpus side never shuffles
+    before the per-query rank window (PARTITIONED BY q_id, bounded rows) —
+    the ann_cosine_topk plan shape on document-derived vectors.
+    """
+    from pyspark.sql.window import Window
+
+    emb = doc_embedding_hashed(spark, sf_dir)
+    q = emb.where(F.col("doc_id") < _HANN_N_QUERIES).select(
+        F.col("doc_id").alias("q_id"), F.col("embedding").alias("qe")
+    )
+    c = emb.select(F.col("doc_id").alias("n_id"), F.col("embedding").alias("ce"))
+    dot = F.aggregate(
+        F.zip_with(F.col("qe"), F.col("ce"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), "n_id")
+    return (
+        F.broadcast(q)
+        .crossJoin(c)
+        .where(F.col("q_id") != F.col("n_id"))
+        .select("q_id", "n_id", dot.alias("cosine"))
+        .withColumn("rnk", F.row_number().over(w).cast("int"))
+        .where(F.col("rnk") <= _HANN_TOPK)
+        .orderBy("q_id", "rnk")
     )
