@@ -21,6 +21,7 @@ import zlib
 
 import numpy as np
 
+from .gif import GIF_MAGIC, decode_gif, encode_gif, resize_gif  # noqa: F401
 from .jpeg import (  # noqa: F401 (re-export)
     JPEG_MAGIC,
     decode_avi,
@@ -166,6 +167,8 @@ def sniff_format(data: bytes) -> str:
         return "png"
     if data[:3] == JPEG_MAGIC:
         return "jpeg"
+    if data[:4] == GIF_MAGIC and data[4:6] in (b"7a", b"9a"):
+        return "gif"
     return "raw"
 
 
@@ -220,6 +223,15 @@ def real_decode(data: bytes) -> dict:
                 width=d["width"],
                 height=d["height"],
                 n_channels=d["n_channels"],
+            )
+        elif kind == "gif":
+            d = decode_gif(data)
+            out.update(
+                format="gif",
+                width=d["width"],
+                height=d["height"],
+                n_channels=3,
+                n_samples=d["n_frames"],  # frame count, like AVI
             )
         elif kind == "avi":
             d = decode_avi(data)
@@ -280,6 +292,12 @@ def real_resize(data: bytes, target_bytes: int = 256) -> bytes:
             if d["width"] * d["height"] <= side * side:
                 return data
             return resize_jpeg(data, min(side, d["width"]), min(side, d["height"]))
+        if kind == "gif":
+            d = decode_gif(data)
+            side = max(1, int(target_bytes ** 0.5))  # 1 byte/px indexed
+            if d["width"] * d["height"] <= side * side:
+                return data
+            return resize_gif(data, min(side, d["width"]), min(side, d["height"]))
     except _DECODE_ERRORS:
         pass  # malformed: fall through to byte-stride
     return stride_sample(data, target_bytes)

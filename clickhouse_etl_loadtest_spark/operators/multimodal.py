@@ -345,7 +345,14 @@ def media_ahash(df: DataFrame, data_col: str = "data", id_col: str = "media_id")
     banded-Hamming pairing downstream is for)."""
     from .codecs import decode_jpeg, decode_png, decode_ppm, sniff_format
 
-    _decoders = {"ppm": decode_ppm, "png": decode_png, "jpeg": decode_jpeg}
+    from .codecs import decode_gif
+
+    _decoders = {
+        "ppm": decode_ppm,
+        "png": decode_png,
+        "jpeg": decode_jpeg,
+        "gif": lambda raw: {"pixels": decode_gif(raw)["frames"][0]["pixels"]},
+    }
 
     def _hash_image(raw: bytes) -> int:
         px = _decoders[sniff_format(raw)](raw)["pixels"]
@@ -353,7 +360,7 @@ def media_ahash(df: DataFrame, data_col: str = "data", id_col: str = "media_id")
             px = px[:, :, :3]  # alpha carries no luminance
         return ahash_pixels(px)
 
-    return _media_hash_stage(df, ("ppm", "png", "jpeg"), _hash_image, data_col, id_col)
+    return _media_hash_stage(df, ("ppm", "png", "jpeg", "gif"), _hash_image, data_col, id_col)
 
 
 def phash_near_pairs(
@@ -428,6 +435,7 @@ def media_audio_fingerprint(
 MEDIA_EXT_KINDS = {
     "wav": "audio",
     "ppm": "image",
+    "gif": "image",
     "png": "image",
     "jpg": "image",
     "jpeg": "image",
