@@ -219,17 +219,66 @@ def _seg(marker: int, payload: bytes) -> bytes:
     return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
 
 
-def encode_jpeg(pixels: np.ndarray) -> bytes:
+def _encode_block(bw: _BitWriter, block: np.ndarray, qt, dc_tab, ac_tab, prev_dc: int) -> int:
+    """FDCT + quantize + entropy-code one 8x8 block; returns the new DC."""
+    coef = _T @ (block - 128.0) @ _T.T
+    q = np.round(coef / qt).astype(np.int64)
+    zz = q.reshape(-1)[_ZIGZAG]
+    diff = int(zz[0]) - prev_dc
+    s = _category(diff)
+    bw.write(*dc_tab[s])
+    bw.write_value(diff)
+    run = 0
+    last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+    for k in range(1, 64):
+        v = int(zz[k])
+        if k > last_nz:
+            break
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            bw.write(*ac_tab[0xF0])  # ZRL
+            run -= 16
+        s = _category(v)
+        bw.write(*ac_tab[(run << 4) | s])
+        bw.write_value(v)
+        run = 0
+    if last_nz < 63:
+        bw.write(*ac_tab[0x00])  # EOB
+    return int(zz[0])
+
+
+def _pad_to(p: np.ndarray, hh: int, ww: int) -> np.ndarray:
+    return np.pad(p, ((0, hh - p.shape[0]), (0, ww - p.shape[1])), mode="edge")
+
+
+def encode_jpeg(pixels: np.ndarray, subsampling: str = "444") -> bytes:
     """Baseline JPEG writer: (h, w) grayscale or (h, w, 3) RGB uint8,
-    4:4:4, Annex K tables, single interleaved scan."""
+    Annex K tables, single interleaved scan. ``subsampling``: "444"
+    (non-subsampled) or "420" (2x2-mean chroma, the camera/encoder default
+    in the wild)."""
+    if subsampling not in ("444", "420"):
+        raise ValueError("subsampling must be '444' or '420'")
     arr = np.asarray(pixels, dtype=np.uint8)
     gray = arr.ndim == 2
     h, w = arr.shape[:2]
-    planes = (
-        [arr.astype(np.float64)]
-        if gray
-        else [(_rgb_to_ycbcr(arr))[..., c] for c in range(3)]
-    )
+    if gray:
+        planes = [arr.astype(np.float64)]
+        hv = [(1, 1)]
+    else:
+        ycc = _rgb_to_ycbcr(arr)
+        planes = [ycc[..., c] for c in range(3)]
+        if subsampling == "420":
+            hv = [(2, 2), (1, 1), (1, 1)]
+            for c in (1, 2):  # 2x2-mean chroma downsample on an even-padded plane
+                p = _pad_to(planes[c], h + (h & 1), w + (w & 1))
+                planes[c] = (p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2] + p[1::2, 1::2]) / 4.0
+        else:
+            hv = [(1, 1)] * 3
+    hmax = max(x for x, _ in hv)
+    vmax = max(y for _, y in hv)
+    ncomp = len(planes)
     qts = [_QT_LUMA] + ([] if gray else [_QT_CHROMA])
     dc_tabs = [_huff_codes(*_DC_LUMA)] + ([] if gray else [_huff_codes(*_DC_CHROMA)])
     ac_tabs = [_huff_codes(*_AC_LUMA)] + ([] if gray else [_huff_codes(*_AC_CHROMA)])
@@ -237,14 +286,11 @@ def encode_jpeg(pixels: np.ndarray) -> bytes:
     out = bytearray(b"\xff\xd8")  # SOI
     for tq, qt in enumerate(qts):
         out += _seg(0xDB, bytes([tq]) + bytes(int(x) for x in qt.reshape(-1)[_ZIGZAG]))
-    ncomp = 1 if gray else 3
     sof = struct.pack(">BHHB", 8, h, w, ncomp)
     for cid in range(ncomp):
-        sof += bytes([cid + 1, 0x11, 0 if cid == 0 else 1])  # h=v=1, quant table
+        sof += bytes([cid + 1, (hv[cid][0] << 4) | hv[cid][1], 0 if cid == 0 else 1])
     out += _seg(0xC0, sof)
-    for cls, (tabs, spec) in enumerate(
-        [((_DC_LUMA, _DC_CHROMA), 0), ((_AC_LUMA, _AC_CHROMA), 1)]
-    ):
+    for tabs, spec in [((_DC_LUMA, _DC_CHROMA), 0), ((_AC_LUMA, _AC_CHROMA), 1)]:
         for th in range(1 if gray else 2):
             bits, vals = tabs[th]
             out += _seg(0xC4, bytes([(spec << 4) | th] + bits + vals))
@@ -255,51 +301,36 @@ def encode_jpeg(pixels: np.ndarray) -> bytes:
     sos += bytes([0, 63, 0])
     out += _seg(0xDA, sos)
 
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    padded = [
+        _pad_to(planes[c], mcuy * 8 * hv[c][1], mcux * 8 * hv[c][0]) for c in range(ncomp)
+    ]
     bw = _BitWriter()
     prev_dc = [0] * ncomp
-    by, bx = (h + 7) // 8, (w + 7) // 8
-    padded = [np.pad(p, ((0, by * 8 - h), (0, bx * 8 - w)), mode="edge") for p in planes]
-    for my in range(by):
-        for mx in range(bx):
+    for my in range(mcuy):
+        for mx in range(mcux):
             for c in range(ncomp):
+                ch, cv = hv[c]
                 qt = qts[min(c, len(qts) - 1)]
-                block = padded[c][my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] - 128.0
-                coef = _T @ block @ _T.T
-                q = np.round(coef / qt).astype(np.int64)
-                zz = q.reshape(-1)[_ZIGZAG]
-                dc_tab, ac_tab = dc_tabs[min(c, len(dc_tabs) - 1)], ac_tabs[min(c, len(ac_tabs) - 1)]
-                diff = int(zz[0]) - prev_dc[c]
-                prev_dc[c] = int(zz[0])
-                s = _category(diff)
-                bw.write(*dc_tab[s])
-                bw.write_value(diff)
-                run = 0
-                last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
-                for k in range(1, 64):
-                    v = int(zz[k])
-                    if k > last_nz:
-                        break
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        bw.write(*ac_tab[0xF0])  # ZRL
-                        run -= 16
-                    s = _category(v)
-                    bw.write(*ac_tab[(run << 4) | s])
-                    bw.write_value(v)
-                    run = 0
-                if last_nz < 63:
-                    bw.write(*ac_tab[0x00])  # EOB
+                dc_t, ac_t = dc_tabs[min(c, 1)], ac_tabs[min(c, 1)]
+                for by in range(cv):
+                    for bx in range(ch):
+                        y0 = (my * cv + by) * 8
+                        x0 = (mx * ch + bx) * 8
+                        prev_dc[c] = _encode_block(
+                            bw, padded[c][y0 : y0 + 8, x0 : x0 + 8], qt, dc_t, ac_t, prev_dc[c]
+                        )
     out += bw.flush()
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 
 
 def decode_jpeg(data: bytes) -> dict:
-    """Baseline JPEG parser: sequential DCT (SOF0), 8-bit, h=v=1 components
-    (grayscale or 4:4:4). Progressive, subsampled or multi-scan streams
-    raise ValueError (the multimodal stage then degrades to byte stats)."""
+    """Baseline JPEG parser: sequential DCT (SOF0), 8-bit, sampling factors
+    1-2 per axis (grayscale, 4:4:4, 4:2:0, 4:2:2/4:4:0). Progressive,
+    12-bit, DRI or exotic-sampling streams raise ValueError (the multimodal
+    stage then degrades to byte stats)."""
     if data[:3] != JPEG_MAGIC:
         raise ValueError("not a JPEG payload")
     pos = 2
@@ -337,10 +368,11 @@ def decode_jpeg(data: bytes) -> dict:
                 raise ValueError("only 8-bit JPEG supported")
             comps = []
             for c in range(ncomp):
-                cid, hv, tq = payload[6 + 3 * c : 9 + 3 * c]
-                if hv != 0x11:
-                    raise ValueError("subsampled JPEG unsupported (h=v=1 only)")
-                comps.append((cid, tq))
+                cid, hvb, tq = payload[6 + 3 * c : 9 + 3 * c]
+                ch, cv = hvb >> 4, hvb & 0xF
+                if not (1 <= ch <= 2 and 1 <= cv <= 2):
+                    raise ValueError(f"sampling factors {ch}x{cv} unsupported (1-2 only)")
+                comps.append((cid, tq, ch, cv))
             sof = (h, w, ncomp)
         elif marker == 0xC4:
             p = 0
@@ -363,45 +395,63 @@ def decode_jpeg(data: bytes) -> dict:
     if sof is None or entropy_start is None:
         raise ValueError("JPEG missing SOF0/SOS")
     h, w, ncomp = sof
+    hmax = max(c[2] for c in comps)
+    vmax = max(c[3] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
     br = _BitReader(data[entropy_start:])
-    by, bx = (h + 7) // 8, (w + 7) // 8
-    planes = [np.zeros((by * 8, bx * 8)) for _ in range(ncomp)]
+    planes = [
+        np.zeros((mcuy * 8 * comps[c][3], mcux * 8 * comps[c][2])) for c in range(ncomp)
+    ]
     prev_dc = [0] * ncomp
-    for my in range(by):
-        for mx in range(bx):
+    for my in range(mcuy):
+        for mx in range(mcux):
             for c in range(ncomp):
                 _cid, td, ta = scan_comps[c]
-                qt = qts[comps[c][1]]
-                zz = np.zeros(64, dtype=np.int64)
-                s = br.huff(huff[(0, td)])
-                diff = _extend(br.bits(s), s) if s else 0
-                prev_dc[c] += diff
-                zz[0] = prev_dc[c]
-                k = 1
-                while k < 64:
-                    sym = br.huff(huff[(1, ta)])
-                    if sym == 0x00:  # EOB
-                        break
-                    run, size = sym >> 4, sym & 0xF
-                    if size == 0:
-                        if run != 15:
-                            raise ValueError("invalid AC symbol")
-                        k += 16  # ZRL
-                        continue
-                    k += run
-                    if k >= 64:
-                        raise ValueError("AC run overflows block")
-                    zz[k] = _extend(br.bits(size), size)
-                    k += 1
-                coef = np.zeros(64, dtype=np.float64)
-                coef[_ZIGZAG] = zz * qt.reshape(-1)[_ZIGZAG]
-                block = _T.T @ coef.reshape(8, 8) @ _T + 128.0
-                planes[c][my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = block
-    planes = [p[:h, :w] for p in planes]
+                _id, tq, ch, cv = comps[c]
+                qt = qts[tq]
+                for by in range(cv):
+                    for bx in range(ch):
+                        zz = np.zeros(64, dtype=np.int64)
+                        s = br.huff(huff[(0, td)])
+                        diff = _extend(br.bits(s), s) if s else 0
+                        prev_dc[c] += diff
+                        zz[0] = prev_dc[c]
+                        k = 1
+                        while k < 64:
+                            sym = br.huff(huff[(1, ta)])
+                            if sym == 0x00:  # EOB
+                                break
+                            run, size = sym >> 4, sym & 0xF
+                            if size == 0:
+                                if run != 15:
+                                    raise ValueError("invalid AC symbol")
+                                k += 16  # ZRL
+                                continue
+                            k += run
+                            if k >= 64:
+                                raise ValueError("AC run overflows block")
+                            zz[k] = _extend(br.bits(size), size)
+                            k += 1
+                        coef = np.zeros(64, dtype=np.float64)
+                        coef[_ZIGZAG] = zz * qt.reshape(-1)[_ZIGZAG]
+                        block = _T.T @ coef.reshape(8, 8) @ _T + 128.0
+                        y0 = (my * cv + by) * 8
+                        x0 = (mx * ch + bx) * 8
+                        planes[c][y0 : y0 + 8, x0 : x0 + 8] = block
+    full = []
+    for c in range(ncomp):
+        _id, _tq, ch, cv = comps[c]
+        p = planes[c]
+        if ch < hmax:
+            p = np.repeat(p, hmax // ch, axis=1)
+        if cv < vmax:
+            p = np.repeat(p, vmax // cv, axis=0)
+        full.append(p[:h, :w])
     if ncomp == 1:
-        px = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)[:, :, None]
+        px = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)[:, :, None]
     elif ncomp == 3:
-        px = np.clip(np.round(_ycbcr_to_rgb(np.stack(planes, axis=-1))), 0, 255).astype(np.uint8)
+        px = np.clip(np.round(_ycbcr_to_rgb(np.stack(full, axis=-1))), 0, 255).astype(np.uint8)
     else:
         raise ValueError(f"unsupported component count {ncomp}")
     return {

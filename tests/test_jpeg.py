@@ -41,6 +41,20 @@ def test_smooth_gradient_fidelity():
     assert _psnr(px, out) > 30.0
 
 
+def test_420_roundtrip_fidelity_and_odd_sizes():
+    """4:2:0 (the wild-JPEG default): chroma loss is bounded, luma detail
+    survives, and odd dimensions crop correctly across 16x16 MCUs."""
+    h, w = 33, 41
+    y, x = np.mgrid[0:h, 0:w]
+    px = np.stack([(x * 5) % 256, (y * 5) % 256, ((x + y) * 3) % 256], axis=-1).astype(np.uint8)
+    d = decode_jpeg(encode_jpeg(px, subsampling="420"))
+    assert (d["width"], d["height"]) == (w, h)
+    assert _psnr(px, d["pixels"]) > 30.0
+    # 4:4:4 of the same image must beat 4:2:0 (chroma is really subsampled)
+    full = decode_jpeg(encode_jpeg(px, subsampling="444"))["pixels"]
+    assert _psnr(px, full) > _psnr(px, d["pixels"])
+
+
 def test_odd_dimensions_pad_and_crop():
     px = np.random.default_rng(3).integers(0, 256, size=(13, 9, 3)).astype(np.uint8)
     d = decode_jpeg(encode_jpeg(px))
@@ -78,11 +92,11 @@ def test_rejects_out_of_scope_variants():
     prog = base.replace(b"\xff\xc0", b"\xff\xc2", 1)
     with pytest.raises(ValueError, match="non-baseline"):
         decode_jpeg(prog)
-    # subsampled: flip the component h/v byte from 0x11 to 0x22
+    # exotic sampling: flip the component h/v byte to 3x3 (2x2 IS supported)
     i = base.index(b"\xff\xc0")
     sub = bytearray(base)
-    sub[i + 11] = 0x22  # SOF0 payload: len(2) prec(1) h(2) w(2) n(1) id(1) -> hv
-    with pytest.raises(ValueError, match="subsampled"):
+    sub[i + 11] = 0x33  # SOF0 payload: len(2) prec(1) h(2) w(2) n(1) id(1) -> hv
+    with pytest.raises(ValueError, match="sampling factors"):
         decode_jpeg(bytes(sub))
     with pytest.raises(ValueError):
         decode_jpeg(b"\xff\xd8\xff" + b"\x00" * 10)
@@ -111,14 +125,16 @@ def test_pil_cross_validation():
 
     px = np.random.default_rng(4).integers(0, 256, size=(24, 16, 3)).astype(np.uint8)
     # our encoder -> PIL decoder: decoders may differ by IDCT rounding only
-    ours = decode_jpeg(encode_jpeg(px))["pixels"]
-    pil = np.asarray(PIL.open(io.BytesIO(encode_jpeg(px))))
-    assert int(np.abs(ours.astype(int) - pil.astype(int)).max()) <= 2
-    # PIL encoder (4:4:4, high quality) -> our decoder
-    buf = io.BytesIO()
-    PIL.fromarray(px).save(buf, format="JPEG", quality=95, subsampling=0)
-    dec = decode_jpeg(buf.getvalue())["pixels"]
-    assert _psnr(px, dec) > 30.0
+    for ss in ("444", "420"):
+        ours = decode_jpeg(encode_jpeg(px, subsampling=ss))["pixels"]
+        pil = np.asarray(PIL.open(io.BytesIO(encode_jpeg(px, subsampling=ss))))
+        assert int(np.abs(ours.astype(int) - pil.astype(int)).max()) <= 2, ss
+    # PIL encoder -> our decoder, both at its default 4:2:0 and at 4:4:4
+    for sub in (0, 2):
+        buf = io.BytesIO()
+        PIL.fromarray(px).save(buf, format="JPEG", quality=95, subsampling=sub)
+        dec = decode_jpeg(buf.getvalue())["pixels"]
+        assert _psnr(px, dec) > (30.0 if sub == 0 else 20.0), sub
 
 
 def test_jpeg_through_media_ingestion_and_ahash(spark, tmp_path):
