@@ -158,3 +158,22 @@ def test_gif_through_media_ingestion_and_ahash(spark, tmp_path):
     )
     hashes = {row["media_id"]: row["ahash"] for row in media_ahash(df).collect()}
     assert hashes[1] is not None and hashes[1] == hashes[2]
+
+
+# --- hypothesis property tests --------------------------------------------------
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    seq=st.lists(st.integers(0, 255), min_size=0, max_size=2000),
+    min_code=st.integers(2, 8),
+)
+def test_lzw_roundtrip_property(seq, min_code):
+    """Any index stream within the alphabet must survive encode->decode,
+    at any legal minimum code size."""
+    seq = [s % (1 << min_code) for s in seq]
+    assert _lzw_decode(_lzw_encode(seq, min_code), min_code) == seq

@@ -234,3 +234,24 @@ def test_ppm_and_png_of_same_pixels_hash_identically(spark):
     hashes = {r["media_id"]: r["ahash"] for r in media_ahash(df).collect()}
     assert hashes[1] is not None
     assert hashes[1] == hashes[2]  # one fingerprint contract across formats
+
+
+# --- hypothesis property tests --------------------------------------------------
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=40, deadline=None)
+@given(data=st.data())
+def test_filtered_roundtrip_property(data):
+    """Random pixels, shape, channel count AND per-row filter choices: the
+    unfilter must invert the spec's forward filter exactly."""
+    h = data.draw(st.integers(1, 12))
+    w = data.draw(st.integers(1, 12))
+    ch = data.draw(st.sampled_from([1, 3, 4]))
+    seed = data.draw(st.integers(0, 2**16))
+    ftypes = data.draw(st.lists(st.integers(0, 4), min_size=h, max_size=h))
+    px = np.random.default_rng(seed).integers(0, 256, size=(h, w, ch)).astype(np.uint8)
+    assert (decode_png(_png_with_filters(px, ftypes))["pixels"] == px).all()
