@@ -1761,3 +1761,69 @@ def doc_kneser_ney_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- CCNet perplexity buckets (head / middle / tail) ----------------------------------
+
+# CCNet (Wenzek et al. 2020) splits each language's corpus into perplexity
+# terciles under a reference LM — "head" (most fluent) feeds pre-training
+# first. The reference LM here is the corpus-trained unigram model above;
+# the tercile fractions are inlined as identical double literals so both
+# engines interpolate the same quantile arithmetic.
+_CCNET_Q1 = 1.0 / 3.0
+_CCNET_Q2 = 2.0 / 3.0
+
+_CCNET_ORACLE = f"""
+WITH lm AS ({{LM}}),
+ce AS (
+    SELECT l.doc_id, d.lang, l.cross_entropy_nats
+    FROM lm l JOIN documents d USING (doc_id)
+),
+thr AS (
+    SELECT lang,
+           quantile_cont(cross_entropy_nats, {_CCNET_Q1!r}) AS t1,
+           quantile_cont(cross_entropy_nats, {_CCNET_Q2!r}) AS t2
+    FROM ce GROUP BY lang
+)
+SELECT ce.doc_id, ce.lang, ce.cross_entropy_nats,
+       CASE WHEN ce.cross_entropy_nats <= thr.t1 THEN 'head'
+            WHEN ce.cross_entropy_nats <= thr.t2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM ce JOIN thr USING (lang)
+ORDER BY ce.doc_id
+"""
+
+
+def _ccnet_oracle() -> str:
+    return _CCNET_ORACLE.format(LM=_LM_ORACLE)
+
+
+@register("doc_ccnet_buckets", _ccnet_oracle(), extra=True)
+def doc_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): per-language
+    terciles of the unigram-LM cross-entropy assign each document to
+    head / middle / tail — the data-quality split CommonCrawl pipelines
+    feed to pre-training in order.
+
+    Scale: the LM scoring is ``doc_unigram_logprob``'s plan unchanged; the
+    tercile thresholds are a per-language aggregate (language-cardinality —
+    broadcast back), so bucketing adds one tiny join and a map-side CASE to
+    the scoring pass. Exact interpolated percentiles keep the thresholds
+    engine-identical (the `price_percentiles` precedent).
+    """
+    lm = doc_unigram_logprob(spark, sf_dir)
+    ce = lm.join(_docs(spark, sf_dir).select("doc_id", "lang"), "doc_id")
+    thr = ce.groupBy("lang").agg(
+        F.percentile("cross_entropy_nats", F.lit(_CCNET_Q1)).alias("t1"),
+        F.percentile("cross_entropy_nats", F.lit(_CCNET_Q2)).alias("t2"),
+    )
+    bucket = (
+        F.when(F.col("cross_entropy_nats") <= F.col("t1"), "head")
+        .when(F.col("cross_entropy_nats") <= F.col("t2"), "middle")
+        .otherwise("tail")
+    )
+    return (
+        ce.join(F.broadcast(thr), "lang")
+        .select("doc_id", "lang", "cross_entropy_nats", bucket.alias("bucket"))
+        .orderBy("doc_id")
+    )
