@@ -114,3 +114,36 @@ def read_search_index(spark: SparkSession, index_path: str) -> DataFrame:
     return idx.join(latest, ["doc_id", "batch_seq"]).select(
         "token", "doc_id", "n_occurrences", "first_pos", "last_pos", "positions_csv", "batch_seq"
     )
+
+
+def compact_search_index(
+    spark: SparkSession,
+    index_path: str,
+    out_path: str,
+    n_ranges: int = 8,
+) -> int:
+    """Compact the per-batch hot tail into a term-range base: resolve
+    latest-wins ONCE, then write the surviving postings to
+    ``out_path/batch=base`` via ``repartitionByRange(token)`` +
+    in-partition sort — each output file is a contiguous, binary-searchable
+    term range (the layout ``doc_inverted_index``'s docstring prescribes).
+    Returns the number of postings in the base.
+
+    The write goes to a NEW directory — the caller swaps paths atomically
+    (or points readers at it) and later batches keep appending there with
+    higher batch ids: per-doc ``batch_seq`` is PRESERVED through compaction,
+    so latest-wins resolution against post-compaction batches stays correct.
+    Compacting in place would race concurrent readers; on a real lakehouse
+    this step is the table format's rewrite-commit.
+    """
+    resolved = read_search_index(spark, index_path).localCheckpoint()
+    n = resolved.count()
+    (
+        resolved.withColumn("batch", F.lit("base"))
+        .repartitionByRange(n_ranges, "token")
+        .sortWithinPartitions("token", "doc_id")
+        .write.mode("overwrite")
+        .partitionBy("batch")
+        .parquet(out_path)
+    )
+    return n

@@ -105,3 +105,60 @@ def test_empty_index_reads_empty(spark, tmp_path):
     out = read_search_index(spark, str(tmp_path / "nope"))
     assert out.count() == 0
     assert "positions_csv" in out.columns
+
+
+def test_compaction_preserves_the_merged_index(spark, tmp_path):
+    from clickhouse_etl_loadtest_spark.operators.searchindex import compact_search_index
+
+    index, base = str(tmp_path / "index"), str(tmp_path / "base")
+    index_batch(_df(spark, DOCS[:3]), index, batch_id=0)
+    index_batch(_df(spark, DOCS[3:]), index, batch_id=1)
+    index_batch(_df(spark, [(2, "rewritten body here")]), index, batch_id=2)  # re-ingest
+    before = _canon(read_search_index(spark, index))
+    n = compact_search_index(spark, index, base)
+    assert n == len(before)
+    assert _canon(read_search_index(spark, base)) == before
+    # stale postings for doc 2 are physically gone, not just filtered
+    raw = spark.read.parquet(base)
+    assert raw.where((raw.doc_id == 2) & (raw.batch_seq != 2)).count() == 0
+
+
+def test_compacted_base_keeps_accepting_batches(spark, tmp_path):
+    from clickhouse_etl_loadtest_spark.operators.searchindex import compact_search_index
+
+    index, base = str(tmp_path / "index"), str(tmp_path / "base")
+    index_batch(_df(spark, DOCS[:4]), index, batch_id=0)
+    compact_search_index(spark, index, base)
+    # later waves append to the compacted dir with higher ids, including a
+    # re-ingest that must beat the base copy
+    index_batch(_df(spark, DOCS[4:]), base, batch_id=7)
+    index_batch(_df(spark, [(1, "fresh alpha")]), base, batch_id=8)
+    merged = read_search_index(spark, base)
+    doc1 = {r["token"] for r in merged.where(F.col("doc_id") == 1).collect()}
+    assert doc1 == {"fresh", "alpha"}
+    full = _df(spark, [(1, "fresh alpha")] + DOCS[1:])
+    assert {r["doc_id"] for r in merged.select("doc_id").distinct().collect()} == {1, 2, 3, 4, 5, 6}
+    # and the whole thing equals a batch build over the equivalent corpus
+    assert _canon(merged) == _canon(postings_table(full))
+
+
+def test_compaction_layout_is_term_range_partitioned(spark, tmp_path):
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from clickhouse_etl_loadtest_spark.operators.searchindex import compact_search_index
+
+    index, base = str(tmp_path / "index"), str(tmp_path / "base")
+    index_batch(_df(spark, DOCS), index, batch_id=0)
+    compact_search_index(spark, index, base, n_ranges=3)
+    ranges = []
+    for f in glob.glob(f"{base}/batch=base/*.parquet"):
+        t = pq.read_table(f, columns=["token"]).column("token").to_pylist()
+        if not t:
+            continue
+        assert t == sorted(t), "file not token-sorted"
+        ranges.append((t[0], t[-1]))
+    ranges.sort()
+    for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
+        assert hi <= lo, "token ranges overlap across files"
