@@ -147,3 +147,58 @@ def compact_search_index(
         .parquet(out_path)
     )
     return n
+
+
+def write_doc_norms(spark: SparkSession, index_path: str, out_path: str) -> int:
+    """Materialize the norms table (doc_id -> document length in tokens) from
+    the index — the one full-index pass BM25 needs, paid once per compaction
+    instead of once per query. Returns the number of documents."""
+    norms = (
+        read_search_index(spark, index_path)
+        .groupBy("doc_id")
+        .agg(F.sum("n_occurrences").cast("bigint").alias("dl"))
+        .localCheckpoint()
+    )
+    n = norms.count()
+    norms.write.mode("overwrite").parquet(out_path)
+    return n
+
+
+def bm25_from_index(
+    spark: SparkSession,
+    index_path: str,
+    norms_path: str,
+    terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 scoring FROM the persisted index: the scan reads ONLY the query
+    terms' postings (`token IN (...)` pushes into the parquet reader — and
+    prunes whole term-range files of a compacted base via min/max stats),
+    joins the precomputed norms, and emits (doc_id, n_query_terms, bm25)
+    with the same Okapi/Lucene-idf formula as the corpus-recomputing
+    ``doc_bm25_scores`` (equality pinned in tests).
+
+    Scale: THIS is why the index exists — per query the engine touches
+    O(|Q| posting lists + norms), never the corpus text; df is ≤|Q| rows
+    and N/avgdl one row, both broadcast.
+    """
+    postings = read_search_index(spark, index_path).where(F.col("token").isin(list(terms)))
+    norms = spark.read.parquet(norms_path)
+    stats = norms.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    df_ = postings.groupBy("token").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    idf = F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    denom = F.col("n_occurrences") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+    term_score = idf * F.col("n_occurrences") * (k1 + 1.0) / denom
+    return (
+        postings.join(F.broadcast(df_), "token")
+        .join(norms, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_query_terms"),
+            F.sum(term_score.cast("decimal(38,18)")).cast("double").alias("bm25"),
+        )
+    )

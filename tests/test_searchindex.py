@@ -162,3 +162,34 @@ def test_compaction_layout_is_term_range_partitioned(spark, tmp_path):
     ranges.sort()
     for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
         assert hi <= lo, "token ranges overlap across files"
+
+
+def test_index_backed_bm25_equals_corpus_recompute(spark, tmp_path):
+    """Scoring from the compacted index + norms must equal doc_bm25_scores'
+    corpus recompute value-for-value, and the term filter must push into
+    the index scan."""
+    from clickhouse_etl_loadtest_spark.operators.searchindex import (
+        bm25_from_index,
+        compact_search_index,
+        write_doc_norms,
+    )
+    from clickhouse_etl_loadtest_spark.queries.text import _BM25_QUERY
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    index, base, norms = (str(tmp_path / d) for d in ("index", "base", "norms"))
+    index_batch(docs, index, batch_id=0)
+    compact_search_index(spark, index, base)
+    assert write_doc_norms(spark, base, norms) == docs.count()
+
+    scored = bm25_from_index(spark, base, norms, list(_BM25_QUERY))
+    expected = REG["doc_bm25_scores"].fn(spark, sf)
+    got = {r["doc_id"]: r for r in scored.collect()}
+    exp = {r["doc_id"]: r for r in expected.collect()}
+    assert set(got) == set(exp)
+    for d in exp:
+        assert got[d]["n_query_terms"] == exp[d]["n_query_terms"]
+        assert abs(got[d]["bm25"] - exp[d]["bm25"]) < 1e-9, d
+
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [In(token" in plan  # pruned scan, not a full read
