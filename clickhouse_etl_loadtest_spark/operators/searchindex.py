@@ -202,3 +202,34 @@ def bm25_from_index(
             F.sum(term_score.cast("decimal(38,18)")).cast("double").alias("bm25"),
         )
     )
+
+
+def phrase_from_index(
+    spark: SparkSession, index_path: str, phrase: list[str]
+) -> DataFrame:
+    """Exact 2-word phrase query off the persisted index: both terms'
+    postings load via a pushed ``token IN`` scan, their stored position
+    lists are re-parsed JVM-side and intersected with a +1 shift — all
+    integer logic, so results equal the corpus-side ``doc_phrase_search``
+    plan exactly (pinned in tests). Longer phrases chain the same
+    intersection rarest-term-first."""
+    if len(phrase) != 2:
+        raise ValueError("phrase_from_index currently supports 2-word phrases")
+    w1, w2 = phrase
+    postings = read_search_index(spark, index_path).where(F.col("token").isin([w1, w2]))
+    pos_arr = F.transform(F.split("positions_csv", ","), lambda x: x.cast("int"))
+    p1 = postings.where(F.col("token") == w1).select(
+        "doc_id", F.transform(pos_arr, lambda p: p + 1).alias("next_pos")
+    )
+    p2 = postings.where(F.col("token") == w2).select("doc_id", pos_arr.alias("pos2"))
+    hits = F.array_intersect(F.col("next_pos"), F.col("pos2"))
+    return (
+        p1.join(p2, "doc_id")
+        .select("doc_id", hits.alias("hits"))
+        .where(F.size("hits") > 0)
+        .select(
+            "doc_id",
+            F.size("hits").cast("bigint").alias("n_hits"),
+            (F.array_min("hits") - 1).cast("bigint").alias("first_hit"),
+        )
+    )

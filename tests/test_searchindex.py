@@ -193,3 +193,22 @@ def test_index_backed_bm25_equals_corpus_recompute(spark, tmp_path):
 
     plan = scored._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [In(token" in plan  # pruned scan, not a full read
+
+
+def test_index_backed_phrase_equals_corpus_recompute(spark, tmp_path):
+    from clickhouse_etl_loadtest_spark.operators.searchindex import (
+        compact_search_index,
+        phrase_from_index,
+    )
+    from clickhouse_etl_loadtest_spark.queries.text import _PHRASE
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    index, base = str(tmp_path / "index"), str(tmp_path / "base")
+    index_batch(docs, index, batch_id=0)
+    compact_search_index(spark, index, base)
+    got = sorted(
+        tuple(r) for r in phrase_from_index(spark, base, list(_PHRASE)).collect()
+    )
+    exp = sorted(tuple(r) for r in REG["doc_phrase_search"].fn(spark, sf).collect())
+    assert got == exp and got, "phrase hits must exist and match exactly"
