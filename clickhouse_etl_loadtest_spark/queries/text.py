@@ -2154,3 +2154,95 @@ def doc_hashed_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= _HANN_TOPK)
         .orderBy("q_id", "rnk")
     )
+
+
+# --- prefix-filtering set-similarity join (AllPairs / PPJoin) -------------------------
+
+# exact threshold-Jaccard pairs WITHOUT LSH's false negatives (Bayardo et
+# al. 2007, Chaudhuri et al. 2006): order each doc's distinct SHINGLES by
+# global rarity; any pair with J >= t must share a shingle within the first
+# |s| - ceil(t*|s|) + 1 of that order (the prefix), so candidates come from
+# a prefix equi-join and only candidates pay the exact intersection.
+# Shingle sets, not token sets: the fixtures' ~40-word vocabulary makes
+# token sets coincide (30k+ pairs at t=0.8) while 3-shingle sets are
+# discriminative. t = 3/5 compares as integers: J >= 3/5 <=> 8i >= 3(a+b).
+_SETJOIN_T_NUM, _SETJOIN_T_DEN = 3, 5
+
+_SETJOIN_ORACLE = f"""
+WITH s AS ({_SHINGLES_SQL}),
+pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(len(list_intersect(a.shingles, b.shingles)) AS BIGINT) AS n_inter,
+           CAST(len(a.shingles) AS BIGINT) AS n_a,
+           CAST(len(b.shingles) AS BIGINT) AS n_b
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, n_inter,
+       (n_a + n_b - n_inter) AS n_union,
+       n_inter * 1.0 / (n_a + n_b - n_inter) AS jaccard
+FROM pairs
+WHERE ({_SETJOIN_T_NUM} + {_SETJOIN_T_DEN}) * n_inter >= {_SETJOIN_T_NUM} * (n_a + n_b)
+ORDER BY doc_a, doc_b
+"""
+
+
+@register("doc_setjoin_prefix_pairs", _SETJOIN_ORACLE, extra=True)
+def doc_setjoin_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT threshold-Jaccard near-dup pairs via prefix filtering — the
+    deterministic complement to the MinHash-LSH family: zero false
+    negatives by the prefix theorem, candidate volume bounded by
+    (1-t)·|s|+1 prefix tokens per doc instead of band geometry. The oracle
+    is the brute-force quadratic join, so the differential proves the
+    filter loses nothing.
+
+    Scale: tokens rank by global rarity (vocab-scale table, broadcast
+    back); the candidate join explodes ONLY prefixes and carries hashed
+    longs; the exact intersection runs on candidate pairs against
+    pre-collected sorted-distinct sets. The threshold compares as integers
+    (9i >= 4(a+b)), so the boundary is exact in any engine.
+    """
+    sh = _shingles_df(spark, sf_dir)
+    toks = sh.select("doc_id", F.explode("shingles").alias("tok")).select(
+        "doc_id", h60(F.col("tok")).alias("th")
+    )
+    freq = toks.groupBy("th").agg(F.count(F.lit(1)).alias("df_tok"))
+    ranked = toks.join(F.broadcast(freq), "th").select(
+        "doc_id", F.struct(F.col("df_tok"), F.col("th")).alias("key"), "th"
+    )
+    sets = ranked.groupBy("doc_id").agg(
+        F.transform(F.array_sort(F.collect_list("key")), lambda s: s.th).alias("sorted_toks"),
+        F.count(F.lit(1)).alias("n_toks"),
+    )
+    # prefix length p = n - ceil(t*n) + 1, integer form: n - floor((t_num*n + t_den - 1)/t_den) + 1
+    p = (
+        F.col("n_toks")
+        - F.floor((_SETJOIN_T_NUM * F.col("n_toks") + _SETJOIN_T_DEN - 1) / _SETJOIN_T_DEN)
+        + 1
+    ).cast("int")
+    prefixes = sets.select(
+        "doc_id", F.explode(F.slice("sorted_toks", 1, p)).alias("ph")
+    )
+    cand = (
+        prefixes.alias("a")
+        .join(prefixes.alias("b"), "ph")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("sorted_toks").alias("ta"), F.col("n_toks").alias("n_a"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("sorted_toks").alias("tb"), F.col("n_toks").alias("n_b"))
+    inter = F.size(F.array_intersect("ta", "tb")).cast("bigint")
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", inter.alias("n_inter"), F.col("n_a").cast("bigint").alias("n_a"), F.col("n_b").cast("bigint").alias("n_b"))
+        .where((_SETJOIN_T_NUM + _SETJOIN_T_DEN) * F.col("n_inter") >= _SETJOIN_T_NUM * (F.col("n_a") + F.col("n_b")))
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_inter",
+            (F.col("n_a") + F.col("n_b") - F.col("n_inter")).alias("n_union"),
+            (F.col("n_inter") * 1.0 / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))).alias("jaccard"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
