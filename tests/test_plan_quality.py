@@ -610,3 +610,12 @@ def test_q22_threshold_broadcasts_and_anti_join(spark, sf_dir):
     assert plan.count("BroadcastExchange") >= 1
     formatted = plan_of(spark, sf_dir, "idle_rich_customers_by_segment")
     assert "GreaterThan(o_totalprice,400000" in formatted
+
+
+def test_setjoin_prefix_candidates_carry_hashes_no_cartesian(spark, sf_dir):
+    """The AllPairs candidate join must run on hashed prefix longs with no
+    nested loop anywhere, and shingle text must never cross a shuffle."""
+    plan = exec_plan_of(spark, sf_dir, "doc_setjoin_prefix_pairs")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    above_generate = plan.split("Generate")[0]
+    assert "text#" not in above_generate
