@@ -1564,3 +1564,128 @@ def lineitem_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_orderkey", "l_linenumber", "measure")
     )
+
+
+# --- Q8 shape: national market share within a region --------------------------------
+
+_Q8_REGION = "ASIA"
+
+_Q8_ORACLE = f"""
+WITH vol AS (
+    SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS o_year,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS volume,
+           CAST(SUM(CASE WHEN ns.n_regionkey = nc.n_regionkey
+                         THEN CAST(l.l_extendedprice AS DECIMAL(12,2))
+                              * (1 - CAST(l.l_discount AS DECIMAL(12,2)))
+                         ELSE 0 END) AS DOUBLE) AS intra_region_volume
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+    JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+    JOIN region r ON nc.n_regionkey = r.r_regionkey
+    WHERE r.r_name = '{_Q8_REGION}'
+    GROUP BY 1
+)
+SELECT o_year, volume, intra_region_volume,
+       intra_region_volume / volume AS mkt_share
+FROM vol
+ORDER BY o_year
+"""
+
+
+@register("region_market_share_by_year", _Q8_ORACLE, extra=True)
+def region_market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (adapted: the fixtures carry no partsupp, so the
+    'national' share becomes the INTRA-REGION share — the fraction of
+    ASIA-customer revenue supplied from within the same region, per
+    order year): conditional aggregation over the deepest join chain plus
+    TWO nation copies.
+
+    Scale: both nation copies and region broadcast (fixed cardinality at
+    any SF); the share is a SUM(CASE)/SUM over one aggregation — never two
+    passes; revenue folds in DECIMAL so both engines divide identical
+    doubles.
+    """
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == _Q8_REGION)
+    nc = n.select(F.col("n_nationkey").alias("nc_key"), F.col("n_regionkey").alias("nc_region"))
+    ns = n.select(F.col("n_nationkey").alias("ns_key"), F.col("n_regionkey").alias("ns_region"))
+    rev = _dec("l_extendedprice") * (1 - _dec("l_discount"))
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc_key"))
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))
+        .join(F.broadcast(r), F.col("nc_region") == F.col("r_regionkey"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            F.sum(rev).cast("double").alias("volume"),
+            F.sum(F.when(F.col("ns_region") == F.col("nc_region"), rev).otherwise(F.lit(0))).cast("double").alias("intra_region_volume"),
+        )
+        .select(
+            "o_year",
+            "volume",
+            "intra_region_volume",
+            (F.col("intra_region_volume") / F.col("volume")).alias("mkt_share"),
+        )
+        .orderBy("o_year")
+    )
+
+
+# --- Q10 shape: revenue lost to returns, per customer --------------------------------
+
+_Q10_TOPN = 20
+
+_Q10_ORACLE = f"""
+SELECT c.c_custkey, c.c_name,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_returned_lines,
+       n.n_name AS nation
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY revenue DESC, c.c_custkey
+LIMIT {_Q10_TOPN}
+"""
+
+
+@register("returned_item_customers", _Q10_ORACLE, extra=True)
+def returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: the customers who returned the most revenue — the
+    at-risk-account report. Returnflag filter pushes to the lineitem scan;
+    nation broadcasts; top-20 is TakeOrdered on DECIMAL-exact revenue with
+    a custkey tiebreak (cross-engine stable at the cut)."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .where(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", F.col("n_name").alias("nation"))
+    rev = _dec("l_extendedprice") * (1 - _dec("l_discount"))
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "nation")
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_returned_lines"),
+        )
+        .select("c_custkey", "c_name", "revenue", "n_returned_lines", "nation")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(_Q10_TOPN)
+    )
