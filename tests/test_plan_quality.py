@@ -619,3 +619,21 @@ def test_setjoin_prefix_candidates_carry_hashes_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     above_generate = plan.split("Generate")[0]
     assert "text#" not in above_generate
+
+
+def test_q8_single_pass_share_both_nations_broadcast(spark, sf_dir):
+    """Q8 shape: the share must come from ONE aggregation pass (SUM(CASE),
+    no second scan/join of the fact chain) with both nation copies
+    broadcast."""
+    plan = exec_plan_of(spark, sf_dir, "region_market_share_by_year")
+    assert plan.count("FileScan parquet") <= 7  # li, o, c, s, nation x2, region — once each
+    bhj = [ln for ln in plan.splitlines() if "BroadcastHashJoin" in ln]
+    assert any("nc_key#" in ln for ln in bhj), bhj
+    assert any("ns_key#" in ln for ln in bhj), bhj
+    assert "CartesianProduct" not in plan
+
+
+def test_q10_pushes_returnflag_and_takes_ordered(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "returned_item_customers")
+    assert "PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)" in plan
+    assert "TakeOrderedAndProject" in exec_plan_of(spark, sf_dir, "returned_item_customers")
