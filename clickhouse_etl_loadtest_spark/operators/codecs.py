@@ -175,7 +175,7 @@ def sniff_format(data: bytes) -> str:
 # malformed-payload fallback: a magic-prefix match is a hint, not a guarantee
 # (RIFF-but-not-WAVE, PCM24 WAV, text starting "P6x", truncated headers) — one
 # bad row must degrade to byte stats, never kill the whole mapInPandas stage
-_DECODE_ERRORS = (ValueError, struct.error, ZeroDivisionError, IndexError, zlib.error)
+_DECODE_ERRORS = (ValueError, struct.error, ZeroDivisionError, IndexError, KeyError, zlib.error)
 
 
 def real_decode(data: bytes) -> dict:

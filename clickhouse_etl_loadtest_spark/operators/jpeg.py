@@ -343,9 +343,19 @@ def decode_jpeg(data: bytes) -> dict:
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError("JPEG marker expected")
+        # standard-legal padding: any number of 0xFF fill bytes may precede a
+        # marker (ITU-T T.81 B.1.1.2); skip them instead of reading 0xFF as a
+        # marker id and the next two bytes as a bogus segment length
+        while data[pos + 1] == 0xFF:
+            pos += 1
+            if pos + 4 > len(data):
+                raise ValueError("truncated JPEG marker")
         marker = data[pos + 1]
         if marker == 0xD9:  # EOI
             break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # TEM / RSTn: no payload
+            pos += 2
+            continue
         (length,) = struct.unpack(">H", data[pos + 2 : pos + 4])
         payload = data[pos + 4 : pos + 2 + length]
         if marker == 0xDB:
@@ -395,6 +405,12 @@ def decode_jpeg(data: bytes) -> dict:
     if sof is None or entropy_start is None:
         raise ValueError("JPEG missing SOF0/SOS")
     h, w, ncomp = sof
+    for _cid, tq, _ch, _cv in comps:
+        if tq not in qts:
+            raise ValueError(f"scan references undefined quant table {tq}")
+    for _cid, td, ta in scan_comps:
+        if (0, td) not in huff or (1, ta) not in huff:
+            raise ValueError(f"scan references undefined Huffman tables dc={td} ac={ta}")
     hmax = max(c[2] for c in comps)
     vmax = max(c[3] for c in comps)
     mcux = -(-w // (8 * hmax))

@@ -508,7 +508,7 @@ def sample_frames_real(df: DataFrame, max_frames: int = 4) -> DataFrame:
     ``sample_frames``; selection is index-based (``linspace`` over frame
     numbers), the sampling rule every keyframe thumbnailer uses.
     """
-    from .codecs import decode_avi, sniff_format
+    from .codecs import _DECODE_ERRORS, decode_avi, sniff_format
 
     frame_bytes = 64  # fallback chunk size, matching sample_frames' default
 
@@ -520,7 +520,7 @@ def sample_frames_real(df: DataFrame, max_frames: int = 4) -> DataFrame:
                 if sniff_format(raw) == "avi":
                     try:
                         all_frames = decode_avi(raw)["frames"]
-                    except ValueError:
+                    except _DECODE_ERRORS:
                         all_frames = None
                     if all_frames:
                         n = min(max_frames, len(all_frames))
@@ -592,7 +592,7 @@ def video_motion_scores(
     cuts (motion above ``cut_threshold``) — the shot-boundary heuristic a
     video curation pipeline thresholds on. Non-AVI payloads yield null
     scores. Arrow-batched; frames never leave the stage."""
-    from .codecs import decode_avi, decode_jpeg, sniff_format
+    from .codecs import _DECODE_ERRORS, decode_avi, decode_jpeg, sniff_format
 
     def _motion(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -620,7 +620,7 @@ def video_motion_scores(
                             )
                         else:
                             vals = (n, 0.0, 0.0, 0)
-                    except ValueError:
+                    except _DECODE_ERRORS:
                         pass
                 rows["media_id"].append(mid)
                 rows["n_frames"].append(vals[0])

@@ -149,16 +149,36 @@ def compact_search_index(
     return n
 
 
-def write_doc_norms(spark: SparkSession, index_path: str, out_path: str) -> int:
+def write_doc_norms(
+    spark: SparkSession,
+    index_path: str,
+    out_path: str,
+    corpus_ids: DataFrame | None = None,
+    id_col: str = "doc_id",
+) -> int:
     """Materialize the norms table (doc_id -> document length in tokens) from
     the index — the one full-index pass BM25 needs, paid once per compaction
-    instead of once per query. Returns the number of documents."""
+    instead of once per query. Returns the number of documents.
+
+    Zero-token documents have no postings, so an index-only build undercounts
+    them; BM25's corpus statistics (n_docs, avgdl) must still include them to
+    match a corpus-side recompute (``doc_bm25_scores`` counts every document).
+    Pass ``corpus_ids`` (any DataFrame carrying the full ``id_col`` universe,
+    e.g. the documents table itself) to emit dl=0 rows for postings-less
+    documents; without it the norms table covers only documents with >=1
+    token, and ``bm25_from_index`` equals the corpus recompute ONLY on
+    corpora with no empty documents."""
     norms = (
         read_search_index(spark, index_path)
         .groupBy("doc_id")
         .agg(F.sum("n_occurrences").cast("bigint").alias("dl"))
-        .localCheckpoint()
     )
+    if corpus_ids is not None:
+        universe = corpus_ids.select(F.col(id_col).alias("doc_id")).distinct()
+        norms = universe.join(norms, "doc_id", "left").select(
+            "doc_id", F.coalesce("dl", F.lit(0)).cast("bigint").alias("dl")
+        )
+    norms = norms.localCheckpoint()
     n = norms.count()
     norms.write.mode("overwrite").parquet(out_path)
     return n

@@ -2198,8 +2198,9 @@ def doc_setjoin_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: tokens rank by global rarity (vocab-scale table, broadcast
     back); the candidate join explodes ONLY prefixes and carries hashed
     longs; the exact intersection runs on candidate pairs against
-    pre-collected sorted-distinct sets. The threshold compares as integers
-    (9i >= 4(a+b)), so the boundary is exact in any engine.
+    pre-collected sorted-distinct sets. The threshold t = _SETJOIN_T_NUM /
+    _SETJOIN_T_DEN = 3/5 compares as integers ((3+5)i >= 3(a+b), i.e.
+    8i >= 3(a+b)), so the boundary is exact in any engine.
     """
     sh = _shingles_df(spark, sf_dir)
     toks = sh.select("doc_id", F.explode("shingles").alias("tok")).select(

@@ -4,6 +4,8 @@ edge paths (ZRL runs, byte stuffing), explicit rejection of the variants
 outside the declared baseline scope, import-gated PIL cross-validation, and
 the Spark ingestion/fingerprint integration."""
 
+import struct
+
 import numpy as np
 import pytest
 
@@ -100,6 +102,45 @@ def test_rejects_out_of_scope_variants():
         decode_jpeg(bytes(sub))
     with pytest.raises(ValueError):
         decode_jpeg(b"\xff\xd8\xff" + b"\x00" * 10)
+
+
+def test_fill_bytes_and_standalone_markers_are_skipped():
+    """Standard-legal 0xFF fill bytes before a marker (ITU-T T.81 B.1.1.2)
+    and zero-payload standalone markers (TEM, RSTn outside the entropy
+    stream) must not be parsed as length-bearing segments — wild-caught
+    JPEGs contain both (round-5 ADVICE)."""
+    px = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    base = encode_jpeg(px)
+    ref = decode_jpeg(base)["pixels"]
+    i = base.index(b"\xff\xc0")
+    # three fill bytes + a standalone TEM before SOF0
+    padded = base[:i] + b"\xff\xff\xff" + b"\xff\x01" + base[i:]
+    got = decode_jpeg(padded)
+    assert got["width"] == 8 and np.array_equal(got["pixels"], ref)
+    # RST4 standalone in the header section is skipped the same way
+    rst = base[:i] + b"\xff\xd4" + base[i:]
+    assert np.array_equal(decode_jpeg(rst)["pixels"], ref)
+
+
+def test_undefined_table_ids_degrade_not_crash():
+    """A scan referencing a quant/Huffman table that was never defined must
+    raise ValueError from decode_jpeg (not KeyError), and the mapInPandas
+    dispatch must degrade the row to byte stats instead of dying."""
+    base = encode_jpeg(np.zeros((8, 8), dtype=np.uint8))
+    # excise the DQT segment entirely -> scan's quant table is undefined
+    i = base.index(b"\xff\xdb")
+    (dqt_len,) = struct.unpack(">H", base[i + 2 : i + 4])
+    no_dqt = base[:i] + base[i + 2 + dqt_len :]
+    with pytest.raises(ValueError, match="undefined quant"):
+        decode_jpeg(no_dqt)
+    assert real_decode(no_dqt)["format"] == "raw"
+    # excise the first DHT segment -> scan's Huffman table is undefined
+    j = base.index(b"\xff\xc4")
+    (dht_len,) = struct.unpack(">H", base[j + 2 : j + 4])
+    no_dht = base[:j] + base[j + 2 + dht_len :]
+    with pytest.raises(ValueError, match="undefined Huffman"):
+        decode_jpeg(no_dht)
+    assert real_decode(no_dht)["format"] == "raw"
 
 
 def test_truncated_stream_degrades_to_raw():

@@ -180,7 +180,7 @@ def test_index_backed_bm25_equals_corpus_recompute(spark, tmp_path):
     index, base, norms = (str(tmp_path / d) for d in ("index", "base", "norms"))
     index_batch(docs, index, batch_id=0)
     compact_search_index(spark, index, base)
-    assert write_doc_norms(spark, base, norms) == docs.count()
+    assert write_doc_norms(spark, base, norms, corpus_ids=docs) == docs.count()
 
     scored = bm25_from_index(spark, base, norms, list(_BM25_QUERY))
     expected = REG["doc_bm25_scores"].fn(spark, sf)
@@ -212,3 +212,38 @@ def test_index_backed_phrase_equals_corpus_recompute(spark, tmp_path):
     )
     exp = sorted(tuple(r) for r in REG["doc_phrase_search"].fn(spark, sf).collect())
     assert got == exp and got, "phrase hits must exist and match exactly"
+
+
+def test_bm25_norms_count_zero_token_documents(spark, tmp_path):
+    """A corpus with empty documents: norms built WITH corpus_ids must count
+    them in n_docs/avgdl (matching the corpus-side recompute, which counts
+    every document), and the BM25 value must equal a hand computation over
+    the full corpus statistics — the ADVICE round-5 finding."""
+    import math
+
+    from clickhouse_etl_loadtest_spark.operators.searchindex import (
+        bm25_from_index,
+        write_doc_norms,
+    )
+
+    rows = [(1, "fast table"), (2, ""), (3, "fast fast merge"), (4, "   ")]
+    docs = _df(spark, rows)
+    index, norms = str(tmp_path / "index"), str(tmp_path / "norms")
+    index_batch(docs, index, batch_id=0)
+    assert write_doc_norms(spark, index, norms, corpus_ids=docs) == 4
+    stored = {r["doc_id"]: r["dl"] for r in spark.read.parquet(norms).collect()}
+    assert stored == {1: 2, 2: 0, 3: 3, 4: 0}, "zero-token docs must appear with dl=0"
+
+    k1, b = 1.2, 0.75
+    n_docs, avgdl = 4, (2 + 0 + 3 + 0) / 4  # empty docs IN the stats
+    dls = {1: 2, 3: 3}
+    tfs = {1: {"fast": 1}, 3: {"fast": 2, "merge": 1}}
+    dfs = {"fast": 2, "merge": 1}
+    got = {r["doc_id"]: r["bm25"] for r in bm25_from_index(spark, index, norms, ["fast", "merge"]).collect()}
+    for d, terms in tfs.items():
+        exp = sum(
+            math.log(1.0 + (n_docs - dfs[t] + 0.5) / (dfs[t] + 0.5))
+            * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dls[d] / avgdl))
+            for t, tf in terms.items()
+        )
+        assert abs(got[d] - exp) < 1e-12, d
