@@ -108,7 +108,7 @@ LIMIT 10
 """
 
 
-@register("shipping_priority", _Q3_ORACLE, headline=True)
+@register("shipping_priority", _Q3_ORACLE, headline=True, extra=True)
 def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: 3-way join + agg + global top-k. Also the
     driver-visible entry for global ORDER BY..LIMIT (SURVEY §2 O1; the plain
@@ -206,7 +206,7 @@ ORDER BY n_name, rnk, c_custkey
 """
 
 
-@register("top_spenders_per_nation", _TOP_ORACLE)
+@register("top_spenders_per_nation", _TOP_ORACLE, extra=True)
 def top_spenders_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ranking window: top-3 customers by spend per nation.
 
@@ -308,7 +308,7 @@ ORDER BY p_partkey
 """
 
 
-@register("scalar_functions", _SCALAR_ORACLE)
+@register("scalar_functions", _SCALAR_ORACLE, extra=True)
 def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar function surface: string/regex/math/conditional expressions —
     all builtin (JVM, codegen), cross-engine-deterministic subset only
@@ -517,7 +517,7 @@ ORDER BY l_returnflag
 """
 
 
-@register("price_percentiles", _PCTL_ORACLE)
+@register("price_percentiles", _PCTL_ORACLE, extra=True)
 def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles (Spark ``percentile`` == DuckDB
     ``quantile_cont``, verified). At 100 TB swap to ``approx_percentile`` —
@@ -548,7 +548,7 @@ ORDER BY n_name
 """
 
 
-@register("rich_customers_per_nation", _STRAGG_ORACLE)
+@register("rich_customers_per_nation", _STRAGG_ORACLE, extra=True)
 def rich_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered string aggregation: collect_list is unordered in Spark, so
     sort_array before joining — deterministic at any parallelism."""
@@ -715,7 +715,7 @@ ORDER BY 1
 """
 
 
-@register("promo_revenue_by_month", _PROMO_ORACLE)
+@register("promo_revenue_by_month", _PROMO_ORACLE, extra=True)
 def promo_revenue_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape: ratio of conditional sums over a fact-dim join.
     part is the small side — broadcast, so lineitem never shuffles."""
@@ -741,7 +741,7 @@ LIMIT 20
 """
 
 
-@register("top_orders_global", _TOPN_ORACLE)
+@register("top_orders_global", _TOPN_ORACLE, extra=True)
 def top_orders_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global ORDER BY .. LIMIT: compiles to TakeOrderedAndProject — each
     partition keeps its local top-20, the driver merges; no global sort."""
@@ -923,7 +923,7 @@ def events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- EXISTS + aggregate (TPC-H Q4 shape) -----------------------------------------
 
-_Q4_ORACLE = """
+_Q4_EXISTS_ORACLE = """
 SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
 FROM orders
 WHERE EXISTS (
@@ -934,7 +934,7 @@ ORDER BY o_orderpriority
 """
 
 
-@register("priority_orders_with_big_lines", _Q4_ORACLE)
+@register("priority_orders_with_big_lines", _Q4_EXISTS_ORACLE, extra=True)
 def priority_orders_with_big_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4 shape: EXISTS decorrelated to a left-semi join, then
     aggregate. The semi join shuffles only (orderkey) pairs and
@@ -964,7 +964,7 @@ ORDER BY part_revenue DESC, l_partkey
 """
 
 
-@register("top_revenue_parts", _Q11_ORACLE)
+@register("top_revenue_parts", _Q11_ORACLE, extra=True)
 def top_revenue_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape: HAVING against a global scalar (0.05% of total
     revenue). The scalar comes from a second aggregation over the SAME
@@ -1278,7 +1278,7 @@ ORDER BY o_orderpriority
 """
 
 
-@register("late_orders_by_priority", _Q4_ORACLE, extra=True)
+@register("late_orders_by_priority", _Q4_ORACLE)
 def late_orders_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4 shape (adapted: the fixtures carry no commitdate, so "late"
     is shipped > {60} days after the order date): order counts by priority
@@ -1325,7 +1325,7 @@ WHERE p.p_brand LIKE '{_Q17_BRAND_PREFIX}%'
 """
 
 
-@register("small_quantity_part_revenue", _Q17_ORACLE, extra=True)
+@register("small_quantity_part_revenue", _Q17_ORACLE)
 def small_quantity_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 shape: average yearly revenue that would be lost by
     refusing small orders (quantity < 20% of the part's average) for one
@@ -1380,7 +1380,7 @@ ORDER BY numwait DESC, s.s_name
 """
 
 
-@register("sole_late_supplier_waits", _Q21_ORACLE, extra=True)
+@register("sole_late_supplier_waits", _Q21_ORACLE)
 def sole_late_supplier_waits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape (lateness adapted to shipdate - orderdate): per
     supplier, how many multi-supplier orders they ALONE held up — the
@@ -1441,7 +1441,7 @@ ORDER BY c_mktsegment
 """
 
 
-@register("idle_rich_customers_by_segment", _Q22_ORACLE, extra=True)
+@register("idle_rich_customers_by_segment", _Q22_ORACLE)
 def idle_rich_customers_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 shape (segment stands in for the fixtures' missing phone
     prefix, and — since every fixture customer has orders — "idle" means no
@@ -1498,7 +1498,7 @@ ORDER BY o_custkey, o_orderkey
 """
 
 
-@register("customer_order_window_gallery", _WINDOW_GALLERY_ORACLE, extra=True)
+@register("customer_order_window_gallery", _WINDOW_GALLERY_ORACLE)
 def customer_order_window_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The remaining ANSI window functions in one query: NTILE, PERCENT_RANK,
     CUME_DIST, FIRST/LAST/NTH_VALUE — per-customer order history, with the
@@ -1541,7 +1541,7 @@ ORDER BY l_orderkey, l_linenumber, measure
 """
 
 
-@register("lineitem_unpivot_measures", _UNPIVOT_ORACLE, extra=True)
+@register("lineitem_unpivot_measures", _UNPIVOT_ORACLE)
 def lineitem_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNPIVOT/melt: the wide-to-long reshape (inverse of
     ``events_pivot_by_type``), via Spark's ``stack`` expression — three
@@ -1596,7 +1596,7 @@ ORDER BY o_year
 """
 
 
-@register("region_market_share_by_year", _Q8_ORACLE, extra=True)
+@register("region_market_share_by_year", _Q8_ORACLE)
 def region_market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 shape (adapted: the fixtures carry no partsupp, so the
     'national' share becomes the INTRA-REGION share — the fraction of
@@ -1661,7 +1661,7 @@ LIMIT {_Q10_TOPN}
 """
 
 
-@register("returned_item_customers", _Q10_ORACLE, extra=True)
+@register("returned_item_customers", _Q10_ORACLE)
 def returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 shape: the customers who returned the most revenue — the
     at-risk-account report. Returnflag filter pushes to the lineitem scan;
@@ -1688,4 +1688,391 @@ def returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey", "c_name", "revenue", "n_returned_lines", "nation")
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(_Q10_TOPN)
+    )
+
+
+# --- Q13 shape: order-count distribution over a filtered left outer join -------------
+
+_Q13_EXCLUDED_PRIORITY = "1-URGENT"
+
+_Q13_ORACLE = f"""
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM (
+    SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+    FROM customer c LEFT JOIN orders o
+      ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '{_Q13_EXCLUDED_PRIORITY}'
+    GROUP BY c.c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+@register("customer_order_count_distribution", _Q13_ORACLE)
+def customer_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (adapted: the priority filter stands in for the
+    reference benchmark's comment-pattern filter — the fixtures carry no
+    o_comment): how many customers placed exactly N qualifying orders,
+    INCLUDING the zero-order customers the left outer join preserves — the
+    canonical skewed-outer-join + double-aggregation shape.
+
+    Scale: the join condition's order-side filter is applied BEFORE the
+    join (pushed into the orders scan), the outer join shuffles on custkey
+    (never broadcasts the fact side), and the second aggregation input is
+    |customers| rows collapsing to |distinct counts| groups — map-side
+    combine makes the second shuffle tiny. COUNT(o_orderkey) counts only
+    matched rows, so no-order customers land in the c_count=0 bucket
+    exactly as the oracle's LEFT JOIN does.
+    """
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderpriority")
+    per_cust = (
+        c.join(
+            o,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != _Q13_EXCLUDED_PRIORITY),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+# --- Q15 shape: top supplier(s) by windowed revenue, ties kept -----------------------
+
+_Q15_START, _Q15_END = "1996-01-01 00:00:00", "1996-04-01 00:00:00"
+
+_Q15_ORACLE = f"""
+WITH revenue AS (
+    SELECT l_suppkey AS supplier_no,
+           SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+               * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS total_rev
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '{_Q15_START}' AND l_shipdate < TIMESTAMP '{_Q15_END}'
+    GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, CAST(r.total_rev AS DOUBLE) AS total_revenue
+FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+WHERE r.total_rev = (SELECT MAX(total_rev) FROM revenue)
+ORDER BY s.s_suppkey
+"""
+
+
+@register("top_supplier_revenue", _Q15_ORACLE)
+def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) achieving maximum revenue over one
+    quarter — the view-plus-scalar-subquery shape, with ties KEPT (no
+    LIMIT 1 that would silently drop a co-maximum).
+
+    The revenue rollup aggregates in DECIMAL, so the max-equality filter
+    compares exact numbers — a double sum would make 'equal to the max' a
+    float-order coin flip at the boundary. Cast to double only on output.
+
+    Scale: the quarter filter pushes into the lineitem scan; the rollup is
+    one partial-aggregated shuffle to |suppliers| rows; the scalar max is a
+    1-row broadcast crossJoin, so the plan re-reads NOTHING (the oracle's
+    correlated subquery decorrelates to the same shape).
+    """
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= F.lit(_Q15_START).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(_Q15_END).cast("timestamp"))
+        )
+        .select("l_suppkey", "l_extendedprice", "l_discount")
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(_dec("l_extendedprice") * (1 - _dec("l_discount"))).alias("total_rev")
+    )
+    mx = rev.agg(F.max("total_rev").alias("max_rev"))
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .where(F.col("total_rev") == F.col("max_rev"))
+        .join(s, F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", F.col("total_rev").cast("double").alias("total_revenue"))
+        .orderBy("s_suppkey")
+    )
+
+
+# --- Q20 shape: nested IN with correlated aggregate ----------------------------------
+
+_Q20_NAME_PREFIX = "small"
+_Q20_START, _Q20_END = "1995-01-01 00:00:00", "1996-01-01 00:00:00"
+
+_Q20_ORACLE = f"""
+WITH shipped AS (
+    SELECT l.l_partkey, l.l_suppkey, SUM(CAST(l.l_quantity AS DECIMAL(12,2))) AS qty
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_name LIKE '{_Q20_NAME_PREFIX}%'
+      AND l.l_shipdate >= TIMESTAMP '{_Q20_START}' AND l.l_shipdate < TIMESTAMP '{_Q20_END}'
+    GROUP BY l.l_partkey, l.l_suppkey
+),
+tot AS (SELECT l_partkey, SUM(qty) AS total_qty FROM shipped GROUP BY l_partkey)
+SELECT s.s_suppkey, s.s_name, n.n_name AS nation
+FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE s.s_suppkey IN (
+    SELECT sh.l_suppkey FROM shipped sh JOIN tot t ON sh.l_partkey = t.l_partkey
+    WHERE 2 * sh.qty > t.total_qty
+)
+ORDER BY s.s_suppkey
+"""
+
+
+@register("dominant_part_suppliers", _Q20_ORACLE)
+def dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (adapted: no partsupp/availqty in the fixtures, so
+    'excess stock' becomes 'dominant share' — suppliers who shipped MORE
+    THAN HALF of some small-part's 1995 volume): the nested-IN-with-
+    correlated-aggregate shape, decorrelated into a grouped rollup joined
+    back on the group key and a semi join into the outer table.
+
+    Scale: the name-prefix and shipdate predicates push into their scans;
+    the per-(part,supplier) rollup and the per-part total reuse ONE
+    shuffle's partitioning (partkey prefix); the dominance test compares
+    exact DECIMAL sums doubled with integer 2x — no float boundary; the
+    final LEFT SEMI join means supplier rows are emitted at most once
+    however many parts they dominate.
+    """
+    p = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_name").startswith(_Q20_NAME_PREFIX))
+        .select("p_partkey")
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= F.lit(_Q20_START).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(_Q20_END).cast("timestamp"))
+        )
+        .select("l_partkey", "l_suppkey", "l_quantity")
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
+    )
+    shipped = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(_dec("l_quantity")).alias("qty")
+    )
+    tot = shipped.groupBy("l_partkey").agg(F.sum("qty").alias("total_qty"))
+    dominant = (
+        shipped.join(tot, "l_partkey")
+        .where(F.lit(2) * F.col("qty") > F.col("total_qty"))
+        .select("l_suppkey")
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", F.col("n_name").alias("nation"))
+    return (
+        s.join(dominant, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "nation")
+        .orderBy("s_suppkey")
+    )
+
+
+# --- Q2 shape: correlated min over a multi-dimension join ----------------------------
+
+_Q2_SIZE = 15
+_Q2_REGION = "EUROPE"
+_Q2_TOPN = 100
+
+_Q2_ORACLE = f"""
+WITH eu AS (
+    SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name AS nation
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = '{_Q2_REGION}'
+),
+eusupply AS (
+    SELECT l.l_partkey, l.l_suppkey, MIN(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS cost
+    FROM lineitem l JOIN eu e ON l.l_suppkey = e.s_suppkey
+    GROUP BY l.l_partkey, l.l_suppkey
+),
+minc AS (SELECT l_partkey, MIN(cost) AS min_cost FROM eusupply GROUP BY l_partkey)
+SELECT p.p_partkey, p.p_brand, e.s_name, e.nation,
+       CAST(e.s_acctbal AS DOUBLE) AS s_acctbal,
+       CAST(es.cost AS DOUBLE) AS cost
+FROM part p
+JOIN eusupply es ON p.p_partkey = es.l_partkey
+JOIN minc m ON es.l_partkey = m.l_partkey AND es.cost = m.min_cost
+JOIN eu e ON es.l_suppkey = e.s_suppkey
+WHERE p.p_size = {_Q2_SIZE}
+ORDER BY s_acctbal DESC, p.p_partkey, e.s_name
+LIMIT {_Q2_TOPN}
+"""
+
+
+@register("min_cost_supplier_per_part", _Q2_ORACLE)
+def min_cost_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (adapted: the fixtures carry no partsupp, so the
+    supply-cost relation derives from lineitem — a supplier's cost for a
+    part is its minimum observed extended price): for each size-15 part,
+    the EUROPE supplier(s) achieving the region-wide minimum cost — the
+    correlated-scalar-min-over-a-5-way-dim-join shape, decorrelated into a
+    per-part min WINDOW over the supply rollup (the oracle spells the same
+    thing as a rollup joined back on (partkey, cost) equality — identical
+    result set). Ties at the minimum are KEPT, as in the benchmark query.
+
+    Scale: nation/region broadcast; the supply relation aggregates ONCE and
+    the per-part min is a window over the same partkey partitioning — no
+    self-join of two corpus-scale relations, no second lineitem pass; cost
+    equality compares exact DECIMALs (a double min would make the tie set
+    engine-dependent); the top-100 is TakeOrdered over a unique (acctbal,
+    partkey, name) total order, so the cut is deterministic cross-engine.
+    """
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == _Q2_REGION)
+    n = _t(spark, sf_dir, "nation")
+    s = _t(spark, sf_dir, "supplier")
+    eu = (
+        s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", F.col("n_name").alias("nation"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_extendedprice")
+    eusupply = (
+        li.join(eu.select("s_suppkey"), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(_dec("l_extendedprice")).alias("cost"))
+        .withColumn("min_cost", F.min("cost").over(Window.partitionBy("l_partkey")))
+    )
+    p = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_size") == _Q2_SIZE)
+        .select("p_partkey", "p_brand")
+    )
+    return (
+        p.join(eusupply, F.col("p_partkey") == F.col("l_partkey"))
+        .where(F.col("cost") == F.col("min_cost"))
+        .join(eu, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "p_partkey",
+            "p_brand",
+            "s_name",
+            "nation",
+            F.col("s_acctbal").cast("double").alias("s_acctbal"),
+            F.col("cost").cast("double").alias("cost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "p_partkey", "s_name")
+        .limit(_Q2_TOPN)
+    )
+
+
+# --- Q11 shape: group HAVING vs a global scalar fraction -----------------------------
+
+_Q11_NATION = "NATION_13"  # has suppliers at every fixture scale (sf0.001-0.1)
+_Q11_FRACTION_DEN = 1000  # keep parts whose value exceeds 1/1000 of the total
+
+_Q11N_ORACLE = f"""
+WITH gv AS (
+    SELECT l.l_partkey, SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS value
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE n.n_name = '{_Q11_NATION}'
+    GROUP BY l.l_partkey
+),
+tot AS (SELECT SUM(value) AS total_value FROM gv)
+SELECT g.l_partkey AS p_partkey, CAST(g.value AS DOUBLE) AS part_value
+FROM gv g, tot t
+WHERE {_Q11_FRACTION_DEN} * g.value > t.total_value
+ORDER BY part_value DESC, p_partkey
+"""
+
+
+@register("important_part_value_fraction", _Q11N_ORACLE)
+def important_part_value_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (adapted: supply value = the nation's summed
+    extended price per part, standing in for supplycost*availqty): parts
+    whose single-nation supply value exceeds a fixed fraction of that
+    nation's total — the group-HAVING-versus-global-scalar shape.
+
+    Scale: the nation filter reaches lineitem through a BROADCAST semi
+    chain (supplier joins broadcast nation, lineitem joins the filtered
+    supplier keys); the per-part rollup is one partial-aggregated shuffle;
+    the global total re-aggregates the ROLLUP output (|parts| rows, not
+    the corpus) and broadcasts back as one row. The fraction test
+    multiplies the exact DECIMAL by an integer — no float boundary at the
+    threshold.
+    """
+    n = _t(spark, sf_dir, "nation").where(F.col("n_name") == _Q11_NATION)
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_extendedprice")
+    gv = (
+        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(_dec("l_extendedprice")).alias("value"))
+    )
+    tot = gv.agg(F.sum("value").alias("total_value"))
+    return (
+        gv.crossJoin(F.broadcast(tot))
+        .where(F.lit(_Q11_FRACTION_DEN) * F.col("value") > F.col("total_value"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("value").cast("double").alias("part_value"),
+        )
+        .orderBy(F.desc("part_value"), "p_partkey")
+    )
+
+
+# --- Q16 shape: anti-join + count-distinct over part attributes ----------------------
+
+_Q16_EXCLUDED_BRAND = "Brand#45"
+_Q16_EXCLUDED_TYPE_PREFIX = "MEDIUM"
+_Q16_SIZES = (1, 4, 9, 16, 25, 36, 49)
+
+_Q16_ORACLE = f"""
+SELECT p.p_brand, p.p_type, p.p_size,
+       CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_brand <> '{_Q16_EXCLUDED_BRAND}'
+  AND p.p_type NOT LIKE '{_Q16_EXCLUDED_TYPE_PREFIX}%'
+  AND p.p_size IN {_Q16_SIZES}
+  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p.p_brand, p.p_type, p.p_size
+ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+"""
+
+
+@register("part_supplier_kinds", _Q16_ORACLE)
+def part_supplier_kinds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (adapted: 'customer complaints' becomes a negative
+    account balance — the fixtures carry no s_comment): how many distinct
+    acceptable suppliers serve each (brand, type, size) kind — the
+    anti-join + count-distinct shape.
+
+    Scale: the excluded-supplier set is an aggregate-light scan of the
+    supplier dim, BROADCAST as a left anti join (never a shuffled NOT IN);
+    part predicates (brand/type/size) push into the part scan; the
+    count-distinct shuffles (kind, suppkey) pairs AFTER local dedup
+    (partial aggregation on the distinct), so the shuffle carries at most
+    |kinds| x |suppliers| rows regardless of lineitem volume.
+    """
+    bad = (
+        _t(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    p = (
+        _t(spark, sf_dir, "part")
+        .where(
+            (F.col("p_brand") != _Q16_EXCLUDED_BRAND)
+            & (~F.col("p_type").startswith(_Q16_EXCLUDED_TYPE_PREFIX))
+            & (F.col("p_size").isin(list(_Q16_SIZES)))
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
     )

@@ -80,7 +80,7 @@ def doc_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("doc_bloom_incremental_dedup", _INCREMENTAL_ORACLE)
+@register("doc_bloom_incremental_dedup", _INCREMENTAL_ORACLE, extra=True)
 def doc_bloom_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-gated variant of :func:`doc_incremental_dedup`: identical result
     (same oracle — Bloom filters have no false negatives, and the exact
@@ -471,7 +471,7 @@ ORDER BY shard
 """
 
 
-@register("doc_export_shards", _SHARD_ORACLE)
+@register("doc_export_shards", _SHARD_ORACLE, extra=True)
 def doc_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shard manifest for the deterministic training export
     (operators/sharding.py): per-shard doc/token totals plus the first and
@@ -553,7 +553,7 @@ def _positional_gram_hashes(toks: Column, k: int) -> Column:
     return F.transform(acc, h60)
 
 
-@register("doc_repeated_spans", _SPAN_ORACLE)
+@register("doc_repeated_spans", _SPAN_ORACLE, extra=True)
 def doc_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal cross-document VERBATIM repeated spans: for every document,
     the merged token ranges covered by >= ``_SPAN_W``-token windows that also
@@ -768,7 +768,7 @@ ORDER BY t.doc_id
 """
 
 
-@register("doc_span_scrub", _SPAN_SCRUB_ORACLE)
+@register("doc_span_scrub", _SPAN_SCRUB_ORACLE, extra=True)
 def doc_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The cleaning pass over :func:`doc_repeated_spans`: cut every
     cross-document repeated span out of every document and fingerprint what
@@ -1206,6 +1206,150 @@ def doc_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ENCODE_HASH_BASE = 1000003
+_ENCODE_HASH_MOD = 2147483647  # 2^31 - 1: acc*base + pid stays far under 2^63
+
+
+def _bpe_encode_oracle(num_merges: int, seg_iters: int = 12) -> str:
+    """Extend the unrolled trainer + encode chain with corpus-wide token-id
+    materialization: piece ids are ROW_NUMBER over the byte-sorted piece
+    vocabulary, per-word id lists rebuild in piece order, per-doc sequences
+    flatten in token order, and the sequence digest is an integer polynomial
+    fold (acc*B + id mod 2^31-1) — exact BIGINT arithmetic end to end, so
+    the hash matches Spark's fold bit-for-bit."""
+    fold = (
+        "list_reduce(list_transform(s.pieces, x -> [x]), "
+        "(acc, xs) -> CASE WHEN len(acc) > 0 AND list_extract(acc, len(acc)) = b.l "
+        "AND list_extract(xs, 1) = b.r "
+        "THEN list_append(list_slice(acc, 1, len(acc) - 1), b.l || b.r) "
+        "ELSE list_concat(acc, xs) END)"
+    )
+    ctes = [
+        _bpe_sym_ctes(num_merges),
+        "mr AS MATERIALIZED (SELECT l, r, ROW_NUMBER() OVER (ORDER BY t) - 1 AS rk FROM merges)",
+        f"seg0 AS MATERIALIZED (SELECT word, list_append(str_split(word, ''), '{_BPE_EOW}') AS pieces FROM wc)",
+    ]
+    for u in range(1, seg_iters + 1):
+        ctes.append(
+            f"best{u} AS MATERIALIZED (SELECT word, l, r FROM ("
+            f"SELECT g.word, m.l, m.r, ROW_NUMBER() OVER (PARTITION BY g.word ORDER BY m.rk) AS rn "
+            f"FROM (SELECT word, unnest(list_transform(generate_series(1, len(pieces) - 1), "
+            f"i -> {{'l': pieces[i], 'r': pieces[i + 1]}})) AS p FROM seg{u - 1} WHERE len(pieces) >= 2) g "
+            f"JOIN mr m ON m.l = g.p.l AND m.r = g.p.r"
+            f") WHERE rn = 1)"
+        )
+        ctes.append(
+            f"seg{u} AS MATERIALIZED (SELECT s.word, CASE WHEN b.l IS NULL THEN s.pieces ELSE {fold} END AS pieces "
+            f"FROM seg{u - 1} s LEFT JOIN best{u} b ON s.word = b.word)"
+        )
+    joined = ",\n".join(ctes)
+    return f"""
+WITH {joined},
+pv AS MATERIALIZED (
+    SELECT piece, CAST(ROW_NUMBER() OVER (ORDER BY piece) - 1 AS BIGINT) AS pid
+    FROM (SELECT DISTINCT unnest(pieces) AS piece FROM seg{seg_iters})
+),
+wp AS MATERIALIZED (
+    SELECT word, p.i AS i, p.piece AS piece
+    FROM (SELECT word, unnest(list_transform(generate_series(1, len(pieces)),
+                i -> {{'i': i, 'piece': pieces[i]}})) AS p FROM seg{seg_iters})
+),
+wid AS MATERIALIZED (
+    SELECT wp.word, list(pv.pid ORDER BY wp.i) AS ids
+    FROM wp JOIN pv USING (piece) GROUP BY wp.word
+),
+dt AS MATERIALIZED (
+    SELECT doc_id, t.i AS i, t.word AS word
+    FROM (SELECT doc_id, unnest(list_transform(generate_series(1, len(ws)),
+                i -> {{'i': i, 'word': ws[i]}})) AS t
+          FROM (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS ws FROM documents))
+),
+seqs AS (
+    SELECT dt.doc_id, flatten(list(w.ids ORDER BY dt.i)) AS ids
+    FROM dt JOIN wid w USING (word) GROUP BY dt.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(len(s.ids), 0) AS BIGINT) AS n_pieces,
+       CAST(COALESCE(list_reduce(list_prepend(CAST(0 AS BIGINT), s.ids),
+            (acc, x) -> (acc * {_ENCODE_HASH_BASE} + x) % {_ENCODE_HASH_MOD}), 0) AS BIGINT) AS seq_hash
+FROM documents d LEFT JOIN seqs s USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+@register("doc_bpe_encode_corpus", _bpe_encode_oracle(_BPE_NUM_MERGES))
+def doc_bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the trained tokenizer to the FULL corpus and materialize per-doc
+    token-id sequences — the artifact a training-data pipeline actually
+    ships. Emits (doc_id, n_pieces, seq_hash): the sequence itself stays
+    internal (arrays defeat the driver canonicalizer); ``seq_hash`` is an
+    order-sensitive integer polynomial fold over the id sequence, so any
+    id, order, or length difference changes the row.
+
+    Piece ids are ranks over the byte-sorted piece vocabulary — a pure
+    function of the merge table, identical in both engines.
+
+    Scale path: the corpus is never segmented directly — DISTINCT words
+    segment once (Arrow-batched, O(vocab)), word -> id-array maps back by
+    broadcast join, and the only corpus-scale shuffle is the groupBy(doc_id)
+    that assembles sequences (that shuffle IS the output: ~1 id per corpus
+    token, the same volume any tokenize-and-pack job ships to object
+    storage). Vocabulary state stays KB-scale on the driver, like the
+    k-means codebook. Cross-checked: sum(n_pieces) over docs equals
+    ``doc_bpe_fertility``'s per-source totals (tests/test_bpe.py).
+    """
+    from ..operators.bpe import bpe_segment_words, words_with_counts
+
+    d = _docs(spark, sf_dir)
+    merges = _trained_merges(spark, sf_dir)
+    vocab = words_with_counts(d).select("word")
+    pieces = bpe_segment_words(vocab, merges)
+    pv = pieces.select(F.explode("pieces").alias("piece")).distinct()
+    from pyspark.sql import Window
+
+    # piece vocabulary is tiny (initial chars + <=num_merges merged symbols):
+    # a single-partition rank window over <=KB of rows, never corpus-scale
+    pv = pv.select(
+        "piece", (F.row_number().over(Window.orderBy("piece")) - 1).cast("long").alias("pid")
+    )
+    wp = pieces.select("word", F.posexplode("pieces").alias("i", "piece"))
+    wid = (
+        wp.join(F.broadcast(pv), "piece")
+        .groupBy("word")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "pid"))), lambda s: s["pid"]
+            ).alias("ids")
+        )
+    )
+    dt = d.select("doc_id", F.posexplode(_tokens()).alias("i", "word"))
+    seqs = (
+        dt.join(F.broadcast(wid), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.flatten(
+                F.transform(F.array_sort(F.collect_list(F.struct("i", "ids"))), lambda s: s["ids"])
+            ).alias("ids")
+        )
+    )
+    ids = F.coalesce(F.col("ids"), F.array().cast("array<long>"))
+    seq_hash = F.aggregate(
+        ids,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * _ENCODE_HASH_BASE + x) % _ENCODE_HASH_MOD,
+    )
+    return (
+        d.select("doc_id")
+        .join(seqs, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size(ids).cast("long").alias("n_pieces"),
+            seq_hash.alias("seq_hash"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # --- learned quality classifier (distilled from the heuristic filter) ----------------
 
 _LOGREG_FEATURES = ["stopword_ratio", "punct_ratio", "log_tokens", "log_chars"]
@@ -1622,7 +1766,7 @@ ORDER BY source
 """
 
 
-@register("doc_temperature_mixture", _TEMP_MIX_ORACLE, extra=True)
+@register("doc_temperature_mixture", _TEMP_MIX_ORACLE)
 def doc_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-scaled source mixture (q_s ∝ p_s^(1/T), T=2): the
     standard up/down-sampling recipe for multi-source training mixes —
@@ -1710,7 +1854,7 @@ ORDER BY doc_id
 """
 
 
-@register("doc_kneser_ney_logprob", _KN_ORACLE, extra=True)
+@register("doc_kneser_ney_logprob", _KN_ORACLE)
 def doc_kneser_ney_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document cross-entropy under an interpolated Kneser-Ney bigram LM
     (fixed discount d=0.75) — the smoothing KenLM-style perplexity filters
@@ -1798,7 +1942,7 @@ def _ccnet_oracle() -> str:
     return _CCNET_ORACLE.format(LM=_LM_ORACLE)
 
 
-@register("doc_ccnet_buckets", _ccnet_oracle(), extra=True)
+@register("doc_ccnet_buckets", _ccnet_oracle())
 def doc_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style perplexity bucketing (Wenzek et al. 2020): per-language
     terciles of the unigram-LM cross-entropy assign each document to

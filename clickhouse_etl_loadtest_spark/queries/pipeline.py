@@ -118,7 +118,7 @@ ORDER BY event_id
 """
 
 
-@register("dedup_within_window_events", _DEDUP_WINDOWED_ORACLE)
+@register("dedup_within_window_events", _DEDUP_WINDOWED_ORACLE, extra=True)
 def dedup_within_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Windowed dedup (D1 batch analogue): first record per key per tumbling
     1h window — the bounded-state form of the reference's ``time_window``
@@ -145,7 +145,7 @@ ORDER BY id
 """
 
 
-@register("table_mapping_events", _MAPPING_ORACLE)
+@register("table_mapping_events", _MAPPING_ORACLE, extra=True)
 def table_mapping_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P1 projection/rename/cast against the fixture: column subset, renames,
     string casts — mirrors table_mapping semantics
@@ -170,7 +170,7 @@ ORDER BY event_id
 """
 
 
-@register("json_decode_props", _JSON_ORACLE)
+@register("json_decode_props", _JSON_ORACLE, extra=True)
 def json_decode_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON decode against a declared schema (S6): the events fixture carries
     a JSON ``props`` payload, decoded with ``from_json`` (JVM-side) exactly as
@@ -243,7 +243,7 @@ ORDER BY user_id, session_start
 """
 
 
-@register("events_session_windows", _SESSION_ORACLE)
+@register("events_session_windows", _SESSION_ORACLE, extra=True)
 def events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows (30 min inactivity gap) via ``F.session_window`` — the
     operator Structured Streaming uses for session aggregation; the oracle
@@ -273,7 +273,7 @@ ORDER BY p.event_id
 """
 
 
-@register("asof_join_purchase_click", _ASOF_ORACLE)
+@register("asof_join_purchase_click", _ASOF_ORACLE, extra=True)
 def asof_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of (temporal) join: each purchase matched to the user's most recent
     click at-or-before it — the J1 temporal-join family (SURVEY.md §2.4),
@@ -373,7 +373,7 @@ ORDER BY user_id, event_type
 """
 
 
-@register("dedup_counts_events", _DEDUP_COUNTS_ORACLE)
+@register("dedup_counts_events", _DEDUP_COUNTS_ORACLE, extra=True)
 def dedup_counts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup with duplicate ACCOUNTING: per key, the first-seen timestamp and
     how many re-sends were suppressed — the batch analogue of the custom

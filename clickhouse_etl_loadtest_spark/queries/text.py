@@ -349,7 +349,7 @@ ORDER BY doc_a, doc_b
 """
 
 
-@register("doc_simhash_near_pairs", _SIMHASH_PAIRS_ORACLE)
+@register("doc_simhash_near_pairs", _SIMHASH_PAIRS_ORACLE, extra=True)
 def doc_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hamming-distance near-dup pairs over the SimHash signatures — the
     second classic fuzzy-dedup family beside MinHash-Jaccard (Manku/Jain/
@@ -503,7 +503,7 @@ ORDER BY doc_a, doc_b
 """
 
 
-@register("doc_shingle_containment_pairs", _CONTAINMENT_ORACLE)
+@register("doc_shingle_containment_pairs", _CONTAINMENT_ORACLE, extra=True)
 def doc_shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shingle CONTAINMENT pairs (Broder's resemblance vs containment):
     |A∩B| / min(|A|, |B|) ≥ _CONTAINMENT_THRESHOLD. Catches the asymmetric
@@ -603,7 +603,7 @@ def _minhash_bands_df(
     )
 
 
-@register("doc_minhash_lsh_pairs", _MINHASH_LSH_ORACLE, headline=True)
+@register("doc_minhash_lsh_pairs", _MINHASH_LSH_ORACLE, headline=True, extra=True)
 def doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash (16 perms) + LSH banding (4x4) candidate pairs — the scalable
     fuzzy-dedup path (Broder 1997 resemblance sketches + banding).
@@ -817,7 +817,7 @@ ORDER BY doc_id
 """
 
 
-@register("doc_cluster_best_keep", _CLUSTER_BEST_ORACLE)
+@register("doc_cluster_best_keep", _CLUSTER_BEST_ORACLE, extra=True)
 def doc_cluster_best_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-ranked cluster representative: of each duplicate cluster,
     keep the member with the HIGHEST quality score (ties to the lowest
@@ -1374,7 +1374,7 @@ LIMIT {_WSAMPLE_K}
 """
 
 
-@register("doc_weighted_sample", _WSAMPLE_ORACLE)
+@register("doc_weighted_sample", _WSAMPLE_ORACLE, extra=True)
 def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-weighted sampling WITHOUT replacement: draw the top
     ``_WSAMPLE_K`` documents by the Efraimidis-Spirakis key
@@ -1677,7 +1677,7 @@ ORDER BY token, doc_id
 """
 
 
-@register("doc_inverted_index", _INVIDX_ORACLE, extra=True)
+@register("doc_inverted_index", _INVIDX_ORACLE)
 def doc_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Positional inverted index build: one row per (token, doc_id) posting
     with occurrence count, first/last position and the full sorted position
@@ -1752,7 +1752,7 @@ ORDER BY h.doc_id
 """
 
 
-@register("doc_bm25_scores", _BM25_ORACLE, extra=True)
+@register("doc_bm25_scores", _BM25_ORACLE)
 def doc_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 relevance scores for a fixed query over the corpus — the
     ranked-retrieval stage a search/contamination pipeline runs on top of the
@@ -1815,7 +1815,7 @@ ORDER BY p1.doc_id
 """
 
 
-@register("doc_phrase_search", _PHRASE_ORACLE, extra=True)
+@register("doc_phrase_search", _PHRASE_ORACLE)
 def doc_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact phrase search (the _PHRASE bigram) via positional postings:
     adjacent positions of the two terms join on (doc_id, pos) — the classic
@@ -1868,7 +1868,7 @@ FROM d
 """
 
 
-@register("doc_corpus_profile", _CORPUS_PROFILE_ORACLE, extra=True)
+@register("doc_corpus_profile", _CORPUS_PROFILE_ORACLE)
 def doc_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus data-card profile in ONE pass (the ``documents`` twin of
     ``events_profile``): row/language/source cardinalities, exact-duplicate
@@ -1947,7 +1947,7 @@ ORDER BY doc_id
 """
 
 
-@register("doc_gopher_rules", _GOPHER_ORACLE, extra=True)
+@register("doc_gopher_rules", _GOPHER_ORACLE)
 def doc_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Gopher repetition-free quality rules (Rae et al. 2021, Table A1),
     each emitted as its own verdict column plus the conjunction: word-count
@@ -2120,7 +2120,7 @@ def _hash_ann_oracle() -> str:
     return _HASH_ANN_ORACLE.format(CTE=_HASH_EMB_CTE)
 
 
-@register("doc_hashed_ann_topk", _hash_ann_oracle(), extra=True)
+@register("doc_hashed_ann_topk", _hash_ann_oracle())
 def doc_hashed_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text ANN end-to-end with no external model: hashed embeddings
     (``doc_embedding_hashed``) -> exact cosine top-k, the document-side twin
@@ -2186,7 +2186,7 @@ ORDER BY doc_a, doc_b
 """
 
 
-@register("doc_setjoin_prefix_pairs", _SETJOIN_ORACLE, extra=True)
+@register("doc_setjoin_prefix_pairs", _SETJOIN_ORACLE)
 def doc_setjoin_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT threshold-Jaccard near-dup pairs via prefix filtering — the
     deterministic complement to the MinHash-LSH family: zero false

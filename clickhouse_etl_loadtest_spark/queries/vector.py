@@ -253,7 +253,7 @@ ORDER BY vec_id
 """
 
 
-@register("embedding_quantize_int8", _QUANT_ORACLE)
+@register("embedding_quantize_int8", _QUANT_ORACLE, extra=True)
 def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric per-vector int8 quantization audit: scale = max|x|/127,
     code = floor(x/scale + 0.5) (explicit half-up — identical in both
@@ -307,7 +307,7 @@ ORDER BY vec_id
 """
 
 
-@register("embedding_standardize_audit", _STDZ_ORACLE)
+@register("embedding_standardize_audit", _STDZ_ORACLE, extra=True)
 def embedding_standardize_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus feature standardization audit: per-dimension mean/std over the
     whole corpus, then each vector's z-score extremum and energy — the
@@ -792,7 +792,7 @@ _PCA_K = 8
 _PCA_CACHE: dict[str, tuple] = {}
 
 
-@register("embedding_pca_residuals", None)
+@register("embedding_pca_residuals", None, extra=True)
 def embedding_pca_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PCA energy audit: fit the top-_PCA_K principal components of the
     embedding corpus (operators/pca.py — one DECIMAL-summed moment pass +
@@ -824,6 +824,63 @@ def embedding_pca_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
         _PCA_CACHE[sf_dir] = (mean, comps)
     mean, comps = _PCA_CACHE[sf_dir]
     return pca_residuals(_emb(spark, sf_dir), mean, comps).orderBy("vec_id")
+
+
+_PCA_ENERGY_ORACLE = f"""
+WITH ve AS (
+    SELECT i, CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE)
+              / (SELECT COUNT(*) FROM embeddings) AS mu
+    FROM embeddings, generate_series(1, {DIM}) AS t(i)
+    GROUP BY i
+),
+means AS (SELECT list(mu ORDER BY i) AS mus FROM ve)
+SELECT vec_id, label,
+       list_reduce(
+           list_prepend(0.0, list_transform(generate_series(1, {DIM}),
+               i -> (CAST(embedding[i] AS DOUBLE) - mus[i])
+                    * (CAST(embedding[i] AS DOUBLE) - mus[i]))),
+           (acc, x) -> acc + x) AS total_energy
+FROM embeddings, means
+ORDER BY vec_id
+"""
+
+
+@register("embedding_pca_energy_total", _PCA_ENERGY_ORACLE)
+def embedding_pca_energy_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-expressible external surface of the PCA capability
+    (``embedding_pca_residuals`` stays rows-only — its docstring carries the
+    eigensolver non-expressibility proof): per-vector centered TOTAL energy
+    against the SAME DECIMAL-summed corpus mean the covariance pass uses
+    (operators/pca.py::covariance_moments, shared memo). The eigenbasis
+    split is pinned separately: captured + residual == total, per vector,
+    in tests/test_pca.py — so the driver hash-checks the moment arithmetic
+    while pytest pins the eigen split against the numpy twin.
+
+    Scale: the mean is one posexplode + groupBy(i) — shuffle volume
+    O(dim x mappers) after partial aggregation; the energy itself is
+    map-only array math with the dim-size mean literal folded into the
+    plan. Corpus never shuffles.
+    """
+    from ..operators.pca import covariance_moments
+
+    if sf_dir not in _PCA_CACHE:
+        from ..operators.pca import top_components
+
+        _, mean, cov = covariance_moments(_emb(spark, sf_dir))
+        _, comps = top_components(cov, _PCA_K)
+        _PCA_CACHE[sf_dir] = (mean, comps)
+    mean, _ = _PCA_CACHE[sf_dir]
+    centered = F.zip_with(
+        F.transform(F.col("embedding"), lambda x: x.cast("double")),
+        F.array(*[F.lit(float(m)) for m in mean]),
+        lambda x, m: x - m,
+    )
+    total = F.aggregate(centered, F.lit(0.0), lambda acc, x: acc + x * x)
+    return (
+        _emb(spark, sf_dir)
+        .select("vec_id", "label", total.alias("total_energy"))
+        .orderBy("vec_id")
+    )
 
 
 # --- product quantization: train / encode / ADC search -------------------------------
@@ -1141,7 +1198,7 @@ def _hybrid_oracle() -> str:
     )
 
 
-@register("hybrid_search_rrf", _hybrid_oracle(), extra=True)
+@register("hybrid_search_rrf", _hybrid_oracle())
 def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval: fuse BM25 text ranks (``doc_bm25_scores``) with
     exact-cosine vector ranks via reciprocal rank fusion

@@ -158,6 +158,38 @@ def test_fertility_matches_python_reference(spark, sf_dir):
         assert abs(r["pieces_per_word"] - r["n_pieces"] / r["n_words"]) < 1e-12
 
 
+def test_encode_corpus_matches_python_reference(spark, sf_dir):
+    """doc_bpe_encode_corpus must equal the all-Python pipeline: train,
+    segment each distinct word, assign byte-sorted piece ids, flatten per-doc
+    id sequences in token order, polynomial-fold the digest. Also pins the
+    fertility cross-check: per-doc n_pieces sums to the fertility totals."""
+    import re
+
+    from clickhouse_etl_loadtest_spark.queries import load_all
+
+    docs = _docs(spark, sf_dir)
+    wc = {r["word"]: r["cnt"] for r in words_with_counts(docs).collect()}
+    merges, _ = _ref_bpe(wc, num_merges=24)
+    seg = {}
+    for w in wc:
+        syms = tuple(list(w) + [EOW])
+        for left, right, _ in merges:
+            syms = _ref_merge_word(syms, left, right)
+        seg[w] = list(syms)
+    pid = {p: i for i, p in enumerate(sorted({p for syms in seg.values() for p in syms}))}
+    expected = {}
+    for r in docs.select("doc_id", "text").collect():
+        ids = [pid[p] for w in re.findall(r"[a-z0-9]+", r["text"].lower()) for p in seg[w]]
+        h = 0
+        for x in ids:
+            h = (h * 1000003 + x) % 2147483647
+        expected[r["doc_id"]] = (len(ids), h)
+    got = load_all()["doc_bpe_encode_corpus"].fn(spark, sf_dir).collect()
+    assert {r["doc_id"]: (r["n_pieces"], r["seq_hash"]) for r in got} == expected
+    fert = load_all()["doc_bpe_fertility"].fn(spark, sf_dir).collect()
+    assert sum(r["n_pieces"] for r in got) == sum(r["n_pieces"] for r in fert)
+
+
 @pytest.mark.parametrize("seed", [11, 23, 47])
 def test_bpe_train_matches_reference_on_random_corpora(spark, seed):
     """Randomized differential: synthetic corpora with controlled repetition

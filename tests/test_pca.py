@@ -81,6 +81,28 @@ def test_residuals_match_numpy_and_satisfy_energy_invariants(spark, sf_dir):
     assert all(0.0 <= r["explained"] <= 1.0 + 1e-12 for r in rows)
 
 
+def test_energy_total_query_matches_residuals_split(spark, sf_dir):
+    """embedding_pca_energy_total (the driver-checkable PCA surface) must
+    equal pca_residuals' captured + residual per vector — tying the external
+    hash gate to the rows-only eigen split."""
+    from clickhouse_etl_loadtest_spark.queries import load_all
+
+    reg = load_all()
+    tot = {
+        r["vec_id"]: r["total_energy"]
+        for r in reg["embedding_pca_energy_total"].fn(spark, sf_dir).collect()
+    }
+    res = {
+        r["vec_id"]: (r["topk_energy"], r["residual_energy"], r["total_energy"])
+        for r in reg["embedding_pca_residuals"].fn(spark, sf_dir).collect()
+    }
+    assert set(tot) == set(res)
+    for vid, te in tot.items():
+        topk, resid, rt = res[vid]
+        assert te == rt  # same fold, same mean -> bit-identical
+        assert abs((topk + resid) - te) < 1e-9 * max(1.0, abs(te))
+
+
 def test_more_components_capture_more_energy(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     _, mean, cov = covariance_moments(emb)

@@ -637,3 +637,96 @@ def test_q10_pushes_returnflag_and_takes_ordered(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "returned_item_customers")
     assert "PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)" in plan
     assert "TakeOrderedAndProject" in exec_plan_of(spark, sf_dir, "returned_item_customers")
+
+
+def test_q13_outer_join_filter_pushed_and_double_agg(spark, sf_dir):
+    """Q13 shape: the priority exclusion must reach the orders scan (pushed
+    through the outer join's ON clause), and the distribution is two
+    partial-aggregated phases — never a window or cartesian."""
+    plan = plan_of(spark, sf_dir, "customer_order_count_distribution")
+    assert "Not(EqualTo(o_orderpriority,1-URGENT))" in plan
+    assert "LeftOuter" in plan
+    assert plan.count("HashAggregate") >= 4  # two grouping phases, each partial+final
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q15_quarter_pushed_and_scalar_max_broadcast(spark, sf_dir):
+    """Q15 shape: the shipdate window must push into the lineitem scan and
+    the scalar max side must be a broadcast, not a shuffled join."""
+    plan = plan_of(spark, sf_dir, "top_supplier_revenue")
+    assert "GreaterThanOrEqual(l_shipdate,1996-01-01" in plan
+    assert "LessThan(l_shipdate,1996-04-01" in plan
+    assert "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q20_semi_join_and_pushed_prefix(spark, sf_dir):
+    """Q20 shape: supplier emission must be a LEFT SEMI join (at most one
+    row per supplier however many parts it dominates), with the part-name
+    prefix and shipdate range pushed to their scans."""
+    plan = plan_of(spark, sf_dir, "dominant_part_suppliers")
+    assert "LeftSemi" in plan
+    assert "StringStartsWith(p_name,small)" in plan
+    assert "GreaterThanOrEqual(l_shipdate,1995-01-01" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q2_single_lineitem_pass_window_min_take_ordered(spark, sf_dir):
+    """Q2 shape: ONE lineitem scan (the per-part min is a window over the
+    supply rollup's own partitioning, not a self-joined second aggregation),
+    dim filters pushed, top-100 as TakeOrdered."""
+    plan = plan_of(spark, sf_dir, "min_cost_supplier_per_part")
+    assert plan.count("lineitem.parquet") == 1
+    assert "Window" in plan
+    assert "EqualTo(p_size,15)" in plan and "EqualTo(r_name,EUROPE)" in plan
+    assert "TakeOrderedAndProject" in exec_plan_of(spark, sf_dir, "min_cost_supplier_per_part")
+
+
+def test_q11_fraction_reuses_rollup_and_broadcasts_scalar(spark, sf_dir):
+    """Q11 shape: the global total must come from the SAME per-part rollup
+    (AQE stitches a ReusedExchange at runtime — lineitem aggregates once)
+    and joins back as a 1-row broadcast."""
+    plan = plan_of(spark, sf_dir, "important_part_value_fraction")
+    assert "EqualTo(n_name,NATION_13)" in plan
+    df = REGISTRY["important_part_value_fraction"].fn(spark, sf_dir)
+    df.collect()
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="formatted")
+    final_plan = buf.getvalue()
+    assert "isFinalPlan=true" in final_plan
+    assert "ReusedExchange" in final_plan
+
+
+def test_q16_anti_join_broadcast_and_pushed_part_filters(spark, sf_dir):
+    """Q16 shape: the excluded-supplier set must anti-join as a broadcast
+    (never a shuffled NOT IN), with brand/type/size predicates pushed."""
+    plan = plan_of(spark, sf_dir, "part_supplier_kinds")
+    assert "LeftAnti" in plan
+    bcast_anti = [ln for ln in plan.splitlines() if "BroadcastHashJoin" in ln and "LeftAnti" in ln]
+    assert bcast_anti, "anti join must build on the broadcast supplier set"
+    assert "Not(EqualTo(p_brand,Brand#45))" in plan
+    assert "In(p_size" in plan
+    # count-distinct: local dedup before the kind-level aggregation
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_bpe_encode_all_joins_broadcast_corpus_shuffles_ids_only(spark, sf_dir):
+    """doc_bpe_encode_corpus: the vocab->corpus maps are broadcast joins
+    (no SortMergeJoin anywhere); document text never crosses a shuffle —
+    the corpus-scale shuffles carry (doc_id, pos, id-array) only."""
+    plan = exec_plan_of(spark, sf_dir, "doc_bpe_encode_corpus")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3
+    above_generate = plan.split("Generate")[0]
+    assert "text#" not in above_generate
+
+
+def test_pca_energy_is_join_free_map_math(spark, sf_dir):
+    """embedding_pca_energy_total: the mean folds into the plan as a
+    literal array — the query itself is scan + project + sort, no join, no
+    window, no corpus shuffle beyond the output sort."""
+    plan = exec_plan_of(spark, sf_dir, "embedding_pca_energy_total")
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert plan.count("Scan parquet") == 1
