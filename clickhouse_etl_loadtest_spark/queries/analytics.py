@@ -2076,3 +2076,110 @@ def part_supplier_kinds(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
     )
+
+
+# --- Q6 shape: single-table predicate aggregate --------------------------------------
+
+_Q6_START, _Q6_END = "1995-01-01 00:00:00", "1996-01-01 00:00:00"
+_Q6_DISC_LO, _Q6_DISC_HI = 0.05, 0.07
+_Q6_MAX_QTY = 24
+
+_Q6_ORACLE = f"""
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+             * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS forecast_revenue,
+       CAST(COUNT(*) AS BIGINT) AS qualifying_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '{_Q6_START}' AND l_shipdate < TIMESTAMP '{_Q6_END}'
+  AND l_discount BETWEEN {_Q6_DISC_LO} AND {_Q6_DISC_HI}
+  AND l_quantity < {_Q6_MAX_QTY}
+"""
+
+
+@register("discount_forecast_revenue", _Q6_ORACLE, extra=True)
+def discount_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: revenue that would be forfeited by eliminating a band
+    of small-quantity discounts — a single-table triple-predicate global
+    aggregate, the purest predicate-pushdown/codegen probe in the suite.
+    Completes the 22/22 TPC-H shape surface together with
+    ``large_volume_customer_orders`` (Q18).
+
+    Scale: all three predicates push into the parquet scan (shipdate is a
+    row-group min/max prune; discount/quantity page-filter), the projection
+    reads exactly three columns, and the aggregate is a map-side partial ->
+    1-row final: zero shuffled data beyond one partial-agg row per task.
+    The product aggregates in DECIMAL(12,2)x(12,2) so the sum is exact and
+    order-independent; cast to double only on output.
+    """
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit(_Q6_START).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(_Q6_END).cast("timestamp"))
+        & (F.col("l_discount") >= _Q6_DISC_LO)
+        & (F.col("l_discount") <= _Q6_DISC_HI)
+        & (F.col("l_quantity") < _Q6_MAX_QTY)
+    )
+    return li.agg(
+        F.sum(_dec("l_extendedprice") * _dec("l_discount"))
+        .cast("double")
+        .alias("forecast_revenue"),
+        F.count(F.lit(1)).alias("qualifying_lines"),
+    )
+
+
+# --- Q18 shape: HAVING-filtered rollup joined back (large-volume orders) -------------
+
+_Q18_MIN_QTY = 150
+_Q18_TOPN = 100
+
+_Q18_ORACLE = f"""
+WITH big AS (
+    SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS total_qty
+    FROM lineitem GROUP BY l_orderkey
+    HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > {_Q18_MIN_QTY}
+)
+SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice,
+       CAST(b.total_qty AS DOUBLE) AS total_qty
+FROM big b
+JOIN orders o ON o.o_orderkey = b.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+ORDER BY o.o_totalprice DESC, o.o_orderkey
+LIMIT {_Q18_TOPN}
+"""
+
+
+@register("large_volume_customer_orders", _Q18_ORACLE, extra=True)
+def large_volume_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: the customers behind the largest-volume orders — a
+    fact-scale rollup filtered by HAVING, joined back through orders to
+    customer, then a global top-k. The classic "aggregate THEN join" plan
+    the optimizer cannot derive on its own (joining first would carry every
+    lineitem row through two joins).
+
+    Scale: the lineitem rollup is ONE partial-aggregated shuffle to
+    |orders| rows; the HAVING collapses that to the big-order tail BEFORE
+    any join, so the orders/customer joins see only qualifying keys; the
+    top-k is TakeOrderedAndProject (no global sort) over a deterministic
+    total order (totalprice DESC, orderkey) so the LIMIT boundary is
+    tie-stable across engines. Quantities sum in DECIMAL: 'greater than
+    150' at the boundary must not be a float coin flip.
+    """
+    big = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("total_qty"))
+        .where(F.col("total_qty") > _Q18_MIN_QTY)
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_totalprice",
+            F.col("total_qty").cast("double").alias("total_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(_Q18_TOPN)
+    )

@@ -730,3 +730,38 @@ def test_pca_energy_is_join_free_map_math(spark, sf_dir):
     assert "Join" not in plan
     assert "Window" not in plan
     assert plan.count("Scan parquet") == 1
+
+
+def test_q6_all_predicates_pushed_map_only_aggregate(spark, sf_dir):
+    """Q6 shape: all three predicates reach the parquet scan, the scan reads
+    exactly the filter+measure columns, and the plan is scan -> partial agg
+    -> 1-row final: no join, no window, no wide shuffle."""
+    plan = plan_of(spark, sf_dir, "discount_forecast_revenue")
+    assert "GreaterThanOrEqual(l_shipdate,1995-01-01" in plan
+    assert "LessThan(l_shipdate,1996-01-01" in plan
+    assert "GreaterThanOrEqual(l_discount,0.05)" in plan
+    assert "LessThan(l_quantity,24.0)" in plan
+    assert "Join" not in plan and "Window" not in plan
+    read_schema = next(line for line in plan.splitlines() if "ReadSchema" in line)
+    for col in ("l_shipdate", "l_discount", "l_quantity", "l_extendedprice"):
+        assert col in read_schema
+    assert "l_orderkey" not in read_schema and "l_comment" not in read_schema
+
+
+def test_q18_aggregate_before_join_and_take_ordered(spark, sf_dir):
+    """Q18 shape: the lineitem rollup must aggregate BEFORE any join (the
+    HAVING tail — not every lineitem row — feeds the orders/customer joins),
+    and the top-100 must be TakeOrderedAndProject, not a global sort."""
+    plan = plan_of(spark, sf_dir, "large_volume_customer_orders")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # the aggregate sits below the first join: lineitem's scan feeds a
+    # HashAggregate before any join node consumes it
+    li_scan_pos = plan.find("lineitem.parquet")
+    first_join_pos = min(
+        (p for p in (plan.find("BroadcastHashJoin"), plan.find("SortMergeJoin"), plan.find("ShuffledHashJoin")) if p >= 0),
+        default=-1,
+    )
+    agg_pos = plan.find("HashAggregate")
+    assert 0 <= agg_pos and li_scan_pos >= 0
+    assert first_join_pos >= 0
