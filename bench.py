@@ -314,6 +314,18 @@ def main() -> None:
             k: streaming_20m_cold[k] for k in ("duration_sec", "result_glassflow_rps")
         }
 
+    # State-scaling wave: 100M records — 5x the reference's largest variant
+    # (~90.9M dedup keys, ~9 GB of RocksDB state; fits the 128 GiB box).
+    # Opt-in (SPARK_GRAFT_STREAM_100M=1): generation + the wave cost minutes,
+    # past the per-round driver-bench budget, so the measured run is committed
+    # in SCALING.md §"100M-record state-scaling wave" and the profile below
+    # carries the most recent opt-in result forward across non-opt-in runs.
+    streaming_100m = None
+    if os.environ.get("SPARK_GRAFT_STREAM_100M", "0") == "1":
+        streaming_100m = run_streaming_loadtest(
+            spark, total_records=100_000_000, state_metrics=True
+        )
+
     calib["end_sec"] = calibration(spark)
     # the 20M wave sits between the stream and end calibrations; normalize by
     # the slower of the two (conservative: never makes the wave look better
@@ -322,6 +334,10 @@ def main() -> None:
     if streaming_20m is not None:
         streaming_20m["duration_sec_norm"] = round(
             streaming_20m["duration_sec"] * stream_factor, 1
+        )
+    if streaming_100m is not None:
+        streaming_100m["duration_sec_norm"] = round(
+            streaming_100m["duration_sec"] * stream_factor, 1
         )
 
     # Rewrite the committed profile with the FULL diagnostics (spread,
@@ -363,6 +379,11 @@ def main() -> None:
                 "loadtest_5m_by_processes": sweep or None,
                 "streaming_loadtest_1m": streaming,
                 "streaming_loadtest_20m": streaming_20m,
+                # carry the last opt-in 100M state-scaling run forward so a
+                # non-opt-in (driver) rewrite doesn't erase the evidence
+                "streaming_loadtest_100m": streaming_100m
+                if streaming_100m is not None
+                else (prev_profile or {}).get("streaming_loadtest_100m"),
                 "best": best,
             },
             f,
@@ -393,6 +414,8 @@ def main() -> None:
         "streaming_loadtest_20m": _compact_stream20m(streaming_20m),
         "detail": "BENCH_PROFILE.json",
     }
+    if streaming_100m is not None:
+        out["streaming_loadtest_100m"] = _compact_stream20m(streaming_100m)
     line = json.dumps(out, separators=(",", ":"))
     for drop in ("queries_norm", "sweep_glassflow_rps", "calib", "noise_flags"):
         if len(line) <= 1800:
