@@ -380,10 +380,11 @@ def main() -> None:
                 "streaming_loadtest_1m": streaming,
                 "streaming_loadtest_20m": streaming_20m,
                 # carry the last opt-in 100M state-scaling run forward so a
-                # non-opt-in (driver) rewrite doesn't erase the evidence
+                # non-opt-in (driver) rewrite doesn't erase the evidence;
+                # stamp the copy so it can't read as a fresh measurement
                 "streaming_loadtest_100m": streaming_100m
                 if streaming_100m is not None
-                else (prev_profile or {}).get("streaming_loadtest_100m"),
+                else _carried_forward((prev_profile or {}).get("streaming_loadtest_100m")),
                 "best": best,
             },
             f,
@@ -425,6 +426,16 @@ def main() -> None:
     print(f"# stdout line length: {len(line)} chars (budget 1800)", file=sys.stderr)
     print(line)
     spark.stop()
+
+
+def _carried_forward(r: dict | None) -> dict | None:
+    """Stamp a profile entry copied from the previous round's BENCH_PROFILE so
+    it is distinguishable from a measurement taken in the current run."""
+    if r is None:
+        return None
+    out = dict(r)
+    out["carried_forward"] = True
+    return out
 
 
 def _compact_loadtest(r: dict | None) -> dict | None:

@@ -174,8 +174,11 @@ def sniff_format(data: bytes) -> str:
 
 # malformed-payload fallback: a magic-prefix match is a hint, not a guarantee
 # (RIFF-but-not-WAVE, PCM24 WAV, text starting "P6x", truncated headers) — one
-# bad row must degrade to byte stats, never kill the whole mapInPandas stage
-_DECODE_ERRORS = (ValueError, struct.error, ZeroDivisionError, IndexError, KeyError, zlib.error)
+# bad row must degrade to byte stats, never kill the whole mapInPandas stage.
+# KeyError is deliberately NOT caught: every data-driven dict lookup in the
+# decoders (JPEG huff tables, GIF LZW codes) validates and raises ValueError,
+# so a KeyError here would be a programming bug that should surface.
+_DECODE_ERRORS = (ValueError, struct.error, ZeroDivisionError, IndexError, zlib.error)
 
 
 def real_decode(data: bytes) -> dict:

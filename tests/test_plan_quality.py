@@ -765,3 +765,6 @@ def test_q18_aggregate_before_join_and_take_ordered(spark, sf_dir):
     agg_pos = plan.find("HashAggregate")
     assert 0 <= agg_pos and li_scan_pos >= 0
     assert first_join_pos >= 0
+    # Spark prints trees root-first, so "aggregate below the join" appears as
+    # join -> aggregate -> lineitem scan in string order.
+    assert first_join_pos < agg_pos < li_scan_pos
