@@ -326,6 +326,32 @@ def main() -> None:
             spark, total_records=100_000_000, state_metrics=True
         )
 
+    # Crash-recovery wave: SIGKILL the 20M streaming dedup mid-flight between
+    # RocksDB commits, resume from the changelog checkpoint in a fresh
+    # process, assert exact convergence (W7, SURVEY.md §7.5). Opt-in
+    # (SPARK_GRAFT_CRASH_RECOVERY_20M=1): two subprocess Spark sessions cost
+    # minutes; the measured run is committed in SCALING.md §"crash recovery"
+    # and carried forward in the profile like the 100M wave.
+    crash_recovery = None
+    if os.environ.get("SPARK_GRAFT_CRASH_RECOVERY_20M", "0") == "1":
+        import tempfile as _tempfile
+        import shutil as _shutil
+
+        from clickhouse_etl_loadtest_spark.streaming.recovery import crash_recovery_wave
+
+        _cr_work = _tempfile.mkdtemp(prefix="bench-crash-recovery-")
+        try:
+            crash_recovery = crash_recovery_wave(
+                _cr_work,
+                total_records=20_000_000,
+                staging_files=32,
+                files_per_trigger=4,
+                kill_after_commits=3,
+            )
+            print(f"# crash recovery 20M: {crash_recovery}", file=sys.stderr)
+        finally:
+            _shutil.rmtree(_cr_work, ignore_errors=True)
+
     calib["end_sec"] = calibration(spark)
     # the 20M wave sits between the stream and end calibrations; normalize by
     # the slower of the two (conservative: never makes the wave look better
@@ -385,6 +411,9 @@ def main() -> None:
                 "streaming_loadtest_100m": streaming_100m
                 if streaming_100m is not None
                 else _carried_forward((prev_profile or {}).get("streaming_loadtest_100m")),
+                "crash_recovery_20m": crash_recovery
+                if crash_recovery is not None
+                else _carried_forward((prev_profile or {}).get("crash_recovery_20m")),
                 "best": best,
             },
             f,
@@ -417,6 +446,11 @@ def main() -> None:
     }
     if streaming_100m is not None:
         out["streaming_loadtest_100m"] = _compact_stream20m(streaming_100m)
+    if crash_recovery is not None:
+        out["crash_recovery_20m"] = {
+            k: crash_recovery[k]
+            for k in ("success", "commits_at_kill", "recovered_batches", "wall_run2_sec")
+        }
     line = json.dumps(out, separators=(",", ":"))
     for drop in ("queries_norm", "sweep_glassflow_rps", "calib", "noise_flags"):
         if len(line) <= 1800:
