@@ -898,7 +898,7 @@ ORDER BY user_id
 """
 
 
-@register("events_heavy_hitters", _HH_ORACLE)
+@register("events_heavy_hitters", _HH_ORACLE, extra=True)
 def events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Every user producing more than phi=0.7% of all events, with exact
     counts — the skew detector that decides when a key needs
@@ -1173,7 +1173,7 @@ ORDER BY supp_nation, cust_nation, l_year
 """
 
 
-@register("nation_trade_flows", _Q7_ORACLE)
+@register("nation_trade_flows", _Q7_ORACLE, extra=True)
 def nation_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape (volume shipping): cross-border revenue between every
     (supplier nation, customer nation) pair by ship year — the deepest join
@@ -1228,7 +1228,7 @@ ORDER BY n_name, o_year DESC
 """
 
 
-@register("product_profit_by_nation_year", _Q9_ORACLE)
+@register("product_profit_by_nation_year", _Q9_ORACLE, extra=True)
 def product_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 shape (product-type profit): revenue minus cost
     (``p_retailprice * l_quantity`` stands in for the absent partsupp
@@ -2095,7 +2095,7 @@ WHERE l_shipdate >= TIMESTAMP '{_Q6_START}' AND l_shipdate < TIMESTAMP '{_Q6_END
 """
 
 
-@register("discount_forecast_revenue", _Q6_ORACLE, extra=True)
+@register("discount_forecast_revenue", _Q6_ORACLE)
 def discount_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6 shape: revenue that would be forfeited by eliminating a band
     of small-quantity discounts — a single-table triple-predicate global
@@ -2146,7 +2146,7 @@ LIMIT {_Q18_TOPN}
 """
 
 
-@register("large_volume_customer_orders", _Q18_ORACLE, extra=True)
+@register("large_volume_customer_orders", _Q18_ORACLE)
 def large_volume_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape: the customers behind the largest-volume orders — a
     fact-scale rollup filtered by HAVING, joined back through orders to

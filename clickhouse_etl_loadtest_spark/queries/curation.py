@@ -4,14 +4,10 @@ boilerplate span detection (SURVEY.md §7.6 extension; no reference
 counterpart — the reference only dedups by an exact key field).
 
 All are pure JVM column expressions + at most one keyed shuffle each, with
-exact DuckDB oracles via the shared md5-based ``h60`` hash.
-``doc_bloom_incremental_dedup``, ``doc_repeated_spans`` and
-``doc_span_scrub`` are driver-visible (``doc_incremental_dedup`` and
-``doc_token_budget_sample`` rotated to extra in round 4 after two green
-verdicts each — the bloom sibling keeps the incremental-dedup oracle in a
-driver slot, and the span-scrub text-hash oracle takes the budget
-sampler's);
-the rest are pytest-verified extras (the driver registry caps at 50 entries).
+exact DuckDB oracles via the shared md5-based ``h60`` hash. Driver
+visibility rotates per round (the driver registry caps at 50 entries);
+COVERAGE.md's appendix is the canonical, machine-checked slot assignment —
+extras keep their value-level DuckDB check in tests/test_query_oracles.py.
 
 Scale notes (100 TB):
 - ``doc_incremental_dedup``: hash-key shuffle anti-join — the snapshot side is
@@ -545,8 +541,12 @@ ORDER BY doc_id, span_start
 def _positional_gram_hashes(toks: Column, k: int) -> Column:
     """60-bit hash of the word-k-gram STARTING at each token position
     (1-based, ``size - k + 1`` entries) — ``_gram_hashes`` without the
-    ``array_distinct``, because span merging needs every position."""
-    n = F.size(toks) - (k - 1)
+    ``array_distinct``, because span merging needs every position.
+
+    Clamped at 0 so a doc shorter than k yields an empty array instead of a
+    negative-length slice error: callers filter ``size >= k``, but Spark may
+    evaluate the projection for rows the filter will drop."""
+    n = F.greatest(F.size(toks) - (k - 1), F.lit(0))
     acc = F.slice(toks, 1, n)
     for j in range(1, k):
         acc = F.zip_with(acc, F.slice(toks, j + 1, n), lambda a, b: F.concat_ws(" ", a, b))
@@ -841,6 +841,119 @@ def doc_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- exact substring dedup at a tunable threshold (find-and-cut, keep-first) --------
+
+# tunable length threshold in word-tokens (Lee et al. 2022 "Deduplicating
+# Training Data Makes Language Models Better" uses 50 BPE tokens; 12 keeps
+# the synthetic fixture's duplicated passages detectable while staying above
+# the vocabulary's chance-collision length). Deliberately != _SPAN_W so the
+# two operators are observably independent knobs.
+_CUT_L = 12
+
+
+def _exact_cut_oracle(L: int) -> str:
+    return f"""
+WITH toks AS (
+    SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS t FROM documents
+),
+pos AS (
+    SELECT doc_id, i AS pos,
+           {h60_sql_duckdb(f"array_to_string(list_slice(t, i, i + {L} - 1), ' ')")} AS gh
+    FROM toks, UNNEST(generate_series(1, len(t) - {L} + 1)) AS u(i)
+    WHERE len(t) >= {L}
+),
+ranked AS (
+    SELECT doc_id, pos,
+           ROW_NUMBER() OVER (PARTITION BY gh ORDER BY doc_id, pos) AS rn
+    FROM pos
+),
+cuts AS (SELECT doc_id, pos FROM ranked WHERE rn >= 2),
+isl AS (
+    SELECT doc_id, pos,
+           CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) > {L}
+                THEN 1 ELSE 0 END AS brk
+    FROM cuts
+),
+isl2 AS (
+    SELECT doc_id, pos, SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+    FROM isl
+)
+SELECT doc_id,
+       CAST(MIN(pos) AS BIGINT) AS span_start,
+       CAST(MAX(pos) + {L} - 1 AS BIGINT) AS span_end,
+       CAST(MAX(pos) - MIN(pos) + {L} AS BIGINT) AS span_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_windows
+FROM isl2
+GROUP BY doc_id, island
+ORDER BY doc_id, span_start
+"""
+
+
+def exact_substring_cut_spans(d: DataFrame, L: int = _CUT_L) -> DataFrame:
+    """Exact substring dedup at a tunable length threshold L — the canonical
+    find-and-cut method of Lee et al. 2022 (their ExactSubstr suffix-array
+    pass), re-expressed so it distributes: every VERBATIM repeat of >= L
+    tokens ANYWHERE in the corpus (other documents AND the same document —
+    unlike :func:`doc_repeated_spans`, which only reports cross-document
+    repeats) is found, the globally-first occurrence (smallest (doc_id, pos))
+    is kept, and every later occurrence is reported as a cut span.
+
+    Shape vs a suffix array: a suffix array needs one global order over all
+    corpus suffixes — a non-distributing total sort. Anchor windows replace
+    it: a repeat of length M >= L is exactly M-L+1 consecutive repeated
+    L-token windows, so window-level keep-first + per-doc interval merge
+    reconstructs the maximal cut regions with two keyed shuffles:
+
+    1. row_number over (gh) — 60-bit gram hashes only, hashed BEFORE
+       posexplode (text never crosses the exchange);
+    2. the per-doc lag/cumsum island merge PARTITIONED by doc_id.
+
+    At 100 TB the gh shuffle carries ~n_tokens fixed-width rows — the same
+    volume as ``doc_repeated_spans``'s aggregation but in ONE exchange
+    (row_number replaces the agg + semi-join pair), and per-key work is the
+    sort of a duplicate group, bounded by duplication depth, not corpus size.
+    """
+    from pyspark.sql import Window
+
+    toks = _tokens()
+    grams = d.select("doc_id", _positional_gram_hashes(toks, L).alias("ghs")).where(
+        F.size(toks) >= L
+    )
+    pos = grams.select("doc_id", F.posexplode("ghs").alias("pos0", "gh")).select(
+        "doc_id", (F.col("pos0") + 1).alias("pos"), "gh"
+    )
+    wgh = Window.partitionBy("gh").orderBy("doc_id", "pos")
+    cuts = (
+        pos.withColumn("rn", F.row_number().over(wgh))
+        .where(F.col("rn") >= 2)
+        .select("doc_id", "pos")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    return (
+        cuts.withColumn(
+            "brk", F.when(F.col("pos") - F.lag("pos").over(w) > L, 1).otherwise(0)
+        )
+        .withColumn("island", F.sum("brk").over(w))
+        .groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").cast("bigint").alias("span_start"),
+            (F.max("pos") + L - 1).cast("bigint").alias("span_end"),
+            (F.max("pos") - F.min("pos") + L).cast("bigint").alias("span_tokens"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .drop("island")
+        .orderBy("doc_id", "span_start")
+    )
+
+
+@register("doc_exact_substring_cuts", _exact_cut_oracle(_CUT_L))
+def doc_exact_substring_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`exact_substring_cut_spans` bound at L=``_CUT_L`` over the
+    documents table — per document, the token ranges a find-and-cut pass
+    removes (keep-first-globally semantics)."""
+    return exact_substring_cut_spans(_docs(spark, sf_dir), _CUT_L)
 
 
 # --- per-source adaptive quality cut -------------------------------------------------

@@ -331,7 +331,7 @@ def interval_join_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("interval_join_events_orders_salted", _INTERVAL_ORACLE)
+@register("interval_join_events_orders_salted", _INTERVAL_ORACLE, extra=True)
 def interval_join_events_orders_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe fact-scale variant of the interval join: the equi key is
     salted (operators/scale.py::salted_join — hot-key replication on the

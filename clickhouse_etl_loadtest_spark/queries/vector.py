@@ -168,7 +168,7 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_a", "vec_b")
 
 
-@register("embedding_near_dup_exact", _NEARDUP_ORACLE)
+@register("embedding_near_dup_exact", _NEARDUP_ORACLE, extra=True)
 def embedding_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The quadratic expression-form near-dup join: the recall/equality
     baseline for the blocked operator above (and the shape the DuckDB oracle
@@ -1052,7 +1052,7 @@ ORDER BY q_id, rank
 """
 
 
-@register("pq_adc_search_topk", _pq_adc_oracle(_PQ_M, _PQ_KSUB, _PQ_ITERS, _TOPK))
+@register("pq_adc_search_topk", _pq_adc_oracle(_PQ_M, _PQ_KSUB, _PQ_ITERS, _TOPK), extra=True)
 def pq_adc_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantized ANN end-to-end (operators/pq.py): train per-subspace
     codebooks (joint Lloyd, one corpus scan per iteration for all _PQ_M

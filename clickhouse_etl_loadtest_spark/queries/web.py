@@ -1,0 +1,239 @@
+"""URL/host-level curation: the pre-text-dedup wave of a web-scale pipeline
+(RefinedWeb/Gopher-style; SURVEY.md §7.6 extension — the reference has no
+web-curation stage).
+
+The documents fixture carries no URL column, so each query derives one
+deterministically from ``(doc_id, source)`` — deliberately messy (mixed-case
+schemes and hosts, ``www.`` prefixes, scheme-default ports, tracking params
+in both positions, fragments, trailing slashes) — with the IDENTICAL
+arithmetic in the DuckDB oracle, so the driver value-checks the
+normalization itself, not just counts.
+
+Scale notes (100 TB):
+- ``doc_url_normalize``: pure column expressions (functions/urls.py), map-only
+  — no shuffle, no UDF; the plan is one scan + project.
+- ``doc_host_cap_sample``: ONE shuffle — a row_number window PARTITIONED by
+  host (host cardinality ~ domains; per-host sort bounded by docs-per-host,
+  AQE skew-split covers megahosts).
+- ``doc_host_mixture_weights``: per-host rollup (one shuffle on host) + a
+  1-row grand-total broadcast — the ``source_mixing_weights`` shape at host
+  granularity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.urls import TRACKING_PARAM_RE, url_host, url_normalize
+from . import register
+from .text import _docs
+
+# --- deterministic messy-URL derivation (Spark + SQL twins) --------------------------
+
+
+def _raw_url() -> Column:
+    d = F.col("doc_id")
+    scheme = F.when(d % 7 == 0, "HTTPS").when(d % 7 == 1, "Http").otherwise("http")
+    host = (
+        F.when(d % 3 == 0, F.concat(F.lit("WWW."), F.col("source"), F.lit(".Example.COM")))
+        .when(d % 3 == 1, F.concat(F.col("source"), F.lit(".example.com")))
+        .otherwise(F.concat(F.lit("www."), F.col("source"), F.lit(".EXAMPLE.com")))
+    )
+    port = F.when(
+        d % 5 == 0, F.when(d % 7 == 0, F.lit(":443")).otherwise(F.lit(":80"))
+    ).otherwise(F.lit(""))
+    path = F.concat(
+        F.lit("/d/"),
+        (d % 40).cast("string"),
+        F.when(d % 6 == 0, F.lit("/")).otherwise(F.lit("")),
+    )
+    qs = (
+        F.when(
+            d % 2 == 0,
+            F.concat(
+                F.lit("?utm_source=s"),
+                (d % 4).cast("string"),
+                F.lit("&id="),
+                (d % 10).cast("string"),
+            ),
+        )
+        .when(
+            d % 11 == 0,
+            F.concat(
+                F.lit("?id="),
+                (d % 10).cast("string"),
+                F.lit("&utm_medium=m&ref="),
+                (d % 3).cast("string"),
+            ),
+        )
+        .otherwise(F.lit(""))
+    )
+    frag = F.when(d % 4 == 1, F.concat(F.lit("#s"), (d % 3).cast("string"))).otherwise(
+        F.lit("")
+    )
+    return F.concat(scheme, F.lit("://"), host, port, path, qs, frag)
+
+
+_RAW_URL_SQL = """
+    (CASE WHEN doc_id % 7 = 0 THEN 'HTTPS' WHEN doc_id % 7 = 1 THEN 'Http' ELSE 'http' END)
+    || '://'
+    || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' || source || '.Example.COM'
+             WHEN doc_id % 3 = 1 THEN source || '.example.com'
+             ELSE 'www.' || source || '.EXAMPLE.com' END)
+    || (CASE WHEN doc_id % 5 = 0 THEN (CASE WHEN doc_id % 7 = 0 THEN ':443' ELSE ':80' END) ELSE '' END)
+    || '/d/' || CAST(doc_id % 40 AS VARCHAR)
+    || (CASE WHEN doc_id % 6 = 0 THEN '/' ELSE '' END)
+    || (CASE WHEN doc_id % 2 = 0 THEN '?utm_source=s' || CAST(doc_id % 4 AS VARCHAR) || '&id=' || CAST(doc_id % 10 AS VARCHAR)
+             WHEN doc_id % 11 = 0 THEN '?id=' || CAST(doc_id % 10 AS VARCHAR) || '&utm_medium=m&ref=' || CAST(doc_id % 3 AS VARCHAR)
+             ELSE '' END)
+    || (CASE WHEN doc_id % 4 = 1 THEN '#s' || CAST(doc_id % 3 AS VARCHAR) ELSE '' END)
+"""
+
+# DuckDB twin of functions/urls.py (regexp_replace needs the explicit 'g'
+# flag where Spark's is always-global; anchored patterns match once so the
+# flag is only needed on the tracking-param strip)
+_URL_CTES = f"""
+raw AS (
+    SELECT doc_id, source, n_chars, {_RAW_URL_SQL} AS raw_url FROM documents
+),
+norm AS (
+    SELECT *,
+        lower(regexp_extract(raw_url, '^([A-Za-z]+)://', 1)) AS scheme,
+        lower(regexp_extract(raw_url, '^[A-Za-z]+://([^/?#]+)', 1)) AS hostport,
+        regexp_replace(regexp_replace(raw_url, '#.*$', ''), '^[A-Za-z]+://[^/?#]+', '') AS pq
+    FROM raw
+),
+parts AS (
+    SELECT *,
+        CASE WHEN scheme = 'http'  THEN regexp_replace(regexp_replace(hostport, '^www\\.', ''), ':80$', '')
+             WHEN scheme = 'https' THEN regexp_replace(regexp_replace(hostport, '^www\\.', ''), ':443$', '')
+             ELSE regexp_replace(hostport, '^www\\.', '') END AS host,
+        regexp_replace(regexp_extract(pq, '^([^?]*)', 1), '/+$', '') AS path_norm,
+        regexp_extract(pq, '\\?(.*)$', 1) AS q0
+    FROM norm
+),
+cleaned AS (
+    SELECT *,
+        regexp_replace(regexp_replace(q0, '(^|&){TRACKING_PARAM_RE}=[^&]*', '', 'g'), '^&+', '') AS q1
+    FROM parts
+),
+urls AS (
+    SELECT doc_id, source, n_chars, raw_url, host,
+        scheme || '://' || host || path_norm
+          || (CASE WHEN array_to_string(list_sort(string_split(q1, '&')), '&') <> ''
+                   THEN '?' || array_to_string(list_sort(string_split(q1, '&')), '&')
+                   ELSE '' END) AS url_norm
+    FROM cleaned
+)
+"""
+
+_URL_NORMALIZE_ORACLE = f"""
+WITH {_URL_CTES}
+SELECT doc_id, raw_url, url_norm, host FROM urls ORDER BY doc_id
+"""
+
+
+@register("doc_url_normalize", _URL_NORMALIZE_ORACLE)
+def doc_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical URL per document: lowercased scheme/host, no ``www.``, no
+    default port, no fragment, tracking params stripped, surviving params
+    sorted, trailing slash trimmed (functions/urls.py::url_normalize).
+
+    Map-only: one scan, one projection of string/regexp expressions — the
+    whole operator runs inside WholeStageCodegen with zero exchanges, so at
+    100 TB it is scan-bound.
+    """
+    d = _docs(spark, sf_dir).select("doc_id", _raw_url().alias("raw_url"))
+    return d.select(
+        "doc_id",
+        "raw_url",
+        url_normalize(F.col("raw_url")).alias("url_norm"),
+        url_host(F.col("raw_url")).alias("host"),
+    ).orderBy("doc_id")
+
+
+# --- per-host document cap (RefinedWeb-style) ----------------------------------------
+
+_HOST_CAP = 5  # keep at most this many docs per canonical host
+
+_HOST_CAP_ORACLE = f"""
+WITH {_URL_CTES},
+ranked AS (
+    SELECT doc_id, host,
+           ROW_NUMBER() OVER (PARTITION BY host ORDER BY n_chars DESC, doc_id) AS host_rank
+    FROM urls
+)
+SELECT doc_id, host, CAST(host_rank AS BIGINT) AS host_rank
+FROM ranked WHERE host_rank <= {_HOST_CAP}
+ORDER BY doc_id
+"""
+
+
+@register("doc_host_cap_sample", _HOST_CAP_ORACLE)
+def doc_host_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host document cap: keep the top ``_HOST_CAP`` docs per canonical
+    host, ranked by length (quality proxy) with doc_id as the deterministic
+    tiebreak — the RefinedWeb-style guard against one domain dominating the
+    corpus.
+
+    ONE shuffle: a row_number window PARTITIONED by host. Host cardinality is
+    domains (millions, not billions), per-host work is bounded by
+    docs-per-host, and AQE's skew handling splits the rare megahost. No
+    global sort, no collect.
+    """
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir).select("doc_id", "n_chars", _raw_url().alias("raw_url"))
+    w = Window.partitionBy("host").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        d.select("doc_id", "n_chars", url_host(F.col("raw_url")).alias("host"))
+        .withColumn("host_rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("host_rank") <= _HOST_CAP)
+        .select("doc_id", "host", "host_rank")
+        .orderBy("doc_id")
+    )
+
+
+# --- host-level mixture weights -------------------------------------------------------
+
+_HOST_ALPHA = 0.5  # temperature exponent: upweight tail hosts, cap head hosts
+
+_HOST_MIX_ORACLE = f"""
+WITH {_URL_CTES},
+hosts AS (
+    SELECT host, CAST(COUNT(*) AS BIGINT) AS n_docs FROM urls GROUP BY host
+)
+SELECT host, n_docs,
+       pow(n_docs, {_HOST_ALPHA}) / SUM(pow(n_docs, {_HOST_ALPHA})) OVER () AS mix_weight
+FROM hosts
+ORDER BY host
+"""
+
+
+@register("doc_host_mixture_weights", _HOST_MIX_ORACLE)
+def doc_host_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened host mixing weights
+    (``w_h = n_h^alpha / sum(n^alpha)``, alpha=0.5): the sampling
+    distribution that keeps head domains from dominating while still
+    favoring them — the host-level analogue of ``source_mixing_weights``.
+
+    One shuffle (host rollup); the grand total is a 1-row aggregate joined
+    back by broadcast, never a single-partition window.
+    """
+    d = _docs(spark, sf_dir).select(_raw_url().alias("raw_url"))
+    hosts = (
+        d.select(url_host(F.col("raw_url")).alias("host"))
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    total = hosts.agg(F.sum(F.pow("n_docs", F.lit(_HOST_ALPHA))).alias("denom"))
+    return (
+        hosts.crossJoin(F.broadcast(total))
+        .select(
+            "host",
+            "n_docs",
+            (F.pow("n_docs", F.lit(_HOST_ALPHA)) / F.col("denom")).alias("mix_weight"),
+        )
+        .orderBy("host")
+    )

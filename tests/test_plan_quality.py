@@ -768,3 +768,57 @@ def test_q18_aggregate_before_join_and_take_ordered(spark, sf_dir):
     # Spark prints trees root-first, so "aggregate below the join" appears as
     # join -> aggregate -> lineitem scan in string order.
     assert first_join_pos < agg_pos < li_scan_pos
+
+
+def test_exact_substring_cuts_hashed_keys_and_partitioned_windows(spark, sf_dir):
+    """Find-and-cut substring dedup: the keep-first ranking windows over the
+    60-bit gram hash and the island merge windows over doc_id — never a
+    global-order window — and no Exchange ever carries document text."""
+    plan = exec_plan_of(spark, sf_dir, "doc_exact_substring_cuts")
+    assert "BatchEvalPython" not in plan and "CartesianProduct" not in plan
+    window_lines = [ln for ln in plan.splitlines() if "Window [" in ln]
+    assert window_lines
+    for ln in window_lines:
+        assert "windowspecdefinition(gh#" in ln or "windowspecdefinition(doc_id#" in ln, ln
+    assert "Exchange SinglePartition" not in plan
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert "text#" not in ln, ln
+
+
+def test_url_normalize_is_map_only(spark, sf_dir):
+    """URL canonicalization is pure column expressions: no keyed shuffle, no
+    join, no window, no Python — one scan, one projection (+ output sort)."""
+    plan = exec_plan_of(spark, sf_dir, "doc_url_normalize")
+    assert "Exchange hashpartitioning" not in plan
+    assert "Join" not in plan and "Window" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    read_schema_plan = plan_of(spark, sf_dir, "doc_url_normalize")
+    read_schema = next(ln for ln in read_schema_plan.splitlines() if "ReadSchema" in ln)
+    # column pruning: the derivation needs only (doc_id, source)
+    assert "text" not in read_schema and "n_chars" not in read_schema
+
+
+def test_host_cap_single_host_shuffle_with_group_limit(spark, sf_dir):
+    """The per-host cap is ONE hashpartitioning exchange on host, and Spark's
+    WindowGroupLimit pushdown trims each partition to the top-k BEFORE the
+    shuffle — the property that keeps a megahost from flooding an executor."""
+    plan = exec_plan_of(spark, sf_dir, "doc_host_cap_sample")
+    assert "BatchEvalPython" not in plan and "Join" not in plan
+    hash_exchanges = [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
+    assert len(hash_exchanges) == 1 and "host#" in hash_exchanges[0]
+    assert "WindowGroupLimit" in plan
+    window_lines = [ln for ln in plan.splitlines() if "Window [" in ln]
+    assert window_lines and all("windowspecdefinition(host#" in ln for ln in window_lines)
+
+
+def test_host_mixture_weights_total_broadcasts(spark, sf_dir):
+    """The grand-total denominator joins back as a 1-row broadcast — never a
+    shuffle join, never a single-partition window over all hosts."""
+    plan = exec_plan_of(spark, sf_dir, "doc_host_mixture_weights")
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "Exchange SinglePartition" not in plan or "Window" not in plan
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert "host#" in ln, ln
