@@ -332,6 +332,45 @@ def main() -> None:
     # (SPARK_GRAFT_CRASH_RECOVERY_20M=1): two subprocess Spark sessions cost
     # minutes; the measured run is committed in SCALING.md §"crash recovery"
     # and carried forward in the profile like the 100M wave.
+    # sf1.0 headline wave: the same 6 headline queries at 10x the gate scale
+    # (fixtures: scripts/gen_scale_tpch.py tiles the relational tables;
+    # scripts/gen_scale_docs.py extends documents/embeddings). Opt-in
+    # (SPARK_GRAFT_BENCH_SF1=1): fixture generation + the wave cost minutes;
+    # the measured run is committed in SCALING.md and carried forward below.
+    headline_sf1 = None
+    if os.environ.get("SPARK_GRAFT_BENCH_SF1", "0") == "1":
+        sf1_dir = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/scale/sf1.0")
+        if not os.path.exists(f"{sf1_dir}/lineitem.parquet"):
+            print(
+                f"# sf1.0 wave skipped: {sf1_dir} missing — run "
+                "scripts/gen_scale_tpch.py and scripts/gen_scale_docs.py first",
+                file=sys.stderr,
+            )
+        else:
+            sf1_calib = calibration(spark)
+            sf1_q, sf1_cold = {}, {}
+            for name, q in headline.items():
+                t0 = time.perf_counter()
+                q.fn(spark, sf1_dir).count()
+                sf1_cold[name] = round(time.perf_counter() - t0, 3)
+                runs = []
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    q.fn(spark, sf1_dir).count()
+                    runs.append(time.perf_counter() - t0)
+                sf1_q[name] = round(statistics.median(runs), 3)
+            headline_sf1 = {
+                "fixture": sf1_dir,
+                "calib_sec": sf1_calib,
+                "queries": sf1_q,
+                "cold_total_sec": round(sum(sf1_cold.values()), 3),
+                "warm_total_sec": round(sum(sf1_q.values()), 3),
+                "warm_total_norm_sec": round(
+                    sum(sf1_q.values()) * (CALIB_REF_SEC / sf1_calib), 3
+                ),
+            }
+            print(f"# headline sf1.0: {headline_sf1}", file=sys.stderr)
+
     crash_recovery = None
     if os.environ.get("SPARK_GRAFT_CRASH_RECOVERY_20M", "0") == "1":
         import tempfile as _tempfile
@@ -414,6 +453,9 @@ def main() -> None:
                 "crash_recovery_20m": crash_recovery
                 if crash_recovery is not None
                 else _carried_forward((prev_profile or {}).get("crash_recovery_20m")),
+                "headline_sf1": headline_sf1
+                if headline_sf1 is not None
+                else _carried_forward((prev_profile or {}).get("headline_sf1")),
                 "best": best,
             },
             f,
@@ -446,6 +488,10 @@ def main() -> None:
     }
     if streaming_100m is not None:
         out["streaming_loadtest_100m"] = _compact_stream20m(streaming_100m)
+    if headline_sf1 is not None:
+        out["headline_sf1"] = {
+            k: headline_sf1[k] for k in ("warm_total_sec", "warm_total_norm_sec")
+        }
     if crash_recovery is not None:
         out["crash_recovery_20m"] = {
             k: crash_recovery[k]
