@@ -237,3 +237,41 @@ def doc_host_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("host")
     )
+
+
+# --- URL-exact dedup (the first dedup pass of a crawl pipeline) ----------------------
+
+_URL_DEDUP_ORACLE = f"""
+WITH {_URL_CTES},
+groups AS (
+    SELECT url_norm,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM urls GROUP BY url_norm
+)
+SELECT url_norm, keep_doc_id, n_docs
+FROM groups WHERE n_docs >= 2
+ORDER BY url_norm
+"""
+
+
+@register("doc_url_dedup", _URL_DEDUP_ORACLE, extra=True)
+def doc_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-exact dedup decisions: canonical URLs claimed by >= 2 documents,
+    with the kept doc (smallest doc_id) — the first dedup pass of every
+    crawl pipeline, run BEFORE text-level dedup because it is free: one
+    groupBy on the normalized URL (map-side combinable; at 100 TB hash the
+    url_norm to a 60-bit key first if string shuffle volume matters —
+    deliberately kept as the string here so the oracle checks the
+    normalized URL text itself)."""
+    d = _docs(spark, sf_dir).select("doc_id", _raw_url().alias("raw_url"))
+    return (
+        d.select("doc_id", url_normalize(F.col("raw_url")).alias("url_norm"))
+        .groupBy("url_norm")
+        .agg(
+            F.min("doc_id").cast("bigint").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .where(F.col("n_docs") >= 2)
+        .orderBy("url_norm")
+    )
