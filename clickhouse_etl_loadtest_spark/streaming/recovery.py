@@ -53,7 +53,9 @@ def _count_commits(work: str) -> int:
         return 0
 
 
-def _child_cmd(work: str, records: int, staging_files: int, files_per_trigger: int) -> list[str]:
+def _child_cmd(
+    work: str, records: int, staging_files: int, files_per_trigger: int, operator: str
+) -> list[str]:
     return [
         sys.executable,
         "-m",
@@ -66,6 +68,8 @@ def _child_cmd(work: str, records: int, staging_files: int, files_per_trigger: i
         str(staging_files),
         "--files-per-trigger",
         str(files_per_trigger),
+        "--operator",
+        operator,
     ]
 
 
@@ -76,6 +80,7 @@ def crash_recovery_wave(
     files_per_trigger: int = 1,
     kill_after_commits: int = 2,
     timeout_s: float = 1800.0,
+    operator: str = "builtin",
 ) -> dict:
     """Kill the streaming dedup mid-flight and prove the resumed query
     converges to the exact answer.
@@ -90,12 +95,23 @@ def crash_recovery_wave(
     4. Validate the sink exactly: rows == distinct keys == the generator's
        closed-form unique count.
 
+    ``operator`` picks the recovery surface under test:
+    - ``"builtin"`` — the reference pipeline's ``dropDuplicatesWithinWatermark``
+      path (built-in state).
+    - ``"counts"`` — the CUSTOM ``applyInPandasWithState`` operator
+      (``stateful.py::dedup_with_counts``): update-mode cumulative rows, so
+      validation takes each key's row from the LAST batch that touched it
+      and asserts sum(is_first_emit) == uniques AND the summed latest
+      duplicate counts == total - uniques — exact accounting survives the
+      kill, proving custom Python-managed state recovers from the changelog
+      the same as built-in state.
+
     Returns the evidence dict recorded in BENCH_PROFILE / SCALING.md.
     """
     import duckdb
 
     repo_root = str(Path(__file__).resolve().parents[2])
-    cmd = _child_cmd(work, total_records, staging_files, files_per_trigger)
+    cmd = _child_cmd(work, total_records, staging_files, files_per_trigger, operator)
     os.makedirs(work, exist_ok=True)
 
     # --- run 1: start, then kill between commits -------------------------
@@ -144,11 +160,37 @@ def crash_recovery_wave(
     from ..sources.generator import unique_count
 
     expected = unique_count(total_records, DUPLICATION_RATE)
-    rows, distinct = duckdb.sql(
-        f"SELECT count(*), count(DISTINCT event_id) FROM read_parquet('{work}/sink/batch=*/*.parquet')"
-    ).fetchone()
+    if operator == "counts":
+        # update-mode sink: per key, the row from the LAST batch carries the
+        # cumulative suppressed count; first-emit rows appear exactly once
+        distinct, firsts, dups = duckdb.sql(
+            f"""
+            WITH t AS (
+                SELECT * FROM read_parquet('{work}/sink/batch=*/*.parquet', hive_partitioning=1)
+            ),
+            latest AS (
+                SELECT key, max_by(n_duplicates, batch) AS n_dups FROM t GROUP BY key
+            )
+            SELECT (SELECT count(*) FROM latest),
+                   (SELECT sum(is_first_emit) FROM t),
+                   (SELECT sum(n_dups) FROM latest)
+            """
+        ).fetchone()
+        rows = distinct
+        expected_dups = total_records - expected
+        ok = (
+            int(distinct) == expected
+            and int(firsts) == expected
+            and int(dups) == expected_dups
+        )
+    else:
+        rows, distinct = duckdb.sql(
+            f"SELECT count(*), count(DISTINCT event_id) FROM read_parquet('{work}/sink/batch=*/*.parquet')"
+        ).fetchone()
+        ok = int(rows) == expected and int(distinct) == expected
     commits_total = _count_commits(work)
-    return {
+    out = {
+        "operator": operator,
         "total_records": total_records,
         "expected_unique": expected,
         "sink_rows": int(rows),
@@ -160,8 +202,13 @@ def crash_recovery_wave(
         "wall_run1_to_kill_sec": round(wall_run1, 2),
         "wall_run2_sec": round(wall_run2, 2),
         "run2_stream_sec": done.get("stream_sec"),
-        "success": int(rows) == expected and int(distinct) == expected,
+        "success": ok,
     }
+    if operator == "counts":
+        out["sum_first_emits"] = int(firsts)
+        out["sum_latest_duplicate_counts"] = int(dups)
+        out["expected_duplicates"] = total_records - expected
+    return out
 
 
 # --------------------------------------------------------------------------
@@ -177,6 +224,7 @@ def _child_main(argv: list[str] | None = None) -> None:
     ap.add_argument("--records", type=int, required=True)
     ap.add_argument("--staging-files", type=int, default=12)
     ap.add_argument("--files-per-trigger", type=int, default=1)
+    ap.add_argument("--operator", choices=("builtin", "counts"), default="builtin")
     args = ap.parse_args(argv)
 
     from pyspark.sql import functions as F
@@ -216,20 +264,46 @@ def _child_main(argv: list[str] | None = None) -> None:
         .parquet(staging)
     )
     t0 = time.perf_counter()
-    query = run_streaming_pipeline(
-        spark,
-        p,
-        f"{work}/sink",
-        f"{work}/ckpt",
-        sources={topic: stream},
-        trigger="available_now",
-        await_ready=False,
-    )
-    try:
-        if not query.awaitTermination(1800):
-            raise TimeoutError("wave did not drain in 1800s")
-    finally:
-        stop_pipeline(p.pipeline_id)
+    if args.operator == "counts":
+        # the custom applyInPandasWithState operator under the same kill:
+        # Python-managed (first_us, dups) state in RocksDB, update mode,
+        # same batch_id-keyed idempotent sink; checkpoint path shared with
+        # the builtin branch so the harness's commit polling works unchanged
+        from .sink import chunked_foreach_batch_writer, idempotent_parquet_chunk_writer
+        from .stateful import dedup_with_counts
+
+        out = dedup_with_counts(stream, key="event_id", time_window="8h", ts_col="timestamp")
+        writer = chunked_foreach_batch_writer(
+            idempotent_parquet_chunk_writer(f"{work}/sink"), p.sink.max_batch_size
+        )
+        query = (
+            out.writeStream.outputMode("update")
+            .foreachBatch(writer)
+            .queryName(PIPELINE_ID)
+            .option("checkpointLocation", f"{work}/ckpt/{PIPELINE_ID}")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            if not query.awaitTermination(1800):
+                raise TimeoutError("wave did not drain in 1800s")
+        finally:
+            query.stop()
+    else:
+        query = run_streaming_pipeline(
+            spark,
+            p,
+            f"{work}/sink",
+            f"{work}/ckpt",
+            sources={topic: stream},
+            trigger="available_now",
+            await_ready=False,
+        )
+        try:
+            if not query.awaitTermination(1800):
+                raise TimeoutError("wave did not drain in 1800s")
+        finally:
+            stop_pipeline(p.pipeline_id)
     with open(f"{work}/done.json", "w") as f:
         json.dump({"stream_sec": round(time.perf_counter() - t0, 2)}, f)
 

@@ -41,3 +41,28 @@ def test_sigkill_mid_stream_resumes_to_exact_count(work_dir):
     assert r["sink_rows"] == r["expected_unique"]
     assert r["sink_distinct_keys"] == r["expected_unique"]
     assert r["success"]
+
+
+def test_sigkill_mid_stream_custom_stateful_operator(work_dir):
+    """The same SIGKILL/resume cycle over the CUSTOM applyInPandasWithState
+    operator (dedup_with_counts): Python-managed per-key state must rebuild
+    from the changelog so the cumulative duplicate accounting stays exact —
+    sum of first-emits == uniques, summed latest counts == total dups."""
+    # smaller than the builtin test: the Python-state path pays one Arrow
+    # round-trip per key-group, so batches are slower (which also makes the
+    # mid-flight kill window wider)
+    r = crash_recovery_wave(
+        work_dir,
+        total_records=100_000,
+        staging_files=10,
+        files_per_trigger=1,
+        kill_after_commits=2,
+        timeout_s=600,
+        operator="counts",
+    )
+    assert r["killed_returncode"] == -9
+    assert r["commits_at_kill"] < r["commits_total"]
+    assert r["sink_distinct_keys"] == r["expected_unique"]
+    assert r["sum_first_emits"] == r["expected_unique"]
+    assert r["sum_latest_duplicate_counts"] == r["expected_duplicates"]
+    assert r["success"]
