@@ -956,6 +956,112 @@ def doc_exact_substring_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_substring_cut_spans(_docs(spark, sf_dir), _CUT_L)
 
 
+_EXACT_SCRUB_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS t FROM documents
+),
+pos AS (
+    SELECT doc_id, i AS pos,
+           {h60_sql_duckdb(f"array_to_string(list_slice(t, i, i + {_CUT_L} - 1), ' ')")} AS gh
+    FROM toks, UNNEST(generate_series(1, len(t) - {_CUT_L} + 1)) AS u(i)
+    WHERE len(t) >= {_CUT_L}
+),
+ranked AS (
+    SELECT doc_id, pos,
+           ROW_NUMBER() OVER (PARTITION BY gh ORDER BY doc_id, pos) AS rn
+    FROM pos
+),
+cuts AS (SELECT doc_id, pos FROM ranked WHERE rn >= 2),
+covered AS (
+    SELECT DISTINCT doc_id, p AS pos
+    FROM cuts, UNNEST(generate_series(pos, pos + {_CUT_L} - 1)) AS u(p)
+),
+tokpos AS (
+    SELECT doc_id, i AS pos, t[i] AS tok
+    FROM toks, UNNEST(generate_series(1, len(t))) AS u(i)
+    WHERE len(t) >= {_CUT_L}
+),
+kept AS (
+    SELECT tp.doc_id, tp.pos, tp.tok
+    FROM tokpos tp ANTI JOIN covered c USING (doc_id, pos)
+),
+agg AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+           string_agg(tok, ' ' ORDER BY pos) AS scrubbed
+    FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(len(t.t) AS BIGINT) AS n_tokens,
+       COALESCE(a.n_kept, 0) AS n_kept,
+       {h60_sql_duckdb("COALESCE(a.scrubbed, '')")} AS scrubbed_hash
+FROM toks t LEFT JOIN agg a USING (doc_id)
+WHERE len(t.t) >= {_CUT_L}
+ORDER BY t.doc_id
+"""
+
+
+@register("doc_exact_substring_scrub", _EXACT_SCRUB_ORACLE, extra=True)
+def doc_exact_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CUT applied: remove every later occurrence of a >= ``_CUT_L``-token
+    repeat (keep-first-globally — the complement of ``doc_span_scrub``'s
+    cut-ALL-occurrences policy) and fingerprint the surviving text. This is
+    the Lee et al. 2022 cleaning pass end-to-end: the corpus that remains
+    after find-and-cut, verified at the reassembled-TEXT level via the
+    oracle's string hash, not just counts.
+
+    Plan: the cut-window pipeline of :func:`exact_substring_cut_spans`
+    (row_number over gram hashes — one fixed-width-key exchange), covered
+    positions exploded from cut windows (duplication-scale), kept tokens by
+    (doc_id, pos) anti-join, and a shuffle-order-independent reassembly via
+    ``array_sort(collect_list(struct(pos, tok)))`` — token text crosses
+    exactly one exchange (the reassembly, which any text-output operator
+    must pay)."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    toks = _tokens()
+    base = d.select("doc_id", toks.alias("toks")).where(F.size(toks) >= _CUT_L)
+    grams = base.select(
+        "doc_id", _positional_gram_hashes(F.col("toks"), _CUT_L).alias("ghs")
+    )
+    pos = grams.select("doc_id", F.posexplode("ghs").alias("pos0", "gh")).select(
+        "doc_id", (F.col("pos0") + 1).alias("pos"), "gh"
+    )
+    wgh = Window.partitionBy("gh").orderBy("doc_id", "pos")
+    cuts = (
+        pos.withColumn("rn", F.row_number().over(wgh))
+        .where(F.col("rn") >= 2)
+        .select("doc_id", "pos")
+    )
+    covered = cuts.select(
+        "doc_id", F.explode(F.sequence("pos", F.col("pos") + _CUT_L - 1)).alias("pos")
+    ).distinct()
+    tokpos = base.select("doc_id", F.posexplode("toks").alias("pos0", "tok")).select(
+        "doc_id", (F.col("pos0") + 1).alias("pos"), "tok"
+    )
+    kept = tokpos.join(covered, ["doc_id", "pos"], "left_anti")
+    agg = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))), lambda x: x["tok"]
+            ),
+        ).alias("scrubbed"),
+    )
+    return (
+        base.select("doc_id", F.size("toks").cast("bigint").alias("n_tokens"))
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint").alias("n_kept"),
+            h60(F.coalesce(F.col("scrubbed"), F.lit(""))).alias("scrubbed_hash"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # --- per-source adaptive quality cut -------------------------------------------------
 
 _ADAPTIVE_Q = 0.25  # drop the bottom quartile of each source
