@@ -1062,6 +1062,100 @@ def doc_exact_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_INCR_CUT_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS t FROM documents
+),
+pos AS (
+    SELECT doc_id, i AS pos,
+           {h60_sql_duckdb(f"array_to_string(list_slice(t, i, i + {_CUT_L} - 1), ' ')")} AS gh
+    FROM toks, UNNEST(generate_series(1, len(t) - {_CUT_L} + 1)) AS u(i)
+    WHERE len(t) >= {_CUT_L}
+),
+snap AS (SELECT DISTINCT gh FROM pos WHERE doc_id % {_SNAPSHOT_MOD} < {_SNAPSHOT_KEEP}),
+hits AS (
+    SELECT p.doc_id, p.pos FROM pos p
+    WHERE p.doc_id % {_SNAPSHOT_MOD} >= {_SNAPSHOT_KEEP}
+      AND p.gh IN (SELECT gh FROM snap)
+),
+isl AS (
+    SELECT doc_id, pos,
+           CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) > {_CUT_L}
+                THEN 1 ELSE 0 END AS brk
+    FROM hits
+),
+isl2 AS (
+    SELECT doc_id, pos, SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+    FROM isl
+)
+SELECT doc_id,
+       CAST(MIN(pos) AS BIGINT) AS span_start,
+       CAST(MAX(pos) + {_CUT_L} - 1 AS BIGINT) AS span_end,
+       CAST(MAX(pos) - MIN(pos) + {_CUT_L} AS BIGINT) AS span_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_windows
+FROM isl2
+GROUP BY doc_id, island
+ORDER BY doc_id, span_start
+"""
+
+
+@register("doc_incremental_substring_cuts", _INCR_CUT_ORACLE, extra=True)
+def doc_incremental_substring_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time substring dedup: spans in the NEW batch that repeat
+    verbatim (>= ``_CUT_L`` tokens) against the frozen snapshot corpus —
+    the incremental form of :func:`doc_exact_substring_cuts` a continuously
+    fed pipeline runs nightly (snapshot/batch split by the same
+    ``doc_id % 10 < 3`` convention as ``doc_incremental_dedup``).
+
+    Why it exists: re-running corpus-wide find-and-cut per ingest is
+    O(corpus) every night. Against a snapshot the per-ingest cost is
+    O(batch tokens) map work + one semi-join probe of the batch's gram
+    hashes against the snapshot gram set — both sides fixed-width longs.
+    At 100 TB the snapshot gram set is written once as a bucketed index
+    (the ``operators/scale.py::snapshot_dedup_index`` pattern, there for
+    content hashes) so repeated ingests shuffle ONLY the batch; here the
+    join form keeps the exact DuckDB twin. Batch-internal repeats are the
+    batch-level operator's job — this pass answers "what does the new data
+    repeat from what we already have".
+    """
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    toks = _tokens()
+    grams = d.select(
+        "doc_id", _positional_gram_hashes(toks, _CUT_L).alias("ghs")
+    ).where(F.size(toks) >= _CUT_L)
+    pos = grams.select("doc_id", F.posexplode("ghs").alias("pos0", "gh")).select(
+        "doc_id", (F.col("pos0") + 1).alias("pos"), "gh"
+    )
+    snap = (
+        pos.where(F.col("doc_id") % _SNAPSHOT_MOD < _SNAPSHOT_KEEP)
+        .select("gh")
+        .distinct()
+    )
+    hits = (
+        pos.where(F.col("doc_id") % _SNAPSHOT_MOD >= _SNAPSHOT_KEEP)
+        .join(snap, "gh", "left_semi")
+        .select("doc_id", "pos")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    return (
+        hits.withColumn(
+            "brk", F.when(F.col("pos") - F.lag("pos").over(w) > _CUT_L, 1).otherwise(0)
+        )
+        .withColumn("island", F.sum("brk").over(w))
+        .groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").cast("bigint").alias("span_start"),
+            (F.max("pos") + _CUT_L - 1).cast("bigint").alias("span_end"),
+            (F.max("pos") - F.min("pos") + _CUT_L).cast("bigint").alias("span_tokens"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .drop("island")
+        .orderBy("doc_id", "span_start")
+    )
+
+
 # --- per-source adaptive quality cut -------------------------------------------------
 
 _ADAPTIVE_Q = 0.25  # drop the bottom quartile of each source
