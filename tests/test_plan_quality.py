@@ -822,3 +822,26 @@ def test_host_mixture_weights_total_broadcasts(spark, sf_dir):
     for ln in plan.splitlines():
         if "Exchange hashpartitioning" in ln:
             assert "host#" in ln, ln
+
+
+def test_exact_substring_scrub_text_only_shuffles_by_doc(spark, sf_dir):
+    """The applied cut: gram windows shuffle as hashed longs; wherever token
+    TEXT crosses an Exchange the key is doc_id (the reassembly — the one
+    exchange any text-output operator must pay)."""
+    plan = exec_plan_of(spark, sf_dir, "doc_exact_substring_scrub")
+    assert "BatchEvalPython" not in plan and "CartesianProduct" not in plan
+    assert "Exchange SinglePartition" not in plan
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln and "tok#" in ln:
+            assert "doc_id#" in ln, ln
+
+
+def test_incremental_substring_cuts_probe_is_hash_semi_join(spark, sf_dir):
+    """The snapshot probe must be a hash semi-join on the gram hash — never
+    nested-loop — and no Exchange carries document text."""
+    plan = exec_plan_of(spark, sf_dir, "doc_incremental_substring_cuts")
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "LeftSemi" in plan
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert "text#" not in ln, ln
