@@ -65,3 +65,18 @@ def test_url_functions_on_non_urls(spark):
         .first()
     )
     assert row["s"] == "" and row["h"] == ""
+
+
+def test_url_normalize_is_idempotent_over_fixture_population(spark, sf_dir):
+    """Canonicalization must be a projection: applying it twice changes
+    nothing, over the full derived messy-URL population (every branch of the
+    scheme/host/port/query/fragment derivation)."""
+    from pyspark.sql import functions as F2
+
+    from clickhouse_etl_loadtest_spark.queries.web import _raw_url
+    from clickhouse_etl_loadtest_spark.queries.text import _docs
+
+    d = _docs(spark, sf_dir).select(_raw_url().alias("raw"))
+    once = d.select(url_normalize(F2.col("raw")).alias("n1"))
+    twice = once.select("n1", url_normalize(F2.col("n1")).alias("n2"))
+    assert twice.where(F2.col("n1") != F2.col("n2")).count() == 0
