@@ -845,3 +845,27 @@ def test_incremental_substring_cuts_probe_is_hash_semi_join(spark, sf_dir):
     for ln in plan.splitlines():
         if "Exchange hashpartitioning" in ln:
             assert "text#" not in ln, ln
+
+
+def test_pii_detect_and_redact_are_map_only(spark, sf_dir):
+    """PII detection and redaction are pure regexp column expressions: no
+    keyed shuffle, no join, no window, no Python — one scan, one projection
+    (+ output sort). At 100 TB both passes are scan-bound."""
+    for name in ("doc_pii_detect", "doc_pii_redact"):
+        plan = exec_plan_of(spark, sf_dir, name)
+        assert "Exchange hashpartitioning" not in plan, name
+        assert "Join" not in plan and "Window" not in plan, name
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
+def test_pii_source_report_single_source_shuffle(spark, sf_dir):
+    """The compliance report pays ONE hashpartitioning exchange keyed by
+    source, with a map-side partial aggregate below it — and the projected
+    PII text never crosses the shuffle (per-doc flags collapse first)."""
+    plan = exec_plan_of(spark, sf_dir, "doc_pii_source_report")
+    assert "BatchEvalPython" not in plan and "Join" not in plan
+    hash_exchanges = [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
+    assert len(hash_exchanges) == 1 and "source#" in hash_exchanges[0]
+    assert "pii_text" not in hash_exchanges[0]
+    agg_lines = [ln for ln in plan.splitlines() if "HashAggregate" in ln]
+    assert len(agg_lines) >= 2  # partial + final
