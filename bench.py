@@ -391,6 +391,31 @@ def main() -> None:
         finally:
             _shutil.rmtree(_cr_work, ignore_errors=True)
 
+    # Crash recovery at the 100M state scale (SPARK_GRAFT_CRASH_RECOVERY_100M=1):
+    # same harness, 5x the records — the kill lands with ~34M keys already in
+    # RocksDB state, so run 2 measures changelog state-RESTORE at real volume,
+    # not just WAL replumbing. Cost ~10 min; carried forward like the 100M wave.
+    crash_recovery_100m = None
+    if os.environ.get("SPARK_GRAFT_CRASH_RECOVERY_100M", "0") == "1":
+        import tempfile as _tempfile
+        import shutil as _shutil
+
+        from clickhouse_etl_loadtest_spark.streaming.recovery import crash_recovery_wave
+
+        _cr_work = _tempfile.mkdtemp(prefix="bench-crash-recovery-100m-")
+        try:
+            crash_recovery_100m = crash_recovery_wave(
+                _cr_work,
+                total_records=100_000_000,
+                staging_files=32,
+                files_per_trigger=4,
+                kill_after_commits=3,
+                timeout_s=3600.0,
+            )
+            print(f"# crash recovery 100M: {crash_recovery_100m}", file=sys.stderr)
+        finally:
+            _shutil.rmtree(_cr_work, ignore_errors=True)
+
     calib["end_sec"] = calibration(spark)
     # the 20M wave sits between the stream and end calibrations; normalize by
     # the slower of the two (conservative: never makes the wave look better
@@ -453,6 +478,9 @@ def main() -> None:
                 "crash_recovery_20m": crash_recovery
                 if crash_recovery is not None
                 else _carried_forward((prev_profile or {}).get("crash_recovery_20m")),
+                "crash_recovery_100m": crash_recovery_100m
+                if crash_recovery_100m is not None
+                else _carried_forward((prev_profile or {}).get("crash_recovery_100m")),
                 "headline_sf1": headline_sf1
                 if headline_sf1 is not None
                 else _carried_forward((prev_profile or {}).get("headline_sf1")),
@@ -495,6 +523,11 @@ def main() -> None:
     if crash_recovery is not None:
         out["crash_recovery_20m"] = {
             k: crash_recovery[k]
+            for k in ("success", "commits_at_kill", "recovered_batches", "wall_run2_sec")
+        }
+    if crash_recovery_100m is not None:
+        out["crash_recovery_100m"] = {
+            k: crash_recovery_100m[k]
             for k in ("success", "commits_at_kill", "recovered_batches", "wall_run2_sec")
         }
     line = json.dumps(out, separators=(",", ":"))
