@@ -603,21 +603,13 @@ def _minhash_bands_df(
     )
 
 
-@register("doc_minhash_lsh_pairs", _MINHASH_LSH_ORACLE, headline=True, extra=True)
-def doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash (16 perms) + LSH banding (4x4) candidate pairs — the scalable
-    fuzzy-dedup path (Broder 1997 resemblance sketches + banding).
-
-    Scale: signatures are one groupBy(doc_id) with 16 MIN aggregates
-    (map-side combine); the LSH self-join only shuffles (band, 4-int
-    signature) keys, and candidate volume is controlled by band geometry, not
-    corpus size. 100 TB corpora tune (perms, band_size) — constants here
-    chosen so the sf0.01 fixture yields verifiable pairs.
-    """
+def _lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unordered distinct LSH candidate pairs (doc_a < doc_b) — the shared
+    back half of the MinHash family. Bucket-collect + array-side pair
+    expansion instead of a self-join: one shuffle on (band, sig), no
+    recomputation of the minhash pipeline for a second join side, and
+    candidate volume stays bounded by bucket size."""
     bands = _minhash_bands_df(spark, sf_dir)
-    # bucket-collect + array-side pair expansion instead of a self-join: one
-    # shuffle on (band, sig), no recomputation of the minhash pipeline for a
-    # second join side, and candidate volume stays bounded by bucket size
     buckets = (
         bands.groupBy("band", "sig")
         .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
@@ -636,8 +628,21 @@ def doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         buckets.select(F.explode(pairs).alias("p"))
         .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .distinct()
-        .orderBy("doc_a", "doc_b")
     )
+
+
+@register("doc_minhash_lsh_pairs", _MINHASH_LSH_ORACLE, headline=True, extra=True)
+def doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash (16 perms) + LSH banding (4x4) candidate pairs — the scalable
+    fuzzy-dedup path (Broder 1997 resemblance sketches + banding).
+
+    Scale: signatures are one groupBy(doc_id) with 16 MIN aggregates
+    (map-side combine); the LSH self-join only shuffles (band, 4-int
+    signature) keys, and candidate volume is controlled by band geometry, not
+    corpus size. 100 TB corpora tune (perms, band_size) — constants here
+    chosen so the sf0.01 fixture yields verifiable pairs.
+    """
+    return _lsh_candidate_pairs(spark, sf_dir).orderBy("doc_a", "doc_b")
 
 
 # --- fuzzy dedup end-to-end: LSH candidates -> exact verify -> keep list -------
@@ -692,7 +697,7 @@ def _verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Jaccard-verified near-dup pairs ``(doc_a < doc_b)``: MinHash-LSH
     candidates, then exact shingle-Jaccard computed ONLY on candidates —
     verification cost is O(candidates), never O(n^2)."""
-    candidates = doc_minhash_lsh_pairs(spark, sf_dir)
+    candidates = _lsh_candidate_pairs(spark, sf_dir)
     sh = _shingles_df(spark, sf_dir)
     exploded = sh.select("doc_id", F.explode("shingles").alias("shingle"))
     sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
@@ -731,6 +736,57 @@ def doc_fuzzy_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir).select("doc_id")
     kept = d.join(drop.withColumn("_drop", F.lit(True)), "doc_id", "left")
     return kept.select("doc_id", F.coalesce(~F.col("_drop"), F.lit(True)).alias("keep")).orderBy("doc_id")
+
+
+# --- cross-source overlap matrix ----------------------------------------------------
+
+_SOURCE_OVERLAP_ORACLE = f"""
+WITH {_VERIFIED_CTES}
+SELECT least(da.source, db.source) AS source_a,
+       greatest(da.source, db.source) AS source_b,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM verified v
+JOIN documents da ON v.doc_a = da.doc_id
+JOIN documents db ON v.doc_b = db.doc_id
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@register("doc_source_overlap_matrix", _SOURCE_OVERLAP_ORACLE, extra=True)
+def doc_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified near-duplication flow between provenances: for every
+    unordered source pair (diagonal = within-source), the count of
+    Jaccard-verified near-dup pairs crossing it — the matrix that answers
+    "how much of source A is already in source B" before mixture weights
+    are chosen (the cross-corpus analogue of the MassiveText/Gopher
+    train-test overlap analyses, aimed at source-level mix decisions).
+
+    Scale: pairs are candidate-bounded (band geometry) then
+    Jaccard-verified, so the matrix joins a near-dup-scale pair list
+    against the (doc_id, source) map — two doc_id-keyed shuffles of
+    fixed-width rows — and the final rollup is |sources|² cells, tiny at
+    any corpus size.
+    """
+    pairs = _verified_pairs(spark, sf_dir)
+    src = _docs(spark, sf_dir).select("doc_id", "source")
+    return (
+        pairs.join(
+            src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a")),
+            "doc_a",
+        )
+        .join(
+            src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b")),
+            "doc_b",
+        )
+        .select(
+            F.least("src_a", "src_b").alias("source_a"),
+            F.greatest("src_a", "src_b").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("source_a", "source_b")
+    )
 
 
 # --- duplicate-cluster resolution: transitive closure over verified pairs --------
