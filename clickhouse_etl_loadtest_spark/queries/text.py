@@ -1960,6 +1960,69 @@ def doc_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Zipf power-law fit ---------------------------------------------------------------
+
+_ZIPF_TOP_K = 1000
+
+_ZIPF_ORACLE = f"""
+WITH toks AS (
+    SELECT unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS tok FROM documents
+),
+freq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY tok),
+top AS (
+    SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS rnk
+    FROM freq ORDER BY cnt DESC, tok LIMIT {_ZIPF_TOP_K}
+),
+fit AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_top,
+           regr_slope(ln(cnt), ln(rnk)) AS zipf_slope,
+           regr_intercept(ln(cnt), ln(rnk)) AS zipf_intercept
+    FROM top
+),
+types AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_types FROM freq)
+SELECT n_types, n_top, zipf_slope, zipf_intercept FROM types, fit
+"""
+
+
+@register("doc_zipf_fit", _ZIPF_ORACLE, extra=True)
+def doc_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf power-law fit over the corpus word-frequency distribution:
+    least-squares slope/intercept of ``ln(freq)`` on ``ln(rank)`` over the
+    top-1000 types (natural language sits near slope −1; a corpus that
+    drifts far off is boilerplate-heavy or synthetic — a standard
+    data-card / generated-text-detection statistic), plus the total type
+    count.
+
+    Scale: ONE corpus-scale shuffle (token groupBy, map-side combinable —
+    the same exchange every vocab pass pays); the top-k comes off it via
+    ``orderBy().limit()`` = TakeOrderedAndProject (per-partition heaps, no
+    global sort), so the only SinglePartition traffic is ≤ ``_ZIPF_TOP_K``
+    rows by construction, and the regression itself is two aggregates over
+    those rows (``regr_slope``/``regr_intercept``, identical estimator in
+    DuckDB).
+    """
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    freq = (
+        d.select(F.explode(_tokens()).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    top = freq.orderBy(F.desc("cnt"), F.asc("tok")).limit(_ZIPF_TOP_K)
+    w = Window.orderBy(F.desc("cnt"), F.asc("tok"))
+    ranked = top.withColumn("rnk", F.row_number().over(w))
+    fit = ranked.agg(
+        F.count(F.lit(1)).alias("n_top"),
+        F.regr_slope(F.log("cnt"), F.log("rnk")).alias("zipf_slope"),
+        F.regr_intercept(F.log("cnt"), F.log("rnk")).alias("zipf_intercept"),
+    )
+    types = freq.agg(F.count(F.lit(1)).alias("n_types"))
+    return types.crossJoin(F.broadcast(fit)).select(
+        "n_types", "n_top", "zipf_slope", "zipf_intercept"
+    )
+
+
 # --- Gopher quality rules (Rae et al. 2021, Table A1) ---------------------------------
 
 # every threshold compare is cross-multiplied to integer arithmetic, so the

@@ -869,3 +869,15 @@ def test_pii_source_report_single_source_shuffle(spark, sf_dir):
     assert "pii_text" not in hash_exchanges[0]
     agg_lines = [ln for ln in plan.splitlines() if "HashAggregate" in ln]
     assert len(agg_lines) >= 2  # partial + final
+
+
+def test_zipf_fit_topk_via_take_ordered(spark, sf_dir):
+    """The Zipf fit's top-k comes off the vocab count via
+    TakeOrderedAndProject (per-partition heaps) — never a global sort of the
+    full vocabulary — and the corpus-scale exchange is the token groupBy."""
+    plan = exec_plan_of(spark, sf_dir, "doc_zipf_fit")
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan and "CartesianProduct" not in plan
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert "tok#" in ln, ln
