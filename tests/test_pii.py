@@ -81,3 +81,68 @@ def test_email_domain_not_matched_as_ip(spark):
     """Dotted domains with letters never trip the dotted-quad regex."""
     e, p, i = _counts_one(spark, "x@mail.example.com")
     assert (e, p, i) == (1, 0, 0)
+
+
+def test_redact_and_counts_match_python_re_on_random_corpus(spark):
+    """Differential fuzz vs Python ``re`` (a third regex engine beside Java
+    and RE2): 400 seeded random texts mixing valid PII, near-misses (no TLD,
+    short phone groups, double dots), adjacency (PII glued to words), and
+    plain words — counts and redacted output must agree byte-for-byte in
+    ONE Spark pass."""
+    import random
+    import re
+
+    from clickhouse_etl_loadtest_spark.functions.pii import (
+        EMAIL_RE,
+        EMAIL_TAG,
+        IPV4_RE,
+        IPV4_TAG,
+        PHONE_RE,
+        PHONE_TAG,
+    )
+
+    rng = random.Random(20260815)
+    words = ["alpha", "beta", "gamma", "delta", "x9", "tok", "spark", "row"]
+
+    def frag() -> str:
+        k = rng.randrange(10)
+        if k == 0:
+            return f"{rng.choice(words)}{rng.randrange(99)}@{rng.choice(words)}.example.com"
+        if k == 1:
+            return f"+1-{rng.randrange(100,999)}-{rng.randrange(100,999)}-{rng.randrange(1000,9999)}"
+        if k == 2:
+            return ".".join(str(rng.randrange(300)) for _ in range(4))
+        if k == 3:  # near-misses
+            return rng.choice(
+                ["a@b", "+1-55-123-4567", "1.2.3", "user@", "@dom.com", "+1-555-1234-567"]
+            )
+        if k == 4:  # adjacency: PII glued into a word
+            return f"wo{rng.choice(['+1-555-111-2222', '1.2.3.4'])}rd"
+        return rng.choice(words)
+
+    texts = [" ".join(frag() for _ in range(rng.randrange(1, 12))) for _ in range(400)]
+
+    def py_redact(t: str) -> str:
+        t = re.sub(EMAIL_RE, EMAIL_TAG, t)
+        t = re.sub(PHONE_RE, PHONE_TAG, t)
+        return re.sub(IPV4_RE, IPV4_TAG, t)
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, t string")
+    got = {
+        r["i"]: (r["e"], r["p"], r["ip"], r["r"])
+        for r in df.select(
+            "i",
+            pii_email_count(F.col("t")).alias("e"),
+            pii_phone_count(F.col("t")).alias("p"),
+            pii_ipv4_count(F.col("t")).alias("ip"),
+            pii_redact(F.col("t")).alias("r"),
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        want = (
+            len(re.findall(EMAIL_RE, t)),
+            len(re.findall(PHONE_RE, t)),
+            len(re.findall(IPV4_RE, t)),
+            py_redact(t),
+        )
+        assert got[i] == want, f"text {i}: {t!r}: spark={got[i]} python={want}"
