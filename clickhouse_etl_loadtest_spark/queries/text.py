@@ -1960,6 +1960,85 @@ def doc_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- TF-IDF keyword extraction --------------------------------------------------------
+
+_TFIDF_TOP_K = 3
+
+_TFIDF_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS tok
+    FROM documents
+),
+tf AS (
+    SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM toks WHERE tok NOT IN {_sql_in(STOPWORDS)}
+    GROUP BY doc_id, tok
+),
+df AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+ranked AS (
+    SELECT doc_id, tok, tf, df,
+           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tf DESC, df ASC, tok) AS rnk
+    FROM tf JOIN df USING (tok)
+)
+SELECT doc_id, tok, tf, df, CAST(rnk AS BIGINT) AS rnk,
+       tf * ln(CAST(n_docs AS DOUBLE) / df) AS tfidf
+FROM ranked, n
+WHERE rnk <= {_TFIDF_TOP_K}
+ORDER BY doc_id, rnk
+"""
+
+
+@register("doc_tfidf_top_terms", _TFIDF_ORACLE, extra=True)
+def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: the top-3 non-stopword terms ranked
+    by the INTEGER-exact composite (tf desc, df asc, token) — most frequent
+    first, rarer-in-corpus breaking ties — with the tf-idf weight
+    (``tf * ln(N/df)``) reported for each selected term.
+
+    The rank key is deliberately integer-only: cutting a top-k at a float
+    boundary is the one place two engines can legitimately disagree (the
+    ``doc_bm25_scores`` precedent — Java and libm ``ln`` differ in the last
+    ulp), so selection is exact arithmetic and the float weight is a
+    reported VALUE, checked by the gate's 9-digit canonicalization.
+
+    Scale: one (doc_id, tok) groupBy (map-side combinable), a vocab-scale
+    df rollup off it, a token-keyed join of two fixed-width tables, and a
+    per-doc window — Spark's WindowGroupLimit trims each partition to k
+    rows before the doc-keyed shuffle. No text wider than a token crosses
+    any exchange; N is a 1-row broadcast.
+    """
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    tf = (
+        d.select("doc_id", F.explode(_tokens()).alias("tok"))
+        .where(~F.col("tok").isin(*STOPWORDS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tf"), F.asc("df"), F.asc("tok"))
+    return (
+        tf.join(df_t, "tok")
+        .withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rnk") <= _TFIDF_TOP_K)
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "tok",
+            "tf",
+            "df",
+            "rnk",
+            (F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df"))).alias(
+                "tfidf"
+            ),
+        )
+        .orderBy("doc_id", "rnk")
+    )
+
+
 # --- Zipf power-law fit ---------------------------------------------------------------
 
 _ZIPF_TOP_K = 1000

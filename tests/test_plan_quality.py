@@ -881,3 +881,15 @@ def test_zipf_fit_topk_via_take_ordered(spark, sf_dir):
     for ln in plan.splitlines():
         if "Exchange hashpartitioning" in ln:
             assert "tok#" in ln, ln
+
+
+def test_tfidf_window_group_limit_and_token_width_exchanges(spark, sf_dir):
+    """TF-IDF keyword extraction: the per-doc top-k window gets
+    WindowGroupLimit pushdown (k rows per partition cross the doc shuffle),
+    and no exchange carries anything wider than a token."""
+    plan = exec_plan_of(spark, sf_dir, "doc_tfidf_top_terms")
+    assert "BatchEvalPython" not in plan and "CartesianProduct" not in plan
+    assert "WindowGroupLimit" in plan
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert "text#" not in ln, ln
