@@ -2102,6 +2102,103 @@ def doc_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Heaps'-law vocabulary growth -----------------------------------------------------
+
+_HEAPS_BUCKETS = 16  # doc_id-range checkpoints along the "tokens seen" axis
+
+_HEAPS_ORACLE = f"""
+WITH b AS (SELECT CAST(CEIL((MAX(doc_id) + 1.0) / {_HEAPS_BUCKETS}) AS BIGINT) AS w FROM documents),
+toks AS (
+    SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS tok
+    FROM documents
+),
+first_seen AS (
+    SELECT tok, CAST(FLOOR(MIN(doc_id) * 1.0 / w) AS BIGINT) AS bucket FROM toks, b GROUP BY tok, w
+),
+new_types AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS new_types FROM first_seen GROUP BY bucket),
+doc_tokens AS (
+    SELECT CAST(FLOOR(doc_id * 1.0 / w) AS BIGINT) AS bucket,
+           CAST(SUM(len(regexp_extract_all(lower(text), '{TOKEN_RE}'))) AS BIGINT) AS toks
+    FROM documents, b GROUP BY 1
+),
+cum AS (
+    SELECT d.bucket,
+           CAST(SUM(d.toks) OVER (ORDER BY d.bucket) AS BIGINT) AS cum_tokens,
+           CAST(SUM(COALESCE(n.new_types, 0)) OVER (ORDER BY d.bucket) AS BIGINT) AS cum_types
+    FROM doc_tokens d LEFT JOIN new_types n USING (bucket)
+),
+fit AS (
+    SELECT round(regr_slope(ln(cum_types), ln(cum_tokens)), 6) AS heaps_beta,
+           round(regr_intercept(ln(cum_types), ln(cum_tokens)), 6) AS heaps_ln_k
+    FROM cum
+)
+SELECT bucket, cum_tokens, cum_types, heaps_beta, heaps_ln_k
+FROM cum, fit
+ORDER BY bucket
+"""
+
+
+@register("doc_heaps_law", _HEAPS_ORACLE, extra=True)
+def doc_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth: cumulative distinct types vs cumulative
+    tokens at 16 doc_id-range checkpoints, plus the fitted power-law
+    exponent (``V = K·n^beta``, natural corpora ≈ 0.4–0.6 — a saturating
+    vocabulary flags templated/synthetic text; the companion statistic to
+    :func:`doc_zipf_fit` on a data card).
+
+    Scale: the naive form (cumulative DISTINCT over a global doc order) is a
+    single-partition scan — instead each type maps to the BUCKET of its
+    first occurrence (one vocab-scale min(doc_id) rollup, map-side
+    combinable), per-bucket new-type and token counts collapse to
+    ``_HEAPS_BUCKETS`` rows, and only those rows cross the final cumsum
+    window — the SinglePartition traffic is 16 rows by construction. All
+    checkpoint values are exact integers; the fit is ``regr_*`` over the 16
+    checkpoints, rounded to 6 decimals in both engines — a saturated
+    (constant) vocabulary makes the slope estimator return 0 vs O(1e-17)
+    float noise across engines, and the rounding collapses that to an
+    exact 0.0 == 0.0.
+    """
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    w_row = d.agg(
+        F.ceil((F.max("doc_id") + F.lit(1.0)) / _HEAPS_BUCKETS).cast("long").alias("w")
+    )
+    toks = d.select("doc_id", F.explode(_tokens()).alias("tok")).crossJoin(
+        F.broadcast(w_row)
+    )
+    new_types = (
+        toks.groupBy("tok")
+        .agg(F.floor(F.min("doc_id") / F.min("w")).cast("long").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("new_types"))
+    )
+    doc_tokens = (
+        d.select("doc_id", F.size(_tokens()).alias("n_toks"))
+        .crossJoin(F.broadcast(w_row))
+        .groupBy(F.floor(F.col("doc_id") / F.col("w")).cast("long").alias("bucket"))
+        .agg(F.sum("n_toks").cast("bigint").alias("toks"))
+    )
+    cw = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (
+        doc_tokens.join(new_types, "bucket", "left")
+        .select(
+            "bucket",
+            F.sum("toks").over(cw).cast("bigint").alias("cum_tokens"),
+            F.sum(F.coalesce("new_types", F.lit(0))).over(cw).cast("bigint").alias("cum_types"),
+        )
+    )
+    fit = cum.agg(
+        F.round(F.regr_slope(F.log("cum_types"), F.log("cum_tokens")), 6).alias("heaps_beta"),
+        F.round(F.regr_intercept(F.log("cum_types"), F.log("cum_tokens")), 6).alias("heaps_ln_k"),
+    )
+    return (
+        cum.crossJoin(F.broadcast(fit))
+        .select("bucket", "cum_tokens", "cum_types", "heaps_beta", "heaps_ln_k")
+        .orderBy("bucket")
+    )
+
+
 # --- Gopher quality rules (Rae et al. 2021, Table A1) ---------------------------------
 
 # every threshold compare is cross-multiplied to integer arithmetic, so the

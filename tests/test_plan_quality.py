@@ -893,3 +893,18 @@ def test_tfidf_window_group_limit_and_token_width_exchanges(spark, sf_dir):
     for ln in plan.splitlines():
         if "Exchange hashpartitioning" in ln:
             assert "text#" not in ln, ln
+
+
+def test_heaps_law_single_partition_traffic_is_bucket_bounded(spark, sf_dir):
+    """Heaps'-law growth: the only SinglePartition exchanges feed the
+    16-bucket cumsum window and the 1-row fit/width aggregates — the
+    vocab-scale work (first-occurrence min) is a hashpartitioned tok
+    rollup, and no exchange carries document text."""
+    plan = exec_plan_of(spark, sf_dir, "doc_heaps_law")
+    assert "BatchEvalPython" not in plan
+    hash_exchanges = [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
+    assert hash_exchanges
+    for ln in hash_exchanges:
+        assert "text#" not in ln, ln
+        # the doc-side bucket key prints as a grouping expression
+        assert "tok#" in ln or "bucket#" in ln or "_groupingexpression#" in ln, ln
