@@ -1571,6 +1571,90 @@ def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "chunk_id")
 
 
+# --- content-defined chunking (Rabin-style CDC) ---------------------------------------
+
+_CDC_W = 4  # rolling-window width (tokens)
+_CDC_D = 8  # boundary divisor: expected chunk length ~ _CDC_D tokens
+
+_CDC_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS t FROM documents
+),
+tokpos AS (
+    SELECT doc_id, t, len(t) AS n, i AS pos, t[i] AS tok
+    FROM toks, UNNEST(generate_series(1, len(t))) AS u(i)
+    WHERE len(t) > 0
+),
+flags AS (
+    SELECT doc_id, pos, tok,
+           CASE WHEN pos >= {_CDC_W} AND pos < n
+                     AND {h60_sql_duckdb(f"array_to_string(list_slice(t, pos - {_CDC_W} + 1, pos), ' ')")} % {_CDC_D} = 0
+                THEN 1 ELSE 0 END AS cut
+    FROM tokpos
+),
+chunked AS (
+    SELECT doc_id, pos, tok,
+           1 + COALESCE(SUM(cut) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_idx
+    FROM flags
+)
+SELECT doc_id,
+       CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       CAST(MIN(pos) AS BIGINT) AS start_pos,
+       CAST(COUNT(*) AS BIGINT) AS n_chunk_tokens,
+       {h60_sql_duckdb("string_agg(tok, ' ' ORDER BY pos)")} AS chunk_hash
+FROM chunked
+GROUP BY doc_id, chunk_idx
+ORDER BY doc_id, chunk_idx
+"""
+
+
+@register("doc_cdc_chunks", _CDC_ORACLE, extra=True)
+def doc_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (Rabin-style: LBFS, Muthitacharoen et al.
+    2001 — the rsync/storage-dedup boundary rule, used at corpus scale for
+    chunk-level dedup that survives insertions): cut after token ``i``
+    wherever the hash of the ``_CDC_W``-token window ending at ``i`` is
+    ``0 mod _CDC_D``, so boundaries move WITH content — an edit reshuffles
+    only its own chunk, unlike :func:`doc_chunk_windows`' fixed stride.
+
+    Entirely map-side, zero keyed shuffles (plan-asserted): boundary
+    positions, chunk spans, and chunk hashes are all array expressions over
+    the per-doc token array — the same stage that tokenizes. At 100 TB the
+    manifest (16-byte hashes) is what downstream chunk-dedup shuffles,
+    never chunk text.
+    """
+    d = _docs(spark, sf_dir).select("doc_id", _tokens().alias("t")).where(F.size("t") > 0)
+    n = F.size("t")
+    cuts = F.when(
+        n - 1 >= _CDC_W,
+        F.filter(
+            F.sequence(F.lit(_CDC_W), n - 1),
+            lambda i: h60(F.concat_ws(" ", F.slice(F.col("t"), i - _CDC_W + 1, F.lit(_CDC_W))))
+            % _CDC_D
+            == 0,
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    bounds = F.concat(F.array(F.lit(0)), cuts, F.array(n))
+    chunks = d.select(
+        "doc_id",
+        "t",
+        bounds.alias("b"),
+        F.explode(F.sequence(F.lit(0), F.size(bounds) - 2)).alias("j"),
+    )
+    start = F.element_at("b", F.col("j") + 1) + 1
+    size = F.element_at("b", F.col("j") + 2) - F.element_at("b", F.col("j") + 1)
+    window = F.slice(F.col("t"), start, size)
+    return chunks.select(
+        "doc_id",
+        (F.col("j") + 1).cast("bigint").alias("chunk_idx"),
+        start.cast("bigint").alias("start_pos"),
+        size.cast("bigint").alias("n_chunk_tokens"),
+        h60(F.concat_ws(" ", window)).alias("chunk_hash"),
+    ).orderBy("doc_id", "chunk_idx")
+
+
 # --- FUZZY benchmark-contamination screening (near-dup, not just verbatim) ----------
 
 # One shared LSH band (estimated Jaccard above the band-geometry threshold)

@@ -908,3 +908,13 @@ def test_heaps_law_single_partition_traffic_is_bucket_bounded(spark, sf_dir):
         assert "text#" not in ln, ln
         # the doc-side bucket key prints as a grouping expression
         assert "tok#" in ln or "bucket#" in ln or "_groupingexpression#" in ln, ln
+
+
+def test_cdc_chunks_is_map_only(spark, sf_dir):
+    """Content-defined chunking computes boundaries, spans, and hashes as
+    array expressions in the tokenize stage: no keyed shuffle, no join, no
+    window, no Python — the manifest leaves the stage as 16-byte hashes."""
+    plan = exec_plan_of(spark, sf_dir, "doc_cdc_chunks")
+    assert "Exchange hashpartitioning" not in plan
+    assert "Join" not in plan and "Window" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
