@@ -1576,8 +1576,7 @@ def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CDC_W = 4  # rolling-window width (tokens)
 _CDC_D = 8  # boundary divisor: expected chunk length ~ _CDC_D tokens
 
-_CDC_ORACLE = f"""
-WITH toks AS (
+_CDC_CTES = f"""toks AS (
     SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS t FROM documents
 ),
 tokpos AS (
@@ -1598,14 +1597,21 @@ chunked AS (
                PARTITION BY doc_id ORDER BY pos
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_idx
     FROM flags
-)
-SELECT doc_id,
-       CAST(chunk_idx AS BIGINT) AS chunk_idx,
-       CAST(MIN(pos) AS BIGINT) AS start_pos,
-       CAST(COUNT(*) AS BIGINT) AS n_chunk_tokens,
-       {h60_sql_duckdb("string_agg(tok, ' ' ORDER BY pos)")} AS chunk_hash
-FROM chunked
-GROUP BY doc_id, chunk_idx
+),
+cdc_chunks AS (
+    SELECT doc_id,
+           CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           CAST(MIN(pos) AS BIGINT) AS start_pos,
+           CAST(COUNT(*) AS BIGINT) AS n_chunk_tokens,
+           {h60_sql_duckdb("string_agg(tok, ' ' ORDER BY pos)")} AS chunk_hash
+    FROM chunked
+    GROUP BY doc_id, chunk_idx
+)"""
+
+_CDC_ORACLE = f"""
+WITH {_CDC_CTES}
+SELECT doc_id, chunk_idx, start_pos, n_chunk_tokens, chunk_hash
+FROM cdc_chunks
 ORDER BY doc_id, chunk_idx
 """
 
@@ -1625,6 +1631,12 @@ def doc_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     manifest (16-byte hashes) is what downstream chunk-dedup shuffles,
     never chunk text.
     """
+    return _cdc_manifest(spark, sf_dir).orderBy("doc_id", "chunk_idx")
+
+
+def _cdc_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The unsorted CDC chunk manifest — shared by the manifest query and
+    the corpus dedup-ratio rollup."""
     d = _docs(spark, sf_dir).select("doc_id", _tokens().alias("t")).where(F.size("t") > 0)
     n = F.size("t")
     cuts = F.when(
@@ -1652,7 +1664,54 @@ def doc_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         start.cast("bigint").alias("start_pos"),
         size.cast("bigint").alias("n_chunk_tokens"),
         h60(F.concat_ws(" ", window)).alias("chunk_hash"),
-    ).orderBy("doc_id", "chunk_idx")
+    )
+
+
+_CDC_RATIO_ORACLE = f"""
+WITH {_CDC_CTES},
+groups AS (
+    SELECT chunk_hash, CAST(COUNT(*) AS BIGINT) AS refs,
+           CAST(MIN(n_chunk_tokens) AS BIGINT) AS tok0
+    FROM cdc_chunks GROUP BY chunk_hash
+)
+SELECT CAST(SUM(refs) AS BIGINT) AS total_chunks,
+       CAST(COUNT(*) AS BIGINT) AS distinct_chunks,
+       CAST(SUM(refs * tok0) AS BIGINT) AS total_tokens,
+       CAST(SUM(tok0) AS BIGINT) AS stored_tokens,
+       CAST(SUM(refs * tok0) - SUM(tok0) AS BIGINT) AS saved_tokens
+FROM groups
+"""
+
+
+@register("doc_cdc_dedup_ratio", _CDC_RATIO_ORACLE, extra=True)
+def doc_cdc_dedup_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CDC payoff number: corpus-level chunk-dedup savings — total vs
+    distinct chunk references and the token volume a content-addressed
+    store would hold vs what the raw corpus holds (identical chunks share
+    one copy; equal hashes imply equal token counts, so ``min`` is just the
+    deterministic representative).
+
+    Scale: ONE shuffle — the chunk_hash rollup of 16-byte keys (map-side
+    combinable), then a 1-row final aggregate. The manifest side is the
+    map-only :func:`doc_cdc_chunks` stage.
+    """
+    groups = (
+        _cdc_manifest(spark, sf_dir)
+        .groupBy("chunk_hash")
+        .agg(
+            F.count(F.lit(1)).alias("refs"),
+            F.min("n_chunk_tokens").alias("tok0"),
+        )
+    )
+    return groups.agg(
+        F.sum("refs").cast("bigint").alias("total_chunks"),
+        F.count(F.lit(1)).alias("distinct_chunks"),
+        F.sum(F.col("refs") * F.col("tok0")).cast("bigint").alias("total_tokens"),
+        F.sum("tok0").cast("bigint").alias("stored_tokens"),
+        (F.sum(F.col("refs") * F.col("tok0")) - F.sum("tok0"))
+        .cast("bigint")
+        .alias("saved_tokens"),
+    )
 
 
 # --- FUZZY benchmark-contamination screening (near-dup, not just verbatim) ----------
