@@ -23,6 +23,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.graph import connected_components
+from ..operators.pagerank import pagerank_fixed_point
 from ..functions.hashing import (
     h32,
     h32_sql_duckdb,
@@ -787,6 +788,78 @@ def doc_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_pairs"))
         .orderBy("source_a", "source_b")
     )
+
+
+# --- dup-graph PageRank: iterative fixed-point centrality over verified pairs ----
+
+_PR_ITERATIONS = 4
+
+# one unrolled iteration of the integer fixed-point recurrence (see
+# operators/pagerank.py): base = 15·(1e12 // 100) // n, damping 85/100,
+# every op an integer // so both engines produce bit-identical BIGINTs
+_PR_ITER_CTE = """pr_r{t} AS (
+    SELECT ed.dst AS node,
+           150000000000 // MAX(p.n) + (85 * SUM(r.r // ed.deg)) // 100 AS r
+    FROM pr_ed ed JOIN pr_r{prev} r ON r.node = ed.src CROSS JOIN pr_n p
+    GROUP BY ed.dst
+)"""
+
+_PAGERANK_ORACLE = (
+    f"""
+WITH {_VERIFIED_CTES},
+pr_edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM verified
+    UNION ALL
+    SELECT doc_b AS src, doc_a AS dst FROM verified
+),
+pr_deg AS (SELECT src, COUNT(*) AS deg FROM pr_edges GROUP BY src),
+pr_ed AS (SELECT e.src, e.dst, d.deg FROM pr_edges e JOIN pr_deg d USING (src)),
+pr_n AS (SELECT COUNT(DISTINCT src) AS n FROM pr_edges),
+pr_r0 AS (
+    SELECT DISTINCT src AS node, 1000000000000 // n AS r FROM pr_edges, pr_n
+),
+"""
+    + ",\n".join(_PR_ITER_CTE.format(t=t, prev=t - 1) for t in range(1, _PR_ITERATIONS + 1))
+    + f"""
+SELECT node AS doc_id,
+       CAST(r AS BIGINT) AS rank_fp,
+       CAST(r AS DOUBLE) / 1e12 AS rank
+FROM pr_r{_PR_ITERATIONS}
+ORDER BY doc_id
+"""
+)
+
+
+@register("doc_dup_graph_pagerank", _PAGERANK_ORACLE, extra=True)
+def doc_dup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the verified near-dup graph — which
+    documents sit at the CENTER of duplication neighborhoods (template
+    pages, boilerplate hubs, mirror roots). Cluster resolution
+    (:func:`doc_dup_clusters`) says which docs belong together; centrality
+    ranks them WITHIN the tangle, the signal a curation pipeline uses to
+    pick canonical representatives or to audit what the crawler keeps
+    re-fetching. Public recipe: PageRank as repeated sparse matvec
+    (Page et al. 1999), the Pregel/GraphX shape re-expressed as DataFrame
+    joins.
+
+    Cross-engine determinism: the entire iteration is BIGINT fixed-point
+    (units of 1e-12, integer div only — operators/pagerank.py), so ranks
+    are bit-identical in Spark and DuckDB with no float-sum ordering or
+    decimal-cast wobble anywhere.
+
+    Scale: edges are the Jaccard-verified pair list (candidate-bounded by
+    LSH band geometry), symmetrized — two longs per row, never text. Each
+    of the 4 iterations is ONE src-keyed shuffle join plus a
+    map-side-combined SUM by dst; rank state is one long per graph node.
+    The edge list is degree-annotated once and checkpointed, so the LSH
+    pipeline runs exactly once.
+    """
+    pairs = _verified_pairs(spark, sf_dir)
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).unionAll(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    pr = pagerank_fixed_point(edges, iterations=_PR_ITERATIONS)
+    return pr.select(F.col("node").alias("doc_id"), "rank_fp", "rank").orderBy("doc_id")
 
 
 # --- duplicate-cluster resolution: transitive closure over verified pairs --------
@@ -1711,6 +1784,69 @@ def doc_cdc_dedup_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(F.col("refs") * F.col("tok0")) - F.sum("tok0"))
         .cast("bigint")
         .alias("saved_tokens"),
+    )
+
+
+# same deterministic snapshot split as queries/curation.py's incremental family
+_CDC_SNAP_MOD, _CDC_SNAP_KEEP = 10, 3
+
+_CDC_INGEST_ORACLE = f"""
+WITH {_CDC_CTES},
+snap AS (
+    SELECT DISTINCT chunk_hash FROM cdc_chunks
+    WHERE doc_id % {_CDC_SNAP_MOD} < {_CDC_SNAP_KEEP}
+),
+batch AS (
+    SELECT * FROM cdc_chunks WHERE doc_id % {_CDC_SNAP_MOD} >= {_CDC_SNAP_KEEP}
+)
+SELECT b.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(b.n_chunk_tokens) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN s.chunk_hash IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS novel_chunks,
+       CAST(SUM(CASE WHEN s.chunk_hash IS NULL THEN b.n_chunk_tokens ELSE 0 END) AS BIGINT) AS novel_tokens
+FROM batch b LEFT JOIN snap s USING (chunk_hash)
+GROUP BY b.doc_id
+ORDER BY b.doc_id
+"""
+
+
+@register("doc_cdc_incremental_ingest", _CDC_INGEST_ORACLE, extra=True)
+def doc_cdc_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed-store ingest: per NEW document, how many of its CDC
+    chunks (and how many tokens) are novel vs the frozen snapshot's chunk
+    store — the per-ingest write amplification a dedup store actually pays,
+    and the chunk-level twin of ``doc_incremental_dedup``'s whole-document
+    check. Vs-snapshot semantics: within-batch cross-doc sharing is not
+    collapsed here (that is :func:`doc_cdc_dedup_ratio`'s corpus number).
+
+    Scale: the batch manifest is the map-only CDC stage filtered to new
+    docs (the doc_id predicate pushes below the explode to the scan); the
+    store probe is one 16-byte chunk_hash left join (snapshot side distinct
+    first, so the join input is store-size, not reference-count-size), then
+    a doc_id rollup. Per-ingest cost is linear in the batch, never the
+    corpus.
+    """
+    all_chunks = _cdc_manifest(spark, sf_dir)
+    snap = (
+        all_chunks.where(F.col("doc_id") % _CDC_SNAP_MOD < _CDC_SNAP_KEEP)
+        .select("chunk_hash")
+        .distinct()
+        .withColumn("_seen", F.lit(True))
+    )
+    batch = all_chunks.where(F.col("doc_id") % _CDC_SNAP_MOD >= _CDC_SNAP_KEEP)
+    novel = F.col("_seen").isNull()
+    return (
+        batch.join(snap, "chunk_hash", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("n_chunk_tokens").cast("bigint").alias("n_tokens"),
+            F.sum(F.when(novel, 1).otherwise(0)).cast("bigint").alias("novel_chunks"),
+            F.sum(F.when(novel, F.col("n_chunk_tokens")).otherwise(0))
+            .cast("bigint")
+            .alias("novel_tokens"),
+        )
+        .orderBy("doc_id")
     )
 
 

@@ -918,3 +918,29 @@ def test_cdc_chunks_is_map_only(spark, sf_dir):
     assert "Exchange hashpartitioning" not in plan
     assert "Join" not in plan and "Window" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pagerank_iterations_shuffle_long_keys_only(spark, sf_dir):
+    """Each PageRank iteration is a src-keyed hash join + a dst-keyed
+    aggregate over (long, long) rows — no nested loop, no Python, and the
+    expensive LSH edge derivation is checkpointed out of the iterated
+    plan (visible as an ExistingRDD scan, not a re-run of the pipeline)."""
+    plan = exec_plan_of(spark, sf_dir, "doc_dup_graph_pagerank")
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "ExistingRDD" in plan  # checkpointed edges: LSH never re-runs per iteration
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert "src#" in ln or "dst#" in ln or "node#" in ln, ln
+
+
+def test_cdc_incremental_ingest_probe_is_hash_join_on_hashes(spark, sf_dir):
+    """The store probe joins 16-byte chunk hashes — no nested loop, no
+    Python — and every keyed exchange carries the hash, a doc key, or a
+    grouping expression, never token text."""
+    plan = exec_plan_of(spark, sf_dir, "doc_cdc_incremental_ingest")
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert "chunk_hash#" in ln or "doc_id#" in ln, ln
