@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from ..operators.graph import connected_components
 from ..operators.pagerank import pagerank_fixed_point
+from ..operators.ranking import global_rank
 from ..functions.hashing import (
     h32,
     h32_sql_duckdb,
@@ -174,6 +175,81 @@ def doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         sig["quality_score"].cast("int").alias("quality_score"),
         sig["keep"].alias("keep"),
     ).orderBy("doc_id")
+
+
+# --- curriculum ordering: exact global rank without a global sort ----------------
+
+_CURRICULUM_ORACLE = f"""
+WITH stats AS (
+    SELECT doc_id, n_chars,
+           len(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS n_tokens,
+           length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS n_punct
+    FROM documents
+), scored AS (
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           (CASE WHEN n_chars BETWEEN 100 AND 20000 THEN 1 ELSE 0 END
+            + CASE WHEN n_punct * 1.0 / NULLIF(n_chars, 0) < 0.1 THEN 1 ELSE 0 END
+            + CASE WHEN n_tokens >= 20 THEN 1 ELSE 0 END) AS q
+    FROM stats
+), ranked AS (
+    SELECT doc_id, CAST(q AS INT) AS quality_score, n_tokens,
+           ROW_NUMBER() OVER (ORDER BY q DESC, n_tokens ASC, doc_id ASC) AS curriculum_rank,
+           COUNT(*) OVER () AS n
+    FROM scored
+)
+SELECT doc_id, quality_score, n_tokens,
+       CAST(curriculum_rank AS BIGINT) AS curriculum_rank,
+       CAST(((curriculum_rank - 1) * 3) // n AS INT) AS phase
+FROM ranked
+ORDER BY doc_id
+"""
+
+
+@register("doc_curriculum_order", _CURRICULUM_ORACLE, extra=True)
+def doc_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering: the EXACT 1-based global rank of every document
+    under (quality DESC, length ASC, doc_id) — "train on high-quality,
+    short-first" — plus the training phase (which third of the schedule)
+    each doc lands in. Public recipe: length/quality curricula for LM
+    pre-training (Bengio et al. 2009 curriculum learning; sequence-length
+    warmup).
+
+    The scale point is HOW the rank is computed: a naive
+    ``row_number() OVER (ORDER BY ...)`` serializes the corpus through one
+    single-partition sort. Here the only single-partition sort runs over
+    the (quality_score, n_tokens) HISTOGRAM (bucket-cardinality rows) to
+    produce exclusive prefix offsets; the corpus-side work is a broadcast
+    join of those offsets plus a row_number within each bucket partition —
+    every corpus-scale exchange hash-partitioned, plan-asserted
+    (operators/ranking.py). The ranks are value-identical to the naive
+    window, which is exactly what the oracle checks.
+    """
+    d = _docs(spark, sf_dir)
+    sig = quality_signal_cols()
+    scored = d.select(
+        "doc_id",
+        sig["quality_score"].cast("int").alias("quality_score"),
+        sig["n_tokens"].cast("bigint").alias("n_tokens"),
+    )
+    ranked = global_rank(
+        scored,
+        bucket_order=[F.col("quality_score").desc(), F.col("n_tokens").asc()],
+        bucket_cols=["quality_score", "n_tokens"],
+        tiebreaker="doc_id",
+        rank_col="curriculum_rank",
+    )
+    total = scored.agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "quality_score",
+            "n_tokens",
+            "curriculum_rank",
+            F.expr("((curriculum_rank - 1) * 3) div _n").cast("int").alias("phase"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 # --- language identification -----------------------------------------------------

@@ -934,6 +934,29 @@ def test_pagerank_iterations_shuffle_long_keys_only(spark, sf_dir):
             assert "src#" in ln or "dst#" in ln or "node#" in ln, ln
 
 
+def test_curriculum_rank_never_serializes_the_corpus(spark, sf_dir):
+    """Exact global rank via the histogram two-pass: the ONLY
+    single-partition exchange feeds the bucket-histogram offset window;
+    the corpus-side row_number window is hash-partitioned on the bucket
+    key, and the offset table comes back as a broadcast."""
+    plan = exec_plan_of(spark, sf_dir, "doc_curriculum_order")
+    # two single-partition exchanges, both post-aggregate: the histogram
+    # offset sort (bucket-cardinality rows) and the 1-row total-count
+    # rollup (zero-column metadata scan). A naive global window would put
+    # text-carrying corpus rows directly under one.
+    segs = plan.split("Exchange SinglePartition")
+    assert len(segs) == 3
+    for seg in segs[1:]:
+        ha, tx = seg.find("HashAggregate"), seg.find("text#")
+        assert ha != -1 and (tx == -1 or ha < tx), seg[:200]
+    assert "CartesianProduct" not in plan
+    assert any(
+        "Exchange hashpartitioning" in ln and "quality_score#" in ln and "n_tokens#" in ln
+        for ln in plan.splitlines()
+    )
+    assert "BroadcastExchange" in plan
+
+
 def test_cdc_incremental_ingest_probe_is_hash_join_on_hashes(spark, sf_dir):
     """The store probe joins 16-byte chunk hashes — no nested loop, no
     Python — and every keyed exchange carries the hash, a doc key, or a
