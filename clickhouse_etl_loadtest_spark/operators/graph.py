@@ -81,3 +81,59 @@ def connected_components(
         if snap.where(F.col("label") != F.col("_old")).count() == 0:
             return labels
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+
+
+def triangle_stats(pairs: DataFrame, a: str = "doc_a", b: str = "doc_b") -> DataFrame:
+    """Per-node triangle counts over the undirected graph given as
+    deduplicated ``a < b`` pairs — distributed triangle enumeration by
+    ORIENTED wedge join (Suri & Vassilvitskii, "Counting Triangles and the
+    Curse of the Last Reducer", WWW'11).
+
+    Each undirected edge is directed from the endpoint with smaller
+    (degree, id) to the larger, so every triangle is enumerated exactly
+    once at its lowest-degree corner and total wedge volume is
+    Σ out-deg² = O(m^1.5) worst-case — a plain id-orientation would
+    enumerate a k-star hub's k² wedges. Orientation choice never changes
+    WHICH triangles exist, only the join volume, so an id-oriented oracle
+    validates this implementation value-for-value.
+
+    Returns ``(node, degree, triangles)`` with one row per node (triangles
+    = 0 for nodes on no triangle). Three hash joins on fixed-width keys;
+    callers should checkpoint ``pairs`` if deriving it is expensive.
+    """
+    sym = pairs.select(F.col(a).alias("src"), F.col(b).alias("dst")).unionAll(
+        pairs.select(F.col(b).alias("src"), F.col(a).alias("dst"))
+    )
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
+    keyed = (
+        pairs.join(deg.select(F.col("src").alias(a), F.col("degree").alias("_da")), a)
+        .join(deg.select(F.col("src").alias(b), F.col("degree").alias("_db")), b)
+        .select(
+            F.struct(F.col("_da").alias("d"), F.col(a).alias("n")).alias("ka"),
+            F.struct(F.col("_db").alias("d"), F.col(b).alias("n")).alias("kb"),
+        )
+    )
+    oriented = keyed.select(
+        F.when(F.col("ka") < F.col("kb"), F.col("ka")).otherwise(F.col("kb")).alias("lo"),
+        F.when(F.col("ka") < F.col("kb"), F.col("kb")).otherwise(F.col("ka")).alias("hi"),
+    )
+    w1 = oriented.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
+    w2 = oriented.select(F.col("lo").alias("u"), F.col("hi").alias("w"))
+    wedges = w1.join(w2, "u").where(F.col("v") < F.col("w"))
+    closing = oriented.select(F.col("lo").alias("v"), F.col("hi").alias("w"))
+    tri = wedges.join(closing, ["v", "w"])
+    corners = (
+        tri.select(F.col("u.n").alias("node"))
+        .unionAll(tri.select(F.col("v.n").alias("node")))
+        .unionAll(tri.select(F.col("w.n").alias("node")))
+    )
+    pernode = corners.groupBy("node").agg(F.count(F.lit(1)).alias("triangles"))
+    return (
+        deg.select(F.col("src").alias("node"), "degree")
+        .join(pernode, "node", "left")
+        .select(
+            "node",
+            F.col("degree").cast("bigint").alias("degree"),
+            F.coalesce("triangles", F.lit(0)).cast("bigint").alias("triangles"),
+        )
+    )

@@ -934,6 +934,21 @@ def test_pagerank_iterations_shuffle_long_keys_only(spark, sf_dir):
             assert "src#" in ln or "dst#" in ln or "node#" in ln, ln
 
 
+def test_triangle_join_is_oriented_hash_joins_on_keys(spark, sf_dir):
+    """Triangle enumeration is three hash joins over the checkpointed edge
+    list — no nested loop, no Python; every keyed exchange carries edge
+    endpoints / wedge keys / node ids, never text."""
+    plan = exec_plan_of(spark, sf_dir, "doc_dup_graph_triangles")
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "ExistingRDD" in plan  # checkpointed verified pairs: LSH runs once
+    allowed = ("src#", "dst#", "doc_a#", "doc_b#", "node#", "u#", "v#", "w#", "lo#", "hi#")
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert any(k in ln for k in allowed), ln
+        assert "text#" not in ln
+
+
 def test_curriculum_rank_never_serializes_the_corpus(spark, sf_dir):
     """Exact global rank via the histogram two-pass: the ONLY
     single-partition exchange feeds the bucket-histogram offset window;
