@@ -866,6 +866,89 @@ def doc_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- LSH recall curve: measured band-geometry s-curve vs exact ground truth ------
+
+_RECALL_ORACLE = f"""
+WITH {_VERIFIED_CTES},
+truth AS (
+    SELECT i.doc_a, i.doc_b,
+           n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) AS jac
+    FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM exploded a JOIN exploded b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ) i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) >= {_FUZZY_THRESHOLD}
+)
+SELECT jaccard_bucket, n_truth, n_found, n_found * 1.0 / n_truth AS recall
+FROM (
+    SELECT CAST(FLOOR(t.jac * 20) AS INT) AS jaccard_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_truth,
+           CAST(SUM(CASE WHEN v.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_found
+    FROM truth t
+    LEFT JOIN verified v ON v.doc_a = t.doc_a AND v.doc_b = t.doc_b
+    GROUP BY 1
+)
+ORDER BY jaccard_bucket
+"""
+
+
+@register("doc_lsh_recall_curve", _RECALL_ORACLE, extra=True)
+def doc_lsh_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MEASURED recall s-curve of the MinHash-LSH band geometry: for
+    each exact-Jaccard bucket (width 0.05) above the dedup threshold, what
+    fraction of true near-dup pairs did the LSH pipeline actually surface?
+    The dedup twin of :func:`queries.vector.ann_recall_eval` — band
+    parameters (perms, band size) are a recall knob, and this query is how
+    a pipeline validates them against ground truth before trusting the
+    probabilistic path at scale. Misses should concentrate just above the
+    threshold, where the s-curve ramps.
+
+    Scale: ground truth needs the exact all-sharing-pairs join, so this is
+    an EVALUATION harness — run it on a sampled slice at 100 TB (the same
+    contract as ann_recall_eval's brute-force arm); the measured curve then
+    licenses the bounded LSH path on the full corpus. The LSH arm and the
+    exact arm share one shingle derivation, and found-pair lookup is a
+    fixed-width (doc_a, doc_b) left join.
+    """
+    sh = _shingles_df(spark, sf_dir)
+    exploded = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
+    a, b = exploded.alias("a"), exploded.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_common") * 1.0 / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    truth = (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .where(jac >= _FUZZY_THRESHOLD)
+        .select("doc_a", "doc_b", jac.alias("jac"))
+    )
+    found = _verified_pairs(spark, sf_dir).withColumn("_hit", F.lit(1))
+    return (
+        truth.join(found, ["doc_a", "doc_b"], "left")
+        .groupBy(F.floor(F.col("jac") * 20).cast("int").alias("jaccard_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_truth"),
+            F.sum(F.when(F.col("_hit").isNotNull(), 1).otherwise(0)).cast("bigint").alias("n_found"),
+        )
+        .select(
+            "jaccard_bucket",
+            "n_truth",
+            "n_found",
+            (F.col("n_found") * 1.0 / F.col("n_truth")).alias("recall"),
+        )
+        .orderBy("jaccard_bucket")
+    )
+
+
 # --- dup-graph PageRank: iterative fixed-point centrality over verified pairs ----
 
 _PR_ITERATIONS = 4
