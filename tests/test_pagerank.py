@@ -51,3 +51,32 @@ def test_empty_graph_yields_empty_result_with_schema(spark):
     out = pagerank_fixed_point(_edges(spark, []), iterations=4)
     assert out.count() == 0
     assert [f.name for f in out.schema.fields] == ["node", "rank_fp", "rank"]
+
+
+def test_random_graphs_match_python_fixed_point(spark):
+    # differential: seeded G(n, p) graphs vs a pure-Python integer twin of
+    # the exact recurrence (same div order, same constants)
+    import random
+    from itertools import combinations
+
+    for seed in range(3):
+        rng = random.Random(100 + seed)
+        pairs = [(a, b) for a, b in combinations(range(10), 2) if rng.random() < 0.35]
+        sym = pairs + [(b, a) for a, b in pairs]
+        nodes = sorted({n for e in sym for n in e})
+        deg = {n: sum(1 for s, _ in sym if s == n) for n in nodes}
+        n = len(nodes)
+        if n == 0:
+            continue
+        base = 15 * (SCALE // 100) // n
+        r = {v: SCALE // n for v in nodes}
+        for _ in range(4):
+            incoming = {v: 0 for v in nodes}
+            for s, d in sym:
+                incoming[d] += r[s] // deg[s]
+            r = {v: base + (85 * incoming[v]) // 100 for v in nodes}
+        got = {
+            row.node: row.rank_fp
+            for row in pagerank_fixed_point(_edges(spark, pairs), iterations=4).collect()
+        }
+        assert got == r, f"seed={seed}"

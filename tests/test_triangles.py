@@ -42,3 +42,24 @@ def test_triangle_free_graph_counts_zero(spark):
 def test_counts_invariant_across_partitionings(spark):
     pairs = list(combinations(range(7), 2))[:15] + [(0, 20 + i) for i in range(6)]
     assert _stats(spark, pairs, partitions=1) == _stats(spark, pairs, partitions=11)
+
+
+def test_random_graphs_match_brute_force(spark):
+    # differential: 4 seeded G(n, p) graphs vs a pure-Python triangle count
+    import random
+
+    for seed in range(4):
+        rng = random.Random(seed)
+        pairs = [(a, b) for a, b in combinations(range(12), 2) if rng.random() < 0.4]
+        nbrs = {}
+        for a, b in pairs:
+            nbrs.setdefault(a, set()).add(b)
+            nbrs.setdefault(b, set()).add(a)
+        expect = {
+            n: (
+                len(nbrs[n]),
+                sum(1 for v, w in combinations(sorted(nbrs[n]), 2) if w in nbrs.get(v, ())),
+            )
+            for n in nbrs
+        }
+        assert _stats(spark, pairs) == expect, f"seed={seed}"
