@@ -866,6 +866,92 @@ def doc_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- dataset card: the per-source datasheet a corpus release ships with ----------
+
+_DATASET_CARD_ORACLE = f"""
+WITH {_VERIFIED_CTES},
+dup_docs AS (
+    SELECT DISTINCT doc_a AS doc_id FROM verified
+    UNION
+    SELECT DISTINCT doc_b FROM verified
+),
+per_doc AS (
+    SELECT d.doc_id, d.source, d.lang, d.n_chars,
+           len(regexp_extract_all(lower(d.text), '{TOKEN_RE}')) AS n_tokens,
+           (CASE WHEN d.n_chars BETWEEN 100 AND 20000 THEN 1 ELSE 0 END
+            + CASE WHEN (length(d.text) - length(regexp_replace(d.text, '[^a-zA-Z0-9 ]', '', 'g')))
+                       * 1.0 / NULLIF(d.n_chars, 0) < 0.1 THEN 1 ELSE 0 END
+            + CASE WHEN len(regexp_extract_all(lower(d.text), '{TOKEN_RE}')) >= 20 THEN 1 ELSE 0 END
+           ) AS quality_score,
+           CASE WHEN dd.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_dup
+    FROM documents d LEFT JOIN dup_docs dd ON dd.doc_id = d.doc_id
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) * 1.0 / COUNT(*) AS en_share,
+       SUM(quality_score) * 1.0 / COUNT(*) AS mean_quality,
+       SUM(is_dup) * 1.0 / COUNT(*) AS dup_doc_share
+FROM per_doc
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register("doc_dataset_card", _DATASET_CARD_ORACLE, extra=True)
+def doc_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-source DATASET CARD a corpus release ships with (Datasheets
+    for Datasets / Dolma-style data cards): document and token counts,
+    language mix, mean heuristic quality, and the share of documents
+    entangled in verified near-dup pairs — the one-table summary a
+    consumer reads before choosing mixture weights.
+
+    Scale: one corpus scan computes per-doc signals map-side (shared
+    column expressions with :func:`doc_quality_filter`); dup membership is
+    a left join against the (tiny, candidate-bounded) distinct
+    verified-pair doc list; the rollup is |sources| rows. Ratios divide
+    exactly-summed integers, so the doubles are engine-identical.
+    """
+    d = _docs(spark, sf_dir)
+    sig = quality_signal_cols()
+    pairs = _verified_pairs(spark, sf_dir).localCheckpoint()
+    dup_docs = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+        .withColumn("_dup", F.lit(1))
+    )
+    per_doc = d.select(
+        "doc_id",
+        "source",
+        "lang",
+        sig["n_tokens"].cast("bigint").alias("n_tokens"),
+        sig["quality_score"].cast("int").alias("quality_score"),
+    ).join(dup_docs, "doc_id", "left")
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.countDistinct("lang").cast("bigint").alias("n_langs"),
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("_n_en"),
+            F.sum("quality_score").alias("_q_sum"),
+            F.sum(F.when(F.col("_dup").isNotNull(), 1).otherwise(0)).alias("_n_dup"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "n_langs",
+            (F.col("_n_en") * 1.0 / F.col("n_docs")).alias("en_share"),
+            (F.col("_q_sum") * 1.0 / F.col("n_docs")).alias("mean_quality"),
+            (F.col("_n_dup") * 1.0 / F.col("n_docs")).alias("dup_doc_share"),
+        )
+        .orderBy("source")
+    )
+
+
 # --- LSH recall curve: measured band-geometry s-curve vs exact ground truth ------
 
 _RECALL_ORACLE = f"""
