@@ -770,10 +770,11 @@ ORDER BY d.doc_id
 """
 
 
-def _verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _verified_pairs(spark: SparkSession, sf_dir: str, with_jaccard: bool = False) -> DataFrame:
     """Jaccard-verified near-dup pairs ``(doc_a < doc_b)``: MinHash-LSH
     candidates, then exact shingle-Jaccard computed ONLY on candidates —
-    verification cost is O(candidates), never O(n^2)."""
+    verification cost is O(candidates), never O(n^2). ``with_jaccard``
+    appends the exact score (threshold-sweep consumers)."""
     candidates = _lsh_candidate_pairs(spark, sf_dir)
     sh = _shingles_df(spark, sf_dir)
     exploded = sh.select("doc_id", F.explode("shingles").alias("shingle"))
@@ -790,12 +791,14 @@ def _verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
     jac = F.col("n_common") * 1.0 / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
-    return (
+    verified = (
         inter.join(F.broadcast(sa), "doc_a")
         .join(F.broadcast(sb), "doc_b")
         .where(jac >= _FUZZY_THRESHOLD)
-        .select("doc_a", "doc_b")
     )
+    if with_jaccard:
+        return verified.select("doc_a", "doc_b", jac.alias("jaccard"))
+    return verified.select("doc_a", "doc_b")
 
 
 @register("doc_fuzzy_dedup_keep", _FUZZY_KEEP_ORACLE, extra=True)
@@ -813,6 +816,102 @@ def doc_fuzzy_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir).select("doc_id")
     kept = d.join(drop.withColumn("_drop", F.lit(True)), "doc_id", "left")
     return kept.select("doc_id", F.coalesce(~F.col("_drop"), F.lit(True)).alias("keep")).orderBy("doc_id")
+
+
+# --- dedup threshold sweep: the what-if table behind choosing the threshold ------
+
+_SWEEP_THRESHOLDS_PCT = [50, 60, 70, 80, 90, 95]
+
+_SWEEP_ORACLE = f"""
+WITH {_CANDIDATES_CTES},
+exploded AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+vscored AS (
+    SELECT doc_a, doc_b, n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+    FROM (
+        SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+        FROM candidates c
+        JOIN exploded ea ON ea.doc_id = c.doc_a
+        JOIN exploded eb ON eb.doc_id = c.doc_b AND ea.shingle = eb.shingle
+        GROUP BY c.doc_a, c.doc_b
+    ) i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) >= {_FUZZY_THRESHOLD}
+),
+th AS (SELECT unnest({_SWEEP_THRESHOLDS_PCT}) AS threshold_pct),
+swept AS (
+    SELECT t.threshold_pct, v.doc_a, v.doc_b
+    FROM vscored v JOIN th t ON v.jaccard * 100 >= t.threshold_pct
+),
+tok AS (
+    SELECT doc_id, len(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS n_tokens
+    FROM documents
+),
+pair_counts AS (
+    SELECT threshold_pct, CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM swept GROUP BY threshold_pct
+),
+drops AS (SELECT DISTINCT threshold_pct, doc_b FROM swept),
+drop_stats AS (
+    SELECT d.threshold_pct,
+           CAST(COUNT(*) AS BIGINT) AS n_docs_dropped,
+           CAST(SUM(tk.n_tokens) AS BIGINT) AS n_tokens_dropped
+    FROM drops d JOIN tok tk ON tk.doc_id = d.doc_b
+    GROUP BY d.threshold_pct
+)
+SELECT CAST(p.threshold_pct AS INT) AS threshold_pct,
+       p.n_pairs, s.n_docs_dropped, s.n_tokens_dropped
+FROM pair_counts p JOIN drop_stats s USING (threshold_pct)
+ORDER BY threshold_pct
+"""
+
+
+@register("doc_dedup_threshold_sweep", _SWEEP_ORACLE, extra=True)
+def doc_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The what-if table behind CHOOSING a dedup threshold: for each
+    candidate Jaccard cutoff, how many verified pairs survive and how many
+    documents / tokens the drop-higher rule would remove — the
+    pairs-vs-corpus-loss tradeoff a pipeline owner reads before fixing the
+    production threshold (dedup aggressiveness is a real quality/size
+    knob; cf. the threshold ablations in the Lee et al. 2022 /
+    SlimPajama-style dedup reports).
+
+    Scale: ONE pass — the scored verified-pair list (LSH-candidate-
+    bounded, already ≥ the band-geometry floor of 0.5) fans out over the
+    6-literal threshold array, so the sweep costs pair-volume × 6, never
+    a re-scan per threshold; token costs come from a doc_id join against
+    the (tiny, distinct) per-threshold drop lists.
+    """
+    pairs = _verified_pairs(spark, sf_dir, with_jaccard=True).localCheckpoint()
+    th = F.explode(
+        F.array(*[F.lit(p) for p in _SWEEP_THRESHOLDS_PCT])
+    ).alias("threshold_pct")
+    swept = pairs.select("doc_a", "doc_b", "jaccard", th).where(
+        F.col("jaccard") * 100 >= F.col("threshold_pct")
+    )
+    pair_counts = swept.groupBy("threshold_pct").agg(F.count(F.lit(1)).alias("n_pairs"))
+    d = _docs(spark, sf_dir)
+    tok = d.select(F.col("doc_id").alias("doc_b"), F.size(_tokens()).alias("n_tokens"))
+    drops = swept.select("threshold_pct", "doc_b").distinct()
+    drop_stats = (
+        drops.join(tok, "doc_b")
+        .groupBy("threshold_pct")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_dropped"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens_dropped"),
+        )
+    )
+    return (
+        pair_counts.join(drop_stats, "threshold_pct")
+        .select(
+            F.col("threshold_pct").cast("int").alias("threshold_pct"),
+            "n_pairs",
+            "n_docs_dropped",
+            "n_tokens_dropped",
+        )
+        .orderBy("threshold_pct")
+    )
 
 
 # --- cross-source overlap matrix ----------------------------------------------------
