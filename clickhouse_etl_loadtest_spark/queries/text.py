@@ -1206,6 +1206,92 @@ def doc_dup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select(F.col("node").alias("doc_id"), "rank_fp", "rank").orderBy("doc_id")
 
 
+# --- dup-graph assortativity: do dup hubs attach to hubs or to leaves? -----------
+
+_ASSORT_ORACLE = f"""
+WITH {_VERIFIED_CTES},
+ga_sym AS (
+    SELECT doc_a AS src, doc_b AS dst FROM verified
+    UNION ALL
+    SELECT doc_b AS src, doc_a AS dst FROM verified
+),
+ga_deg AS (SELECT src AS node, COUNT(*) AS degree FROM ga_sym GROUP BY src),
+ga_e AS (
+    SELECT d1.degree AS dx, d2.degree AS dy
+    FROM ga_sym s
+    JOIN ga_deg d1 ON d1.node = s.src
+    JOIN ga_deg d2 ON d2.node = s.dst
+),
+ga_s AS (
+    SELECT CAST(COUNT(*) AS DOUBLE) AS m2,
+           CAST(SUM(dx) AS DOUBLE) AS sx, CAST(SUM(dy) AS DOUBLE) AS sy,
+           CAST(SUM(dx * dy) AS DOUBLE) AS sxy,
+           CAST(SUM(dx * dx) AS DOUBLE) AS sxx,
+           CAST(SUM(dy * dy) AS DOUBLE) AS syy
+    FROM ga_e
+),
+ga_n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM ga_deg)
+SELECT ga_n.n_nodes,
+       CAST(ga_s.m2 / 2 AS BIGINT) AS n_edges,
+       ga_s.m2 / ga_n.n_nodes AS mean_degree,
+       CASE WHEN (ga_s.m2 * ga_s.sxx - ga_s.sx * ga_s.sx)
+                 * (ga_s.m2 * ga_s.syy - ga_s.sy * ga_s.sy) > 0
+            THEN ROUND((ga_s.m2 * ga_s.sxy - ga_s.sx * ga_s.sy)
+                 / SQRT((ga_s.m2 * ga_s.sxx - ga_s.sx * ga_s.sx)
+                        * (ga_s.m2 * ga_s.syy - ga_s.sy * ga_s.sy)), 6)
+       END AS assortativity
+FROM ga_s, ga_n
+"""
+
+
+@register("doc_dup_graph_assortativity", _ASSORT_ORACLE, extra=True)
+def doc_dup_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the verified near-dup graph (Newman 2002,
+    the Pearson correlation of endpoint degrees over directed edges):
+    positive = duplication hubs entangle with other hubs (mirror farms
+    syndicating each other — cut whole neighborhoods), negative = hubs
+    attach to leaves (one template paraphrased independently — keep the
+    hub, drop leaves). One scalar that tells a curation pipeline which
+    cleanup strategy the corpus's duplication topology calls for.
+
+    Determinism: all five moment sums are INTEGER sums (degrees are
+    counts), exact and order-independent in both engines; the Pearson
+    formula then runs on identical doubles, rounded to 6 decimals (the
+    `doc_zipf_fit`/`doc_heaps_law` precedent). NULL when the graph is
+    degree-regular (correlation undefined).
+
+    Scale: two node-keyed joins annotate each (long, long) edge with
+    endpoint degrees, then ONE map-side-combined global aggregate of five
+    integer moments — no state beyond six numbers per partition.
+    """
+    pairs = _verified_pairs(spark, sf_dir)
+    sym = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).unionAll(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
+    e = sym.join(deg.select(F.col("src"), F.col("degree").alias("dx")), "src").join(
+        deg.select(F.col("src").alias("dst"), F.col("degree").alias("dy")), "dst"
+    )
+    s = e.agg(
+        F.count(F.lit(1)).cast("double").alias("m2"),
+        F.sum("dx").cast("double").alias("sx"),
+        F.sum("dy").cast("double").alias("sy"),
+        F.sum(F.col("dx") * F.col("dy")).cast("double").alias("sxy"),
+        F.sum(F.col("dx") * F.col("dx")).cast("double").alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).cast("double").alias("syy"),
+    )
+    n = deg.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+    varx = F.col("m2") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = F.col("m2") * F.col("syy") - F.col("sy") * F.col("sy")
+    cov = F.col("m2") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return s.crossJoin(F.broadcast(n)).select(
+        "n_nodes",
+        (F.col("m2") / 2).cast("bigint").alias("n_edges"),
+        (F.col("m2") / F.col("n_nodes")).alias("mean_degree"),
+        F.when(varx * vary > 0, F.round(cov / F.sqrt(varx * vary), 6)).alias("assortativity"),
+    )
+
+
 # --- dup-graph triangles: local clustering structure of the near-dup graph -------
 
 _TRIANGLES_ORACLE = f"""
