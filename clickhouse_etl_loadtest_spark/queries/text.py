@@ -1361,6 +1361,95 @@ def doc_dup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# --- source JS divergence: distributional shift between provenances --------------
+
+_JS_ORACLE = f"""
+WITH st AS (
+    SELECT source, unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS tok
+    FROM documents
+),
+cnts AS (SELECT source, tok, COUNT(*) AS c FROM st GROUP BY source, tok),
+tot AS (SELECT source, SUM(c) AS n FROM cnts GROUP BY source),
+probs AS (
+    SELECT c.source, c.tok, CAST(c.c AS DOUBLE) / t.n AS p
+    FROM cnts c JOIN tot t ON t.source = c.source
+),
+common AS (
+    SELECT a.source AS source_a, b.source AS source_b,
+           SUM(CAST(a.p AS DECIMAL(38, 18))) AS pa_mass,
+           SUM(CAST(b.p AS DECIMAL(38, 18))) AS pb_mass,
+           SUM(CAST(a.p * LN(2 * a.p / (a.p + b.p))
+                     + b.p * LN(2 * b.p / (a.p + b.p)) AS DECIMAL(38, 18))) AS core
+    FROM probs a
+    JOIN probs b ON a.tok = b.tok AND a.source < b.source
+    GROUP BY a.source, b.source
+)
+SELECT source_a, source_b,
+       ROUND(0.5 * LN(2) * (2 - CAST(pa_mass AS DOUBLE) - CAST(pb_mass AS DOUBLE))
+             + 0.5 * CAST(core AS DOUBLE), 6) AS js_divergence
+FROM common
+ORDER BY source_a, source_b
+"""
+
+
+@register("doc_source_js_divergence", _JS_ORACLE, extra=True)
+def doc_source_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between every pair of sources' unigram
+    distributions — the DISTRIBUTIONAL-shift half of the mixture-design
+    input (the overlap matrix measures verbatim duplication flow; this
+    measures domain/style divergence even with zero shared documents —
+    the MassiveText/Dolma-style source-mix diagnostic).
+
+    Exact-sum identity (inner join only): terms for tokens present in one
+    source but not the other collapse to ``0.5·ln2·(1 − Σ_{{A∩B}} p)`` per
+    side, so JS = 0.5·ln2·(2 − Σp − Σq) + 0.5·Σ_{{A∩B}}[p·ln(2p/(p+q)) +
+    q·ln(2q/(p+q))] needs only the token-INNER join — no per-pair
+    full-outer union of vocabularies. Per-term doubles are identical in
+    both engines (one parse tree); sums are DECIMAL(38,18) — exact,
+    order-independent (the `doc_unigram_logprob` discipline) — and the
+    result rounds to 6 decimals.
+
+    Scale: one (source, token) count rollup, then a token-keyed self-join
+    whose output is |sources|² rows per shared token — with vocab pruned
+    to top-K per source at extreme scale (same contract as the LM-scoring
+    family); the final matrix is |sources|² rows.
+    """
+    d = _docs(spark, sf_dir)
+    st = d.select("source", F.explode(_tokens()).alias("tok"))
+    cnts = st.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnts.groupBy("source").agg(F.sum("c").alias("n"))
+    probs = cnts.join(tot, "source").select(
+        "source", "tok", (F.col("c").cast("double") / F.col("n")).alias("p")
+    )
+    a = probs.select(F.col("source").alias("source_a"), "tok", F.col("p").alias("pa"))
+    b = probs.select(F.col("source").alias("source_b"), "tok", F.col("p").alias("pb"))
+    pa, pb = F.col("pa"), F.col("pb")
+    core_term = pa * F.log(2 * pa / (pa + pb)) + pb * F.log(2 * pb / (pa + pb))
+    common = (
+        a.join(b, "tok")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.sum(pa.cast("decimal(38,18)")).alias("pa_mass"),
+            F.sum(pb.cast("decimal(38,18)")).alias("pb_mass"),
+            F.sum(core_term.cast("decimal(38,18)")).alias("core"),
+        )
+    )
+    import math
+
+    half_ln2 = F.lit(0.5) * F.lit(float(math.log(2.0)))
+    return common.select(
+        "source_a",
+        "source_b",
+        F.round(
+            half_ln2
+            * (F.lit(2) - F.col("pa_mass").cast("double") - F.col("pb_mass").cast("double"))
+            + F.lit(0.5) * F.col("core").cast("double"),
+            6,
+        ).alias("js_divergence"),
+    ).orderBy("source_a", "source_b")
+
+
 # --- duplicate-cluster resolution: transitive closure over verified pairs --------
 
 _DUP_CLUSTERS_ORACLE = f"""
