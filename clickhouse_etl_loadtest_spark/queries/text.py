@@ -1260,11 +1260,13 @@ def doc_dup_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     `doc_zipf_fit`/`doc_heaps_law` precedent). NULL when the graph is
     degree-regular (correlation undefined).
 
-    Scale: two node-keyed joins annotate each (long, long) edge with
-    endpoint degrees, then ONE map-side-combined global aggregate of five
-    integer moments — no state beyond six numbers per partition.
+    Scale: the verified pair list is checkpointed (LSH runs once; the
+    sibling graph queries' contract), then two node-keyed joins annotate
+    each (long, long) edge with endpoint degrees and ONE map-side-combined
+    global aggregate folds the five integer moments — no state beyond six
+    numbers per partition.
     """
-    pairs = _verified_pairs(spark, sf_dir)
+    pairs = _verified_pairs(spark, sf_dir).localCheckpoint()
     sym = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).unionAll(
         pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     )

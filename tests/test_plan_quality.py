@@ -934,6 +934,33 @@ def test_pagerank_iterations_shuffle_long_keys_only(spark, sf_dir):
             assert "src#" in ln or "dst#" in ln or "node#" in ln, ln
 
 
+def test_assortativity_is_degree_joins_plus_one_global_aggregate(spark, sf_dir):
+    """Endpoint-degree annotation is node-keyed hash joins; the five-moment
+    rollup is one global aggregate (partial per partition, 1-row final);
+    the only nested-loop is the 1-row broadcast node-count join."""
+    plan = exec_plan_of(spark, sf_dir, "doc_dup_graph_assortativity")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "ExistingRDD" in plan  # checkpointed verified pairs: LSH runs once
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert "src#" in ln or "dst#" in ln, ln
+
+
+def test_js_divergence_shuffles_source_token_keys_only(spark, sf_dir):
+    """The token-keyed self-join and the (source, token) rollups are the
+    only corpus-scale exchanges — no nested loop over source pairs, no
+    Python, document text never crosses a shuffle (tokens do: they ARE
+    the join key of the distributional comparison)."""
+    plan = exec_plan_of(spark, sf_dir, "doc_source_js_divergence")
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert "tok#" in ln or "source#" in ln or "source_a#" in ln, ln
+        assert "text#" not in ln or "Exchange" not in ln
+
+
 def test_triangle_join_is_oriented_hash_joins_on_keys(spark, sf_dir):
     """Triangle enumeration is three hash joins over the checkpointed edge
     list — no nested loop, no Python; every keyed exchange carries edge
