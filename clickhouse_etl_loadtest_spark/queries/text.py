@@ -1474,6 +1474,75 @@ ORDER BY doc_id
 """
 
 
+_CLUSTER_PROFILE_ORACLE = f"""
+WITH RECURSIVE {_VERIFIED_CTES},
+edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM verified
+    UNION
+    SELECT doc_b AS src, doc_a AS dst FROM verified
+),
+reach(src, dst) AS (
+    SELECT src, src FROM edges
+    UNION
+    SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+comp AS (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src),
+csize AS (SELECT cluster_id, COUNT(*) AS n_docs FROM comp GROUP BY cluster_id),
+cedges AS (
+    SELECT c.cluster_id, COUNT(*) AS n_edges
+    FROM verified v JOIN comp c ON c.doc_id = v.doc_a
+    GROUP BY c.cluster_id
+)
+SELECT s.cluster_id,
+       CAST(s.n_docs AS BIGINT) AS n_docs,
+       CAST(e.n_edges AS BIGINT) AS n_edges,
+       e.n_edges * 2.0 / (s.n_docs * (s.n_docs - 1.0)) AS density,
+       e.n_edges * 2 = s.n_docs * (s.n_docs - 1) AS is_clique
+FROM csize s JOIN cedges e USING (cluster_id)
+ORDER BY cluster_id
+"""
+
+
+@register("doc_dup_cluster_profile", _CLUSTER_PROFILE_ORACLE, extra=True)
+def doc_dup_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per duplicate-CLUSTER structure profile: member count, internal
+    verified-pair count, edge density, and whether the cluster is a full
+    CLIQUE — the cluster-granularity form of the clique-vs-star signal
+    (:func:`doc_dup_graph_triangles` scores it per document): a dense
+    clique is one artifact mirrored everywhere (drop all but one), a
+    sparse chain is a paraphrase drift that deserves inspection before
+    bulk deletion.
+
+    Scale: components come from the pointer-jumping CC loop
+    (operators/graph.py, O(log diameter) rounds of long-only shuffles on
+    the candidate-bounded pair graph); the profile is then one doc_id-keyed
+    join of the pair list onto labels plus two cluster-keyed rollups.
+    Density/is_clique are a single division / integer equality per cluster
+    row — engine-identical.
+    """
+    pairs = _verified_pairs(spark, sf_dir).localCheckpoint()
+    cc = connected_components(pairs, "doc_a", "doc_b")
+    csize = cc.groupBy("label").agg(F.count(F.lit(1)).alias("n_docs"))
+    cedges = (
+        pairs.join(cc.select(F.col("id").alias("doc_a"), "label"), "doc_a")
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_edges"))
+    )
+    return (
+        csize.join(cedges, "label")
+        .select(
+            F.col("label").alias("cluster_id"),
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("n_edges").cast("bigint").alias("n_edges"),
+            (F.col("n_edges") * 2.0 / (F.col("n_docs") * (F.col("n_docs") - F.lit(1.0)))).alias(
+                "density"
+            ),
+            (F.col("n_edges") * 2 == F.col("n_docs") * (F.col("n_docs") - 1)).alias("is_clique"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
 @register("doc_dup_clusters", _DUP_CLUSTERS_ORACLE, extra=True)
 def doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-CLUSTER resolution: connected components over the verified
