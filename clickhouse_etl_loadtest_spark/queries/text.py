@@ -1294,6 +1294,89 @@ def doc_dup_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- centrality-canonical keep: PageRank picks each cluster's representative -----
+
+_PR_KEEP_ORACLE = (
+    f"""
+WITH RECURSIVE {_VERIFIED_CTES},
+pr_edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM verified
+    UNION ALL
+    SELECT doc_b AS src, doc_a AS dst FROM verified
+),
+pr_deg AS (SELECT src, COUNT(*) AS deg FROM pr_edges GROUP BY src),
+pr_ed AS (SELECT e.src, e.dst, d.deg FROM pr_edges e JOIN pr_deg d USING (src)),
+pr_n AS (SELECT COUNT(DISTINCT src) AS n FROM pr_edges),
+pr_r0 AS (
+    SELECT DISTINCT src AS node, 1000000000000 // n AS r FROM pr_edges, pr_n
+),
+"""
+    + ",\n".join(_PR_ITER_CTE.format(t=t, prev=t - 1) for t in range(1, _PR_ITERATIONS + 1))
+    + f""",
+edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM verified
+    UNION
+    SELECT doc_b AS src, doc_a AS dst FROM verified
+),
+reach(src, dst) AS (
+    SELECT src, src FROM edges
+    UNION
+    SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+comp AS (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src),
+ranked AS (
+    SELECT c.doc_id, c.cluster_id, CAST(r.r AS BIGINT) AS rank_fp,
+           ROW_NUMBER() OVER (
+               PARTITION BY c.cluster_id ORDER BY r.r DESC, c.doc_id ASC
+           ) AS rn
+    FROM comp c JOIN pr_r{_PR_ITERATIONS} r ON r.node = c.doc_id
+)
+SELECT doc_id, cluster_id, rank_fp, rn = 1 AS keep
+FROM ranked
+ORDER BY doc_id
+"""
+)
+
+
+@register("doc_pagerank_keep", _PR_KEEP_ORACLE, extra=True)
+def doc_pagerank_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centrality-canonical dedup keep: within each duplicate cluster,
+    keep the member with the highest PageRank (tie → lowest doc_id) — the
+    composition a pipeline actually runs when "the canonical page" means
+    the hub every mirror points at, not the best-scoring copy
+    (:func:`doc_cluster_best_keep` is the quality-ranked alternative; the
+    keep POLICY is pluggable, the machinery identical).
+
+    Determinism: ranks are BIGINT fixed-point (bit-identical across
+    engines and partitionings — operators/pagerank.py), so the per-cluster
+    argmax is exact, no float coin flip at the keep boundary.
+
+    Scale: one pair-graph derivation feeds BOTH iterations (checkpointed);
+    connected components is O(log diameter) long-only rounds, PageRank 4
+    edge-keyed joins; the final keep decision is one cluster-partitioned
+    window over (cluster, long, long) rows.
+    """
+    pairs = _verified_pairs(spark, sf_dir).localCheckpoint()
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).unionAll(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    pr = pagerank_fixed_point(edges, iterations=_PR_ITERATIONS)
+    cc = connected_components(pairs, "doc_a", "doc_b")
+    joined = cc.join(pr, cc["id"] == pr["node"]).select(
+        F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"), "rank_fp"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("rank_fp").desc(), F.col("doc_id").asc()
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .select("doc_id", "cluster_id", "rank_fp", (F.col("rn") == 1).alias("keep"))
+        .orderBy("doc_id")
+    )
+
+
 # --- dup-graph triangles: local clustering structure of the near-dup graph -------
 
 _TRIANGLES_ORACLE = f"""
