@@ -34,26 +34,36 @@ SCALE = 1_000_000_000_000  # 1e12: rank unit = 1e-12
 DAMPING_NUM, DAMPING_DEN = 85, 100  # d = 0.85 as an exact ratio
 
 
-def pagerank_fixed_point(edges: DataFrame, iterations: int = 4) -> DataFrame:
+def pagerank_fixed_point(
+    edges: DataFrame, iterations: int = 4, weight: str | None = None
+) -> DataFrame:
     """PageRank on the UNDIRECTED graph given as symmetric ``(src, dst)``
     BIGINT edges (callers pass both directions; no dangling nodes exist in
     a symmetric graph so no mass-redistribution term is needed).
 
     r0(v)   = SCALE div N
     r_{t+1}(v) = (15·(SCALE div 100)) div N
-               + (85 · Σ_{u∈nbrs(v)} r_t(u) div deg(u)) div 100
+               + (85 · Σ_{u∈nbrs(v)} (r_t(u)·w(u,v)) div W(u)) div 100
+
+    where w ≡ 1 and W(u) = deg(u) in the unweighted form, or ``weight``
+    names a positive BIGINT edge-weight column and W(u) = Σ_v w(u,v)
+    (the strength). Each contribution is ≤ r_t(u), so the per-node sum is
+    bounded by total rank mass (≤ SCALE) — no overflow at any graph size.
 
     Returns (node, rank_fp BIGINT, rank DOUBLE = rank_fp/1e12); empty input
     yields an empty result with the same schema.
     """
+    w = F.col(weight).cast("bigint") if weight else F.lit(1).cast("bigint")
     edges = edges.select(
-        F.col("src").cast("bigint").alias("src"), F.col("dst").cast("bigint").alias("dst")
+        F.col("src").cast("bigint").alias("src"),
+        F.col("dst").cast("bigint").alias("dst"),
+        w.alias("w"),
     )
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    # Annotate each edge with its source's degree ONCE, and checkpoint so
-    # the (possibly expensive) upstream edge derivation never re-runs per
-    # iteration.
-    ed = edges.join(deg, "src").localCheckpoint()
+    wsum = edges.groupBy("src").agg(F.sum("w").alias("wsum"))
+    # Annotate each edge with its source's total weight ONCE, and
+    # checkpoint so the (possibly expensive) upstream edge derivation
+    # never re-runs per iteration.
+    ed = edges.join(wsum, "src").localCheckpoint()
     nodes = ed.select(F.col("src").alias("node")).distinct().localCheckpoint()
     n = nodes.count()
     if n == 0:
@@ -67,7 +77,7 @@ def pagerank_fixed_point(edges: DataFrame, iterations: int = 4) -> DataFrame:
     for _ in range(iterations):
         r = (
             ed.join(r.withColumnRenamed("node", "src"), "src")
-            .select("dst", F.expr("r div deg").alias("c"))
+            .select("dst", F.expr("(r * w) div wsum").alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("s"))
             .select(

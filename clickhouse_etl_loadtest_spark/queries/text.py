@@ -1294,6 +1294,87 @@ def doc_dup_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- weighted dup-graph PageRank: similarity-weighted centrality -----------------
+
+_PRW_ITER_CTE = """prw_r{t} AS (
+    SELECT ed.dst AS node,
+           150000000000 // MAX(p.n) + (85 * SUM((r.r * ed.w) // ed.wsum)) // 100 AS r
+    FROM prw_ed ed JOIN prw_r{prev} r ON r.node = ed.src CROSS JOIN prw_n p
+    GROUP BY ed.dst
+)"""
+
+_PAGERANK_W_ORACLE = (
+    f"""
+WITH {_CANDIDATES_CTES},
+exploded AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+vscored AS (
+    SELECT doc_a, doc_b,
+           CAST(ROUND(n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) * 1000, 0) AS BIGINT) AS w
+    FROM (
+        SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+        FROM candidates c
+        JOIN exploded ea ON ea.doc_id = c.doc_a
+        JOIN exploded eb ON eb.doc_id = c.doc_b AND ea.shingle = eb.shingle
+        GROUP BY c.doc_a, c.doc_b
+    ) i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) >= {_FUZZY_THRESHOLD}
+),
+prw_edges AS (
+    SELECT doc_a AS src, doc_b AS dst, w FROM vscored
+    UNION ALL
+    SELECT doc_b AS src, doc_a AS dst, w FROM vscored
+),
+prw_wsum AS (SELECT src, SUM(w) AS wsum FROM prw_edges GROUP BY src),
+prw_ed AS (SELECT e.src, e.dst, e.w, s.wsum FROM prw_edges e JOIN prw_wsum s USING (src)),
+prw_n AS (SELECT COUNT(DISTINCT src) AS n FROM prw_edges),
+prw_r0 AS (
+    SELECT DISTINCT src AS node, 1000000000000 // n AS r FROM prw_edges, prw_n
+),
+"""
+    + ",\n".join(_PRW_ITER_CTE.format(t=t, prev=t - 1) for t in range(1, _PR_ITERATIONS + 1))
+    + f"""
+SELECT node AS doc_id,
+       CAST(r AS BIGINT) AS rank_fp,
+       CAST(r AS DOUBLE) / 1e12 AS rank
+FROM prw_r{_PR_ITERATIONS}
+ORDER BY doc_id
+"""
+)
+
+
+@register("doc_dup_graph_pagerank_weighted", _PAGERANK_W_ORACLE, extra=True)
+def doc_dup_graph_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity-WEIGHTED PageRank over the verified near-dup graph: a
+    neighbor at Jaccard 0.95 should pull far more centrality mass than one
+    scraping past the 0.5 threshold — the weighted form is what separates
+    a true mirror hub from a node with many weak paraphrase ties (standard
+    weighted-PageRank recipe: transition mass ∝ edge weight / node
+    strength).
+
+    Determinism: weights are BIGINT milli-Jaccard (ROUND(j·1000) of
+    engine-identical doubles — HALF_UP equals half-away-from-zero for
+    positives), and the recurrence divides integer products by the
+    strength, so ranks stay bit-identical across engines and
+    partitionings. Each contribution is ≤ r(u): per-node sums are bounded
+    by total mass, overflow-free at any graph size.
+
+    Scale: identical topology to :func:`doc_dup_graph_pagerank` — one
+    checkpointed strength-annotated edge list, 4 src-keyed join + dst
+    rollup rounds over (long, long, long) rows.
+    """
+    pairs = _verified_pairs(spark, sf_dir, with_jaccard=True)
+    wcol = F.round(F.col("jaccard") * 1000, 0).cast("bigint").alias("w")
+    scored = pairs.select("doc_a", "doc_b", wcol)
+    edges = scored.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"), "w"
+    ).unionAll(scored.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"), "w"))
+    pr = pagerank_fixed_point(edges, iterations=_PR_ITERATIONS, weight="w")
+    return pr.select(F.col("node").alias("doc_id"), "rank_fp", "rank").orderBy("doc_id")
+
+
 # --- centrality-canonical keep: PageRank picks each cluster's representative -----
 
 _PR_KEEP_ORACLE = (

@@ -80,3 +80,37 @@ def test_random_graphs_match_python_fixed_point(spark):
             for row in pagerank_fixed_point(_edges(spark, pairs), iterations=4).collect()
         }
         assert got == r, f"seed={seed}"
+
+
+def test_weighted_random_graphs_match_python_fixed_point(spark):
+    # weighted differential: seeded weighted graphs vs the pure-Python
+    # integer twin of the strength-normalized recurrence
+    import random
+    from itertools import combinations
+
+    for seed in range(3):
+        rng = random.Random(200 + seed)
+        pairs = [
+            (a, b, rng.randrange(500, 1001))
+            for a, b in combinations(range(9), 2)
+            if rng.random() < 0.4
+        ]
+        sym = [(a, b, w) for a, b, w in pairs] + [(b, a, w) for a, b, w in pairs]
+        nodes = sorted({n for s, d, _ in sym for n in (s, d)})
+        wsum = {v: sum(w for s, _, w in sym if s == v) for v in nodes}
+        n = len(nodes)
+        if n == 0:
+            continue
+        base = 15 * (SCALE // 100) // n
+        r = {v: SCALE // n for v in nodes}
+        for _ in range(4):
+            incoming = {v: 0 for v in nodes}
+            for s, d, w in sym:
+                incoming[d] += (r[s] * w) // wsum[s]
+            r = {v: base + (85 * incoming[v]) // 100 for v in nodes}
+        df = spark.createDataFrame(sym, "src long, dst long, w long").repartition(5)
+        got = {
+            row.node: row.rank_fp
+            for row in pagerank_fixed_point(df, iterations=4, weight="w").collect()
+        }
+        assert got == r, f"seed={seed}"
