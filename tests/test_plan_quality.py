@@ -999,6 +999,19 @@ def test_curriculum_rank_never_serializes_the_corpus(spark, sf_dir):
     assert "BroadcastExchange" in plan
 
 
+def test_weighted_pagerank_keeps_the_unweighted_topology(spark, sf_dir):
+    """Weighted iterations shuffle (long, long, long) rows with the same
+    src/dst/node-keyed exchanges as the unweighted form; the strength-
+    annotated edge list is checkpointed so LSH runs once."""
+    plan = exec_plan_of(spark, sf_dir, "doc_dup_graph_pagerank_weighted")
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "ExistingRDD" in plan
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert "src#" in ln or "dst#" in ln or "node#" in ln, ln
+
+
 def test_cdc_incremental_ingest_probe_is_hash_join_on_hashes(spark, sf_dir):
     """The store probe joins 16-byte chunk hashes — no nested loop, no
     Python — and every keyed exchange carries the hash, a doc key, or a
