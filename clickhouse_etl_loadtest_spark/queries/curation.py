@@ -654,7 +654,7 @@ ORDER BY t.doc_id
 """
 
 
-@register("doc_span_dup_coverage", _SPAN_COVERAGE_ORACLE)
+@register("doc_span_dup_coverage", _SPAN_COVERAGE_ORACLE, extra=True)
 def doc_span_dup_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document duplication coverage: the fraction of a document's tokens
     that sit inside a cross-document verbatim repeated span (the merged
@@ -1000,7 +1000,7 @@ ORDER BY t.doc_id
 """
 
 
-@register("doc_exact_substring_scrub", _EXACT_SCRUB_ORACLE, extra=True)
+@register("doc_exact_substring_scrub", _EXACT_SCRUB_ORACLE)
 def doc_exact_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The CUT applied: remove every later occurrence of a >= ``_CUT_L``-token
     repeat (keep-first-globally — the complement of ``doc_span_scrub``'s
@@ -1099,7 +1099,7 @@ ORDER BY doc_id, span_start
 """
 
 
-@register("doc_incremental_substring_cuts", _INCR_CUT_ORACLE, extra=True)
+@register("doc_incremental_substring_cuts", _INCR_CUT_ORACLE)
 def doc_incremental_substring_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ingest-time substring dedup: spans in the NEW batch that repeat
     verbatim (>= ``_CUT_L`` tokens) against the frozen snapshot corpus —
@@ -1186,7 +1186,7 @@ def _adaptive_oracle() -> str:
     return _ADAPTIVE_ORACLE.replace("{stopwords}", _sql_in(STOPWORDS))
 
 
-@register("doc_adaptive_quality_cut", _adaptive_oracle())
+@register("doc_adaptive_quality_cut", _adaptive_oracle(), extra=True)
 def doc_adaptive_quality_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source ADAPTIVE quality threshold: drop each source's own bottom
     quartile by stopword ratio instead of applying one global cutoff — the
@@ -1275,7 +1275,7 @@ LIMIT {_DSIR_TOP_K}
 """
 
 
-@register("doc_dsir_sample", _DSIR_ORACLE)
+@register("doc_dsir_sample", _DSIR_ORACLE, extra=True)
 def doc_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance resampling: re-weight the raw pool toward a target
     corpus' hashed-unigram distribution, then draw a top-k weighted sample
@@ -1407,7 +1407,7 @@ ORDER BY merge_rank
 """
 
 
-@register("doc_bpe_merges", _bpe_merges_oracle(_BPE_NUM_MERGES))
+@register("doc_bpe_merges", _bpe_merges_oracle(_BPE_NUM_MERGES), extra=True)
 def doc_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learn a BPE merge table from the document corpus (operators/bpe.py)
     and return it as (merge_rank, merge_left, merge_right, pair_count).
@@ -1478,7 +1478,7 @@ ORDER BY source
 """
 
 
-@register("doc_bpe_fertility", _bpe_fertility_oracle(_BPE_NUM_MERGES))
+@register("doc_bpe_fertility", _bpe_fertility_oracle(_BPE_NUM_MERGES), extra=True)
 def doc_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer fertility audit: per source, how many BPE pieces the learned
     tokenizer (same merge table as ``doc_bpe_merges``) spends per word — the
@@ -1590,7 +1590,7 @@ ORDER BY doc_id
 """
 
 
-@register("doc_bpe_encode_corpus", _bpe_encode_oracle(_BPE_NUM_MERGES))
+@register("doc_bpe_encode_corpus", _bpe_encode_oracle(_BPE_NUM_MERGES), extra=True)
 def doc_bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Apply the trained tokenizer to the FULL corpus and materialize per-doc
     token-id sequences — the artifact a training-data pipeline actually
@@ -1759,7 +1759,7 @@ def _quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("doc_quality_classifier", _logreg_oracle(_LOGREG_ITERS, _LOGREG_LR))
+@register("doc_quality_classifier", _logreg_oracle(_LOGREG_ITERS, _LOGREG_LR), extra=True)
 def doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train a logistic-regression quality classifier that distills the
     heuristic filter (``doc_quality_filter``'s verdict as labels, its raw
@@ -1823,7 +1823,7 @@ ORDER BY doc_id
 """
 
 
-@register("doc_bigram_logprob", _BIGRAM_ORACLE)
+@register("doc_bigram_logprob", _BIGRAM_ORACLE, extra=True)
 def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document cross-entropy under a corpus-trained BIGRAM LM with add-1
     smoothing (mean ``-ln p(w_i | w_{i-1})`` in nats) — the sharper
@@ -1974,7 +1974,7 @@ def _winnow_selected(
     return sel.withColumn("fp_hash", fp)
 
 
-@register("doc_winnow_fingerprints", _WINNOW_ORACLE)
+@register("doc_winnow_fingerprints", _WINNOW_ORACLE, extra=True)
 def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprint selection per document: gram count, selected
     count, and density (theory: E[density] = 2/(w+1) ≈ 0.4 at w=4 — the
@@ -2015,7 +2015,7 @@ ORDER BY doc_a, doc_b
 """
 
 
-@register("doc_winnow_matches", _WINNOW_MATCHES_ORACLE)
+@register("doc_winnow_matches", _WINNOW_MATCHES_ORACLE, extra=True)
 def doc_winnow_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document winnowing matches: every pair sharing a selected
     fingerprint, with the shared count — overlap detection with the
@@ -2079,7 +2079,7 @@ ORDER BY source
 """
 
 
-@register("doc_temperature_mixture", _TEMP_MIX_ORACLE)
+@register("doc_temperature_mixture", _TEMP_MIX_ORACLE, extra=True)
 def doc_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-scaled source mixture (q_s ∝ p_s^(1/T), T=2): the
     standard up/down-sampling recipe for multi-source training mixes —
@@ -2167,7 +2167,7 @@ ORDER BY doc_id
 """
 
 
-@register("doc_kneser_ney_logprob", _KN_ORACLE)
+@register("doc_kneser_ney_logprob", _KN_ORACLE, extra=True)
 def doc_kneser_ney_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document cross-entropy under an interpolated Kneser-Ney bigram LM
     (fixed discount d=0.75) — the smoothing KenLM-style perplexity filters
@@ -2255,7 +2255,7 @@ def _ccnet_oracle() -> str:
     return _CCNET_ORACLE.format(LM=_LM_ORACLE)
 
 
-@register("doc_ccnet_buckets", _ccnet_oracle())
+@register("doc_ccnet_buckets", _ccnet_oracle(), extra=True)
 def doc_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style perplexity bucketing (Wenzek et al. 2020): per-language
     terciles of the unigram-LM cross-entropy assign each document to

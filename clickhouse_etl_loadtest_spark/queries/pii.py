@@ -120,7 +120,7 @@ ORDER BY doc_id
 """
 
 
-@register("doc_pii_detect", _PII_DETECT_ORACLE, extra=True)
+@register("doc_pii_detect", _PII_DETECT_ORACLE)
 def doc_pii_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document PII match counts by class (email / phone / IPv4),
     regex-detected over the derived PII-bearing text — the audit pass a
@@ -161,7 +161,7 @@ ORDER BY doc_id
 """
 
 
-@register("doc_pii_redact", _PII_REDACT_ORACLE, extra=True)
+@register("doc_pii_redact", _PII_REDACT_ORACLE)
 def doc_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The scrub applied: every PII match replaced by its typed placeholder
     (``<EMAIL>``/``<PHONE>``/``<IP>``, fixed class order), verified at the
@@ -200,7 +200,7 @@ ORDER BY source
 """
 
 
-@register("doc_pii_source_report", _PII_REPORT_ORACLE, extra=True)
+@register("doc_pii_source_report", _PII_REPORT_ORACLE)
 def doc_pii_source_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source PII incidence: how many documents in each provenance
     bucket carry at least one match — the compliance report that decides

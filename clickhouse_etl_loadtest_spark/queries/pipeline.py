@@ -506,7 +506,7 @@ FROM lv
 _WINDOW_FUNNEL_ORACLE = _WINDOW_FUNNEL_CORE + "ORDER BY user_id\n"
 
 
-@register("events_window_funnel", _WINDOW_FUNNEL_ORACLE)
+@register("events_window_funnel", _WINDOW_FUNNEL_ORACLE, extra=True)
 def events_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user funnel depth over the step sequence _FUNNEL_STEPS within a
     2-hour window — the ``windowFunnel`` capability of the reference's sink
@@ -579,7 +579,7 @@ ORDER BY cohort_day
 """
 
 
-@register("events_retention_cohorts", _RETENTION_ORACLE)
+@register("events_retention_cohorts", _RETENTION_ORACLE, extra=True)
 def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Day-cohort retention: users grouped by their first active day, with
     counts of who returned exactly N days later (N in _RETENTION_OFFSETS)
@@ -630,7 +630,7 @@ ORDER BY level
 """
 
 
-@register("events_funnel_conversion", _FUNNEL_CONVERSION_ORACLE)
+@register("events_funnel_conversion", _FUNNEL_CONVERSION_ORACLE, extra=True)
 def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The funnel's aggregate twin — the conversion table an analytics
     dashboard actually renders: per depth, how many users topped out there,

@@ -205,7 +205,7 @@ ORDER BY doc_id
 """
 
 
-@register("doc_curriculum_order", _CURRICULUM_ORACLE, extra=True)
+@register("doc_curriculum_order", _CURRICULUM_ORACLE)
 def doc_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curriculum ordering: the EXACT 1-based global rank of every document
     under (quality DESC, length ASC, doc_id) — "train on high-quality,
@@ -867,7 +867,7 @@ ORDER BY threshold_pct
 """
 
 
-@register("doc_dedup_threshold_sweep", _SWEEP_ORACLE, extra=True)
+@register("doc_dedup_threshold_sweep", _SWEEP_ORACLE)
 def doc_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The what-if table behind CHOOSING a dedup threshold: for each
     candidate Jaccard cutoff, how many verified pairs survive and how many
@@ -929,7 +929,7 @@ ORDER BY 1, 2
 """
 
 
-@register("doc_source_overlap_matrix", _SOURCE_OVERLAP_ORACLE, extra=True)
+@register("doc_source_overlap_matrix", _SOURCE_OVERLAP_ORACLE)
 def doc_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Verified near-duplication flow between provenances: for every
     unordered source pair (diagonal = within-source), the count of
@@ -998,7 +998,7 @@ ORDER BY source
 """
 
 
-@register("doc_dataset_card", _DATASET_CARD_ORACLE, extra=True)
+@register("doc_dataset_card", _DATASET_CARD_ORACLE)
 def doc_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The per-source DATASET CARD a corpus release ships with (Datasheets
     for Datasets / Dolma-style data cards): document and token counts,
@@ -1080,7 +1080,7 @@ ORDER BY jaccard_bucket
 """
 
 
-@register("doc_lsh_recall_curve", _RECALL_ORACLE, extra=True)
+@register("doc_lsh_recall_curve", _RECALL_ORACLE)
 def doc_lsh_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The MEASURED recall s-curve of the MinHash-LSH band geometry: for
     each exact-Jaccard bucket (width 0.05) above the dedup threshold, what
@@ -1174,7 +1174,7 @@ ORDER BY doc_id
 )
 
 
-@register("doc_dup_graph_pagerank", _PAGERANK_ORACLE, extra=True)
+@register("doc_dup_graph_pagerank", _PAGERANK_ORACLE)
 def doc_dup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank centrality over the verified near-dup graph — which
     documents sit at the CENTER of duplication neighborhoods (template
@@ -1244,7 +1244,7 @@ FROM ga_s, ga_n
 """
 
 
-@register("doc_dup_graph_assortativity", _ASSORT_ORACLE, extra=True)
+@register("doc_dup_graph_assortativity", _ASSORT_ORACLE)
 def doc_dup_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree assortativity of the verified near-dup graph (Newman 2002,
     the Pearson correlation of endpoint degrees over directed edges):
@@ -1345,7 +1345,7 @@ ORDER BY doc_id
 )
 
 
-@register("doc_dup_graph_pagerank_weighted", _PAGERANK_W_ORACLE, extra=True)
+@register("doc_dup_graph_pagerank_weighted", _PAGERANK_W_ORACLE)
 def doc_dup_graph_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Similarity-WEIGHTED PageRank over the verified near-dup graph: a
     neighbor at Jaccard 0.95 should pull far more centrality mass than one
@@ -1419,7 +1419,7 @@ ORDER BY doc_id
 )
 
 
-@register("doc_pagerank_keep", _PR_KEEP_ORACLE, extra=True)
+@register("doc_pagerank_keep", _PR_KEEP_ORACLE)
 def doc_pagerank_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Centrality-canonical dedup keep: within each duplicate cluster,
     keep the member with the highest PageRank (tie → lowest doc_id) — the
@@ -1489,7 +1489,7 @@ ORDER BY doc_id
 """
 
 
-@register("doc_dup_graph_triangles", _TRIANGLES_ORACLE, extra=True)
+@register("doc_dup_graph_triangles", _TRIANGLES_ORACLE)
 def doc_dup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document triangle count and local clustering coefficient of the
     verified near-dup graph — does a doc sit in a dense mirror CLIQUE
@@ -1558,7 +1558,7 @@ ORDER BY source_a, source_b
 """
 
 
-@register("doc_source_js_divergence", _JS_ORACLE, extra=True)
+@register("doc_source_js_divergence", _JS_ORACLE)
 def doc_source_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Jensen-Shannon divergence between every pair of sources' unigram
     distributions — the DISTRIBUTIONAL-shift half of the mixture-design
@@ -1667,7 +1667,7 @@ ORDER BY cluster_id
 """
 
 
-@register("doc_dup_cluster_profile", _CLUSTER_PROFILE_ORACLE, extra=True)
+@register("doc_dup_cluster_profile", _CLUSTER_PROFILE_ORACLE)
 def doc_dup_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per duplicate-CLUSTER structure profile: member count, internal
     verified-pair count, edge density, and whether the cluster is a full
@@ -2055,7 +2055,7 @@ def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TFIDF_TOPK = 3
 
-_TFIDF_ORACLE = f"""
+_TFIDF_FEAT_ORACLE = f"""
 WITH tok AS (
     SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS token
     FROM documents
@@ -2083,10 +2083,15 @@ ORDER BY doc_id, rnk
 """
 
 
-@register("doc_tfidf_top_terms", _TFIDF_ORACLE, extra=True)
-def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+@register("doc_tfidf_features", _TFIDF_FEAT_ORACLE, extra=True)
+def doc_tfidf_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF feature extraction: top-_TFIDF_TOPK characteristic terms per
     document.
+
+    Registered as ``doc_tfidf_features`` (was ``doc_tfidf_top_terms`` until
+    round 8, when it silently collided with the round-7 corpus-statistics
+    keyword query of the same name — module order made the later
+    registration shadow this one).
 
     Scale: tf is one (doc_id, token) aggregation; df is one (token)
     aggregation whose result — |vocab| rows — broadcasts back onto tf, so
@@ -2512,7 +2517,7 @@ ORDER BY doc_id, chunk_idx
 """
 
 
-@register("doc_cdc_chunks", _CDC_ORACLE, extra=True)
+@register("doc_cdc_chunks", _CDC_ORACLE)
 def doc_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-defined chunking (Rabin-style: LBFS, Muthitacharoen et al.
     2001 — the rsync/storage-dedup boundary rule, used at corpus scale for
@@ -2579,7 +2584,7 @@ FROM groups
 """
 
 
-@register("doc_cdc_dedup_ratio", _CDC_RATIO_ORACLE, extra=True)
+@register("doc_cdc_dedup_ratio", _CDC_RATIO_ORACLE)
 def doc_cdc_dedup_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The CDC payoff number: corpus-level chunk-dedup savings — total vs
     distinct chunk references and the token volume a content-addressed
@@ -2633,7 +2638,7 @@ ORDER BY b.doc_id
 """
 
 
-@register("doc_cdc_incremental_ingest", _CDC_INGEST_ORACLE, extra=True)
+@register("doc_cdc_incremental_ingest", _CDC_INGEST_ORACLE)
 def doc_cdc_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-addressed-store ingest: per NEW document, how many of its CDC
     chunks (and how many tokens) are novel vs the frozen snapshot's chunk
@@ -2708,7 +2713,7 @@ ORDER BY d.doc_id
 """
 
 
-@register("doc_fuzzy_contamination", _FUZZY_CONTAM_ORACLE)
+@register("doc_fuzzy_contamination", _FUZZY_CONTAM_ORACLE, extra=True)
 def doc_fuzzy_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy decontamination: flag training documents whose MinHash LSH
     signature shares ≥1 band with any held-out eval document (same eval
@@ -2785,7 +2790,7 @@ ORDER BY doc_id
 """
 
 
-@register("doc_leakage_safe_split", _LEAKAGE_SPLIT_ORACLE)
+@register("doc_leakage_safe_split", _LEAKAGE_SPLIT_ORACLE, extra=True)
 def doc_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe 80/10/10 split: hash the duplicate-CLUSTER id (connected
     components over the verified near-dup pairs; singletons are their own
@@ -2835,7 +2840,7 @@ ORDER BY token, doc_id
 """
 
 
-@register("doc_inverted_index", _INVIDX_ORACLE)
+@register("doc_inverted_index", _INVIDX_ORACLE, extra=True)
 def doc_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Positional inverted index build: one row per (token, doc_id) posting
     with occurrence count, first/last position and the full sorted position
@@ -2910,7 +2915,7 @@ ORDER BY h.doc_id
 """
 
 
-@register("doc_bm25_scores", _BM25_ORACLE)
+@register("doc_bm25_scores", _BM25_ORACLE, extra=True)
 def doc_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 relevance scores for a fixed query over the corpus — the
     ranked-retrieval stage a search/contamination pipeline runs on top of the
@@ -2973,7 +2978,7 @@ ORDER BY p1.doc_id
 """
 
 
-@register("doc_phrase_search", _PHRASE_ORACLE)
+@register("doc_phrase_search", _PHRASE_ORACLE, extra=True)
 def doc_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact phrase search (the _PHRASE bigram) via positional postings:
     adjacent positions of the two terms join on (doc_id, pos) — the classic
@@ -3026,7 +3031,7 @@ FROM d
 """
 
 
-@register("doc_corpus_profile", _CORPUS_PROFILE_ORACLE)
+@register("doc_corpus_profile", _CORPUS_PROFILE_ORACLE, extra=True)
 def doc_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus data-card profile in ONE pass (the ``documents`` twin of
     ``events_profile``): row/language/source cardinalities, exact-duplicate
@@ -3091,7 +3096,7 @@ ORDER BY doc_id, rnk
 """
 
 
-@register("doc_tfidf_top_terms", _TFIDF_ORACLE, extra=True)
+@register("doc_tfidf_top_terms", _TFIDF_ORACLE)
 def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document keyword extraction: the top-3 non-stopword terms ranked
     by the INTEGER-exact composite (tf desc, df asc, token) — most frequent
@@ -3165,7 +3170,7 @@ SELECT n_types, n_top, zipf_slope, zipf_intercept FROM types, fit
 """
 
 
-@register("doc_zipf_fit", _ZIPF_ORACLE, extra=True)
+@register("doc_zipf_fit", _ZIPF_ORACLE)
 def doc_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zipf power-law fit over the corpus word-frequency distribution:
     least-squares slope/intercept of ``ln(freq)`` on ``ln(rank)`` over the
@@ -3240,7 +3245,7 @@ ORDER BY bucket
 """
 
 
-@register("doc_heaps_law", _HEAPS_ORACLE, extra=True)
+@register("doc_heaps_law", _HEAPS_ORACLE)
 def doc_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heaps'-law vocabulary growth: cumulative distinct types vs cumulative
     tokens at 16 doc_id-range checkpoints, plus the fitted power-law

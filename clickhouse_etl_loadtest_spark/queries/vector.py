@@ -751,6 +751,7 @@ ORDER BY vec_id
 @register(
     "embedding_cluster_balanced_sample",
     _cluster_balanced_oracle(_KMEANS_K, _KMEANS_ITERS, _BALANCE_N),
+    extra=True,
 )
 def embedding_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-balanced sample: fit the deterministic k-means (same constants
@@ -1075,7 +1076,7 @@ def pq_adc_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_topk(pq_encode(e, cb), cb, _query_vectors(spark, sf_dir), k=_TOPK)
 
 
-@register("ivfpq_search_topk", _ivfpq_oracle(_PQ_M, _PQ_KSUB, _PQ_ITERS, _TOPK))
+@register("ivfpq_search_topk", _ivfpq_oracle(_PQ_M, _PQ_KSUB, _PQ_ITERS, _TOPK), extra=True)
 def ivfpq_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ end-to-end — the full 100 TB ANN layout composed from its two
     verified halves: coarse IVF cells gate candidates (each query probes its

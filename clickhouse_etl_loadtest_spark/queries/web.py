@@ -255,7 +255,7 @@ ORDER BY url_norm
 """
 
 
-@register("doc_url_dedup", _URL_DEDUP_ORACLE, extra=True)
+@register("doc_url_dedup", _URL_DEDUP_ORACLE)
 def doc_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL-exact dedup decisions: canonical URLs claimed by >= 2 documents,
     with the kept doc (smallest doc_id) — the first dedup pass of every
