@@ -340,9 +340,11 @@ def main() -> None:
     headline_sf1 = None
     if os.environ.get("SPARK_GRAFT_BENCH_SF1", "0") == "1":
         sf1_dir = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/scale/sf1.0")
-        if not os.path.exists(f"{sf1_dir}/lineitem.parquet"):
+        _sf1_needed = ("lineitem.parquet", "documents.parquet", "embeddings.parquet")
+        _sf1_missing = [f for f in _sf1_needed if not os.path.exists(f"{sf1_dir}/{f}")]
+        if _sf1_missing:
             print(
-                f"# sf1.0 wave skipped: {sf1_dir} missing — run "
+                f"# sf1.0 wave skipped: {sf1_dir} missing {_sf1_missing} — run "
                 "scripts/gen_scale_tpch.py and scripts/gen_scale_docs.py first",
                 file=sys.stderr,
             )

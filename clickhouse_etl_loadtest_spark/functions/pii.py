@@ -23,10 +23,33 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# Regex subset valid and equivalent in both Java regex and RE2.
+# Regex subset valid and equivalent in Java regex, RE2, and Python re:
+# character classes, bounded repetition, non-capturing groups, alternation
+# (all three engines pick the leftmost match and, at equal start, the
+# FIRST listed alternative — order alternatives longest/most-specific
+# first), ASCII \b; no lookaround, no backreferences.
 EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
-PHONE_RE = r"\+1-[0-9]{3}-[0-9]{3}-[0-9]{4}"
-IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+# NANP phone forms, most-specific first:
+#   1. +1-prefixed (separators -, ., space; optional parens) — the explicit
+#      country code makes false positives unlikely, so digits stay lenient
+#      and no word boundary is required (interior/spliced matches redact).
+#   2. parenthesized area code: (NXX) NXX-XXXX
+#   3. dashed/dotted: NXX-NXX-XXXX / NXX.NXX.XXXX (space separators NOT
+#      accepted bare — "555 123 4567" is too often prose numbers)
+#   4. bare 10-digit NXXNXXXXXX
+# Forms 2-4 require valid NANP area/exchange ([2-9]XX) and word boundaries.
+PHONE_RE = (
+    r"\+1[-. ]?(?:\([0-9]{3}\) ?|[0-9]{3}[-. ])[0-9]{3}[-. ]?[0-9]{4}"
+    r"|\([2-9][0-9]{2}\) ?[2-9][0-9]{2}[-. ][0-9]{4}\b"
+    r"|\b[2-9][0-9]{2}[-.][2-9][0-9]{2}[-.][0-9]{4}\b"
+    r"|\b[2-9][0-9]{2}[2-9][0-9]{2}[0-9]{4}\b"
+)
+
+# Dotted quad with per-octet range validation (0-255) — "999.1.2.3" is not
+# an address and must not be redacted.
+_OCTET = r"(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
+IPV4_RE = rf"\b{_OCTET}(?:\.{_OCTET}){{3}}\b"
 
 EMAIL_TAG = "<EMAIL>"
 PHONE_TAG = "<PHONE>"
@@ -39,7 +62,8 @@ def pii_email_count(t: Column) -> Column:
 
 
 def pii_phone_count(t: Column) -> Column:
-    """Number of ``+1-NXX-NXX-XXXX`` phone matches in ``t`` (bigint)."""
+    """Number of NANP phone matches (+1-prefixed, parenthesized, dashed,
+    dotted, or bare-10-digit forms) in ``t`` (bigint)."""
     return F.regexp_count(t, F.lit(PHONE_RE)).cast("bigint")
 
 

@@ -48,7 +48,11 @@ def pagerank_fixed_point(
     where w ≡ 1 and W(u) = deg(u) in the unweighted form, or ``weight``
     names a positive BIGINT edge-weight column and W(u) = Σ_v w(u,v)
     (the strength). Each contribution is ≤ r_t(u), so the per-node sum is
-    bounded by total rank mass (≤ SCALE) — no overflow at any graph size.
+    bounded by total rank mass (≤ SCALE) — no overflow at any graph size
+    PROVIDED weights stay ≤ ~9e6: the intermediate ``r_t(u)·w`` product must
+    fit int64, and r_t(u) can approach SCALE (1e12) on a star hub. In-repo
+    callers pass milli-Jaccard weights ≤ 1000; callers with larger weights
+    must pre-normalize (divide by gcd or rescale to ≤ 1e6).
 
     Returns (node, rank_fp BIGINT, rank DOUBLE = rank_fp/1e12); empty input
     yields an empty result with the same schema.

@@ -91,11 +91,13 @@ _PII_TEXT_SQL = """
              ELSE '' END)
 """
 
-# DuckDB twins of functions/pii.py (RE2; regexp_replace needs the explicit
-# 'g' flag where Spark's is always-global)
-_EMAIL_RE_SQL = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
-_PHONE_RE_SQL = "\\+1-[0-9]{3}-[0-9]{3}-[0-9]{4}"
-_IPV4_RE_SQL = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+# DuckDB twins of functions/pii.py: the SAME pattern strings (the regex
+# subset is RE2∩Java∩Python-re equivalent, and SQL single-quoted literals
+# pass backslashes through verbatim). regexp_replace needs the explicit
+# 'g' flag where Spark's is always-global.
+from ..functions.pii import EMAIL_RE as _EMAIL_RE_SQL  # noqa: E402
+from ..functions.pii import IPV4_RE as _IPV4_RE_SQL  # noqa: E402
+from ..functions.pii import PHONE_RE as _PHONE_RE_SQL  # noqa: E402
 
 _PII_CTES = f"""
 pii AS (

@@ -169,7 +169,10 @@ def crash_recovery_wave(
                 SELECT * FROM read_parquet('{work}/sink/batch=*/*.parquet', hive_partitioning=1)
             ),
             latest AS (
-                SELECT key, max_by(n_duplicates, batch) AS n_dups FROM t GROUP BY key
+                -- batch is a hive partition column; cast so 'latest' is
+                -- numeric order (lexicographic VARCHAR picks '9' over '12')
+                SELECT key, max_by(n_duplicates, CAST(batch AS BIGINT)) AS n_dups
+                FROM t GROUP BY key
             )
             SELECT (SELECT count(*) FROM latest),
                    (SELECT sum(is_first_emit) FROM t),

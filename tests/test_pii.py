@@ -55,6 +55,18 @@ def _counts_one(spark, text: str) -> tuple[int, int, int]:
         ),
         # no PII: byte-identical pass-through
         ("plain words only", "plain words only"),
+        # round-8 broadened NANP forms
+        ("call (212) 555-0142 now", f"call {PHONE_TAG} now"),
+        ("call 212-555-0142 now", f"call {PHONE_TAG} now"),
+        ("call 212.555.0142 now", f"call {PHONE_TAG} now"),
+        ("call 2125550142 now", f"call {PHONE_TAG} now"),
+        ("call +1 (212) 555-0142 now", f"call {PHONE_TAG} now"),
+        # bare forms need valid NANP area/exchange digits and boundaries
+        ("order 112-555-0142 stays", "order 112-555-0142 stays"),
+        ("id x2125550142 stays", "id x2125550142 stays"),
+        # octet validation: 999 is not an address octet
+        ("at 999.1.2.3 stays", "at 999.1.2.3 stays"),
+        ("at 255.255.255.255 goes", f"at {IPV4_TAG} goes"),
     ],
 )
 def test_redact_cases(spark, text, expected):
@@ -109,12 +121,33 @@ def test_redact_and_counts_match_python_re_on_random_corpus(spark):
         if k == 0:
             return f"{rng.choice(words)}{rng.randrange(99)}@{rng.choice(words)}.example.com"
         if k == 1:
-            return f"+1-{rng.randrange(100,999)}-{rng.randrange(100,999)}-{rng.randrange(1000,9999)}"
+            a, x, l4 = rng.randrange(100, 999), rng.randrange(100, 999), rng.randrange(1000, 9999)
+            return rng.choice(
+                [
+                    f"+1-{a}-{x}-{l4}",
+                    f"+1 ({a}) {x}-{l4}",
+                    f"({a}) {x}-{l4}",
+                    f"{a}-{x}-{l4}",
+                    f"{a}.{x}.{l4}",
+                    f"{a}{x}{l4}",
+                ]
+            )
         if k == 2:
             return ".".join(str(rng.randrange(300)) for _ in range(4))
         if k == 3:  # near-misses
             return rng.choice(
-                ["a@b", "+1-55-123-4567", "1.2.3", "user@", "@dom.com", "+1-555-1234-567"]
+                [
+                    "a@b",
+                    "+1-55-123-4567",
+                    "1.2.3",
+                    "user@",
+                    "@dom.com",
+                    "+1-555-1234-567",
+                    "112-555-0142",
+                    "999.1.2.3",
+                    "(112) 555-0142",
+                    "21255501429",
+                ]
             )
         if k == 4:  # adjacency: PII glued into a word
             return f"wo{rng.choice(['+1-555-111-2222', '1.2.3.4'])}rd"
