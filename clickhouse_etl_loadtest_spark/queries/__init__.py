@@ -40,7 +40,17 @@ def register(name: str, oracle: str | None, headline: bool = False, extra: bool 
 def load_all() -> dict[str, Q]:
     """Import all query modules (side-effect: fills REGISTRY) and return the
     FULL registry, extras included (the pytest oracle sweep covers everything)."""
-    from . import analytics, curation, multimodal, pii, pipeline, text, vector, web  # noqa: F401
+    from . import (  # noqa: F401
+        analytics,
+        curation,
+        html,
+        multimodal,
+        pii,
+        pipeline,
+        text,
+        vector,
+        web,
+    )
 
     return REGISTRY
 

@@ -1498,7 +1498,7 @@ ORDER BY o_custkey, o_orderkey
 """
 
 
-@register("customer_order_window_gallery", _WINDOW_GALLERY_ORACLE)
+@register("customer_order_window_gallery", _WINDOW_GALLERY_ORACLE, extra=True)
 def customer_order_window_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The remaining ANSI window functions in one query: NTILE, PERCENT_RANK,
     CUME_DIST, FIRST/LAST/NTH_VALUE — per-customer order history, with the
@@ -1541,7 +1541,7 @@ ORDER BY l_orderkey, l_linenumber, measure
 """
 
 
-@register("lineitem_unpivot_measures", _UNPIVOT_ORACLE)
+@register("lineitem_unpivot_measures", _UNPIVOT_ORACLE, extra=True)
 def lineitem_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNPIVOT/melt: the wide-to-long reshape (inverse of
     ``events_pivot_by_type``), via Spark's ``stack`` expression — three
@@ -1708,7 +1708,7 @@ ORDER BY custdist DESC, c_count DESC
 """
 
 
-@register("customer_order_count_distribution", _Q13_ORACLE)
+@register("customer_order_count_distribution", _Q13_ORACLE, extra=True)
 def customer_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q13 shape (adapted: the priority filter stands in for the
     reference benchmark's comment-pattern filter — the fixtures carry no

@@ -1022,3 +1022,27 @@ def test_cdc_incremental_ingest_probe_is_hash_join_on_hashes(spark, sf_dir):
     for ln in plan.splitlines():
         if "Exchange hashpartitioning" in ln:
             assert "chunk_hash#" in ln or "doc_id#" in ln, ln
+
+
+def test_html_extract_and_boilerplate_are_map_only(spark, sf_dir):
+    """HTML→text extraction is pure regexp + higher-order array column
+    expressions: no keyed shuffle, no join, no window, no Python — one scan,
+    one projection (+ output sort). At 100 TB the pass is scan-bound."""
+    for name in ("doc_html_extract", "doc_html_boilerplate_stats"):
+        plan = exec_plan_of(spark, sf_dir, name)
+        assert "Exchange hashpartitioning" not in plan, name
+        assert "Join" not in plan and "Window" not in plan, name
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
+def test_html_link_stats_single_source_shuffle(spark, sf_dir):
+    """The link-density survey pays ONE hashpartitioning exchange keyed by
+    source, with a map-side partial aggregate below it — the derived HTML
+    never crosses the shuffle (per-doc char counts collapse first)."""
+    plan = exec_plan_of(spark, sf_dir, "doc_html_link_stats")
+    assert "BatchEvalPython" not in plan and "Join" not in plan
+    hash_exchanges = [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
+    assert len(hash_exchanges) == 1 and "source#" in hash_exchanges[0]
+    assert "h#" not in hash_exchanges[0]
+    agg_lines = [ln for ln in plan.splitlines() if "HashAggregate" in ln]
+    assert len(agg_lines) >= 2  # partial + final
