@@ -258,3 +258,113 @@ __all__ = [
     "doc_html_link_stats",
     "MIN_WORDS",
 ]
+
+
+# --- WARC: the archive container feeding the extraction -------------------------------
+
+_WARCINFO_PAYLOAD = "software: graft-crawler/1.0\r\nformat: WARC File Format 1.0"
+_HTTP_HEAD = "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+
+
+def _warc_record(rec_type: Column | str, uri: Column | None, payload: Column) -> Column:
+    """One WARC/1.0 record as a string column; Content-Length is the BYTE
+    length of the payload (octet_length), the only legal framing."""
+    t = F.lit(rec_type) if isinstance(rec_type, str) else rec_type
+    head = F.concat(F.lit("WARC/1.0\r\nWARC-Type: "), t, F.lit("\r\n"))
+    if uri is not None:
+        head = F.concat(head, F.lit("WARC-Target-URI: "), uri, F.lit("\r\n"))
+    return F.concat(
+        head,
+        F.lit("Content-Length: "),
+        F.octet_length(payload).cast("string"),
+        F.lit("\r\n\r\n"),
+        payload,
+        F.lit("\r\n\r\n"),
+    )
+
+
+def _warc_col() -> Column:
+    """A 3-record WARC blob per document: warcinfo + request (both must be
+    skipped by the walker) + the response carrying the derived HTML behind
+    real HTTP headers (which the walker must strip)."""
+    uri = F.concat(
+        F.lit("http://"), F.col("source"), F.lit(".example.com/doc/"),
+        F.col("doc_id").cast("string"),
+    )
+    request = F.concat(
+        F.lit("GET /doc/"), F.col("doc_id").cast("string"),
+        F.lit(" HTTP/1.1\r\nHost: "), F.col("source"), F.lit(".example.com\r\n\r\n"),
+    )
+    response = F.concat(F.lit(_HTTP_HEAD), _html_col())
+    return F.concat(
+        _warc_record("warcinfo", None, F.lit(_WARCINFO_PAYLOAD)),
+        _warc_record("request", uri, request),
+        _warc_record("response", uri, response),
+    )
+
+
+_WARC_ORACLE = f"""
+WITH {_HTML_CTE},
+ex AS (
+    SELECT doc_id,
+           'http://' || source || '.example.com/doc/' || CAST(doc_id AS VARCHAR)
+               AS target_uri,
+           {extract_text_sql("h")} AS extracted
+    FROM html
+)
+SELECT doc_id, CAST(3 AS BIGINT) AS n_records, target_uri,
+       CAST(length(extracted) AS BIGINT) AS n_chars,
+       {h60_sql_duckdb("extracted")} AS text_hash
+FROM ex
+ORDER BY doc_id
+"""
+
+
+@register("doc_warc_extract", _WARC_ORACLE)
+def doc_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WET generation end-to-end: build a real 3-record WARC blob per doc
+    (warcinfo + request + HTTP response wrapping the derived HTML), walk it
+    with the length-delimited record parser (``operators/warc.py``), strip
+    the HTTP headers, then extract text JVM-side — value-checked against an
+    oracle that extracts DIRECTLY from the same derived HTML, so the hash
+    only matches if the container round-trip is byte-exact.
+
+    The walk is the one Python stage (Arrow-batched ``mapInPandas``; the
+    plan gate asserts no row-at-a-time BatchEvalPython) and is
+    embarrassingly parallel per blob; all text processing stays in
+    whole-stage codegen. Zero keyed exchanges.
+    """
+    import pandas as pd
+
+    d = _docs(spark, sf_dir).select("doc_id", _warc_col().alias("warc"))
+
+    def walk(it):
+        from clickhouse_etl_loadtest_spark.operators.warc import (
+            http_body,
+            iter_warc_records,
+        )
+
+        for pdf in it:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["warc"]):
+                recs = list(iter_warc_records(blob.encode("utf-8")))
+                uri, html = "", ""
+                for r in recs:
+                    if r["headers"].get("warc-type") == "response":
+                        uri = r["headers"].get("warc-target-uri", "")
+                        html = http_body(r["payload"]).decode("utf-8")
+                rows.append((int(doc_id), len(recs), uri, html))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_records", "target_uri", "html"]
+            )
+
+    walked = d.mapInPandas(
+        walk, "doc_id long, n_records long, target_uri string, html string"
+    )
+    return walked.select(
+        "doc_id",
+        "n_records",
+        "target_uri",
+        F.length(extract_text(F.col("html"))).cast("bigint").alias("n_chars"),
+        h60(extract_text(F.col("html"))).alias("text_hash"),
+    ).orderBy("doc_id")

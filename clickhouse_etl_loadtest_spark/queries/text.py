@@ -3588,7 +3588,7 @@ ORDER BY doc_a, doc_b
 """
 
 
-@register("doc_setjoin_prefix_pairs", _SETJOIN_ORACLE)
+@register("doc_setjoin_prefix_pairs", _SETJOIN_ORACLE, extra=True)
 def doc_setjoin_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT threshold-Jaccard near-dup pairs via prefix filtering — the
     deterministic complement to the MinHash-LSH family: zero false

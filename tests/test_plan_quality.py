@@ -1046,3 +1046,14 @@ def test_html_link_stats_single_source_shuffle(spark, sf_dir):
     assert "h#" not in hash_exchanges[0]
     agg_lines = [ln for ln in plan.splitlines() if "HashAggregate" in ln]
     assert len(agg_lines) >= 2  # partial + final
+
+
+def test_warc_extract_walk_is_arrow_batched(spark, sf_dir):
+    """The WARC container walk is the one Python stage and must be
+    Arrow-batched (MapInPandas), never row-at-a-time; no keyed exchange —
+    blobs walk where they sit and text processing stays JVM-side."""
+    plan = exec_plan_of(spark, sf_dir, "doc_warc_extract")
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "Join" not in plan and "Window" not in plan
