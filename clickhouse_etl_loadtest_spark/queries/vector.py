@@ -1199,7 +1199,7 @@ def _hybrid_oracle() -> str:
     )
 
 
-@register("hybrid_search_rrf", _hybrid_oracle())
+@register("hybrid_search_rrf", _hybrid_oracle(), extra=True)
 def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval: fuse BM25 text ranks (``doc_bm25_scores``) with
     exact-cosine vector ranks via reciprocal rank fusion

@@ -1057,3 +1057,16 @@ def test_warc_extract_walk_is_arrow_batched(spark, sf_dir):
     assert "BatchEvalPython" not in plan
     assert "Exchange hashpartitioning" not in plan
     assert "Join" not in plan and "Window" not in plan
+
+
+def test_wet_pipeline_single_fingerprint_shuffle_no_text(spark, sf_dir):
+    """The composed WARC→extract→quality→langid→dedup pipeline pays exactly
+    ONE keyed exchange — the dedup window on the 60-bit fingerprint — and
+    neither the raw html nor the extracted text crosses it; the container
+    walk is the only Python stage and is Arrow-batched."""
+    plan = exec_plan_of(spark, sf_dir, "doc_wet_pipeline")
+    assert "MapInPandas" in plan and "BatchEvalPython" not in plan
+    assert "Join" not in plan
+    hash_exchanges = [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
+    assert len(hash_exchanges) == 1 and "fingerprint#" in hash_exchanges[0]
+    assert "html#" not in hash_exchanges[0] and "extracted#" not in hash_exchanges[0]
