@@ -1,0 +1,160 @@
+"""Incremental WET ingestion: the streaming-maintenance twin of
+``queries/html.py::doc_wet_pipeline``.
+
+A crawl corpus arrives in waves of archives; re-running the whole
+archive→text→filters→dedup pipeline per wave is a full-corpus rescan.
+``wet_batch`` is a ``foreachBatch`` body: it walks the wave's WARC blobs,
+extracts and scores the text, and lands the per-document VERDICT ROWS
+(scalars + 60-bit fingerprint — never raw text) in a per-batch partition of
+a persistent parquet store; ``read_wet_store`` merges the partitions with
+latest-batch-wins semantics per document (a re-crawled page atomically
+replaces its verdict) and applies the store-wide keep-first exact dedup.
+
+Reference scope: the reference repo has no web stage; this extends the
+round-8 HTML/WARC wave (COVERAGE.md web rows) with the ingestion lifecycle
+the reference's streaming dedup models for events.
+
+Scale:
+- per-batch work is the batch pipeline's plan on the wave only: Arrow-
+  batched container walk, map-side extraction/scoring, no keyed exchange
+  until the store-side dedup;
+- the store grows by appended ``batch=b<id>`` partitions, each written with
+  overwrite (replay-idempotent — the same recovery contract as
+  ``operators/fuzzydedup.py::admit_batch`` and ``searchindex.index_batch``);
+- merge-time resolution joins verdicts against a (doc_id, max batch_seq)
+  rollup — doc-cardinality, hash-partitioned; the keep-first window runs
+  on the 60-bit fingerprint, so the merged pass shuffles fixed-width rows
+  regardless of document sizes.
+
+Quality/langid constants are kept literal here (operators must not import
+from the query registry layer); drift against the batch query is pinned by
+``tests/test_wetstream.py::test_streamed_waves_equal_batch_pipeline``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import h60
+from ..functions.html import extract_text
+
+# literal twins of queries/text.py constants (see module docstring)
+_TOKEN_RE = "[a-z0-9]+"
+_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+_LANG_MARKERS = {
+    "en": ("the", "and", "is", "of", "to", "in"),
+    "de": ("der", "die", "und", "ist", "das", "ein"),
+    "es": ("el", "la", "de", "que", "los", "es"),
+    "fr": ("le", "la", "les", "des", "est", "une"),
+    "zh": ("de", "shi", "le", "bu", "wo", "zai"),
+}
+_LANGS = sorted(_LANG_MARKERS)
+
+
+def _walk_warc(df: DataFrame, id_col: str = "doc_id", warc_col: str = "warc") -> DataFrame:
+    """(doc_id, html) from a frame of WARC blobs — Arrow-batched, the one
+    Python stage; non-response records skipped, HTTP headers stripped."""
+    import pandas as pd  # noqa: F401  (executor-side dependency)
+
+    def walk(it):
+        import pandas as pd
+
+        from clickhouse_etl_loadtest_spark.operators.warc import (
+            http_body,
+            iter_warc_records,
+        )
+
+        for pdf in it:
+            rows = []
+            for doc_id, blob in zip(pdf[id_col], pdf[warc_col]):
+                html = ""
+                for rec in iter_warc_records(blob.encode("utf-8")):
+                    if rec["headers"].get("warc-type") == "response":
+                        html = http_body(rec["payload"]).decode("utf-8")
+                rows.append((int(doc_id), html))
+            yield pd.DataFrame(rows, columns=["doc_id", "html"])
+
+    return df.mapInPandas(walk, "doc_id long, html string")
+
+
+def wet_verdicts(walked: DataFrame, html_col: str = "html") -> DataFrame:
+    """Per-document verdict rows from (doc_id, html): extraction, quality
+    score (length/punct/token signals), marker-word language-ID, and the
+    whitespace-normalized 60-bit fingerprint. Map-only; raw text is dropped
+    from the output, so everything downstream shuffles fixed-width rows."""
+    ex = walked.select("doc_id", extract_text(F.col(html_col)).alias("extracted"))
+    toks = F.regexp_extract_all(F.lower(F.col("extracted")), F.lit(_TOKEN_RE), F.lit(0))
+    n_chars = F.length("extracted")
+    n_punct = n_chars - F.length(F.regexp_replace("extracted", "[^a-zA-Z0-9 ]", ""))
+    quality = (
+        F.when(n_chars.between(100, 20000), 1).otherwise(0)
+        + F.when(
+            n_punct * F.lit(1.0) / F.nullif(n_chars.cast("double"), F.lit(0.0)) < 0.1, 1
+        ).otherwise(0)
+        + F.when(F.size(toks) >= 20, 1).otherwise(0)
+    )
+
+    def _hits(markers: tuple[str, ...]) -> Column:
+        arr = F.array(*[F.lit(w) for w in markers])
+        return F.size(F.filter(toks, lambda w: F.array_contains(arr, w)))
+
+    best = F.greatest(*[_hits(_LANG_MARKERS[lang]) for lang in _LANGS])
+    lang_expr = None
+    for lang in _LANGS:
+        cond = _hits(_LANG_MARKERS[lang]) == best
+        lang_expr = F.when(cond, lang) if lang_expr is None else lang_expr.when(cond, lang)
+
+    norm = F.regexp_replace(F.trim(F.lower(F.col("extracted"))), r"\s+", " ")
+    return ex.select(
+        "doc_id",
+        lang_expr.alias("predicted_lang"),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        quality.cast("int").alias("quality_score"),
+        (quality >= 2).alias("keep_quality"),
+        h60(norm).alias("fingerprint"),
+        h60(F.col("extracted")).alias("text_hash"),
+    )
+
+
+def wet_batch(
+    batch_df: DataFrame,
+    store_path: str,
+    batch_id: int,
+    id_col: str = "doc_id",
+    warc_col: str = "warc",
+) -> None:
+    """``foreachBatch`` body: walk + score this wave's archives and land the
+    verdict rows in the batch's own partition. ``mode("overwrite")`` on the
+    per-batch subdir makes replays (post-crash re-delivery of the same
+    micro-batch) idempotent."""
+    verdicts = wet_verdicts(_walk_warc(batch_df, id_col=id_col, warc_col=warc_col))
+    verdicts.withColumn("batch_seq", F.lit(int(batch_id)).cast("long")).write.mode(
+        "overwrite"
+    ).parquet(f"{store_path}/batch=b{batch_id}")
+
+
+def read_wet_store(spark: SparkSession, store_path: str) -> DataFrame:
+    """The merged corpus verdict: latest batch wins per document (re-crawls
+    replace), then keep-first-by-doc_id exact dedup across the WHOLE store —
+    identical output columns to ``doc_wet_pipeline`` plus ``batch_seq``."""
+    from pyspark.sql.window import Window
+
+    raw = spark.read.parquet(store_path)  # hive-discovers the batch column
+    latest = raw.groupBy("doc_id").agg(F.max("batch_seq").alias("batch_seq"))
+    cur = raw.join(latest, ["doc_id", "batch_seq"])
+    w = Window.partitionBy("fingerprint")
+    return (
+        cur.withColumn("is_canonical", F.col("doc_id") == F.min("doc_id").over(w))
+        .select(
+            "doc_id",
+            "predicted_lang",
+            "n_tokens",
+            "quality_score",
+            "keep_quality",
+            "is_canonical",
+            (F.col("keep_quality") & F.col("is_canonical")).alias("kept"),
+            "text_hash",
+            "batch_seq",
+        )
+    )
