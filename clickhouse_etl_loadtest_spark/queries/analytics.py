@@ -1824,7 +1824,7 @@ ORDER BY s.s_suppkey
 """
 
 
-@register("dominant_part_suppliers", _Q20_ORACLE)
+@register("dominant_part_suppliers", _Q20_ORACLE, extra=True)
 def dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q20 shape (adapted: no partsupp/availqty in the fixtures, so
     'excess stock' becomes 'dominant share' — suppliers who shipped MORE

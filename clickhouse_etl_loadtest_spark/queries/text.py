@@ -3649,3 +3649,134 @@ def doc_setjoin_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+# --- Gopher repetition signals (Rae et al. 2021, Table A1 rows 4-12) -----------------
+# The within-doc n-gram repetition rules the rule set above (doc_gopher_rules)
+# deliberately omitted. Adapted to the tokenized fixtures and documented where
+# adapted: "fraction of characters in the most common n-gram" uses the gram's
+# single-space-joined string length times its count over the doc's char count
+# (ties broken by lexicographically smallest gram); the duplicate-5-gram rule
+# counts duplicate OCCURRENCES over total occurrences (Gopher's char-once
+# accounting needs positional overlap resolution that adds nothing on
+# single-line fixtures). Verdict thresholds are Gopher's (0.20/0.18/0.16 for
+# top-2/3/4, 0.15 for dup-5), cross-multiplied into integer arithmetic so the
+# keep verdicts cannot drift across engines at a float boundary.
+
+_GREP_TOP_THRESH_100 = {2: 20, 3: 18, 4: 16}  # x100
+_GREP_DUP5_THRESH_100 = 15
+
+_GREP_ORACLE = f"""
+WITH toked AS (
+    SELECT doc_id, length(text) AS n_chars,
+           regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks
+    FROM documents
+),
+grams AS (
+    SELECT doc_id, n_chars, n.n AS n,
+           unnest(list_transform(generate_series(1, len(toks) - n.n + 1),
+                                 i -> array_to_string(toks[i : i + n.n - 1], ' '))) AS gram
+    FROM toked, (SELECT unnest([2, 3, 4, 5]) AS n) n
+    WHERE len(toks) >= n.n
+),
+counted AS (
+    SELECT doc_id, n_chars, n, gram, COUNT(*) AS c
+    FROM grams GROUP BY ALL
+),
+tops AS (
+    SELECT doc_id, n_chars, n, gram, c,
+           ROW_NUMBER() OVER (PARTITION BY doc_id, n ORDER BY c DESC, gram) AS rnk
+    FROM counted
+),
+per_doc AS (
+    SELECT doc_id,
+           MAX(n_chars) AS n_chars,
+           MAX(CASE WHEN n = 2 AND rnk = 1 THEN c * length(gram) END) AS top2_chars,
+           MAX(CASE WHEN n = 3 AND rnk = 1 THEN c * length(gram) END) AS top3_chars,
+           MAX(CASE WHEN n = 4 AND rnk = 1 THEN c * length(gram) END) AS top4_chars,
+           SUM(CASE WHEN n = 5 AND c > 1 THEN c ELSE 0 END) AS dup5_occ,
+           SUM(CASE WHEN n = 5 THEN c ELSE 0 END) AS n5_occ
+    FROM tops GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(top2_chars AS DOUBLE) / n_chars AS top2_frac,
+       CAST(top3_chars AS DOUBLE) / n_chars AS top3_frac,
+       CAST(top4_chars AS DOUBLE) / n_chars AS top4_frac,
+       CAST(dup5_occ AS DOUBLE) / NULLIF(n5_occ, 0) AS dup5_frac,
+       (100 * top2_chars <= {_GREP_TOP_THRESH_100[2]} * n_chars
+        AND 100 * top3_chars <= {_GREP_TOP_THRESH_100[3]} * n_chars
+        AND 100 * top4_chars <= {_GREP_TOP_THRESH_100[4]} * n_chars
+        AND 100 * dup5_occ <= {_GREP_DUP5_THRESH_100} * n5_occ) AS keep
+FROM per_doc
+WHERE n5_occ > 0
+ORDER BY doc_id
+"""
+
+
+@register("doc_gopher_repetition", _GREP_ORACLE)
+def doc_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher's within-document repetition filters: fraction of characters
+    claimed by the single most common 2/3/4-gram and the duplicate-5-gram
+    occurrence fraction, with the conjunction keep verdict at Gopher's
+    thresholds (integer cross-multiplied — see the block comment for the two
+    documented adaptations).
+
+    Scale: grams for all four n are built INSIDE the token array (one
+    combined explode), so the corpus-scale shuffle carries (doc_id, n, gram)
+    short fragments — never document text; the top-1 window partitions by
+    (doc_id, n) with rank-1 pushdown, and the final pivot is one doc-keyed
+    aggregation. Docs shorter than 5 tokens have no 5-gram mass and are
+    excluded in both engines (WHERE n5_occ > 0).
+    """
+    d = _docs(spark, sf_dir)
+    toks = _tokens()
+
+    def _grams(n: int) -> Column:
+        return F.expr(
+            f"transform(sequence(1, greatest(size(toks) - {n - 1}, 0)),"
+            f" i -> struct({n}L as n, concat_ws(' ', slice(toks, i, {n})) as gram))"
+        )
+
+    exploded = (
+        d.select("doc_id", F.length("text").alias("n_chars"), toks.alias("toks"))
+        .select(
+            "doc_id",
+            "n_chars",
+            F.explode(
+                F.concat(_grams(2), _grams(3), _grams(4), _grams(5))
+            ).alias("g"),
+        )
+        .select("doc_id", "n_chars", F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
+    )
+    counted = exploded.groupBy("doc_id", "n_chars", "n", "gram").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id", "n").orderBy(F.desc("c"), "gram")
+    tops = counted.withColumn("rnk", F.row_number().over(w))
+    per_doc = tops.groupBy("doc_id").agg(
+        F.max("n_chars").alias("n_chars"),
+        F.max(F.when((F.col("n") == 2) & (F.col("rnk") == 1), F.col("c") * F.length("gram"))).alias("top2_chars"),
+        F.max(F.when((F.col("n") == 3) & (F.col("rnk") == 1), F.col("c") * F.length("gram"))).alias("top3_chars"),
+        F.max(F.when((F.col("n") == 4) & (F.col("rnk") == 1), F.col("c") * F.length("gram"))).alias("top4_chars"),
+        F.sum(F.when((F.col("n") == 5) & (F.col("c") > 1), F.col("c")).otherwise(0)).alias("dup5_occ"),
+        F.sum(F.when(F.col("n") == 5, F.col("c")).otherwise(0)).alias("n5_occ"),
+    )
+    return (
+        per_doc.where(F.col("n5_occ") > 0)
+        .select(
+            "doc_id",
+            (F.col("top2_chars").cast("double") / F.col("n_chars")).alias("top2_frac"),
+            (F.col("top3_chars").cast("double") / F.col("n_chars")).alias("top3_frac"),
+            (F.col("top4_chars").cast("double") / F.col("n_chars")).alias("top4_frac"),
+            (F.col("dup5_occ").cast("double") / F.nullif(F.col("n5_occ").cast("double"), F.lit(0.0))).alias("dup5_frac"),
+            (
+                (100 * F.col("top2_chars") <= _GREP_TOP_THRESH_100[2] * F.col("n_chars"))
+                & (100 * F.col("top3_chars") <= _GREP_TOP_THRESH_100[3] * F.col("n_chars"))
+                & (100 * F.col("top4_chars") <= _GREP_TOP_THRESH_100[4] * F.col("n_chars"))
+                & (100 * F.col("dup5_occ") <= _GREP_DUP5_THRESH_100 * F.col("n5_occ"))
+            ).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )

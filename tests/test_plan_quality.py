@@ -1070,3 +1070,15 @@ def test_wet_pipeline_single_fingerprint_shuffle_no_text(spark, sf_dir):
     hash_exchanges = [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
     assert len(hash_exchanges) == 1 and "fingerprint#" in hash_exchanges[0]
     assert "html#" not in hash_exchanges[0] and "extracted#" not in hash_exchanges[0]
+
+
+def test_gopher_repetition_gram_shuffles_never_text(spark, sf_dir):
+    """All four gram sizes explode from ONE combined array; the keyed
+    exchanges carry (doc_id, n, gram) short fragments plus the doc rollup —
+    document text never crosses a shuffle, no Python anywhere."""
+    plan = exec_plan_of(spark, sf_dir, "doc_gopher_repetition")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan and "Join" not in plan
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert "text#" not in ln, ln
