@@ -1380,7 +1380,7 @@ ORDER BY numwait DESC, s.s_name
 """
 
 
-@register("sole_late_supplier_waits", _Q21_ORACLE)
+@register("sole_late_supplier_waits", _Q21_ORACLE, extra=True)
 def sole_late_supplier_waits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape (lateness adapted to shipdate - orderdate): per
     supplier, how many multi-supplier orders they ALONE held up — the

@@ -275,3 +275,95 @@ def doc_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_docs") >= 2)
         .orderBy("url_norm")
     )
+
+
+# --- domain blocklist filtering (RefinedWeb §3.1 / UT1-style) -------------------------
+# Blocking happens at the REGISTRABLE-DOMAIN level: an entry `srcK.example.com`
+# must also block `cdn.srcK.example.com`, so matching is host == entry OR
+# host endswith '.' + entry — implemented as a dotted-suffix expansion (at
+# most #labels-1 candidates per host) joined against the broadcast blocklist.
+# This query derives its OWN host variant (1 in 9 docs get a cdn. subdomain)
+# so the suffix path is exercised; the shared _URL_CTES derivation is
+# untouched. The blocklist itself is derived from the corpus' source list
+# (every srcK with odd K is "listed"), identically in both engines.
+
+_BLOCK_HOST_SQL = """
+    (CASE WHEN doc_id % 9 = 5 THEN 'cdn.' || source || '.example.com'
+          ELSE source || '.example.com' END)
+"""
+
+_BLOCKLIST_SQL = """
+    SELECT DISTINCT source || '.example.com' AS entry
+    FROM documents
+    WHERE CAST(regexp_extract(source, '([0-9]+)$', 1) AS BIGINT) % 2 = 1
+"""
+
+_URL_BLOCKLIST_ORACLE = f"""
+WITH hosts AS (
+    SELECT doc_id, {_BLOCK_HOST_SQL} AS host FROM documents
+),
+blocklist AS ({_BLOCKLIST_SQL}),
+expanded AS (
+    SELECT doc_id, host,
+           unnest(list_transform(generate_series(1, len(string_split(host, '.')) - 1),
+                                 i -> array_to_string(string_split(host, '.')[i : len(string_split(host, '.'))], '.')))
+               AS suffix
+    FROM hosts
+),
+matched AS (
+    SELECT e.doc_id, MIN(e.suffix) AS matched_entry
+    FROM expanded e JOIN blocklist b ON e.suffix = b.entry
+    GROUP BY e.doc_id
+)
+SELECT h.doc_id, h.host,
+       matched_entry IS NOT NULL AS blocked,
+       COALESCE(matched_entry, '') AS matched_entry
+FROM hosts h LEFT JOIN matched USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+@register("doc_url_blocklist_filter", _URL_BLOCKLIST_ORACLE)
+def doc_url_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-blocklist filtering with registrable-domain suffix semantics:
+    a listed domain blocks itself AND every subdomain (the UT1/RefinedWeb
+    §3.1 stage). Matching expands each host into its dotted suffixes
+    (bounded by label count) and joins the BROADCAST blocklist — at 100 TB
+    the blocklist (UT1 is ~4M entries) broadcasts while the corpus side
+    shuffles only (doc_id, suffix) short keys for the per-doc rollup;
+    plan-gated: blocklist side BroadcastExchange, no text across exchanges.
+    """
+    d = _docs(spark, sf_dir)
+    host = F.when(
+        F.col("doc_id") % 9 == 5,
+        F.concat(F.lit("cdn."), F.col("source"), F.lit(".example.com")),
+    ).otherwise(F.concat(F.col("source"), F.lit(".example.com")))
+    hosts = d.select("doc_id", host.alias("host"))
+    blocklist = (
+        d.select(F.col("source"))
+        .where(F.regexp_extract("source", r"([0-9]+)$", 1).cast("bigint") % 2 == 1)
+        .distinct()
+        .select(F.concat(F.col("source"), F.lit(".example.com")).alias("entry"))
+    )
+    suffixes = F.expr(
+        "transform(sequence(1, size(split(host, '\\\\.')) - 1),"
+        " i -> array_join(slice(split(host, '\\\\.'), i, size(split(host, '\\\\.')) - i + 1), '.'))"
+    )
+    expanded = hosts.select(
+        "doc_id", F.explode(suffixes).alias("suffix")
+    )
+    matched = (
+        expanded.join(F.broadcast(blocklist), expanded.suffix == F.col("entry"))
+        .groupBy("doc_id")
+        .agg(F.min("suffix").alias("matched_entry"))
+    )
+    return (
+        hosts.join(matched, "doc_id", "left")
+        .select(
+            "doc_id",
+            "host",
+            F.col("matched_entry").isNotNull().alias("blocked"),
+            F.coalesce("matched_entry", F.lit("")).alias("matched_entry"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1082,3 +1082,15 @@ def test_gopher_repetition_gram_shuffles_never_text(spark, sf_dir):
     for ln in plan.splitlines():
         if "Exchange hashpartitioning" in ln:
             assert "text#" not in ln, ln
+
+
+def test_url_blocklist_broadcasts_list_no_text(spark, sf_dir):
+    """The blocklist side must broadcast (UT1-scale lists broadcast; the
+    corpus never shuffles for the match) and the per-doc rollup exchanges
+    carry (doc_id, suffix) short keys — never document text."""
+    plan = exec_plan_of(spark, sf_dir, "doc_url_blocklist_filter")
+    assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "CartesianProduct" not in plan
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert "text#" not in ln, ln
