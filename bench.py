@@ -373,6 +373,41 @@ def main() -> None:
             }
             print(f"# headline sf1.0: {headline_sf1}", file=sys.stderr)
 
+    # Web-curation wave (round 8): the archive→text stage queries at the gate
+    # scale, profile-only (the stdout line has a hard char budget; these are
+    # regression-watched via BENCH_PROFILE like the sf1 wave). Default-on —
+    # the whole wave is a few seconds warm.
+    web_wave = None
+    if os.environ.get("SPARK_GRAFT_WEB_WAVE", "1") == "1":
+        _WEB_WAVE_QUERIES = (
+            "doc_html_extract",
+            "doc_html_link_stats",
+            "doc_warc_extract",
+            "doc_wet_pipeline",
+            "doc_gopher_repetition",
+            "doc_url_blocklist_filter",
+        )
+        web_calib = calibration(spark)
+        web_q = {}
+        for name in _WEB_WAVE_QUERIES:
+            q = registry[name]
+            q.fn(spark, sf_dir).count()  # warmup
+            runs = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                q.fn(spark, sf_dir).count()
+                runs.append(time.perf_counter() - t0)
+            web_q[name] = round(statistics.median(runs), 3)
+        web_wave = {
+            "calib_sec": web_calib,
+            "queries": web_q,
+            "warm_total_sec": round(sum(web_q.values()), 3),
+            "warm_total_norm_sec": round(
+                sum(web_q.values()) * (CALIB_REF_SEC / web_calib), 3
+            ),
+        }
+        print(f"# web wave: {web_wave}", file=sys.stderr)
+
     crash_recovery = None
     if os.environ.get("SPARK_GRAFT_CRASH_RECOVERY_20M", "0") == "1":
         import tempfile as _tempfile
@@ -486,6 +521,9 @@ def main() -> None:
                 "headline_sf1": headline_sf1
                 if headline_sf1 is not None
                 else _carried_forward((prev_profile or {}).get("headline_sf1")),
+                "web_wave": web_wave
+                if web_wave is not None
+                else _carried_forward((prev_profile or {}).get("web_wave")),
                 "best": best,
             },
             f,

@@ -31,6 +31,12 @@ REGISTRY: dict[str, Q] = {}
 
 def register(name: str, oracle: str | None, headline: bool = False, extra: bool = False):
     def deco(fn):
+        if name in REGISTRY:  # not an assert: must survive python -O
+            # round-8 lesson: two queries silently shared the name
+            # doc_tfidf_top_terms for a full round — the later registration
+            # shadowed the earlier one in the dict and the shadowed query was
+            # never oracle-swept. Duplicate names fail at import time now.
+            raise ValueError(f"duplicate query registration: {name!r}")
         REGISTRY[name] = Q(fn=fn, oracle=oracle, headline=headline, extra=extra)
         return fn
 
