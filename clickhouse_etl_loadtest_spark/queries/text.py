@@ -3727,6 +3727,15 @@ def doc_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id, n) with rank-1 pushdown, and the final pivot is one doc-keyed
     aggregation. Docs shorter than 5 tokens have no 5-gram mass and are
     excluded in both engines (WHERE n5_occ > 0).
+
+    MEASURED ALTERNATIVE, REJECTED: a zero-shuffle rewrite (per-row
+    ``aggregate`` run-length fold over each n's sorted gram array — "every
+    signal is within-doc, so never shuffle") is value-identical but 7x
+    SLOWER at sf1.0 (24.6 s vs 3.2 s normalized, exponent 0.88 vs 0.34):
+    higher-order array folds are interpreted per element while
+    explode+groupBy runs in whole-stage-codegen'd hash aggregation, and at
+    ~4x token volume the compiled shuffle beats the interpreted fold. Keep
+    the shuffle.
     """
     d = _docs(spark, sf_dir)
     toks = _tokens()

@@ -1075,7 +1075,10 @@ def test_wet_pipeline_single_fingerprint_shuffle_no_text(spark, sf_dir):
 def test_gopher_repetition_gram_shuffles_never_text(spark, sf_dir):
     """All four gram sizes explode from ONE combined array; the keyed
     exchanges carry (doc_id, n, gram) short fragments plus the doc rollup —
-    document text never crosses a shuffle, no Python anywhere."""
+    document text never crosses a shuffle, no Python anywhere. (The
+    zero-shuffle per-row fold variant measured 7x slower at sf1.0 —
+    interpreted higher-order folds lose to codegen'd hash aggregation —
+    see the query docstring.)"""
     plan = exec_plan_of(spark, sf_dir, "doc_gopher_repetition")
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan and "Join" not in plan
