@@ -428,6 +428,49 @@ def media_audio_fingerprint(
     )
 
 
+# --- video fingerprinting (the MJPEG-AVI twin of the image aHash) --------------------
+#
+# Temporal fingerprint: sample _VFP_FRAMES evenly-spaced frames from the
+# container (first and last always included), give each frame a 16-bit
+# mini-aHash (4x4 block means thresholded at the frame mean), concatenate ->
+# 64 bits. One frame == one 16-bit band, which is EXACTLY the banded-Hamming
+# geometry downstream: a re-encode (JPEG quality change) moves a few bits
+# inside bands, while any unchanged frame leaves its band identical, so
+# recall-1.0 candidate generation holds by the same pigeonhole as images.
+# Out of scope (documented, not claimed): temporal trims/shifts move the
+# sample points themselves; shot-level matching needs a per-frame index
+# (the image pipeline on exploded frames — sample_frames_real feeds it).
+
+_VFP_FRAMES = _AHASH_BANDS  # one sampled frame per Hamming band
+_VFP_GRID = 4  # 16 bits per frame
+
+
+def video_fingerprint_bytes(raw: bytes) -> int | None:
+    """Signed-64-bit temporal fingerprint of an MJPEG-AVI payload; None for
+    containers whose sampled frames all fail to decode."""
+    from .jpeg import decode_avi, decode_jpeg
+
+    frames = decode_avi(raw)["frames"]
+    n = len(frames)
+    idxs = [(i * (n - 1)) // (_VFP_FRAMES - 1) for i in range(_VFP_FRAMES)] if n > 1 else [0] * _VFP_FRAMES
+    bits: list[bool] = []
+    for ix in idxs:
+        px = decode_jpeg(frames[ix])["pixels"]
+        sub = ahash_pixels(px, grid=_VFP_GRID)  # 16 bits in the low half
+        bits.extend(bool((sub >> b) & 1) for b in range(_VFP_GRID * _VFP_GRID - 1, -1, -1))
+    return _pack_bits_signed64(np.asarray(bits))
+
+
+def media_video_fingerprint(
+    df: DataFrame, data_col: str = "data", id_col: str = "media_id"
+) -> DataFrame:
+    """Video fingerprint stage: temporal aHash over decodable MJPEG AVIs.
+    Same ``ahash`` column contract as :func:`media_ahash` /
+    :func:`media_audio_fingerprint`, so :func:`phash_near_pairs` pairs
+    videos unchanged."""
+    return _media_hash_stage(df, "avi", video_fingerprint_bytes, data_col, id_col)
+
+
 # --- real-file ingestion: a media directory -> the media-table contract --------------
 
 # extension -> kind routing for directory ingestion; anything unknown lands

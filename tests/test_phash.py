@@ -207,3 +207,76 @@ def test_audio_pairing_reuses_band_machinery(spark):
     for a, b in got - {(i, 100 + i) for i in (1, 4)}:
         if a in ref and b in ref:
             assert bin((ref[a] ^ ref[b]) & ((1 << 64) - 1)).count("1") <= 3, (a, b)
+
+
+# --- video temporal fingerprint (MJPEG AVI) -------------------------------------------
+
+
+def _frames(rng, n=8, h=24, w=24):
+    """Spatially-correlated frames with slow temporal drift (a 'shot')."""
+    out = []
+    base = _smooth_img(rng, h, w).astype(np.float64)
+    for i in range(n):
+        drift = rng.normal(0, 2, size=base.shape)
+        out.append(np.clip(base + 5 * i + drift, 0, 255).astype(np.uint8))
+    return out
+
+
+def test_video_fingerprint_identity_and_reencode(spark):
+    from clickhouse_etl_loadtest_spark.operators.jpeg import decode_avi, decode_jpeg, encode_avi_mjpeg
+    from clickhouse_etl_loadtest_spark.operators.multimodal import video_fingerprint_bytes
+
+    rng = np.random.default_rng(20260815)
+    frames = _frames(rng)
+    avi = encode_avi_mjpeg(frames)
+    assert video_fingerprint_bytes(avi) == video_fingerprint_bytes(avi)
+    # generation-loss copy: decode every frame, re-encode the pixel arrays —
+    # a second JPEG pass moves a few bits, never a band-wiping number
+    decoded = [decode_jpeg(f)["pixels"] for f in decode_avi(avi)["frames"]]
+    avi2 = encode_avi_mjpeg(decoded)
+    a, b = video_fingerprint_bytes(avi), video_fingerprint_bytes(avi2)
+    assert bin((a ^ b) & ((1 << 64) - 1)).count("1") <= 3
+    # a different shot lands well outside the pairing budget (3); smooth
+    # low-frequency content keeps coarse 4x4 grids partially correlated, so
+    # "far" means > 2x the budget, not ~32 random bits
+    other = encode_avi_mjpeg(_frames(np.random.default_rng(7)))
+    c = video_fingerprint_bytes(other)
+    assert bin((a ^ c) & ((1 << 64) - 1)).count("1") > 6
+
+
+def test_video_near_pairs_rides_the_shared_contract(spark):
+    from clickhouse_etl_loadtest_spark.operators.jpeg import decode_avi, decode_jpeg, encode_avi_mjpeg
+    from clickhouse_etl_loadtest_spark.operators.multimodal import (
+        media_video_fingerprint,
+        phash_near_pairs,
+    )
+
+    rng = np.random.default_rng(42)
+    vids = []
+    for i in range(6):
+        vids.append((i, bytearray(encode_avi_mjpeg(_frames(np.random.default_rng(100 + i))))))
+    # plant: 6 is a generation-loss copy of 0; 7 is a non-AVI payload
+    gen = encode_avi_mjpeg(
+        [decode_jpeg(f)["pixels"] for f in decode_avi(bytes(vids[0][1]))["frames"]]
+    )
+    vids.append((6, bytearray(gen)))
+    vids.append((7, bytearray(b"not a riff payload")))
+    df = spark.createDataFrame(vids, "media_id long, data binary")
+    hashed = media_video_fingerprint(df)
+    rows = {r["media_id"]: r["ahash"] for r in hashed.collect()}
+    assert rows[7] is None  # non-AVI lands null, never poisons pairing
+    pairs = {
+        (r["media_a"], r["media_b"])
+        for r in phash_near_pairs(hashed, max_hamming=3).collect()
+    }
+    assert (0, 6) in pairs
+    assert all({a, b} == {0, 6} for a, b in pairs), pairs
+
+
+def test_single_frame_video_fingerprints(spark):
+    from clickhouse_etl_loadtest_spark.operators.jpeg import encode_avi_mjpeg
+    from clickhouse_etl_loadtest_spark.operators.multimodal import video_fingerprint_bytes
+
+    rng = np.random.default_rng(3)
+    one = encode_avi_mjpeg([_smooth_img(rng)])
+    assert video_fingerprint_bytes(one) is not None
