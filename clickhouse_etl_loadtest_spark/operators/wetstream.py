@@ -43,8 +43,8 @@ from ..functions.html import extract_text
 _TOKEN_RE = "[a-z0-9]+"
 _STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
 _LANG_MARKERS = {
-    "en": ("the", "and", "is", "of", "to", "in"),
-    "de": ("der", "die", "und", "ist", "das", "ein"),
+    "de": ("der", "die", "das", "und", "nicht", "ist"),
+    "en": ("the", "and", "of", "to", "is", "that"),
     "es": ("el", "la", "de", "que", "los", "es"),
     "fr": ("le", "la", "les", "des", "est", "une"),
     "zh": ("de", "shi", "le", "bu", "wo", "zai"),
@@ -53,8 +53,16 @@ _LANGS = sorted(_LANG_MARKERS)
 
 
 def _walk_warc(df: DataFrame, id_col: str = "doc_id", warc_col: str = "warc") -> DataFrame:
-    """(doc_id, html) from a frame of WARC blobs — Arrow-batched, the one
-    Python stage; non-response records skipped, HTTP headers stripped."""
+    """(doc_id, html) from a frame of PER-DOCUMENT WARC blobs — Arrow-batched,
+    the one Python stage; non-response records skipped, HTTP headers stripped.
+
+    Contract: each blob carries exactly ONE response record (the wave format
+    ``wet_batch`` ingests is one document per archive row, keyed by
+    ``id_col``). A multi-response archive would have no stable ``doc_id``
+    identity here, so it fails loudly instead of silently keeping one record;
+    multi-document archives go through
+    ``operators/warc.py::response_documents``, which yields every response.
+    """
     import pandas as pd  # noqa: F401  (executor-side dependency)
 
     def walk(it):
@@ -68,11 +76,19 @@ def _walk_warc(df: DataFrame, id_col: str = "doc_id", warc_col: str = "warc") ->
         for pdf in it:
             rows = []
             for doc_id, blob in zip(pdf[id_col], pdf[warc_col]):
-                html = ""
-                for rec in iter_warc_records(blob.encode("utf-8")):
-                    if rec["headers"].get("warc-type") == "response":
-                        html = http_body(rec["payload"]).decode("utf-8")
-                rows.append((int(doc_id), html))
+                bodies = [
+                    http_body(rec["payload"]).decode("utf-8")
+                    for rec in iter_warc_records(blob.encode("utf-8"))
+                    if rec["headers"].get("warc-type") == "response"
+                ]
+                if len(bodies) != 1:
+                    raise ValueError(
+                        f"wet_batch expects exactly one response record per "
+                        f"blob; doc_id={int(doc_id)} has {len(bodies)} — use "
+                        f"operators.warc.response_documents for multi-document "
+                        f"archives"
+                    )
+                rows.append((int(doc_id), bodies[0]))
             yield pd.DataFrame(rows, columns=["doc_id", "html"])
 
     return df.mapInPandas(walk, "doc_id long, html string")

@@ -348,11 +348,19 @@ def doc_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows = []
             for doc_id, blob in zip(pdf["doc_id"], pdf["warc"]):
                 recs = list(iter_warc_records(blob.encode("utf-8")))
-                uri, html = "", ""
-                for r in recs:
-                    if r["headers"].get("warc-type") == "response":
-                        uri = r["headers"].get("warc-target-uri", "")
-                        html = http_body(r["payload"]).decode("utf-8")
+                responses = [
+                    r for r in recs if r["headers"].get("warc-type") == "response"
+                ]
+                # per-document blobs carry exactly one response; fail loudly
+                # rather than silently keeping one of several (multi-document
+                # archives go through operators.warc.response_documents)
+                if len(responses) != 1:
+                    raise ValueError(
+                        f"doc_warc_extract expects one response per blob; "
+                        f"doc_id={int(doc_id)} has {len(responses)}"
+                    )
+                uri = responses[0]["headers"].get("warc-target-uri", "")
+                html = http_body(responses[0]["payload"]).decode("utf-8")
                 rows.append((int(doc_id), len(recs), uri, html))
             yield pd.DataFrame(
                 rows, columns=["doc_id", "n_records", "target_uri", "html"]
@@ -465,11 +473,21 @@ def doc_wet_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in it:
             rows = []
             for doc_id, blob in zip(pdf["doc_id"], pdf["warc"]):
-                html = ""
-                for rec in iter_warc_records(blob.encode("utf-8")):
-                    if rec["headers"].get("warc-type") == "response":
-                        html = http_body(rec["payload"]).decode("utf-8")
-                rows.append((int(doc_id), html))
+                bodies = [
+                    http_body(rec["payload"]).decode("utf-8")
+                    for rec in iter_warc_records(blob.encode("utf-8"))
+                    if rec["headers"].get("warc-type") == "response"
+                ]
+                # per-document blobs carry exactly one response; a
+                # multi-response archive has no doc_id identity here, so
+                # fail loudly (multi-document archives go through
+                # operators.warc.response_documents, which yields them all)
+                if len(bodies) != 1:
+                    raise ValueError(
+                        f"doc_wet_pipeline expects one response per blob; "
+                        f"doc_id={int(doc_id)} has {len(bodies)}"
+                    )
+                rows.append((int(doc_id), bodies[0]))
             yield pd.DataFrame(rows, columns=["doc_id", "html"])
 
     walked = d.mapInPandas(walk, "doc_id long, html string")

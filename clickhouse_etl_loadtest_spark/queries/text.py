@@ -3741,9 +3741,16 @@ def doc_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = _tokens()
 
     def _grams(n: int) -> Column:
+        # Guarded: for docs with fewer than n tokens, two-arg sequence(1, 0)
+        # DESCENDS to [1, 0] (step defaults to -1 when start > stop) and
+        # slice(toks, 0, n) raises INVALID_PARAMETER_VALUE.START — so emit an
+        # empty gram array instead of evaluating the sequence at all. The
+        # DuckDB oracle's WHERE len(toks) >= n.n is the same exclusion.
         return F.expr(
-            f"transform(sequence(1, greatest(size(toks) - {n - 1}, 0)),"
+            f"case when size(toks) >= {n} then"
+            f" transform(sequence(1, size(toks) - {n - 1}),"
             f" i -> struct({n}L as n, concat_ws(' ', slice(toks, i, {n})) as gram))"
+            f" else array() end"
         )
 
     exploded = (

@@ -295,7 +295,7 @@ _BLOCK_HOST_SQL = """
 _BLOCKLIST_SQL = """
     SELECT DISTINCT source || '.example.com' AS entry
     FROM documents
-    WHERE CAST(regexp_extract(source, '([0-9]+)$', 1) AS BIGINT) % 2 = 1
+    WHERE TRY_CAST(regexp_extract(source, '([0-9]+)$', 1) AS BIGINT) % 2 = 1
 """
 
 _URL_BLOCKLIST_ORACLE = f"""

@@ -18,6 +18,11 @@ REG = load_all()
 
 # doc 7 duplicates doc 2's text exactly (keep-first => 2 canonical, 7 not);
 # every text is >=100 chars so the quality length rule has both outcomes.
+# Docs 8-11 are marker-drift tripwires: each contains words where the
+# operator's literal _LANG_MARKERS historically drifted from text.py's
+# LANG_MARKERS ('that' vs 'in' for en, 'nicht' vs 'ein' for de) arranged so
+# ANY drift in those four slots flips predicted_lang and breaks the
+# streamed==batch equality below.
 _BASE = "the fast key order sort table scan merge part window small hash join "
 DOCS = [
     (0, _BASE + "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu"),
@@ -28,6 +33,14 @@ DOCS = [
     (5, _BASE + "row scan filter group value batch stream line data slow customer"),
     (6, _BASE + "le la les des est une le la les des est une le la les des est z"),
     (7, _BASE + "der die und ist das ein der die und ist das ein der die und x"),
+    # en marker is 'that' (drift: 'in'): correct => en 5 hits; drifted => fr 4
+    (8, "that le that le that le that le that brick stone slate gravel sand"),
+    # de marker is 'nicht' (drift: 'ein'): correct => de 5; drifted => es 4
+    (9, "nicht el nicht la nicht el nicht la nicht brick stone slate gravel"),
+    # 'ein' must NOT be a de marker: correct => fr 3 via le; drifted => de 5
+    (10, "ein le ein le ein le ein ein brick stone slate gravel sand pebble"),
+    # 'in' must NOT be an en marker: correct => es 3 via la; drifted => en 5
+    (11, "in la in la in la in in brick stone slate gravel sand pebble rock"),
 ]
 
 
@@ -80,7 +93,7 @@ def test_streamed_waves_equal_batch_pipeline(spark, tmp_path):
     sf_dir = _write_documents(tmp_path, DOCS)
     staging = str(tmp_path / "staging")
     store = str(tmp_path / "store")
-    for i, ids in enumerate(([0, 1, 2], [3, 4, 5], [6, 7])):
+    for i, ids in enumerate(([0, 1, 2], [3, 4, 5], [6, 7], [8, 9, 10, 11])):
         _warc_frame(spark, sf_dir, ids).coalesce(1).write.mode("overwrite").parquet(
             f"{staging}/wave{i}"
         )
