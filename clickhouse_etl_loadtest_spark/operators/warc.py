@@ -19,6 +19,14 @@ a payload containing the literal text ``WARC/1.0`` must not confuse the
 walker (pinned in tests). ``response`` payloads carry the HTTP message;
 :func:`http_body` strips the status line + headers to the entity body.
 
+Real Common Crawl archives are ``.warc.gz``: a concatenation of RFC 1952
+gzip MEMBERS, one record per member (ISO 28500 Annex C — member boundaries
+are what make records seekable without inflating the file).
+:func:`iter_warc_records` accepts both framings transparently;
+:func:`iter_gzip_members` / :func:`gzip_member` are the member walk and its
+writer half (header parse + raw-DEFLATE via stdlib ``zlib``, the same
+inflate the PNG IDAT path uses — no new dependency).
+
 Used from Spark via Arrow-batched ``mapInPandas`` (``queries/html.py::
 doc_warc_extract``): Python does ONLY the container walk; all text
 processing stays JVM-side column expressions. At 100 TB the walk is
@@ -28,18 +36,113 @@ archives split across partitions freely.
 
 from __future__ import annotations
 
+import struct
+import zlib
 from typing import Iterator
 
 _CRLF = b"\r\n"
 
+GZIP_MAGIC = b"\x1f\x8b"
+
+# RFC 1952 FLG bits
+_FTEXT, _FHCRC, _FEXTRA, _FNAME, _FCOMMENT = 1, 2, 4, 8, 16
+
+
+def iter_gzip_members(data: bytes) -> Iterator[bytes]:
+    """Yield the decompressed bytes of each RFC 1952 gzip member in ``data``.
+
+    Common Crawl ships ``.warc.gz`` as MEMBER-PER-RECORD concatenation (ISO
+    28500 Annex C): record boundaries are member boundaries, which is what
+    lets a reader seek to a record without inflating the whole file. This
+    walker parses the member header by hand (magic, CM=8, the four optional
+    FLG fields), inflates the raw-DEFLATE body (``zlib`` with negative
+    wbits — the same stdlib inflate the PNG IDAT path uses), and verifies
+    the CRC32 + ISIZE trailer per member. Raises ``ValueError`` on bad
+    magic, an unsupported compression method, a truncated header/trailer,
+    or a CRC/length mismatch.
+    """
+    pos = 0
+    n = len(data)
+    while pos < n:
+        if data[pos : pos + 2] != GZIP_MAGIC:
+            raise ValueError(f"bad gzip magic at byte {pos}")
+        if pos + 10 > n:
+            raise ValueError("truncated gzip member header")
+        cm, flg = data[pos + 2], data[pos + 3]
+        if cm != 8:
+            raise ValueError(f"unsupported gzip compression method {cm}")
+        pos += 10  # magic(2) CM(1) FLG(1) MTIME(4) XFL(1) OS(1)
+        if flg & _FEXTRA:
+            if pos + 2 > n:
+                raise ValueError("truncated gzip FEXTRA length")
+            (xlen,) = struct.unpack_from("<H", data, pos)
+            pos += 2 + xlen
+        if flg & _FNAME:
+            end = data.find(b"\x00", pos)
+            if end < 0:
+                raise ValueError("unterminated gzip FNAME")
+            pos = end + 1
+        if flg & _FCOMMENT:
+            end = data.find(b"\x00", pos)
+            if end < 0:
+                raise ValueError("unterminated gzip FCOMMENT")
+            pos = end + 1
+        if flg & _FHCRC:
+            pos += 2
+        if pos > n:
+            raise ValueError("truncated gzip member header fields")
+        inf = zlib.decompressobj(-zlib.MAX_WBITS)
+        try:
+            out = inf.decompress(data[pos:])
+        except zlib.error as exc:
+            raise ValueError(f"bad DEFLATE stream at byte {pos}: {exc}") from None
+        if not inf.eof:
+            raise ValueError("truncated DEFLATE stream in gzip member")
+        rest = inf.unused_data
+        if len(rest) < 8:
+            raise ValueError("truncated gzip member trailer")
+        crc, isize = struct.unpack_from("<II", rest, 0)
+        if zlib.crc32(out) & 0xFFFFFFFF != crc:
+            raise ValueError("gzip member CRC32 mismatch")
+        if len(out) % (1 << 32) != isize:
+            raise ValueError("gzip member ISIZE mismatch")
+        yield out
+        pos = n - len(rest) + 8
+
+
+def gzip_member(payload: bytes) -> bytes:
+    """One minimal RFC 1952 member framing ``payload`` — handwritten header
+    (no flags, zero MTIME, XFL=0, OS=255 'unknown'), raw-DEFLATE body,
+    CRC32+ISIZE trailer. The writer half of :func:`iter_gzip_members`;
+    stdlib ``gzip`` reads its output and vice versa (pinned in tests)."""
+    comp = zlib.compressobj(9, zlib.DEFLATED, -zlib.MAX_WBITS)
+    body = comp.compress(payload) + comp.flush()
+    return (
+        GZIP_MAGIC
+        + b"\x08\x00\x00\x00\x00\x00\x00\xff"
+        + body
+        + struct.pack("<II", zlib.crc32(payload) & 0xFFFFFFFF, len(payload) % (1 << 32))
+    )
+
 
 def iter_warc_records(data: bytes) -> Iterator[dict]:
-    """Yield ``{"version", "headers", "payload"}`` per record in ``data``.
+    """Yield ``{"version", "headers", "payload"}`` per record in ``data``,
+    accepting BOTH framings transparently: plain concatenated records, or
+    gzip members (``.warc.gz``) each holding one-or-more records.
 
     ``headers`` keys are lower-cased. Raises ``ValueError`` on a malformed
     stream: bad magic, unterminated header block, missing/invalid
-    Content-Length, or a payload truncated mid-record.
+    Content-Length, or a payload truncated mid-record. Records may not span
+    gzip member boundaries (per ISO 28500 Annex C they never do).
     """
+    if data[:2] == GZIP_MAGIC:
+        for member in iter_gzip_members(data):
+            yield from _iter_plain_records(member)
+        return
+    yield from _iter_plain_records(data)
+
+
+def _iter_plain_records(data: bytes) -> Iterator[dict]:
     pos = 0
     n = len(data)
     while pos < n:

@@ -2083,7 +2083,7 @@ ORDER BY doc_id, rnk
 """
 
 
-@register("doc_tfidf_features", _TFIDF_FEAT_ORACLE, extra=True)
+@register("doc_tfidf_features", _TFIDF_FEAT_ORACLE)  # rotated in r9: first external verdict under the post-collision name
 def doc_tfidf_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF feature extraction: top-_TFIDF_TOPK characteristic terms per
     document.
@@ -3170,7 +3170,7 @@ SELECT n_types, n_top, zipf_slope, zipf_intercept FROM types, fit
 """
 
 
-@register("doc_zipf_fit", _ZIPF_ORACLE)
+@register("doc_zipf_fit", _ZIPF_ORACLE, extra=True)  # driver-green r8; slot ceded r9
 def doc_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zipf power-law fit over the corpus word-frequency distribution:
     least-squares slope/intercept of ``ln(freq)`` on ``ln(rank)`` over the
@@ -3245,7 +3245,7 @@ ORDER BY bucket
 """
 
 
-@register("doc_heaps_law", _HEAPS_ORACLE)
+@register("doc_heaps_law", _HEAPS_ORACLE, extra=True)  # driver-green r8; slot ceded r9
 def doc_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heaps'-law vocabulary growth: cumulative distinct types vs cumulative
     tokens at 16 doc_id-range checkpoints, plus the fitted power-law

@@ -1059,6 +1059,18 @@ def test_warc_extract_walk_is_arrow_batched(spark, sf_dir):
     assert "Join" not in plan and "Window" not in plan
 
 
+def test_warc_gz_one_assembly_exchange_arrow_batched(spark, sf_dir):
+    """The .warc.gz round-trip has exactly ONE keyed exchange — the
+    archive-assembly groupBy on doc_id div 8 (fixed-size, balanced key) —
+    and Python only in the single Arrow-batched pack+walk stage; the
+    extraction/hash tail stays JVM-side."""
+    plan = exec_plan_of(spark, sf_dir, "doc_warc_gz_extract")
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan and "Window" not in plan
+
+
 def test_wet_pipeline_single_fingerprint_shuffle_no_text(spark, sf_dir):
     """The composed WARC→extract→quality→langid→dedup pipeline pays exactly
     ONE keyed exchange — the dedup window on the 60-bit fingerprint — and

@@ -6,10 +6,16 @@ tolerance, HTTP body stripping, and loud failures on malformed streams.
 
 from __future__ import annotations
 
+import gzip as _stdlib_gzip
+import struct
+import zlib
+
 import pytest
 
 from clickhouse_etl_loadtest_spark.operators.warc import (
+    gzip_member,
     http_body,
+    iter_gzip_members,
     iter_warc_records,
     response_documents,
 )
@@ -82,6 +88,112 @@ def test_http_body_strips_headers_only_for_http_payloads():
     assert http_body(b"HTTP/1.1 200 OK\r\n\r\na\r\n\r\nb") == b"a\r\n\r\nb"
     assert http_body(b"not http") == b"not http"
     assert http_body(b"HTTP/1.1 200 OK no terminator") == b"HTTP/1.1 200 OK no terminator"
+
+
+# --- gzip member framing (.warc.gz, RFC 1952 + ISO 28500 Annex C) -------------------
+
+
+def _gz_records(*recs: bytes) -> bytes:
+    """Member-per-record framing, the real Common Crawl shape."""
+    return b"".join(gzip_member(r) for r in recs)
+
+
+def test_gz_framing_yields_same_records_as_plain():
+    recs = [
+        _record("warcinfo", b"software: x"),
+        _record("request", b"GET / HTTP/1.1\r\n\r\n", {"WARC-Target-URI": "http://u"}),
+        _record(
+            "response",
+            b"HTTP/1.1 200 OK\r\n\r\n<p>one</p>",
+            {"WARC-Target-URI": "http://u"},
+        ),
+    ]
+    plain = list(iter_warc_records(b"".join(recs)))
+    gz = list(iter_warc_records(_gz_records(*recs)))
+    assert gz == plain
+    assert list(response_documents(_gz_records(*recs))) == [
+        ("http://u", b"<p>one</p>")
+    ]
+
+
+def test_gz_member_payload_containing_gzip_magic_is_not_resplit():
+    """Member boundaries come from the DEFLATE stream end + trailer, never
+    from scanning for magic: a payload embedding a whole gzip member (and
+    the bare magic) must round-trip intact."""
+    evil = b"\x1f\x8b" + gzip_member(b"inner member") + b"\x1f\x8b tail"
+    data = _gz_records(_record("resource", evil), _record("resource", b"after"))
+    recs = list(iter_warc_records(data))
+    assert [r["payload"] for r in recs] == [evil, b"after"]
+
+
+def test_gz_stdlib_interop_both_directions():
+    rec = _record("resource", b"payload bytes")
+    # stdlib-written members parse (gzip.compress sets MTIME; GzipFile adds FNAME)
+    import io
+
+    buf = io.BytesIO()
+    with _stdlib_gzip.GzipFile(
+        filename="rec-0.warc", fileobj=buf, mode="wb"
+    ) as f:
+        f.write(rec)
+    stdlib_member = buf.getvalue()
+    assert [m for m in iter_gzip_members(stdlib_member)] == [rec]
+    assert [r["payload"] for r in iter_warc_records(stdlib_member)] == [
+        b"payload bytes"
+    ]
+    # our members are readable by stdlib gzip (multi-member concatenation too)
+    assert _stdlib_gzip.decompress(_gz_records(rec, rec)) == rec + rec
+
+
+def test_gz_optional_header_fields_are_skipped():
+    """FEXTRA + FNAME + FCOMMENT + FHCRC, all present at once."""
+    payload = _record("resource", b"x")
+    comp = zlib.compressobj(9, zlib.DEFLATED, -zlib.MAX_WBITS)
+    body = comp.compress(payload) + comp.flush()
+    hdr = b"\x1f\x8b\x08" + bytes([1 | 2 | 4 | 8 | 16]) + b"\x00\x00\x00\x00\x00\xff"
+    extra = struct.pack("<H", 6) + b"AB\x02\x00xy"  # XLEN=6, one subfield
+    member = (
+        hdr
+        + extra
+        + b"name.warc\x00"
+        + b"a comment\x00"
+        + b"\x00\x00"  # FHCRC (value unchecked, skipped)
+        + body
+        + struct.pack("<II", zlib.crc32(payload) & 0xFFFFFFFF, len(payload))
+    )
+    assert list(iter_gzip_members(member)) == [payload]
+
+
+def test_gz_one_member_holding_multiple_records_tolerated():
+    """Annex C says one record per member; a multi-record member must still
+    walk (records may not SPAN members, but may share one)."""
+    two = _record("resource", b"a") + _record("resource", b"b")
+    assert [r["payload"] for r in iter_warc_records(gzip_member(two))] == [b"a", b"b"]
+
+
+def test_gz_record_spanning_members_fails_loud():
+    rec = _record("resource", b"0123456789")
+    data = gzip_member(rec[:20]) + gzip_member(rec[20:])
+    with pytest.raises(ValueError):
+        list(iter_warc_records(data))
+
+
+@pytest.mark.parametrize(
+    "mutate,msg",
+    [
+        (lambda m: b"XX" + m[2:], "bad gzip magic"),
+        (lambda m: m[:2] + b"\x07" + m[3:], "unsupported gzip compression"),
+        (lambda m: m[:9], "truncated gzip member header"),
+        (lambda m: m[:-8] + struct.pack("<II", 0, 0)[:8][:4] + m[-4:], "CRC32 mismatch"),
+        (lambda m: m[:-4] + struct.pack("<I", 999), "ISIZE mismatch"),
+        (lambda m: m[:-10], "truncated"),
+        (lambda m: m[:12], "DEFLATE stream"),
+    ],
+)
+def test_gz_malformed_members_fail_loud(mutate, msg):
+    member = gzip_member(_record("resource", b"hello"))
+    with pytest.raises(ValueError, match=msg):
+        list(iter_gzip_members(mutate(member)))
 
 
 def test_response_documents_skips_non_responses():
