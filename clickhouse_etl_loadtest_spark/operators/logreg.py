@@ -75,6 +75,60 @@ def logistic_fit(
     return w
 
 
+def logistic_fit_multi(
+    features: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    classes: list[str],
+    iterations: int = 30,
+    lr: float = 0.5,
+) -> dict[str, list[float]]:
+    """One-vs-rest fit for ALL classes with ONE job per iteration: the
+    single aggregate computes every class's full gradient
+    (``len(classes) * (k+1)`` DECIMAL(38,18) sums) in one scan — at scale
+    this is ``iterations`` passes over the cached features total, not
+    ``iterations * classes`` (the per-class :func:`logistic_fit` loop).
+    Same determinism contract: exact, order-independent gradient sums.
+    Returns ``{class: [bias, w1..wk]}``."""
+    k = len(feature_cols)
+    df = features.select(
+        *[F.col(c).cast("double").alias(c) for c in feature_cols],
+        F.col(label_col).cast("string").alias("_y"),
+    ).localCheckpoint()
+    n = df.count()
+    if n == 0:
+        raise ValueError("logistic_fit_multi: empty input")
+    w = {c: [0.0] * (k + 1) for c in classes}
+    for _ in range(iterations):
+        # materialize the per-class error as a COLUMN first (lineage cut):
+        # otherwise each of the classes*(k+1) gradient sums re-embeds the
+        # whole k-term logit and the aggregate's expression tree goes
+        # quadratic — ~40k nodes, seconds of analysis/codegen per iteration
+        errs = [
+            (
+                F.lit(1.0) / (F.lit(1.0) + F.exp(-_logit(feature_cols, w[cls])))
+                - (F.col("_y") == cls).cast("double")
+            ).alias(f"_e_{cls}")
+            for cls in classes
+        ]
+        edf = df.select(*feature_cols, *errs).localCheckpoint(eager=False)
+        aggs = []
+        for cls in classes:
+            e = F.col(f"_e_{cls}")
+            aggs.append(F.sum(e.cast("decimal(38,18)")).alias(f"{cls}_g0"))
+            aggs.extend(
+                F.sum((e * F.col(c)).cast("decimal(38,18)")).alias(f"{cls}_g{j + 1}")
+                for j, c in enumerate(feature_cols)
+            )
+        row = edf.agg(*aggs).first()
+        for ci, cls in enumerate(classes):
+            base = ci * (k + 1)
+            w[cls] = [
+                w[cls][i] - lr * float(row[base + i]) / n for i in range(k + 1)
+            ]
+    return w
+
+
 def logistic_predict(
     features: DataFrame, feature_cols: list[str], weights: list[float], threshold: float = 0.5
 ) -> DataFrame:

@@ -587,6 +587,13 @@ def doc_wet_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     per blob); extraction/scoring/langid are map-side column expressions;
     the ONLY keyed exchange is the dedup window on the 60-bit fingerprint —
     raw text never shuffles (dropped before the window).
+
+    The langid stage here is the marker-word CHEAP tier (zero extra passes,
+    shared constants with ``doc_language_id``); the trained upgrade is
+    ``doc_language_id_clf`` (``operators/langid.py`` — hashed char-bigram
+    logistic, map-side once its two rollups are fused into this chain's
+    aggregations), which a production pipeline would swap in when marker
+    collisions (e.g. zh-pinyin 'de' ∈ es markers) start costing recall.
     """
     d = _docs(spark, sf_dir).select("doc_id", _warc_col().alias("warc"))
 

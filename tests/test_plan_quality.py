@@ -1059,6 +1059,20 @@ def test_warc_extract_walk_is_arrow_batched(spark, sf_dir):
     assert "Join" not in plan and "Window" not in plan
 
 
+def test_langid_clf_short_keys_no_python(spark, sf_dir):
+    """The trained language-ID scorer is pure JVM column work: derived text
+    never shuffles (exchanges carry (doc_id, lang, bucket) and the per-doc
+    rollup), the 5x65 model folds into the plan as literals, and there is
+    no Python stage of any kind."""
+    plan = exec_plan_of(spark, sf_dir, "doc_language_id_clf")
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+    assert "Join" not in plan and "Window" not in plan
+    assert plan.count("Exchange hashpartitioning") == 2  # bucket count + doc rollup
+    for exchange in plan.split("Exchange hashpartitioning")[1:]:
+        head = exchange[:200]
+        assert "t#" not in head or "bucket" in head  # derived text not a shuffle key
+
+
 def test_warc_gz_one_assembly_exchange_arrow_batched(spark, sf_dir):
     """The .warc.gz round-trip has exactly ONE keyed exchange — the
     archive-assembly groupBy on doc_id div 8 (fixed-size, balanced key) —
