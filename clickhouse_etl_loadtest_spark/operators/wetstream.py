@@ -4,11 +4,16 @@
 A crawl corpus arrives in waves of archives; re-running the whole
 archive→text→filters→dedup pipeline per wave is a full-corpus rescan.
 ``wet_batch`` is a ``foreachBatch`` body: it walks the wave's WARC blobs,
-extracts and scores the text, and lands the per-document VERDICT ROWS
-(scalars + 60-bit fingerprint — never raw text) in a per-batch partition of
-a persistent parquet store; ``read_wet_store`` merges the partitions with
-latest-batch-wins semantics per document (a re-crawled page atomically
-replaces its verdict) and applies the store-wide keep-first exact dedup.
+extracts and scores the text, applies the URL/host curation stages per wave
+(``blocklist_drop`` — registrable-domain suffix semantics, and ``host_cap``
+— per-host document cap preferring the most content: blocked or over-cap
+documents never reach the store, because landing them only to filter at
+read time wastes store I/O at crawl scale), and lands the surviving
+per-document VERDICT ROWS (scalars + 60-bit fingerprint — never raw text)
+in a per-batch partition of a persistent parquet store; ``read_wet_store``
+merges the partitions with latest-batch-wins semantics per document (a
+re-crawled page atomically replaces its verdict) and applies the
+store-wide keep-first exact dedup.
 
 Reference scope: the reference repo has no web stage; this extends the
 round-8 HTML/WARC wave (COVERAGE.md web rows) with the ingestion lifecycle
@@ -76,30 +81,38 @@ def _walk_warc(df: DataFrame, id_col: str = "doc_id", warc_col: str = "warc") ->
         for pdf in it:
             rows = []
             for doc_id, blob in zip(pdf[id_col], pdf[warc_col]):
-                bodies = [
-                    http_body(rec["payload"]).decode("utf-8")
+                responses = [
+                    rec
                     for rec in iter_warc_records(blob.encode("utf-8"))
                     if rec["headers"].get("warc-type") == "response"
                 ]
-                if len(bodies) != 1:
+                if len(responses) != 1:
                     raise ValueError(
                         f"wet_batch expects exactly one response record per "
-                        f"blob; doc_id={int(doc_id)} has {len(bodies)} — use "
+                        f"blob; doc_id={int(doc_id)} has {len(responses)} — use "
                         f"operators.warc.response_documents for multi-document "
                         f"archives"
                     )
-                rows.append((int(doc_id), bodies[0]))
-            yield pd.DataFrame(rows, columns=["doc_id", "html"])
+                uri = responses[0]["headers"].get("warc-target-uri", "")
+                html = http_body(responses[0]["payload"]).decode("utf-8")
+                rows.append((int(doc_id), uri, html))
+            yield pd.DataFrame(rows, columns=["doc_id", "target_uri", "html"])
 
-    return df.mapInPandas(walk, "doc_id long, html string")
+    return df.mapInPandas(walk, "doc_id long, target_uri string, html string")
 
 
 def wet_verdicts(walked: DataFrame, html_col: str = "html") -> DataFrame:
-    """Per-document verdict rows from (doc_id, html): extraction, quality
-    score (length/punct/token signals), marker-word language-ID, and the
-    whitespace-normalized 60-bit fingerprint. Map-only; raw text is dropped
-    from the output, so everything downstream shuffles fixed-width rows."""
-    ex = walked.select("doc_id", extract_text(F.col(html_col)).alias("extracted"))
+    """Per-document verdict rows from (doc_id, target_uri, html): extraction,
+    quality score (length/punct/token signals), marker-word language-ID, the
+    whitespace-normalized 60-bit fingerprint, and the host (for curation).
+    Map-only; raw text is dropped from the output, so everything downstream
+    shuffles fixed-width rows."""
+    host = F.regexp_extract("target_uri", r"^[a-z]+://([^/]+)", 1)
+    ex = walked.select(
+        "doc_id",
+        host.alias("host"),
+        extract_text(F.col(html_col)).alias("extracted"),
+    )
     toks = F.regexp_extract_all(F.lower(F.col("extracted")), F.lit(_TOKEN_RE), F.lit(0))
     n_chars = F.length("extracted")
     n_punct = n_chars - F.length(F.regexp_replace("extracted", "[^a-zA-Z0-9 ]", ""))
@@ -124,6 +137,7 @@ def wet_verdicts(walked: DataFrame, html_col: str = "html") -> DataFrame:
     norm = F.regexp_replace(F.trim(F.lower(F.col("extracted"))), r"\s+", " ")
     return ex.select(
         "doc_id",
+        "host",
         lang_expr.alias("predicted_lang"),
         F.size(toks).cast("bigint").alias("n_tokens"),
         quality.cast("int").alias("quality_score"),
@@ -133,21 +147,115 @@ def wet_verdicts(walked: DataFrame, html_col: str = "html") -> DataFrame:
     )
 
 
+def blocklist_drop(verdicts: DataFrame, blocklist: list[str]) -> DataFrame:
+    """Registrable-domain suffix filter (the ``doc_url_blocklist_filter``
+    semantics): a listed domain blocks itself and every subdomain. The
+    blocklist folds into the plan as an array literal checked against the
+    host's dotted suffixes — map-only, no exchange (at UT1 scale, swap the
+    literal for a broadcast join; the wave-side shape is identical)."""
+    if not blocklist:
+        return verdicts
+    entries = F.array(*[F.lit(e) for e in sorted(set(blocklist))])
+    suffixes = F.expr(
+        "transform(sequence(1, size(split(host, '\\\\.')) - 1),"
+        " i -> array_join(slice(split(host, '\\\\.'), i,"
+        " size(split(host, '\\\\.')) - i + 1), '.'))"
+    )
+    blocked = F.exists(suffixes, lambda s: F.array_contains(entries, s))
+    return verdicts.where(~blocked)
+
+
+def host_cap(verdicts: DataFrame, cap: int) -> DataFrame:
+    """Per-wave host cap: keep at most ``cap`` documents per host, preferring
+    the most content (n_tokens desc, doc_id tie-break) — the
+    ``doc_source_cap`` discipline applied at ingestion so a crawl burst from
+    one host cannot flood the store. One host-keyed window over verdict rows
+    (fixed width — raw text is already gone)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("host").orderBy(F.col("n_tokens").desc(), F.col("doc_id"))
+    return (
+        verdicts.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= cap)
+        .drop("_rk")
+    )
+
+
 def wet_batch(
     batch_df: DataFrame,
     store_path: str,
     batch_id: int,
     id_col: str = "doc_id",
     warc_col: str = "warc",
+    blocklist: list[str] | None = None,
+    cap_per_host: int | None = None,
 ) -> None:
-    """``foreachBatch`` body: walk + score this wave's archives and land the
-    verdict rows in the batch's own partition. ``mode("overwrite")`` on the
+    """``foreachBatch`` body: walk + score this wave's archives, apply the
+    URL/host curation stages PER BATCH (blocked-domain docs and over-cap
+    host bursts never reach the store — landing them only to filter at read
+    time wastes store I/O at crawl scale), and land the surviving verdict
+    rows in the batch's own partition. ``mode("overwrite")`` on the
     per-batch subdir makes replays (post-crash re-delivery of the same
-    micro-batch) idempotent."""
+    micro-batch) idempotent — curation is deterministic per wave, so a
+    replay reproduces the identical partition."""
     verdicts = wet_verdicts(_walk_warc(batch_df, id_col=id_col, warc_col=warc_col))
+    _land_verdicts(verdicts, store_path, batch_id, blocklist, cap_per_host)
+
+
+def _land_verdicts(
+    verdicts: DataFrame,
+    store_path: str,
+    batch_id: int,
+    blocklist: list[str] | None,
+    cap_per_host: int | None,
+) -> None:
+    if blocklist:
+        verdicts = blocklist_drop(verdicts, blocklist)
+    if cap_per_host is not None:
+        verdicts = host_cap(verdicts, cap_per_host)
     verdicts.withColumn("batch_seq", F.lit(int(batch_id)).cast("long")).write.mode(
         "overwrite"
     ).parquet(f"{store_path}/batch=b{batch_id}")
+
+
+def wet_shard_batch(
+    batch_df: DataFrame,
+    store_path: str,
+    batch_id: int,
+    shard_col: str = "warc",
+    blocklist: list[str] | None = None,
+    cap_per_host: int | None = None,
+) -> None:
+    """The multi-document twin of :func:`wet_batch` for REAL crawl framing:
+    each input row carries a WHOLE archive shard (string or binary, plain or
+    ``.warc.gz``), every ``response`` record becomes a document, and the
+    document identity is ``h60(target_uri)`` (stored as ``doc_id``, so
+    :func:`read_wet_store`'s latest-batch-wins / keep-first merge applies
+    unchanged — a re-crawl of the same URI in a later wave atomically
+    replaces its verdict). Same per-wave curation and replay-idempotent
+    landing contract as ``wet_batch``; batch twin for equality tests is
+    ``sources/warcfiles.py::read_warc_documents`` → :func:`wet_verdicts`."""
+    def walk(it):
+        import pandas as pd
+
+        from clickhouse_etl_loadtest_spark.operators.warc import response_documents
+
+        for pdf in it:
+            rows = []
+            for blob in pdf[shard_col]:
+                data = (
+                    bytes(blob)
+                    if isinstance(blob, (bytes, bytearray, memoryview))
+                    else str(blob).encode("utf-8")
+                )
+                for uri, body in response_documents(data):
+                    rows.append((uri, body.decode("utf-8", "replace")))
+            yield pd.DataFrame(rows, columns=["target_uri", "html"])
+
+    walked = batch_df.mapInPandas(walk, "target_uri string, html string").select(
+        h60(F.col("target_uri")).alias("doc_id"), "target_uri", "html"
+    )
+    _land_verdicts(wet_verdicts(walked), store_path, batch_id, blocklist, cap_per_host)
 
 
 def read_wet_store(spark: SparkSession, store_path: str) -> DataFrame:
@@ -164,6 +272,7 @@ def read_wet_store(spark: SparkSession, store_path: str) -> DataFrame:
         cur.withColumn("is_canonical", F.col("doc_id") == F.min("doc_id").over(w))
         .select(
             "doc_id",
+            "host",
             "predicted_lang",
             "n_tokens",
             "quality_score",

@@ -9,8 +9,11 @@ import pyarrow.parquet as pq
 from pyspark.sql import functions as F
 
 from clickhouse_etl_loadtest_spark.operators.wetstream import (
+    _walk_warc,
     read_wet_store,
     wet_batch,
+    wet_shard_batch,
+    wet_verdicts,
 )
 from clickhouse_etl_loadtest_spark.queries import load_all
 
@@ -119,6 +122,61 @@ def test_streamed_waves_equal_batch_pipeline(spark, tmp_path):
     assert rows[2]["text_hash"] == rows[7]["text_hash"]
 
 
+def test_blocklist_drops_before_landing(spark, tmp_path):
+    """Blocked-domain docs must never REACH the store (read the batch
+    partition directly, not the merged view), with registrable-domain
+    suffix semantics: an entry blocks itself and every subdomain."""
+    sf_dir = _write_documents(tmp_path, DOCS)
+    wave = _warc_frame(spark, sf_dir, [r[0] for r in DOCS])
+    # hosts are src{doc_id % 3}.example.com — block src1's registrable domain
+    store = str(tmp_path / "store")
+    wet_batch(wave, store, 0, blocklist=["src1.example.com"])
+    landed = spark.read.parquet(f"{store}/batch=b0")
+    hosts = {r["host"] for r in landed.select("host").distinct().collect()}
+    assert hosts == {"src0.example.com", "src2.example.com"}
+    # suffix semantics: blocking the shared parent domain drops EVERYTHING
+    store2 = str(tmp_path / "store2")
+    wet_batch(wave, store2, 0, blocklist=["example.com"])
+    assert spark.read.parquet(f"{store2}/batch=b0").count() == 0
+
+
+def test_host_cap_keeps_most_content_per_host(spark, tmp_path):
+    """cap_per_host=1 keeps exactly the highest-n_tokens doc per host
+    (doc_id tie-break), and the cap composes with the merged view."""
+    sf_dir = _write_documents(tmp_path, DOCS)
+    wave = _warc_frame(spark, sf_dir, [r[0] for r in DOCS])
+    store = str(tmp_path / "store")
+    wet_batch(wave, store, 0, cap_per_host=1)
+    landed = spark.read.parquet(f"{store}/batch=b0")
+    assert landed.count() == 3  # one per host
+    uncapped = wet_verdicts(_walk_warc(wave)).collect()
+    best = {}  # host -> (doc_id, n_tokens) of the expected survivor
+    for r in uncapped:
+        cur = best.get(r["host"])
+        if cur is None or (-r["n_tokens"], r["doc_id"]) < (-cur[1], cur[0]):
+            best[r["host"]] = (r["doc_id"], r["n_tokens"])
+    got = {
+        r["host"]: (r["doc_id"], r["n_tokens"])
+        for r in landed.select("host", "doc_id", "n_tokens").collect()
+    }
+    assert got == best
+
+
+def test_replay_idempotent_with_curation(spark, tmp_path):
+    """Curation is deterministic per wave, so a replayed micro-batch with
+    blocklist + cap reproduces the byte-identical partition."""
+    sf_dir = _write_documents(tmp_path, DOCS)
+    wave = _warc_frame(spark, sf_dir, [r[0] for r in DOCS])
+    store = str(tmp_path / "store")
+    kw = dict(blocklist=["src2.example.com"], cap_per_host=2)
+    wet_batch(wave, store, 0, **kw)
+    before = _canon(read_wet_store(spark, store))
+    wet_batch(wave, store, 0, **kw)  # replay
+    assert _canon(read_wet_store(spark, store)) == before
+    hosts = {r["host"] for r in read_wet_store(spark, store).collect()}
+    assert "src2.example.com" not in hosts
+
+
 def test_replay_is_idempotent(spark, tmp_path):
     """Re-delivering a micro-batch (the post-crash contract) must leave the
     store byte-identical: the batch partition is overwritten in place."""
@@ -129,6 +187,75 @@ def test_replay_is_idempotent(spark, tmp_path):
     before = _canon(read_wet_store(spark, store))
     wet_batch(wave, store, 0)  # replay
     assert _canon(read_wet_store(spark, store)) == before
+
+
+def test_shard_waves_equal_batch_file_reader(spark, tmp_path):
+    """wet_shard_batch (whole multi-document archives per row, one wave
+    plain + one wave gzip-framed) must converge to exactly the verdicts the
+    batch path computes (read_warc_documents -> wet_verdicts) over the same
+    shards written as FILES — and a later wave re-crawling a URI must
+    replace its verdict (identity = h60(target_uri))."""
+    from clickhouse_etl_loadtest_spark.functions.hashing import h60
+    from clickhouse_etl_loadtest_spark.sources.warcfiles import read_warc_documents
+
+    from .test_warcfiles import _gz
+
+    sf_dir = _write_documents(tmp_path, DOCS)
+    blobs = {
+        r["doc_id"]: r["warc"]
+        for r in _warc_frame(spark, sf_dir, [d[0] for d in DOCS]).collect()
+    }
+    shard0 = (blobs[0] + blobs[1] + blobs[2] + blobs[3]).encode("utf-8")
+    shard1 = _gz((blobs[4] + blobs[5] + blobs[6] + blobs[7]).encode("utf-8"))
+
+    store = str(tmp_path / "shardstore")
+    wet_shard_batch(
+        spark.createDataFrame([(bytearray(shard0),)], "warc binary"), store, 0
+    )
+    wet_shard_batch(
+        spark.createDataFrame([(bytearray(shard1),)], "warc binary"), store, 1
+    )
+    merged = read_wet_store(spark, store)
+    assert merged.count() == 8  # docs 0-7 across the two shards
+
+    crawl = tmp_path / "crawl"
+    crawl.mkdir()
+    (crawl / "s0.warc").write_bytes(shard0)
+    (crawl / "s1.warc.gz").write_bytes(shard1)
+    walked = read_warc_documents(spark, str(crawl)).select(
+        h60(F.col("target_uri")).alias("doc_id"), "target_uri", "html"
+    )
+    batch = wet_verdicts(walked)
+    merged_rows = sorted(
+        tuple(r)
+        for r in merged.select(
+            "doc_id", "host", "predicted_lang", "n_tokens", "quality_score", "text_hash"
+        ).collect()
+    )
+    batch_rows = sorted(
+        tuple(r)
+        for r in batch.select(
+            "doc_id", "host", "predicted_lang", "n_tokens", "quality_score", "text_hash"
+        ).collect()
+    )
+    assert merged_rows == batch_rows
+
+    # re-crawl: doc 0's URI re-delivered with doc 2's text in a later wave
+    sf2 = _write_documents(tmp_path, [(0, DOCS[2][1])])
+    reblob = _warc_frame(spark, sf2, [0]).first()["warc"].encode("utf-8")
+    wet_shard_batch(
+        spark.createDataFrame([(bytearray(_gz(reblob)),)], "warc binary"), store, 2
+    )
+    after = {r["doc_id"]: r for r in read_wet_store(spark, store).collect()}
+    # identity is h60(uri): find doc 0's uid via the batch walk
+    uid0 = next(
+        r["doc_id"] for r in walked.collect() if r["target_uri"].endswith("/doc/0")
+    )
+    uid2 = next(
+        r["doc_id"] for r in walked.collect() if r["target_uri"].endswith("/doc/2")
+    )
+    assert after[uid0]["batch_seq"] == 2
+    assert after[uid0]["text_hash"] == after[uid2]["text_hash"]
 
 
 def test_recrawl_latest_batch_wins(spark, tmp_path):
