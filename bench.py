@@ -383,9 +383,11 @@ def main() -> None:
             "doc_html_extract",
             "doc_html_link_stats",
             "doc_warc_extract",
+            "doc_warc_gz_extract",  # round 9: gzip-member framing
             "doc_wet_pipeline",
             "doc_gopher_repetition",
             "doc_url_blocklist_filter",
+            "doc_language_id_clf",  # round 9: trained langid tier
         )
         web_calib = calibration(spark)
         web_q = {}
