@@ -196,6 +196,23 @@ def test_gz_malformed_members_fail_loud(mutate, msg):
         list(iter_gzip_members(mutate(member)))
 
 
+def test_gz_fuzz_roundtrip_vs_stdlib():
+    """Random binary payloads (naturally containing gzip magic, nulls, CRLF
+    soup) must round-trip member-per-payload, and stdlib gzip must agree on
+    the whole concatenation — the writer and walker are honest inverses."""
+    import random
+
+    rng = random.Random(1234)
+    for _ in range(50):
+        payloads = [
+            bytes(rng.randrange(256) for _ in range(rng.randrange(0, 400)))
+            for _ in range(rng.randrange(1, 6))
+        ]
+        blob = b"".join(gzip_member(p) for p in payloads)
+        assert list(iter_gzip_members(blob)) == payloads
+        assert _stdlib_gzip.decompress(blob) == b"".join(payloads)
+
+
 def test_response_documents_skips_non_responses():
     data = (
         _record("warcinfo", b"software: x")
