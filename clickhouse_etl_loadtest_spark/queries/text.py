@@ -1712,7 +1712,7 @@ ORDER BY source_a, source_b
 """
 
 
-@register("doc_source_js_divergence", _JS_ORACLE)
+@register("doc_source_js_divergence", _JS_ORACLE, extra=True)  # driver-green r8; slot ceded r9
 def doc_source_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Jensen-Shannon divergence between every pair of sources' unigram
     distributions — the DISTRIBUTIONAL-shift half of the mixture-design

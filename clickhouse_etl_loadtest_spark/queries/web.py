@@ -367,3 +367,142 @@ def doc_url_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- robots.txt-style politeness filter (RFC 9309 longest-match) ----------------------
+# Crawl pipelines honor per-host robots rules BEFORE any content stage (C4,
+# CCNet, RefinedWeb all start from robots-respecting crawls). The decision
+# rule is RFC 9309 §2.2.2: collect every rule whose path-prefix matches the
+# URL path, pick the LONGEST match, and on a length tie the least
+# restrictive (Allow) wins; a URL matching no rule is allowed. Rules are
+# derived per host from the corpus source list — identically in both
+# engines — with shapes that force every precedence branch: a blanket
+# '/private/' Disallow, a LONGER '/private/doc/' Allow on K%3==0 hosts
+# (longest-match overrides the blanket), a '/doc/1' Disallow on odd-K hosts
+# (prefix matching on digits: blocks doc 1, 1x, 1xx), and a '/doc/' Allow
+# everywhere.
+
+_ROBOTS_K_SQL = "COALESCE(TRY_CAST(regexp_extract(source, '([0-9]+)$', 1) AS BIGINT), 0)"
+
+_ROBOTS_ORACLE = f"""
+WITH srcs AS (
+    SELECT DISTINCT source, source || '.example.com' AS host,
+           {_ROBOTS_K_SQL} AS k
+    FROM documents
+),
+rules AS (
+    SELECT host, 'disallow' AS rule_type, '/private/' AS prefix FROM srcs
+    UNION ALL
+    SELECT host, 'allow', '/private/doc/' FROM srcs WHERE k % 3 = 0
+    UNION ALL
+    SELECT host, 'disallow', '/doc/1' FROM srcs WHERE k % 2 = 1
+    UNION ALL
+    SELECT host, 'allow', '/doc/' FROM srcs
+),
+pages AS (
+    SELECT doc_id, source || '.example.com' AS host,
+           (CASE WHEN doc_id % 7 = 3 THEN '/private/doc/' ELSE '/doc/' END)
+               || CAST(doc_id AS VARCHAR) AS path
+    FROM documents
+),
+matched AS (
+    SELECT p.doc_id, r.rule_type, r.prefix,
+           ROW_NUMBER() OVER (
+               PARTITION BY p.doc_id
+               ORDER BY length(r.prefix) DESC,
+                        (r.rule_type = 'allow') DESC, r.prefix, r.rule_type
+           ) AS rnk
+    FROM pages p JOIN rules r ON p.host = r.host
+    WHERE starts_with(p.path, r.prefix)
+)
+SELECT p.doc_id, p.host, p.path,
+       COALESCE(m.rule_type, 'none') AS matched_rule,
+       COALESCE(m.prefix, '') AS matched_prefix,
+       (m.rule_type IS NULL OR m.rule_type = 'allow') AS allowed
+FROM pages p LEFT JOIN (SELECT * FROM matched WHERE rnk = 1) m USING (doc_id)
+ORDER BY p.doc_id
+"""
+
+
+@register("doc_robots_filter", _ROBOTS_ORACLE)
+def doc_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt-style politeness filtering with RFC 9309 precedence:
+    longest matching path-prefix wins, Allow beats Disallow on a length
+    tie, no match means allowed. Per-host rule sets and per-doc paths are
+    derived from the corpus identically in both engines (see the block
+    comment — the shapes force every precedence branch, including the
+    longer-Allow-overrides-blanket-Disallow case).
+
+    Scale: the rules side is robots-file-sized (a few rules per host) and
+    BROADCASTS — the corpus side never shuffles for the match; the winner
+    resolution is a doc-keyed window over matched (doc, rule) rows (a few
+    per doc, bounded by rules-per-host), then one doc-keyed join back to
+    carry no-match pages through. Prefix matching is ``startswith`` —
+    sargable, codegen'd, no regex.
+    """
+    from pyspark.sql.window import Window
+
+    d = _docs(spark, sf_dir)
+    host = F.concat(F.col("source"), F.lit(".example.com"))
+    path = F.concat(
+        F.when(F.col("doc_id") % 7 == 3, F.lit("/private/doc/")).otherwise(
+            F.lit("/doc/")
+        ),
+        F.col("doc_id").cast("string"),
+    )
+    pages = d.select("doc_id", host.alias("host"), path.alias("path"))
+    srcs = (
+        d.select("source")
+        .distinct()
+        .select(
+            F.concat(F.col("source"), F.lit(".example.com")).alias("host"),
+            F.coalesce(
+                F.regexp_extract("source", r"([0-9]+)$", 1).cast("bigint"), F.lit(0)
+            ).alias("k"),
+        )
+    )
+    # one rule-array per host, exploded — NOT a 4-way union of selects over
+    # srcs, which would recompute the distinct-sources aggregate (and its
+    # corpus scan) once per branch
+    def _rule(t: str, p: str) -> Column:
+        return F.struct(F.lit(t).alias("rule_type"), F.lit(p).alias("prefix"))
+
+    rule_arr = F.filter(
+        F.array(
+            _rule("disallow", "/private/"),
+            F.when(F.col("k") % 3 == 0, _rule("allow", "/private/doc/")),
+            F.when(F.col("k") % 2 == 1, _rule("disallow", "/doc/1")),
+            _rule("allow", "/doc/"),
+        ),
+        lambda r: r.isNotNull(),
+    )
+    rules = srcs.select("host", F.explode(rule_arr).alias("r")).select(
+        "host", F.col("r.rule_type").alias("rule_type"), F.col("r.prefix").alias("prefix")
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.length("prefix").desc(),
+        (F.col("rule_type") == "allow").desc(),
+        "prefix",
+        "rule_type",
+    )
+    winners = (
+        pages.join(F.broadcast(rules), "host")
+        .where(F.col("path").startswith(F.col("prefix")))
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") == 1)
+        .select("doc_id", "rule_type", "prefix")
+    )
+    return (
+        pages.join(winners, "doc_id", "left")
+        .select(
+            "doc_id",
+            "host",
+            "path",
+            F.coalesce("rule_type", F.lit("none")).alias("matched_rule"),
+            F.coalesce("prefix", F.lit("")).alias("matched_prefix"),
+            (F.col("rule_type").isNull() | (F.col("rule_type") == "allow")).alias(
+                "allowed"
+            ),
+        )
+        .orderBy("doc_id")
+    )

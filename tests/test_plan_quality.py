@@ -1059,6 +1059,24 @@ def test_warc_extract_walk_is_arrow_batched(spark, sf_dir):
     assert "Join" not in plan and "Window" not in plan
 
 
+def test_robots_filter_broadcasts_rules(spark, sf_dir):
+    """The robots rule set is robots-file-sized and must BROADCAST; the
+    corpus side never hash-shuffles for the match itself — only the
+    doc-keyed winner window and join-back. Prefix matching must stay
+    StartsWith (sargable codegen), never a regex."""
+    plan = exec_plan_of(spark, sf_dir, "doc_robots_filter")
+    assert "BroadcastExchange" in plan
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+    assert "StartsWith" in plan
+    # every keyed exchange carries a short key: doc_id (winner window +
+    # join-back) or source (the one distinct-sources rollup feeding the
+    # broadcast rules side — host-cardinality, not corpus rows)
+    for exchange in plan.split("Exchange hashpartitioning")[1:]:
+        head = exchange[:120]
+        assert "doc_id" in head or "source" in head, head
+        assert "path" not in head and "text" not in head, head
+
+
 def test_langid_clf_short_keys_no_python(spark, sf_dir):
     """The trained language-ID scorer is pure JVM column work: derived text
     never shuffles (exchanges carry (doc_id, lang, bucket) and the per-doc
