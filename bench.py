@@ -387,6 +387,7 @@ def main() -> None:
             "doc_wet_pipeline",
             "doc_gopher_repetition",
             "doc_url_blocklist_filter",
+            "doc_robots_filter",  # round 9: RFC 9309 politeness filter
             "doc_language_id_clf",  # round 9: trained langid tier
         )
         web_calib = calibration(spark)
