@@ -16,9 +16,9 @@ iterative algorithms as driver loops over DataFrame aggregates):
   ``doc_unigram_logprob``'s log-prob sums). The only cross-runtime
   wobble left is libm's ``exp`` (≤1 ulp), which the differential test
   bounds at 1e-9 over the whole trajectory.
-- Feature vectors should be ``localCheckpoint()``-ed (or cached) by the
-  caller before the loop so the feature projection isn't recomputed per
-  iteration; ``logistic_fit`` does this itself.
+- Feature projections are cached (``persist``) for the duration of the fit
+  so they aren't recomputed per iteration, and unpersisted on exit — no
+  storage blocks outlive the call.
 
 At 100 TB: the per-iteration cost is one scan of the cached feature table
 (k doubles per row) with a k+1-value reduce — embarrassingly parallel, no
@@ -58,21 +58,24 @@ def logistic_fit(
     df = features.select(
         *[F.col(c).cast("double").alias(c) for c in feature_cols],
         F.col(label_col).cast("double").alias("_y"),
-    ).localCheckpoint()
-    n = df.count()
-    if n == 0:
-        raise ValueError("logistic_fit: empty input")
-    w = [0.0] * (k + 1)
-    for _ in range(iterations):
-        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-_logit(feature_cols, w)))
-        err = p - F.col("_y")
-        aggs = [F.sum(err.cast("decimal(38,18)")).alias("g0")] + [
-            F.sum((err * F.col(c)).cast("decimal(38,18)")).alias(f"g{j + 1}")
-            for j, c in enumerate(feature_cols)
-        ]
-        row = df.agg(*aggs).first()
-        w = [w[i] - lr * float(row[i]) / n for i in range(k + 1)]
-    return w
+    ).persist()
+    try:
+        n = df.count()
+        if n == 0:
+            raise ValueError("logistic_fit: empty input")
+        w = [0.0] * (k + 1)
+        for _ in range(iterations):
+            p = F.lit(1.0) / (F.lit(1.0) + F.exp(-_logit(feature_cols, w)))
+            err = p - F.col("_y")
+            aggs = [F.sum(err.cast("decimal(38,18)")).alias("g0")] + [
+                F.sum((err * F.col(c)).cast("decimal(38,18)")).alias(f"g{j + 1}")
+                for j, c in enumerate(feature_cols)
+            ]
+            row = df.agg(*aggs).first()
+            w = [w[i] - lr * float(row[i]) / n for i in range(k + 1)]
+        return w
+    finally:
+        df.unpersist()
 
 
 def logistic_fit_multi(
@@ -94,39 +97,48 @@ def logistic_fit_multi(
     df = features.select(
         *[F.col(c).cast("double").alias(c) for c in feature_cols],
         F.col(label_col).cast("string").alias("_y"),
-    ).localCheckpoint()
-    n = df.count()
-    if n == 0:
-        raise ValueError("logistic_fit_multi: empty input")
-    w = {c: [0.0] * (k + 1) for c in classes}
-    for _ in range(iterations):
-        # materialize the per-class error as a COLUMN first (lineage cut):
-        # otherwise each of the classes*(k+1) gradient sums re-embeds the
-        # whole k-term logit and the aggregate's expression tree goes
-        # quadratic — ~40k nodes, seconds of analysis/codegen per iteration
-        errs = [
-            (
-                F.lit(1.0) / (F.lit(1.0) + F.exp(-_logit(feature_cols, w[cls])))
-                - (F.col("_y") == cls).cast("double")
-            ).alias(f"_e_{cls}")
-            for cls in classes
-        ]
-        edf = df.select(*feature_cols, *errs).localCheckpoint(eager=False)
-        aggs = []
-        for cls in classes:
-            e = F.col(f"_e_{cls}")
-            aggs.append(F.sum(e.cast("decimal(38,18)")).alias(f"{cls}_g0"))
-            aggs.extend(
-                F.sum((e * F.col(c)).cast("decimal(38,18)")).alias(f"{cls}_g{j + 1}")
-                for j, c in enumerate(feature_cols)
-            )
-        row = edf.agg(*aggs).first()
-        for ci, cls in enumerate(classes):
-            base = ci * (k + 1)
-            w[cls] = [
-                w[cls][i] - lr * float(row[base + i]) / n for i in range(k + 1)
+    ).persist()
+    try:
+        n = df.count()
+        if n == 0:
+            raise ValueError("logistic_fit_multi: empty input")
+        w = {c: [0.0] * (k + 1) for c in classes}
+        for _ in range(iterations):
+            # materialize the per-class error as a COLUMN first (lineage cut
+            # via cache substitution on the analyzed plan): otherwise each of
+            # the classes*(k+1) gradient sums re-embeds the whole k-term logit
+            # and the aggregate's expression tree goes quadratic — ~40k nodes,
+            # seconds of analysis/codegen per iteration. persist (not
+            # localCheckpoint) so the iteration's blocks are released after
+            # the agg instead of accumulating for the whole fit.
+            errs = [
+                (
+                    F.lit(1.0) / (F.lit(1.0) + F.exp(-_logit(feature_cols, w[cls])))
+                    - (F.col("_y") == cls).cast("double")
+                ).alias(f"_e_{cls}")
+                for cls in classes
             ]
-    return w
+            edf = df.select(*feature_cols, *errs).persist()
+            try:
+                aggs = []
+                for cls in classes:
+                    e = F.col(f"_e_{cls}")
+                    aggs.append(F.sum(e.cast("decimal(38,18)")).alias(f"{cls}_g0"))
+                    aggs.extend(
+                        F.sum((e * F.col(c)).cast("decimal(38,18)")).alias(f"{cls}_g{j + 1}")
+                        for j, c in enumerate(feature_cols)
+                    )
+                row = edf.agg(*aggs).first()
+            finally:
+                edf.unpersist()
+            for ci, cls in enumerate(classes):
+                base = ci * (k + 1)
+                w[cls] = [
+                    w[cls][i] - lr * float(row[base + i]) / n for i in range(k + 1)
+                ]
+        return w
+    finally:
+        df.unpersist()
 
 
 def logistic_predict(

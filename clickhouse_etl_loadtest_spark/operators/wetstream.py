@@ -5,10 +5,12 @@ A crawl corpus arrives in waves of archives; re-running the whole
 archive→text→filters→dedup pipeline per wave is a full-corpus rescan.
 ``wet_batch`` is a ``foreachBatch`` body: it walks the wave's WARC blobs,
 extracts and scores the text, applies the URL/host curation stages per wave
-(``blocklist_drop`` — registrable-domain suffix semantics, and ``host_cap``
-— per-host document cap preferring the most content: blocked or over-cap
-documents never reach the store, because landing them only to filter at
-read time wastes store I/O at crawl scale), and lands the surviving
+(``robots_drop`` — RFC 9309 politeness via ``operators/robots.py``,
+``blocklist_drop`` — registrable-domain suffix semantics, and ``host_cap``
+— per-host document cap preferring the most content: politeness-rejected,
+blocked, or over-cap documents never reach the store, because landing them
+only to filter at read time wastes store I/O at crawl scale), and lands the
+surviving
 per-document VERDICT ROWS (scalars + 60-bit fingerprint — never raw text)
 in a per-batch partition of a persistent parquet store; ``read_wet_store``
 merges the partitions with latest-batch-wins semantics per document (a
@@ -43,6 +45,7 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import h60
 from ..functions.html import extract_text
+from .robots import robots_verdict
 
 # literal twins of queries/text.py constants (see module docstring)
 _TOKEN_RE = "[a-z0-9]+"
@@ -107,10 +110,23 @@ def wet_verdicts(walked: DataFrame, html_col: str = "html") -> DataFrame:
     whitespace-normalized 60-bit fingerprint, and the host (for curation).
     Map-only; raw text is dropped from the output, so everything downstream
     shuffles fixed-width rows."""
-    host = F.regexp_extract("target_uri", r"^[a-z]+://([^/]+)", 1)
+    # Curation host key: case-insensitive scheme, authority lowercased with
+    # userinfo and port stripped — 'HTTP://u@A.Example.COM:8080/x' keys as
+    # 'a.example.com', so odd-but-legal URIs cannot silently bypass
+    # blocklist suffix matching or host_cap grouping.
+    authority = F.regexp_extract("target_uri", r"^(?i)[a-z][a-z0-9+.-]*://([^/?#]+)", 1)
+    host = F.lower(
+        F.regexp_replace(F.regexp_replace(authority, r"^[^@]*@", ""), r":[0-9]+$", "")
+    )
+    # URL path (query/fragment stripped) — what robots rules prefix-match on.
+    # Dropped again before landing; only the curation stages see it.
+    path = F.regexp_extract(
+        "target_uri", r"^(?i)[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)", 1
+    )
     ex = walked.select(
         "doc_id",
         host.alias("host"),
+        path.alias("path"),
         extract_text(F.col(html_col)).alias("extracted"),
     )
     toks = F.regexp_extract_all(F.lower(F.col("extracted")), F.lit(_TOKEN_RE), F.lit(0))
@@ -138,6 +154,7 @@ def wet_verdicts(walked: DataFrame, html_col: str = "html") -> DataFrame:
     return ex.select(
         "doc_id",
         "host",
+        "path",
         lang_expr.alias("predicted_lang"),
         F.size(toks).cast("bigint").alias("n_tokens"),
         quality.cast("int").alias("quality_score"),
@@ -156,13 +173,36 @@ def blocklist_drop(verdicts: DataFrame, blocklist: list[str]) -> DataFrame:
     if not blocklist:
         return verdicts
     entries = F.array(*[F.lit(e) for e in sorted(set(blocklist))])
+    # Guarded for single-label / empty hosts ('localhost', a missing
+    # WARC-Target-URI): two-arg sequence(1, 0) DESCENDS in Spark and the
+    # resulting slice(..., 0, ...) raises — same bug class as the gopher
+    # short-doc guard (queries/text.py). Such hosts match as themselves only.
     suffixes = F.expr(
-        "transform(sequence(1, size(split(host, '\\\\.')) - 1),"
+        "case when size(split(host, '\\\\.')) >= 2 then"
+        " transform(sequence(1, size(split(host, '\\\\.')) - 1),"
         " i -> array_join(slice(split(host, '\\\\.'), i,"
         " size(split(host, '\\\\.')) - i + 1), '.'))"
+        " else array(host) end"
     )
     blocked = F.exists(suffixes, lambda s: F.array_contains(entries, s))
     return verdicts.where(~blocked)
+
+
+def robots_drop(verdicts: DataFrame, rules: DataFrame) -> DataFrame:
+    """Per-wave robots.txt politeness filter: apply the RFC 9309 decision
+    (``operators/robots.py::robots_verdict`` — longest matching prefix wins,
+    Allow beats Disallow on a length tie, no match means allowed) to the
+    wave's verdict rows and keep only allowed documents — a
+    politeness-rejected page never reaches the store, the same
+    ingestion-time discipline as :func:`blocklist_drop` / :func:`host_cap`.
+
+    ``rules`` is ``(host, rule_type ∈ {allow, disallow}, prefix)`` — robots-
+    file-sized per host, broadcast inside the decision; the wave side adds
+    one doc-keyed semi-join to carry the verdict columns through (fixed-width
+    rows — raw text is already gone)."""
+    pages = verdicts.select("doc_id", "host", "path")
+    allowed = robots_verdict(pages, rules).where("allowed").select("doc_id")
+    return verdicts.join(allowed, "doc_id", "left_semi")
 
 
 def host_cap(verdicts: DataFrame, cap: int) -> DataFrame:
@@ -189,17 +229,18 @@ def wet_batch(
     warc_col: str = "warc",
     blocklist: list[str] | None = None,
     cap_per_host: int | None = None,
+    robots_rules: DataFrame | None = None,
 ) -> None:
     """``foreachBatch`` body: walk + score this wave's archives, apply the
-    URL/host curation stages PER BATCH (blocked-domain docs and over-cap
-    host bursts never reach the store — landing them only to filter at read
-    time wastes store I/O at crawl scale), and land the surviving verdict
-    rows in the batch's own partition. ``mode("overwrite")`` on the
+    URL/host curation stages PER BATCH (politeness-rejected, blocked-domain,
+    and over-cap docs never reach the store — landing them only to filter at
+    read time wastes store I/O at crawl scale), and land the surviving
+    verdict rows in the batch's own partition. ``mode("overwrite")`` on the
     per-batch subdir makes replays (post-crash re-delivery of the same
     micro-batch) idempotent — curation is deterministic per wave, so a
     replay reproduces the identical partition."""
     verdicts = wet_verdicts(_walk_warc(batch_df, id_col=id_col, warc_col=warc_col))
-    _land_verdicts(verdicts, store_path, batch_id, blocklist, cap_per_host)
+    _land_verdicts(verdicts, store_path, batch_id, blocklist, cap_per_host, robots_rules)
 
 
 def _land_verdicts(
@@ -208,14 +249,21 @@ def _land_verdicts(
     batch_id: int,
     blocklist: list[str] | None,
     cap_per_host: int | None,
+    robots_rules: DataFrame | None = None,
 ) -> None:
+    # politeness first (a disallowed page must not even count against the
+    # host cap), then the blocklist, then the per-host burst cap
+    if robots_rules is not None:
+        verdicts = robots_drop(verdicts, robots_rules)
     if blocklist:
         verdicts = blocklist_drop(verdicts, blocklist)
     if cap_per_host is not None:
         verdicts = host_cap(verdicts, cap_per_host)
-    verdicts.withColumn("batch_seq", F.lit(int(batch_id)).cast("long")).write.mode(
-        "overwrite"
-    ).parquet(f"{store_path}/batch=b{batch_id}")
+    # the path column exists for the curation stages only; the store keeps
+    # its fixed-width verdict schema
+    verdicts.drop("path").withColumn(
+        "batch_seq", F.lit(int(batch_id)).cast("long")
+    ).write.mode("overwrite").parquet(f"{store_path}/batch=b{batch_id}")
 
 
 def wet_shard_batch(
@@ -225,6 +273,7 @@ def wet_shard_batch(
     shard_col: str = "warc",
     blocklist: list[str] | None = None,
     cap_per_host: int | None = None,
+    robots_rules: DataFrame | None = None,
 ) -> None:
     """The multi-document twin of :func:`wet_batch` for REAL crawl framing:
     each input row carries a WHOLE archive shard (string or binary, plain or
@@ -255,7 +304,9 @@ def wet_shard_batch(
     walked = batch_df.mapInPandas(walk, "target_uri string, html string").select(
         h60(F.col("target_uri")).alias("doc_id"), "target_uri", "html"
     )
-    _land_verdicts(wet_verdicts(walked), store_path, batch_id, blocklist, cap_per_host)
+    _land_verdicts(
+        wet_verdicts(walked), store_path, batch_id, blocklist, cap_per_host, robots_rules
+    )
 
 
 def read_wet_store(spark: SparkSession, store_path: str) -> DataFrame:

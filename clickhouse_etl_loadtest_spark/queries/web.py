@@ -26,8 +26,11 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.urls import TRACKING_PARAM_RE, url_host, url_normalize
+from ..operators.robots import robots_verdict
 from . import register
 from .text import _docs
+
+__all__ = ["robots_verdict"]  # re-export: the decision op lives in operators/
 
 # --- deterministic messy-URL derivation (Spark + SQL twins) --------------------------
 
@@ -480,37 +483,3 @@ def doc_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "host", F.col("r.rule_type").alias("rule_type"), F.col("r.prefix").alias("prefix")
     )
     return robots_verdict(pages, rules).orderBy("doc_id")
-
-
-def robots_verdict(pages: DataFrame, rules: DataFrame) -> DataFrame:
-    """The reusable RFC 9309 decision: pages ``(doc_id, host, path)`` ×
-    rules ``(host, rule_type ∈ {allow, disallow}, prefix)`` →
-    ``(doc_id, host, path, matched_rule, matched_prefix, allowed)``.
-    Longest matching prefix wins; Allow beats Disallow on a length tie; a
-    page matching no rule is allowed. Fuzz-pinned against a pure-Python
-    reference on random rule sets in ``tests/test_robots.py``."""
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("doc_id").orderBy(
-        F.length("prefix").desc(),
-        (F.col("rule_type") == "allow").desc(),
-        "prefix",
-        "rule_type",
-    )
-    winners = (
-        pages.join(F.broadcast(rules), "host")
-        .where(F.col("path").startswith(F.col("prefix")))
-        .withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") == 1)
-        .select("doc_id", "rule_type", "prefix")
-    )
-    return pages.join(winners, "doc_id", "left").select(
-        "doc_id",
-        "host",
-        "path",
-        F.coalesce("rule_type", F.lit("none")).alias("matched_rule"),
-        F.coalesce("prefix", F.lit("")).alias("matched_prefix"),
-        (F.col("rule_type").isNull() | (F.col("rule_type") == "allow")).alias(
-            "allowed"
-        ),
-    )

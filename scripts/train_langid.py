@@ -59,14 +59,14 @@ def main() -> None:
         / "langid.py"
     )
     text = path.read_text()
-    new = re.sub(
+    new, n_subs = re.subn(
         r"LANGID_WEIGHTS: dict\[str, list\[float\]\] = \{[^}]*\}\n",
         block,
         text,
         count=1,
         flags=re.DOTALL,
     )
-    assert new != text or "LANGID_WEIGHTS" in block
+    assert n_subs == 1, "LANGID_WEIGHTS block not found in langid.py — nothing rewritten"
     path.write_text(new)
     print(f"rewrote LANGID_WEIGHTS in {path}")
 

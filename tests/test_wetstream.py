@@ -140,6 +140,47 @@ def test_blocklist_drops_before_landing(spark, tmp_path):
     assert spark.read.parquet(f"{store2}/batch=b0").count() == 0
 
 
+def test_blocklist_handles_single_label_and_empty_hosts(spark):
+    """Dot-less hosts ('localhost', '' from a response missing its
+    WARC-Target-URI) must not crash the wave: two-arg sequence(1, 0)
+    DESCENDS in Spark, so the unguarded suffix expansion raised
+    INVALID_PARAMETER_VALUE.START on the slice. Such hosts match the
+    blocklist as themselves only."""
+    from clickhouse_etl_loadtest_spark.operators.wetstream import blocklist_drop
+
+    hosts = spark.createDataFrame(
+        [("localhost",), ("",), ("a.example.com",), ("example.com",)],
+        "host string",
+    )
+    kept = {r["host"] for r in blocklist_drop(hosts, ["example.com"]).collect()}
+    assert kept == {"localhost", ""}
+    kept2 = {r["host"] for r in blocklist_drop(hosts, ["localhost"]).collect()}
+    assert kept2 == {"", "a.example.com", "example.com"}
+
+
+def test_host_key_normalizes_scheme_userinfo_port(spark):
+    """The curation host key must survive odd-but-legal URIs: uppercase
+    schemes, userinfo, and explicit ports all normalize to the bare
+    lowercase host, so they cannot bypass blocklist/host_cap keying."""
+    html = "<html><body><p>" + ("word " * 60) + "</p></body></html>"
+    walked = spark.createDataFrame(
+        [
+            (0, "HTTP://A.Example.COM/x", html),
+            (1, "https://user:pw@b.example.com:8443/y", html),
+            (2, "http://c.example.com:80/z", html),
+            (3, "not a uri at all", html),
+        ],
+        "doc_id long, target_uri string, html string",
+    )
+    got = {r["doc_id"]: r["host"] for r in wet_verdicts(walked).collect()}
+    assert got == {
+        0: "a.example.com",
+        1: "b.example.com",
+        2: "c.example.com",
+        3: "",
+    }
+
+
 def test_host_cap_keeps_most_content_per_host(spark, tmp_path):
     """cap_per_host=1 keeps exactly the highest-n_tokens doc per host
     (doc_id tie-break), and the cap composes with the merged view."""
@@ -160,6 +201,89 @@ def test_host_cap_keeps_most_content_per_host(spark, tmp_path):
         for r in landed.select("host", "doc_id", "n_tokens").collect()
     }
     assert got == best
+
+
+_ROBOTS_RULES = [
+    # blanket Disallow with a LONGER Allow carve-out (longest-match wins)
+    ("src0.example.com", "disallow", "/doc/"),
+    ("src0.example.com", "allow", "/doc/9"),
+    # prefix matching on digits: blocks doc 1 AND doc 10
+    ("src1.example.com", "disallow", "/doc/1"),
+    # length tie at '/doc/': the least restrictive (Allow) wins
+    ("src2.example.com", "allow", "/doc/"),
+    ("src2.example.com", "disallow", "/doc/"),
+]
+# hosts are src{doc_id % 3}.example.com, paths /doc/{doc_id}:
+# src0 docs {0,3,6,9} -> only 9 allowed (carve-out); src1 docs {1,4,7,10} ->
+# 1 and 10 denied by the digit prefix; src2 docs {2,5,8,11} -> tie, all allowed
+_ROBOTS_ALLOWED = {2, 4, 5, 7, 8, 9, 11}
+
+
+def _rules_df(spark):
+    return spark.createDataFrame(
+        _ROBOTS_RULES, "host string, rule_type string, prefix string"
+    )
+
+
+def test_robots_drops_before_landing(spark, tmp_path):
+    """Politeness-rejected docs must never REACH the store, with every RFC
+    9309 precedence branch exercised (longer-Allow carve-out, digit-prefix
+    Disallow, Allow-wins tie, no-match passthrough) — and a replayed wave
+    with robots on reproduces the identical partition."""
+    sf_dir = _write_documents(tmp_path, DOCS)
+    wave = _warc_frame(spark, sf_dir, [r[0] for r in DOCS])
+    store = str(tmp_path / "store")
+    wet_batch(wave, store, 0, robots_rules=_rules_df(spark))
+    landed = {
+        r["doc_id"] for r in spark.read.parquet(f"{store}/batch=b0").collect()
+    }
+    assert landed == _ROBOTS_ALLOWED
+    before = _canon(read_wet_store(spark, store))
+    wet_batch(wave, store, 0, robots_rules=_rules_df(spark))  # replay
+    assert _canon(read_wet_store(spark, store)) == before
+
+
+def test_streamed_waves_apply_robots_blocklist_and_cap(spark, tmp_path):
+    """The full per-wave curation composition (robots -> blocklist ->
+    host_cap) driven as a REAL foreachBatch stream: the merged store holds
+    exactly the docs that survive all three stages, wave by wave."""
+    sf_dir = _write_documents(tmp_path, DOCS)
+    staging = str(tmp_path / "staging")
+    store = str(tmp_path / "store")
+    for i, ids in enumerate(([0, 1, 2, 3, 4, 5], [6, 7, 8, 9, 10, 11])):
+        _warc_frame(spark, sf_dir, ids).coalesce(1).write.mode("overwrite").parquet(
+            f"{staging}/wave{i}"
+        )
+    rules = _rules_df(spark)
+    stream = (
+        spark.readStream.schema("doc_id long, warc string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{staging}/wave*")
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda bdf, bid: wet_batch(
+                bdf,
+                store,
+                bid,
+                robots_rules=rules,
+                blocklist=["src2.example.com"],
+                cap_per_host=2,
+            )
+        )
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    merged = read_wet_store(spark, store)
+    # robots-allowed {2,4,5,7,8,9,11} minus blocklisted src2 {2,5,8,11}
+    # = {4,7,9}; per-(host, wave) counts are all <= 2 so the cap passes them
+    assert {r["doc_id"] for r in merged.collect()} == {4, 7, 9}
+    assert {r["host"] for r in merged.collect()} == {
+        "src0.example.com",
+        "src1.example.com",
+    }
 
 
 def test_replay_idempotent_with_curation(spark, tmp_path):
