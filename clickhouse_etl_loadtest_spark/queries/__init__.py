@@ -53,6 +53,7 @@ def load_all() -> dict[str, Q]:
         multimodal,
         pii,
         pipeline,
+        release,
         text,
         vector,
         web,

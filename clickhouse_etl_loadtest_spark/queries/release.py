@@ -1,0 +1,527 @@
+"""The end-to-end corpus release: crawl archives to a per-source dataset
+card in ONE driver-visible query — the composed product every prior wave
+built parts for (SURVEY.md §7.6; the reference repo has no web stage — its
+composed pipeline is the Kafka→dedup→ClickHouse chain this repo ships as
+``dedup_pipeline_e2e``).
+
+Stage order is the RefinedWeb stack (Penedo et al. 2023), with the trained
+language-ID tier (not the marker heuristic) in the scoring seat:
+
+  .warc.gz shards → robots politeness (RFC 9309 precedence) → domain
+  blocklist (registrable-domain suffixes) → per-host crawl-order cap →
+  HTML→text extraction → Gopher quality rules (Rae et al. 2021, Table A1)
+  → trained language-ID (hashed char-bigram logistic) → fingerprint exact
+  dedup (keep-first) → per-source dataset card
+
+The corpus is derived deterministically (and IDENTICALLY in the DuckDB
+oracle) from the documents fixture:
+
+- every document becomes a page at ``/doc/<id>`` — or ``/private/doc/<id>``
+  when ``doc_id % 7 == 3``, forcing the robots longest-match branches;
+- every ``doc_id % 9 == 4`` document is ALSO re-crawled at a mirror path
+  ``/doc/dup/<id>`` (same HTML), so the dedup stage resolves real duplicate
+  pairs among survivors;
+- per-host robots rules reuse ``doc_robots_filter``'s four shapes (blanket
+  Disallow, longer Allow carve-out on ``k % 3 == 0`` hosts, digit-prefix
+  Disallow on odd-``k`` hosts, blanket ``/doc/`` Allow);
+- the blocklist lists every ``k % 5 == 3`` source's registrable domain.
+
+Sequential-stage semantics are real, not per-stage-independent: the host
+cap ranks only robots-allowed unblocked pages, quality is judged only
+within the cap, and dedup canonicity is decided only among quality
+survivors — the oracle recomputes every stage from the same derivations,
+so one wrong byte anywhere in the chain (a DEFLATE boundary, a mis-kept
+nav line, a drifted classifier weight) flips ``fp_checksum``,
+``released_tokens``, or ``lang_mix``.
+
+Scale notes (100 TB):
+- the ONE wide exchange is the archive-assembly groupBy on ``doc_id div 8``
+  (fixed-size, perfectly balanced — the WRITE path of archive generation;
+  production readers skip straight to the walk, see ``sources/warcfiles.py``);
+- pack + walk is one Arrow-batched ``mapInPandas`` stage; extraction,
+  scoring, hashing all stay whole-stage codegen;
+- the per-page verdict projection is ``localCheckpoint``-ed ONCE — the
+  query-form equivalent of the WET store's landing step
+  (``operators/wetstream.py``): every downstream stage (robots winners,
+  blocklist expansion, cap/dedup windows, the langid rollup) reads
+  fixed-width scalar rows, raw text never crosses an exchange;
+- robots rules and blocklist entries broadcast; the cap and dedup decisions
+  are single windows over short keys with conditional ranking (eligible
+  rows rank first), so no filtered self-join is ever needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import h60, h60_sql_duckdb
+from ..functions.html import extract_text, extract_text_sql
+from ..operators.langid import predict_lang_spark, predict_lang_sql_ctes
+from ..operators.robots import robots_verdict
+from . import register
+from .html import _HTML_SQL, _HTTP_HEAD, _WARCINFO_PAYLOAD, _html_col
+from .text import (
+    _GOPHER_MAX_MWL,
+    _GOPHER_MAX_SYMBOL_RATIO_10,
+    _GOPHER_MAX_WORDS,
+    _GOPHER_MIN_ALPHA_FRAC,
+    _GOPHER_MIN_MWL,
+    _GOPHER_MIN_STOPWORD_HITS,
+    _GOPHER_MIN_WORDS,
+    STOPWORDS,
+    TOKEN_RE,
+    _docs,
+    _sql_in,
+)
+
+_ARCHIVE_DOCS = 8  # documents per packed .warc.gz shard
+_RELEASE_HOST_CAP = 18  # crawl-order pages kept per host
+_K_SQL = "COALESCE(TRY_CAST(regexp_extract(source, '([0-9]+)$', 1) AS BIGINT), 0)"
+
+# --- the oracle: every stage recomputed from the same derivations ---------------------
+
+_LID_CTES, _LID_OUT = predict_lang_sql_ctes("gq", "pkey", "norm")
+
+_RELEASE_ORACLE = f"""
+WITH html AS (SELECT doc_id, source, {_HTML_SQL} AS h FROM documents),
+pages AS (
+    SELECT doc_id * 2 AS pkey, doc_id, source, h,
+           source || '.example.com' AS host,
+           {_K_SQL} AS k,
+           (CASE WHEN doc_id % 7 = 3 THEN '/private/doc/' ELSE '/doc/' END)
+               || CAST(doc_id AS VARCHAR) AS path
+    FROM html
+    UNION ALL
+    SELECT doc_id * 2 + 1, doc_id, source, h, source || '.example.com', {_K_SQL},
+           '/doc/dup/' || CAST(doc_id AS VARCHAR)
+    FROM html WHERE doc_id % 9 = 4
+),
+srcs AS (
+    SELECT DISTINCT source, source || '.example.com' AS host, {_K_SQL} AS k
+    FROM documents
+),
+rules AS (
+    SELECT host, 'disallow' AS rule_type, '/private/' AS prefix FROM srcs
+    UNION ALL
+    SELECT host, 'allow', '/private/doc/' FROM srcs WHERE k % 3 = 0
+    UNION ALL
+    SELECT host, 'disallow', '/doc/1' FROM srcs WHERE k % 2 = 1
+    UNION ALL
+    SELECT host, 'allow', '/doc/' FROM srcs
+),
+matched AS (
+    SELECT p.pkey, r.rule_type,
+           ROW_NUMBER() OVER (
+               PARTITION BY p.pkey
+               ORDER BY length(r.prefix) DESC,
+                        (r.rule_type = 'allow') DESC, r.prefix, r.rule_type
+           ) AS rnk
+    FROM pages p JOIN rules r ON p.host = r.host
+    WHERE starts_with(p.path, r.prefix)
+),
+ex AS (
+    SELECT p.pkey, p.doc_id, p.path, p.host, p.source,
+           (m.rule_type IS NULL OR m.rule_type = 'allow') AS robots_ok,
+           p.k % 5 = 3 AS blocked,
+           {extract_text_sql("p.h")} AS extracted
+    FROM pages p LEFT JOIN (SELECT pkey, rule_type FROM matched WHERE rnk = 1) m
+        USING (pkey)
+),
+meas AS (
+    SELECT pkey, doc_id, path, host, source, robots_ok, blocked,
+           CAST(len(regexp_extract_all(lower(extracted), '{TOKEN_RE}')) AS BIGINT)
+               AS n_tokens,
+           CAST(len(regexp_extract_all(extracted, '[^ ]+')) AS BIGINT) AS n_words,
+           CAST(len(list_filter(regexp_extract_all(extracted, '[^ ]+'),
+                                x -> regexp_matches(x, '[a-zA-Z]'))) AS BIGINT)
+               AS n_alpha_words,
+           CAST(list_sum(list_prepend(0, list_transform(
+               regexp_extract_all(extracted, '[^ ]+'), x -> len(x)))) AS BIGINT)
+               AS total_word_chars,
+           CAST(len(regexp_extract_all(extracted, '#'))
+               + len(regexp_extract_all(extracted, '\\.\\.\\.')) AS BIGINT)
+               AS n_symbols,
+           CAST(len(list_distinct(list_filter(
+               regexp_extract_all(lower(extracted), '{TOKEN_RE}'),
+               t -> t IN {_sql_in(STOPWORDS)}))) AS BIGINT) AS n_stop_distinct,
+           regexp_replace(trim(lower(extracted)), '\\s+', ' ', 'g') AS norm
+    FROM ex
+),
+gq AS (
+    SELECT pkey, doc_id, path, host, source, robots_ok, blocked, n_tokens, norm,
+           {h60_sql_duckdb("norm")} AS fingerprint,
+           (n_words BETWEEN {_GOPHER_MIN_WORDS} AND {_GOPHER_MAX_WORDS}
+            AND total_word_chars >= {_GOPHER_MIN_MWL} * n_words
+            AND total_word_chars <= {_GOPHER_MAX_MWL} * n_words
+            AND 10 * n_symbols <= {_GOPHER_MAX_SYMBOL_RATIO_10} * n_words
+            AND {_GOPHER_MIN_ALPHA_FRAC[1]} * n_alpha_words
+                >= {_GOPHER_MIN_ALPHA_FRAC[0]} * n_words
+            AND n_stop_distinct >= {_GOPHER_MIN_STOPWORD_HITS}) AS gopher_ok
+    FROM meas
+),
+capped AS (
+    SELECT *,
+           ROW_NUMBER() OVER (
+               PARTITION BY host
+               ORDER BY (robots_ok AND NOT blocked) DESC, doc_id, path
+           ) AS cap_rn
+    FROM gq
+),
+flags AS (
+    SELECT *, (robots_ok AND NOT blocked) AS eligible,
+           (robots_ok AND NOT blocked AND cap_rn <= {_RELEASE_HOST_CAP})
+               AS within_cap
+    FROM capped
+),
+surv AS (
+    SELECT *, (within_cap AND gopher_ok) AS survivor,
+           ROW_NUMBER() OVER (
+               PARTITION BY fingerprint
+               ORDER BY (within_cap AND gopher_ok) DESC, doc_id, path
+           ) AS fp_rn
+    FROM flags
+),
+{_LID_CTES},
+final AS (
+    SELECT s.*, (s.survivor AND s.fp_rn = 1) AS released,
+           COALESCE(l.predicted_lang, 'und') AS predicted_lang
+    FROM surv s LEFT JOIN {_LID_OUT} l USING (pkey)
+),
+mix AS (
+    SELECT source,
+           string_agg(predicted_lang || ':' || CAST(cnt AS VARCHAR), ','
+                      ORDER BY predicted_lang) AS lang_mix
+    FROM (
+        SELECT source, predicted_lang, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM final WHERE released GROUP BY source, predicted_lang
+    )
+    GROUP BY source
+),
+card AS (
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_pages,
+           CAST(COUNT(*) FILTER (WHERE NOT robots_ok) AS BIGINT) AS n_robots_denied,
+           CAST(COUNT(*) FILTER (WHERE robots_ok AND blocked) AS BIGINT) AS n_blocked,
+           CAST(COUNT(*) FILTER (WHERE eligible AND NOT within_cap) AS BIGINT)
+               AS n_over_cap,
+           CAST(COUNT(*) FILTER (WHERE within_cap AND NOT gopher_ok) AS BIGINT)
+               AS n_gopher_fail,
+           CAST(COUNT(*) FILTER (WHERE survivor AND NOT released) AS BIGINT) AS n_dup,
+           CAST(COUNT(*) FILTER (WHERE released) AS BIGINT) AS n_released,
+           CAST(COALESCE(SUM(n_tokens) FILTER (WHERE released), 0) AS BIGINT)
+               AS released_tokens,
+           COALESCE(bit_xor(fingerprint) FILTER (WHERE released), 0) AS fp_checksum
+    FROM final
+    GROUP BY source
+)
+SELECT c.source, c.n_pages, c.n_robots_denied, c.n_blocked, c.n_over_cap,
+       c.n_gopher_fail, c.n_dup, c.n_released, c.released_tokens,
+       COALESCE(m.lang_mix, '') AS lang_mix, c.fp_checksum
+FROM card c LEFT JOIN mix m USING (source)
+ORDER BY c.source
+"""
+
+
+def _k_col(source: Column) -> Column:
+    return F.coalesce(
+        F.regexp_extract(source, r"([0-9]+)$", 1).cast("bigint"), F.lit(0)
+    )
+
+
+def _release_rules(d: DataFrame) -> DataFrame:
+    """Per-host robots rule sets — the same four shapes as
+    ``doc_robots_filter`` (queries/web.py), derived from the corpus source
+    list; one rule-array per host, exploded (never a 4-way union of
+    distinct-aggregates)."""
+    srcs = (
+        d.select("source")
+        .distinct()
+        .select(
+            F.concat(F.col("source"), F.lit(".example.com")).alias("host"),
+            _k_col(F.col("source")).alias("k"),
+        )
+    )
+
+    def _rule(t: str, p: str) -> Column:
+        return F.struct(F.lit(t).alias("rule_type"), F.lit(p).alias("prefix"))
+
+    rule_arr = F.filter(
+        F.array(
+            _rule("disallow", "/private/"),
+            F.when(F.col("k") % 3 == 0, _rule("allow", "/private/doc/")),
+            F.when(F.col("k") % 2 == 1, _rule("disallow", "/doc/1")),
+            _rule("allow", "/doc/"),
+        ),
+        lambda r: r.isNotNull(),
+    )
+    return srcs.select("host", F.explode(rule_arr).alias("r")).select(
+        "host",
+        F.col("r.rule_type").alias("rule_type"),
+        F.col("r.prefix").alias("prefix"),
+    )
+
+
+@register("doc_corpus_release", _RELEASE_ORACLE)
+def doc_corpus_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disk shards to training set, one chain (module docstring): pack the
+    derived crawl (primaries + mirror re-crawls) into real ``.warc.gz``
+    archives, walk them back, then robots → blocklist → host cap →
+    extraction → Gopher → trained langid → fingerprint dedup → per-source
+    dataset card with staged drop accounting, the released token budget,
+    the released language mix, and a bit_xor content checksum over released
+    fingerprints."""
+    import pandas as pd  # noqa: F401  (executor-side dependency)
+
+    d = _docs(spark, sf_dir)
+    host = F.concat(F.col("source"), F.lit(".example.com"))
+    prim_path = F.concat(
+        F.when(F.col("doc_id") % 7 == 3, F.lit("/private/doc/")).otherwise(
+            F.lit("/doc/")
+        ),
+        F.col("doc_id").cast("string"),
+    )
+    mirror_path = F.concat(F.lit("/doc/dup/"), F.col("doc_id").cast("string"))
+    base = d.select("doc_id", host.alias("host"), _html_col().alias("html"))
+    prim = base.select(
+        "doc_id",
+        F.concat(F.lit("http://"), F.col("host"), prim_path).alias("uri"),
+        "html",
+    )
+    mirror = base.where(F.col("doc_id") % 9 == 4).select(
+        "doc_id",
+        F.concat(F.lit("http://"), F.col("host"), mirror_path).alias("uri"),
+        "html",
+    )
+    crawl = prim.unionByName(mirror).select(
+        (F.col("doc_id") - F.col("doc_id") % _ARCHIVE_DOCS).alias("k"),
+        F.struct("doc_id", "uri", "html").alias("page"),
+    )
+    archives = crawl.groupBy(
+        (F.col("k") / _ARCHIVE_DOCS).cast("long").alias("archive_id")
+    ).agg(F.sort_array(F.collect_list("page")).alias("pages"))
+
+    def pack_and_walk(it):
+        import pandas as pd
+
+        from clickhouse_etl_loadtest_spark.operators.warc import (
+            gzip_member,
+            response_documents,
+        )
+
+        def rec(rec_type: str, uri: str | None, payload: bytes) -> bytes:
+            head = f"WARC/1.0\r\nWARC-Type: {rec_type}\r\n"
+            if uri is not None:
+                head += f"WARC-Target-URI: {uri}\r\n"
+            head += f"Content-Length: {len(payload)}\r\n\r\n"
+            return head.encode("utf-8") + payload + b"\r\n\r\n"
+
+        for pdf in it:
+            rows = []
+            for pages in pdf["pages"]:
+                members = [rec("warcinfo", None, _WARCINFO_PAYLOAD.encode())]
+                for page in pages:
+                    uri, html = page["uri"], page["html"]
+                    members.append(
+                        rec("request", uri, f"GET {uri} HTTP/1.1\r\n\r\n".encode())
+                    )
+                    members.append(
+                        rec("response", uri, _HTTP_HEAD.encode() + html.encode("utf-8"))
+                    )
+                blob = b"".join(gzip_member(m) for m in members)
+                for uri, body in response_documents(blob):
+                    rows.append((uri, body.decode("utf-8")))
+            yield pd.DataFrame(rows, columns=["target_uri", "html"])
+
+    walked = archives.mapInPandas(pack_and_walk, "target_uri string, html string")
+
+    doc_id = F.regexp_extract("target_uri", r"([0-9]+)$", 1).cast("bigint")
+    is_mirror = F.col("target_uri").contains("/doc/dup/")
+    w_host = F.regexp_extract("target_uri", r"^http://([^/]+)", 1)
+    w_path = F.regexp_extract("target_uri", r"^http://[^/]+(.*)$", 1)
+    extracted = extract_text(F.col("html"))
+    words = F.expr("regexp_extract_all(_x, '[^ ]+', 0)".replace("_x", "extracted"))
+
+    paged = walked.select(
+        doc_id.alias("doc_id"),
+        (doc_id * 2 + F.when(is_mirror, 1).otherwise(0)).cast("long").alias("pkey"),
+        w_host.alias("host"),
+        w_path.alias("path"),
+        extracted.alias("extracted"),
+    ).select(
+        "pkey",
+        "doc_id",
+        "host",
+        "path",
+        F.element_at(F.split("host", r"\."), 1).alias("source"),
+        F.size(
+            F.expr(f"regexp_extract_all(lower(extracted), '{TOKEN_RE}', 0)")
+        ).cast("bigint").alias("n_tokens"),
+        F.size(words).cast("bigint").alias("n_words"),
+        F.size(F.filter(words, lambda x: x.rlike("[a-zA-Z]")))
+        .cast("bigint")
+        .alias("n_alpha_words"),
+        F.aggregate(
+            F.transform(words, lambda x: F.length(x).cast("bigint")),
+            F.lit(0).cast("bigint"),
+            lambda a, x: a + x,
+        ).alias("total_word_chars"),
+        (
+            F.size(F.expr("regexp_extract_all(extracted, '#', 0)"))
+            + F.size(F.expr(r"regexp_extract_all(extracted, '\\.\\.\\.', 0)"))
+        ).cast("bigint").alias("n_symbols"),
+        F.size(
+            F.array_distinct(
+                F.filter(
+                    F.expr(f"regexp_extract_all(lower(extracted), '{TOKEN_RE}', 0)"),
+                    lambda t: F.array_contains(
+                        F.array(*[F.lit(w) for w in STOPWORDS]), t
+                    ),
+                )
+            )
+        ).cast("bigint").alias("n_stop_distinct"),
+        F.regexp_replace(F.trim(F.lower(F.col("extracted"))), r"\s+", " ").alias(
+            "norm"
+        ),
+    )
+    gopher_ok = (
+        F.col("n_words").between(_GOPHER_MIN_WORDS, _GOPHER_MAX_WORDS)
+        & (F.col("total_word_chars") >= _GOPHER_MIN_MWL * F.col("n_words"))
+        & (F.col("total_word_chars") <= _GOPHER_MAX_MWL * F.col("n_words"))
+        & (10 * F.col("n_symbols") <= _GOPHER_MAX_SYMBOL_RATIO_10 * F.col("n_words"))
+        & (
+            _GOPHER_MIN_ALPHA_FRAC[1] * F.col("n_alpha_words")
+            >= _GOPHER_MIN_ALPHA_FRAC[0] * F.col("n_words")
+        )
+        & (F.col("n_stop_distinct") >= _GOPHER_MIN_STOPWORD_HITS)
+    )
+    # ONE materialization of the per-page verdict row (the WET store's landing
+    # step in query form) — every stage below reads fixed-width scalars + the
+    # normalized text, never the HTML
+    scored = paged.select(
+        "pkey",
+        "doc_id",
+        "host",
+        "path",
+        "source",
+        "n_tokens",
+        gopher_ok.alias("gopher_ok"),
+        h60(F.col("norm")).alias("fingerprint"),
+        _k_col(F.col("source")).alias("k"),
+        "norm",
+    ).localCheckpoint()
+
+    # robots: broadcast rules, RFC 9309 precedence (operators/robots.py)
+    rv = robots_verdict(
+        scored.select(F.col("pkey").alias("doc_id"), "host", "path"),
+        _release_rules(d),
+    ).select(F.col("doc_id").alias("pkey"), "allowed")
+
+    # blocklist: registrable-domain suffix expansion vs the broadcast entries
+    entries = (
+        d.select("source")
+        .distinct()
+        .where(_k_col(F.col("source")) % 5 == 3)
+        .select(F.concat(F.col("source"), F.lit(".example.com")).alias("entry"))
+    )
+    suffixes = F.expr(
+        "case when size(split(host, '\\\\.')) >= 2 then"
+        " transform(sequence(1, size(split(host, '\\\\.')) - 1),"
+        " i -> array_join(slice(split(host, '\\\\.'), i,"
+        " size(split(host, '\\\\.')) - i + 1), '.'))"
+        " else array(host) end"
+    )
+    blk = (
+        scored.select("pkey", F.explode(suffixes).alias("suffix"))
+        .join(F.broadcast(entries), F.col("suffix") == F.col("entry"))
+        .select("pkey")
+        .distinct()
+        .withColumn("blocked", F.lit(True))
+    )
+
+    # trained language-ID on the normalized extracted text (operators/langid.py)
+    lang = predict_lang_spark(scored.select("pkey", "norm"), "pkey", "norm")
+
+    from pyspark.sql.window import Window
+
+    flags = (
+        scored.join(rv, "pkey")
+        .join(blk, "pkey", "left")
+        .join(lang, "pkey", "left")
+        .select(
+            "pkey",
+            "doc_id",
+            "host",
+            "path",
+            "source",
+            "n_tokens",
+            "gopher_ok",
+            "fingerprint",
+            F.col("allowed").alias("robots_ok"),
+            F.coalesce("blocked", F.lit(False)).alias("blocked"),
+            F.coalesce("predicted_lang", F.lit("und")).alias("predicted_lang"),
+        )
+        .withColumn("eligible", F.col("robots_ok") & ~F.col("blocked"))
+    )
+    # conditional ranking: eligible rows rank FIRST within the host, so the
+    # crawl-order cap needs no filtered self-join; same trick for dedup
+    cap_w = Window.partitionBy("host").orderBy(
+        F.col("eligible").desc(), "doc_id", "path"
+    )
+    flags = flags.withColumn(
+        "within_cap",
+        F.col("eligible") & (F.row_number().over(cap_w) <= _RELEASE_HOST_CAP),
+    ).withColumn("survivor", F.col("within_cap") & F.col("gopher_ok"))
+    fp_w = Window.partitionBy("fingerprint").orderBy(
+        F.col("survivor").desc(), "doc_id", "path"
+    )
+    final = flags.withColumn(
+        "released", F.col("survivor") & (F.row_number().over(fp_w) == 1)
+    )
+
+    card = final.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_pages"),
+        F.count(F.when(~F.col("robots_ok"), 1)).alias("n_robots_denied"),
+        F.count(F.when(F.col("robots_ok") & F.col("blocked"), 1)).alias("n_blocked"),
+        F.count(F.when(F.col("eligible") & ~F.col("within_cap"), 1)).alias(
+            "n_over_cap"
+        ),
+        F.count(F.when(F.col("within_cap") & ~F.col("gopher_ok"), 1)).alias(
+            "n_gopher_fail"
+        ),
+        F.count(F.when(F.col("survivor") & ~F.col("released"), 1)).alias("n_dup"),
+        F.count(F.when(F.col("released"), 1)).alias("n_released"),
+        F.coalesce(
+            F.sum(F.when(F.col("released"), F.col("n_tokens"))), F.lit(0)
+        ).cast("bigint").alias("released_tokens"),
+        F.sort_array(
+            F.collect_list(F.when(F.col("released"), F.col("predicted_lang")))
+        ).alias("_langs"),
+        F.coalesce(
+            F.expr("bit_xor(CASE WHEN released THEN fingerprint END)"), F.lit(0)
+        ).alias("fp_checksum"),
+    )
+    lang_mix = F.concat_ws(
+        ",",
+        F.transform(
+            F.array_distinct(F.col("_langs")),
+            lambda l: F.concat(
+                l,
+                F.lit(":"),
+                F.size(F.filter(F.col("_langs"), lambda x: x == l)).cast("string"),
+            ),
+        ),
+    )
+    return card.select(
+        "source",
+        "n_pages",
+        "n_robots_denied",
+        "n_blocked",
+        "n_over_cap",
+        "n_gopher_fail",
+        "n_dup",
+        "n_released",
+        "released_tokens",
+        lang_mix.alias("lang_mix"),
+        "fp_checksum",
+    ).orderBy("source")

@@ -1398,7 +1398,7 @@ FROM ga_s, ga_n
 """
 
 
-@register("doc_dup_graph_assortativity", _ASSORT_ORACLE)
+@register("doc_dup_graph_assortativity", _ASSORT_ORACLE, extra=True)  # r10: slot to doc_corpus_release (driver-green r9)
 def doc_dup_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree assortativity of the verified near-dup graph (Newman 2002,
     the Pearson correlation of endpoint degrees over directed edges):
@@ -3685,7 +3685,9 @@ def doc_hashed_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines, making ranks tie-stable.
 
     Scale: the 8 query vectors broadcast; the corpus side never shuffles
-    before the per-query rank window (PARTITIONED BY q_id, bounded rows) —
+    before the per-query rank, which compiles to ``WindowGroupLimit`` with a
+    map-side ``Partial`` pass (plan-gated) — each task keeps at most k rows
+    per query before the exchange —
     the ann_cosine_topk plan shape on document-derived vectors.
     """
     from pyspark.sql.window import Window

@@ -88,9 +88,12 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-k: the brute-force ANN baseline.
 
     Scale: queries broadcast (small side), corpus never shuffles for the
-    join; per-query rank window partitions on q_id (bounded). At 100 TB the
-    LSH/IVF variants below pre-filter candidates; this operator remains the
-    reranker on the candidate set.
+    join; the per-query rank compiles to ``WindowGroupLimit`` with a
+    map-side ``Partial`` pass (plan-gated in ``tests/test_plan_quality.py``),
+    so each task keeps at most k rows per query BEFORE the exchange — the
+    shuffle moves O(k · partitions) rows per query, never a corpus-scale
+    window partition. At 100 TB the LSH/IVF variants below pre-filter
+    candidates; this operator remains the reranker on the candidate set.
 
     Norms are computed ONCE per side before the join (higher-order array
     functions are interpreted, not codegen'd — recomputing both norms per

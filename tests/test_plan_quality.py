@@ -1141,3 +1141,37 @@ def test_url_blocklist_broadcasts_list_no_text(spark, sf_dir):
     for ln in plan.splitlines():
         if "Exchange hashpartitioning" in ln:
             assert "text#" not in ln, ln
+
+
+def test_corpus_release_materializes_once_and_shuffles_fixed_width(spark, sf_dir):
+    """doc_corpus_release: the pack+walk+extract pass materializes ONCE
+    (localCheckpoint — the WET store's landing step in query form), so the
+    final plan has no Python stage at all and every downstream branch reads
+    the checkpointed verdict rows; no text column (html/extracted/norm) ever
+    crosses an Exchange; robots rules and blocklist entries broadcast."""
+    plan = exec_plan_of(spark, sf_dir, "doc_corpus_release")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "MapInPandas" not in plan  # behind the checkpoint boundary
+    assert plan.count("Scan ExistingRDD") >= 3  # rv/blk/lang branches reuse it
+    assert plan.count("BroadcastHashJoin") >= 2  # rules + blocklist entries
+    assert "CartesianProduct" not in plan
+    for ln in plan.splitlines():
+        if "Exchange" in ln:
+            assert (
+                "html#" not in ln and "extracted#" not in ln and "norm#" not in ln
+            ), ln
+
+
+def test_ann_topk_rank_is_partial_group_limited(spark, sf_dir):
+    """The per-query row_number rank must compile to WindowGroupLimit with a
+    map-side Partial pass: each task keeps at most k rows per query BEFORE
+    the exchange, so the shuffle moves O(k * partitions) rows per query —
+    never the corpus-scale window fan-out the naive reading suggests."""
+    for name in ("ann_cosine_topk", "doc_hashed_ann_topk"):
+        plan = exec_plan_of(spark, sf_dir, name)
+        partial = [
+            ln
+            for ln in plan.splitlines()
+            if "WindowGroupLimit" in ln and "Partial" in ln
+        ]
+        assert partial, f"{name}: no partial WindowGroupLimit\n{plan[:2000]}"
