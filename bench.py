@@ -27,14 +27,19 @@ WARM_RUNS = int(os.environ.get("SPARK_GRAFT_WARM_RUNS", "5"))
 CALIB_REF_SEC = 1.15
 
 
-def calibration(spark, n_runs: int = 5) -> float:
+def calibration(spark, n_runs: int = 5, runs_out: list | None = None) -> float:
     """Fixed CPU-bound yardstick: generated data, pure codegen + one 1M-key
     shuffle, zero disk I/O, deterministic. Host slowdowns (co-tenant CPU,
     thermal, scheduler pressure) move this number in proportion to how they
     move every other wall number in the bench; dividing raw walls by
     (calib / CALIB_REF_SEC) separates "the plan regressed" from "the box was
     busy" — the round-4 open question that raw walls could not answer.
-    Median of ``n_runs`` (swallows one unlucky scheduling quantum)."""
+    Median of ``n_runs`` (swallows one unlucky scheduling quantum); pass
+    ``runs_out`` to capture the individual runs — the profile records them
+    per wave so a skewed calibration (one slow run dragging the median) is
+    visible in the data instead of silently scaling the whole wave
+    (round-9 lesson: the r8→r9 normalized headline moved 13% on calibration
+    jitter alone while per-query CPU fell)."""
     from pyspark.sql import functions as F
 
     runs = []
@@ -49,6 +54,8 @@ def calibration(spark, n_runs: int = 5) -> float:
             .collect()
         )
         runs.append(time.perf_counter() - t0)
+    if runs_out is not None:
+        runs_out.extend(round(r, 3) for r in runs)
     return round(statistics.median(runs), 3)
 
 
@@ -151,7 +158,10 @@ def main() -> None:
     # CALIB_REF_SEC was measured post-warm.
     calibration(spark, n_runs=1)
     calib = {"ref_sec": CALIB_REF_SEC}
-    calib["queries_sec"] = calibration(spark)
+    calib_runs: dict[str, list] = {}
+    calib["queries_sec"] = calibration(
+        spark, runs_out=calib_runs.setdefault("queries", [])
+    )
     print(f"# calibration (queries section): {calib['queries_sec']}s vs ref {CALIB_REF_SEC}s", file=sys.stderr)
 
     # Each query is timed 1 cold + WARM_RUNS warm times. The cold run pays
@@ -229,8 +239,22 @@ def main() -> None:
             if not p:
                 continue
             d = {"wall_delta_sec": round(timings[name] - p["warm_median_sec"], 3)}
+            cpu_regressed = None
             if name in stage_cpu and p.get("stage_cpu_ms") is not None:
                 d["cpu_delta_ms"] = stage_cpu[name] - p["stage_cpu_ms"]
+                if p["stage_cpu_ms"]:
+                    d["cpu_delta_pct"] = round(
+                        100.0 * d["cpu_delta_ms"] / p["stage_cpu_ms"], 1
+                    )
+                # work-based signal: executor run time is summed in-task work,
+                # immune to the driver/JVM/page-cache swings that move walls
+                # (round-9 lesson: normalized walls flagged +13% while every
+                # CPU delta was flat-to-negative — calibration jitter). A
+                # regression is only REAL-flagged when the work moved too.
+                cpu_regressed = d["cpu_delta_ms"] > max(
+                    0.25 * p["stage_cpu_ms"], 150
+                )
+                d["cpu_regressed"] = cpu_regressed
             if prev_factor is not None:
                 prev_norm = p.get("warm_median_norm_sec", round(p["warm_median_sec"] * prev_factor, 3))
                 d["wall_delta_norm_sec"] = round(timings_norm[name] - prev_norm, 3)
@@ -256,6 +280,11 @@ def main() -> None:
                 d["noise"] = abs(d["wall_delta_sec"]) <= 2 * max(
                     spread[name]["stdev"], p.get("warm_stdev_sec", 0.0)
                 )
+            # noise classification keys on WORK when CPU data exists: a
+            # wall-only regression with flat CPU is the environment
+            if not d["noise"] and cpu_regressed is False:
+                d["noise"] = True
+                d["noise_reason"] = "wall regressed but stage-CPU flat"
             if not d["noise"]:
                 noise_flags.append(name)
             profile_delta[name] = d
@@ -266,7 +295,9 @@ def main() -> None:
     # Run twice for the same cold/steady split as the queries: single-run
     # wall on this box swings 2-3x with host I/O load (measured 13-38 s for
     # an identical plan), so the steady run is the comparable signal.
-    calib["loadtest_sec"] = calibration(spark)
+    calib["loadtest_sec"] = calibration(
+        spark, runs_out=calib_runs.setdefault("loadtest", [])
+    )
     loadtest = run_loadtest(spark)
     loadtest_steady = run_loadtest(spark)
 
@@ -292,7 +323,9 @@ def main() -> None:
     # Streaming-mode run of the same pipeline (Structured Streaming dedup via
     # dropDuplicatesWithinWatermark + chunked foreachBatch sink) — the
     # reference's actual execution model; baseline 8.0-9.4k rec/s.
-    calib["stream_sec"] = calibration(spark)
+    calib["stream_sec"] = calibration(
+        spark, runs_out=calib_runs.setdefault("stream", [])
+    )
     streaming = run_streaming_loadtest(spark)
 
     # Reference max-scale wave: 20M records (BASELINE.md's largest variant,
@@ -349,7 +382,9 @@ def main() -> None:
                 file=sys.stderr,
             )
         else:
-            sf1_calib = calibration(spark)
+            sf1_calib = calibration(
+                spark, runs_out=calib_runs.setdefault("sf1", [])
+            )
             sf1_q, sf1_cold = {}, {}
             for name, q in headline.items():
                 t0 = time.perf_counter()
@@ -390,7 +425,7 @@ def main() -> None:
             "doc_robots_filter",  # round 9: RFC 9309 politeness filter
             "doc_language_id_clf",  # round 9: trained langid tier
         )
-        web_calib = calibration(spark)
+        web_calib = calibration(spark, runs_out=calib_runs.setdefault("web", []))
         web_q = {}
         for name in _WEB_WAVE_QUERIES:
             q = registry[name]
@@ -410,6 +445,89 @@ def main() -> None:
             ),
         }
         print(f"# web wave: {web_wave}", file=sys.stderr)
+
+    # Shard-ingestion wave (round 10): the 100-TB ingestion mouth, measured —
+    # pack one .warc.gz shard FILE per hash bucket from the gate-scale corpus
+    # (member-per-document gzip concatenation, the Common Crawl framing), then
+    # drive files → wet_shard_batch (walk + extract + score + store landing)
+    # → read_wet_store merge. Records wall per phase, per-shard doc balance,
+    # and the binaryFile scan's task fan-out (at real ~1 GiB CC shards this is
+    # one task per shard; at bench-size shards Spark bin-packs small files —
+    # also the right behavior at scale). Local-mode note: tasks write shard
+    # files to a local temp dir; a cluster would target shared storage.
+    # Profile-only, default-on (a few seconds at sf0.1).
+    shard_wave = None
+    if os.environ.get("SPARK_GRAFT_SHARD_WAVE", "1") == "1":
+        import shutil as _shutil
+        import tempfile as _tempfile
+
+        from clickhouse_etl_loadtest_spark.operators.wetstream import (
+            read_wet_store,
+            wet_shard_batch,
+        )
+        from clickhouse_etl_loadtest_spark.queries.html import _warc_col
+
+        n_shards = int(os.environ.get("SPARK_GRAFT_SHARD_COUNT", "32"))
+        shard_dir = _tempfile.mkdtemp(prefix="bench-shards-")
+        store_dir = _tempfile.mkdtemp(prefix="bench-shardstore-")
+        try:
+            shard_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+                (F.col("doc_id") % n_shards).cast("int").alias("shard"),
+                _warc_col().alias("warc"),
+            )
+
+            def _write_shard(pdf):
+                import pandas as pd
+
+                from clickhouse_etl_loadtest_spark.operators.warc import gzip_member
+
+                s = int(pdf["shard"].iloc[0])
+                blob = b"".join(
+                    gzip_member(b.encode("utf-8")) for b in pdf["warc"]
+                )
+                with open(f"{shard_dir}/shard-{s:05d}.warc.gz", "wb") as f:
+                    f.write(blob)
+                return pd.DataFrame(
+                    [(s, len(pdf), len(blob))], columns=["shard", "n_docs", "n_bytes"]
+                )
+
+            t0 = time.perf_counter()
+            manifest = (
+                shard_docs.groupBy("shard")
+                .applyInPandas(_write_shard, "shard int, n_docs long, n_bytes long")
+                .collect()
+            )
+            pack_sec = round(time.perf_counter() - t0, 3)
+            bin_df = (
+                spark.read.format("binaryFile")
+                .option("pathGlobFilter", "*.warc.gz")
+                .load(shard_dir)
+                .select(F.col("content").alias("warc"))
+            )
+            scan_tasks = bin_df.rdd.getNumPartitions()
+            t0 = time.perf_counter()
+            wet_shard_batch(bin_df, store_dir, 0)
+            ingest_sec = round(time.perf_counter() - t0, 3)
+            t0 = time.perf_counter()
+            merged_docs = read_wet_store(spark, store_dir).count()
+            merge_sec = round(time.perf_counter() - t0, 3)
+            sizes = sorted(r["n_docs"] for r in manifest)
+            shard_wave = {
+                "n_shards": len(manifest),
+                "docs": int(sum(sizes)),
+                "merged_docs": int(merged_docs),
+                "bytes": int(sum(r["n_bytes"] for r in manifest)),
+                "pack_sec": pack_sec,
+                "ingest_sec": ingest_sec,
+                "merge_sec": merge_sec,
+                "scan_tasks": scan_tasks,
+                "docs_per_shard_min": int(sizes[0]),
+                "docs_per_shard_max": int(sizes[-1]),
+            }
+            print(f"# shard wave: {shard_wave}", file=sys.stderr)
+        finally:
+            _shutil.rmtree(shard_dir, ignore_errors=True)
+            _shutil.rmtree(store_dir, ignore_errors=True)
 
     crash_recovery = None
     if os.environ.get("SPARK_GRAFT_CRASH_RECOVERY_20M", "0") == "1":
@@ -456,7 +574,8 @@ def main() -> None:
         finally:
             _shutil.rmtree(_cr_work, ignore_errors=True)
 
-    calib["end_sec"] = calibration(spark)
+    calib["end_sec"] = calibration(spark, runs_out=calib_runs.setdefault("end", []))
+    calib["runs"] = calib_runs  # per-wave raw runs: skew is data, not mystery
     # the 20M wave sits between the stream and end calibrations; normalize by
     # the slower of the two (conservative: never makes the wave look better
     # than the worst host state that bracketed it)
@@ -527,6 +646,9 @@ def main() -> None:
                 "web_wave": web_wave
                 if web_wave is not None
                 else _carried_forward((prev_profile or {}).get("web_wave")),
+                "shard_wave": shard_wave
+                if shard_wave is not None
+                else _carried_forward((prev_profile or {}).get("shard_wave")),
                 "best": best,
             },
             f,
@@ -548,7 +670,9 @@ def main() -> None:
         "queries_norm": timings_norm,
         "cold_value": cold_total,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        "calib": calib,
+        # per-wave raw calibration runs stay in the profile: the stdout line
+        # has a hard ~1800-char budget (round-4 lesson: parsed null)
+        "calib": {k: v for k, v in calib.items() if k != "runs"},
         "noise_flags": noise_flags,
         "loadtest_5m": _compact_loadtest(loadtest),
         "loadtest_5m_steady": _compact_loadtest(loadtest_steady),

@@ -92,12 +92,25 @@ def logistic_fit_multi(
     this is ``iterations`` passes over the cached features total, not
     ``iterations * classes`` (the per-class :func:`logistic_fit` loop).
     Same determinism contract: exact, order-independent gradient sums.
-    Returns ``{class: [bias, w1..wk]}``."""
+    Returns ``{class: [bias, w1..wk]}``.
+
+    The per-iteration expressions are assembled as SQL STRINGS and submitted
+    through one ``selectExpr`` + one ``spark.sql`` — identical arithmetic to
+    the Column form (left-folded logit, the same casts), but building
+    ``classes * (k+1)`` aggregate Columns driver-side costs a py4j round
+    trip EACH (measured at k=128, 10 classes: ~20 s of pure driver chatter
+    per iteration); one SQL parse is milliseconds. Float literals round-trip
+    through ``repr`` + ``CAST(.. AS DOUBLE)``, which is bit-exact."""
     k = len(feature_cols)
+    spark = features.sparkSession
     df = features.select(
         *[F.col(c).cast("double").alias(c) for c in feature_cols],
         F.col(label_col).cast("string").alias("_y"),
     ).persist()
+
+    def _flit(x: float) -> str:
+        return f"cast('{x!r}' as double)"
+
     try:
         n = df.count()
         if n == 0:
@@ -107,28 +120,33 @@ def logistic_fit_multi(
             # materialize the per-class error as a COLUMN first (lineage cut
             # via cache substitution on the analyzed plan): otherwise each of
             # the classes*(k+1) gradient sums re-embeds the whole k-term logit
-            # and the aggregate's expression tree goes quadratic — ~40k nodes,
-            # seconds of analysis/codegen per iteration. persist (not
+            # and the aggregate's expression tree goes quadratic — ~170k
+            # nodes, seconds of analysis per iteration. persist (not
             # localCheckpoint) so the iteration's blocks are released after
             # the agg instead of accumulating for the whole fit.
-            errs = [
-                (
-                    F.lit(1.0) / (F.lit(1.0) + F.exp(-_logit(feature_cols, w[cls])))
-                    - (F.col("_y") == cls).cast("double")
-                ).alias(f"_e_{cls}")
-                for cls in classes
-            ]
-            edf = df.select(*feature_cols, *errs).persist()
+            errs = []
+            for cls in classes:
+                z = _flit(w[cls][0])
+                for j, c in enumerate(feature_cols):
+                    z = f"({z} + {_flit(w[cls][j + 1])} * {c})"
+                errs.append(
+                    f"(1.0D / (1.0D + exp(-({z}))))"
+                    f" - (case when _y = '{cls}' then 1.0D else 0.0D end)"
+                    f" as _e_{cls}"
+                )
+            edf = df.selectExpr(*feature_cols, *errs).persist()
             try:
                 aggs = []
                 for cls in classes:
-                    e = F.col(f"_e_{cls}")
-                    aggs.append(F.sum(e.cast("decimal(38,18)")).alias(f"{cls}_g0"))
+                    aggs.append(f"sum(cast(_e_{cls} as decimal(38,18)))")
                     aggs.extend(
-                        F.sum((e * F.col(c)).cast("decimal(38,18)")).alias(f"{cls}_g{j + 1}")
-                        for j, c in enumerate(feature_cols)
+                        f"sum(cast(_e_{cls} * {c} as decimal(38,18)))"
+                        for c in feature_cols
                     )
-                row = edf.agg(*aggs).first()
+                edf.createOrReplaceTempView("_logreg_fit_multi_tmp")
+                row = spark.sql(
+                    f"SELECT {', '.join(aggs)} FROM _logreg_fit_multi_tmp"
+                ).first()
             finally:
                 edf.unpersist()
             for ci, cls in enumerate(classes):
@@ -136,6 +154,7 @@ def logistic_fit_multi(
                 w[cls] = [
                     w[cls][i] - lr * float(row[base + i]) / n for i in range(k + 1)
                 ]
+        spark.catalog.dropTempView("_logreg_fit_multi_tmp")
         return w
     finally:
         df.unpersist()

@@ -339,14 +339,21 @@ WITH toked AS (
 ),
 grams AS (
     SELECT doc_id, actual_lang,
-           unnest(CASE WHEN length(t) >= 2
-                       THEN list_transform(generate_series(1, length(t) - 1),
-                                           i -> substr(t, i, 2))
-                       ELSE [] END) AS bg
+           unnest(list_concat(
+               CASE WHEN length(t) >= 2
+                    THEN list_transform(generate_series(1, length(t) - 1),
+                                        i -> substr(t, i, 2))
+                    ELSE [] END,
+               CASE WHEN length(t) >= 3
+                    THEN list_transform(generate_series(1, length(t) - 2),
+                                        i -> substr(t, i, 3))
+                    ELSE [] END)) AS bg
     FROM toked
 ),
 bucketed AS (
-    SELECT doc_id, actual_lang, {h60_sql_duckdb("bg")} % {_CLF_BUCKETS} AS bucket,
+    SELECT doc_id, actual_lang,
+           {h60_sql_duckdb("bg")} % {_CLF_BUCKETS}
+               + (CASE WHEN length(bg) = 3 THEN {_CLF_BUCKETS} ELSE 0 END) AS bucket,
            COUNT(*) AS c
     FROM grams GROUP BY ALL
 ),
@@ -370,7 +377,8 @@ ORDER BY doc_id
 
 @register("doc_language_id_clf", _langid_clf_oracle())
 def doc_language_id_clf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Trained language ID: hashed char-bigram features (h60 % 64 buckets,
+    """Trained language ID over ten languages: hashed char bigram+trigram
+    features (h60 % 64 per family — bigrams buckets 0..63, trigrams 64..127,
     spaces included) through one-vs-rest logistic models fit by the
     DECIMAL-summed gradient machinery (``operators/logreg.py``) on the fixed
     multilingual fixture — ``operators/langid.py`` holds the derivation, the
@@ -391,7 +399,7 @@ def doc_language_id_clf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one explode + ONE (doc_id, lang, bucket) count shuffle + one
     doc-keyed rollup — exchanges carry short keys (the derived text never
-    shuffles); the 5 × 65 model literals fold into the plan; no Python
+    shuffles); the 10 × 129 model literals fold into the plan; no Python
     anywhere (plan-gated).
     """
     d = _docs(spark, sf_dir)
@@ -400,17 +408,21 @@ def doc_language_id_clf(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"regexp_extract_all(lower(text), '{TOKEN_RE}', 0),"
         f" w -> {_translate_case_sql('lang', 'w')}))"
     )
-    bigrams = F.expr(
-        "case when length(t) >= 2 then"
-        " transform(sequence(1, length(t) - 1), i -> substring(t, i, 2))"
+    grams = F.expr(
+        "case when length(t) >= 2 then concat("
+        " transform(sequence(1, length(t) - 1), i -> substring(t, i, 2)),"
+        " case when length(t) >= 3 then"
+        " transform(sequence(1, length(t) - 2), i -> substring(t, i, 3))"
         " else array() end"
+        ") else array() end"
     )
+    bucket = (h60(F.col("bg")) % _CLF_BUCKETS) + F.when(
+        F.length("bg") == 3, _CLF_BUCKETS
+    ).otherwise(0)
     bucketed = (
         d.select("doc_id", F.col("lang").alias("actual_lang"), derived.alias("t"))
-        .select("doc_id", "actual_lang", F.explode(bigrams).alias("bg"))
-        .select(
-            "doc_id", "actual_lang", (h60(F.col("bg")) % _CLF_BUCKETS).alias("bucket")
-        )
+        .select("doc_id", "actual_lang", F.explode(grams).alias("bg"))
+        .select("doc_id", "actual_lang", bucket.alias("bucket"))
         .groupBy("doc_id", "actual_lang", "bucket")
         .agg(F.count(F.lit(1)).alias("c"))
     )

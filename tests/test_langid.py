@@ -36,9 +36,14 @@ def test_training_fixture_is_deterministic_and_balanced():
     assert sorted(by_lang) == sorted(LANGS)
     assert all(len(v) == 25 for v in by_lang.values())
     # every language's rendering is distinct from English's for the
-    # non-identity entries (the signal the classifier learns)
-    for lang in ("de", "es", "fr", "zh"):
-        assert by_lang[lang] != by_lang["en"]
+    # non-identity entries (the signal the classifier learns) — and the
+    # close Romance pairs are mutually distinct too (the trigram family's
+    # reason to exist)
+    for lang in LANGS:
+        if lang != "en":
+            assert by_lang[lang] != by_lang["en"]
+    assert by_lang["pt"] != by_lang["es"]
+    assert by_lang["it"] != by_lang["es"]
 
 
 def test_weights_pin_retrain_reproduces_constants(spark):
@@ -125,19 +130,28 @@ def test_clf_beats_marker_heuristic_on_multilingual_text(spark, tmp_path, sf_dir
 
 def test_feature_hash_twin_matches_engines(spark):
     """features_py (the training featurizer) must agree with the engine
-    expressions: check the bucket histogram of one string against Spark."""
+    expressions: check the 128-bucket bigram+trigram histogram of one
+    string against Spark."""
     from pyspark.sql import functions as F
 
     from clickhouse_etl_loadtest_spark.functions.hashing import h60
+    from clickhouse_etl_loadtest_spark.operators.langid import N_FEATURES
 
     s = "der schnelle kunde liest die tabelle"
     df = spark.createDataFrame([(s,)], "t string").select(
         F.explode(
-            F.expr("transform(sequence(1, length(t) - 1), i -> substring(t, i, 2))")
+            F.expr(
+                "concat("
+                " transform(sequence(1, length(t) - 1), i -> substring(t, i, 2)),"
+                " transform(sequence(1, length(t) - 2), i -> substring(t, i, 3)))"
+            )
         ).alias("bg")
     )
-    rows = df.select((h60(F.col("bg")) % N_BUCKETS).alias("b")).collect()
-    counts = [0] * N_BUCKETS
+    bucket = (h60(F.col("bg")) % N_BUCKETS) + F.when(
+        F.length("bg") == 3, N_BUCKETS
+    ).otherwise(0)
+    rows = df.select(bucket.alias("b")).collect()
+    counts = [0] * N_FEATURES
     for r in rows:
         counts[r["b"]] += 1
     n = len(rows)
