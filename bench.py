@@ -423,7 +423,8 @@ def main() -> None:
             "doc_gopher_repetition",
             "doc_url_blocklist_filter",
             "doc_robots_filter",  # round 9: RFC 9309 politeness filter
-            "doc_language_id_clf",  # round 9: trained langid tier
+            "doc_language_id_clf",  # round 9: trained langid tier (10-lang round 10)
+            "doc_corpus_release",  # round 10: end-to-end shards->dataset-card
         )
         web_calib = calibration(spark, runs_out=calib_runs.setdefault("web", []))
         web_q = {}
