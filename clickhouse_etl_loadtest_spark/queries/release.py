@@ -229,18 +229,14 @@ def _k_col(source: Column) -> Column:
     )
 
 
-def _release_rules(d: DataFrame) -> DataFrame:
+def _release_rules(sources: DataFrame) -> DataFrame:
     """Per-host robots rule sets — the same four shapes as
-    ``doc_robots_filter`` (queries/web.py), derived from the corpus source
-    list; one rule-array per host, exploded (never a 4-way union of
-    distinct-aggregates)."""
-    srcs = (
-        d.select("source")
-        .distinct()
-        .select(
-            F.concat(F.col("source"), F.lit(".example.com")).alias("host"),
-            _k_col(F.col("source")).alias("k"),
-        )
+    ``doc_robots_filter`` (queries/web.py), derived from the DISTINCT
+    corpus source list; one rule-array per host, exploded (never a 4-way
+    union of distinct-aggregates)."""
+    srcs = sources.select(
+        F.concat(F.col("source"), F.lit(".example.com")).alias("host"),
+        _k_col(F.col("source")).alias("k"),
     )
 
     def _rule(t: str, p: str) -> Column:
@@ -262,18 +258,12 @@ def _release_rules(d: DataFrame) -> DataFrame:
     )
 
 
-@register("doc_corpus_release", _RELEASE_ORACLE)
-def doc_corpus_release(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Disk shards to training set, one chain (module docstring): pack the
-    derived crawl (primaries + mirror re-crawls) into real ``.warc.gz``
-    archives, walk them back, then robots → blocklist → host cap →
-    extraction → Gopher → trained langid → fingerprint dedup → per-source
-    dataset card with staged drop accounting, the released token budget,
-    the released language mix, and a bit_xor content checksum over released
-    fingerprints."""
-    import pandas as pd  # noqa: F401  (executor-side dependency)
-
-    d = _docs(spark, sf_dir)
+def crawl_frame(d: DataFrame) -> DataFrame:
+    """The derived crawl as (doc_id, uri, html) rows: one primary page per
+    document (``/private/doc/<id>`` when ``doc_id % 7 == 3``, else
+    ``/doc/<id>``) plus a mirror re-crawl at ``/doc/dup/<id>`` for every
+    ``doc_id % 9 == 4`` document — identical derivation in the oracle's
+    ``pages`` CTE."""
     host = F.concat(F.col("source"), F.lit(".example.com"))
     prim_path = F.concat(
         F.when(F.col("doc_id") % 7 == 3, F.lit("/private/doc/")).otherwise(
@@ -293,11 +283,47 @@ def doc_corpus_release(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("http://"), F.col("host"), mirror_path).alias("uri"),
         "html",
     )
-    crawl = prim.unionByName(mirror).select(
+    return prim.unionByName(mirror)
+
+
+def pack_page_records(uri: str, html: str) -> list[bytes]:
+    """The request/response WARC record pair for one crawled page (bytes,
+    ready for ``gzip_member``) — shared by the in-query packer and the
+    shard-file writer in tests."""
+    def rec(rec_type: str, uri_: str | None, payload: bytes) -> bytes:
+        head = f"WARC/1.0\r\nWARC-Type: {rec_type}\r\n"
+        if uri_ is not None:
+            head += f"WARC-Target-URI: {uri_}\r\n"
+        head += f"Content-Length: {len(payload)}\r\n\r\n"
+        return head.encode("utf-8") + payload + b"\r\n\r\n"
+
+    return [
+        rec("request", uri, f"GET {uri} HTTP/1.1\r\n\r\n".encode()),
+        rec("response", uri, _HTTP_HEAD.encode() + html.encode("utf-8")),
+    ]
+
+
+def warcinfo_record() -> bytes:
+    head = (
+        f"WARC/1.0\r\nWARC-Type: warcinfo\r\n"
+        f"Content-Length: {len(_WARCINFO_PAYLOAD.encode())}\r\n\r\n"
+    )
+    return head.encode("utf-8") + _WARCINFO_PAYLOAD.encode() + b"\r\n\r\n"
+
+
+def packed_walk(crawl: DataFrame) -> DataFrame:
+    """Pack the crawl into 8-document ``.warc.gz`` archives (gzip
+    member-per-record, ISO 28500 Annex C) and walk them back — one balanced
+    assembly exchange on ``doc_id div 8`` plus one Arrow-batched
+    ``mapInPandas`` stage; returns (target_uri, html), one row per
+    response. The file-path equivalent for REAL disk shards is
+    ``sources/warcfiles.py::read_warc_documents`` (equality pinned in
+    ``tests/test_release.py``)."""
+    grouped = crawl.select(
         (F.col("doc_id") - F.col("doc_id") % _ARCHIVE_DOCS).alias("k"),
         F.struct("doc_id", "uri", "html").alias("page"),
     )
-    archives = crawl.groupBy(
+    archives = grouped.groupBy(
         (F.col("k") / _ARCHIVE_DOCS).cast("long").alias("archive_id")
     ).agg(F.sort_array(F.collect_list("page")).alias("pages"))
 
@@ -308,33 +334,45 @@ def doc_corpus_release(spark: SparkSession, sf_dir: str) -> DataFrame:
             gzip_member,
             response_documents,
         )
-
-        def rec(rec_type: str, uri: str | None, payload: bytes) -> bytes:
-            head = f"WARC/1.0\r\nWARC-Type: {rec_type}\r\n"
-            if uri is not None:
-                head += f"WARC-Target-URI: {uri}\r\n"
-            head += f"Content-Length: {len(payload)}\r\n\r\n"
-            return head.encode("utf-8") + payload + b"\r\n\r\n"
+        from clickhouse_etl_loadtest_spark.queries.release import (
+            pack_page_records,
+            warcinfo_record,
+        )
 
         for pdf in it:
             rows = []
             for pages in pdf["pages"]:
-                members = [rec("warcinfo", None, _WARCINFO_PAYLOAD.encode())]
+                members = [warcinfo_record()]
                 for page in pages:
-                    uri, html = page["uri"], page["html"]
-                    members.append(
-                        rec("request", uri, f"GET {uri} HTTP/1.1\r\n\r\n".encode())
-                    )
-                    members.append(
-                        rec("response", uri, _HTTP_HEAD.encode() + html.encode("utf-8"))
-                    )
+                    members.extend(pack_page_records(page["uri"], page["html"]))
                 blob = b"".join(gzip_member(m) for m in members)
                 for uri, body in response_documents(blob):
                     rows.append((uri, body.decode("utf-8")))
             yield pd.DataFrame(rows, columns=["target_uri", "html"])
 
-    walked = archives.mapInPandas(pack_and_walk, "target_uri string, html string")
+    return archives.mapInPandas(pack_and_walk, "target_uri string, html string")
 
+
+@register("doc_corpus_release", _RELEASE_ORACLE)
+def doc_corpus_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disk shards to training set, one chain (module docstring): pack the
+    derived crawl (primaries + mirror re-crawls) into real ``.warc.gz``
+    archives, walk them back, then robots → blocklist → host cap →
+    extraction → Gopher → trained langid → fingerprint dedup → per-source
+    dataset card with staged drop accounting, the released token budget,
+    the released language mix, and a bit_xor content checksum over released
+    fingerprints. The post-walk stages live in :func:`release_card`, which
+    accepts ANY (target_uri, html) frame — the shard-file reader path
+    (``read_warc_documents``) is proven equal in ``tests/test_release.py``."""
+    d = _docs(spark, sf_dir)
+    return release_card(packed_walk(crawl_frame(d)), d.select("source").distinct())
+
+
+def release_card(walked: DataFrame, sources: DataFrame) -> DataFrame:
+    """Every post-walk stage of the corpus release over a (target_uri, html)
+    frame; ``sources`` is the distinct source list the robots rules and
+    blocklist entries derive from (module docstring for stage semantics and
+    the scale shape)."""
     doc_id = F.regexp_extract("target_uri", r"([0-9]+)$", 1).cast("bigint")
     is_mirror = F.col("target_uri").contains("/doc/dup/")
     w_host = F.regexp_extract("target_uri", r"^http://([^/]+)", 1)
@@ -414,15 +452,12 @@ def doc_corpus_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     # robots: broadcast rules, RFC 9309 precedence (operators/robots.py)
     rv = robots_verdict(
         scored.select(F.col("pkey").alias("doc_id"), "host", "path"),
-        _release_rules(d),
+        _release_rules(sources),
     ).select(F.col("doc_id").alias("pkey"), "allowed")
 
     # blocklist: registrable-domain suffix expansion vs the broadcast entries
-    entries = (
-        d.select("source")
-        .distinct()
-        .where(_k_col(F.col("source")) % 5 == 3)
-        .select(F.concat(F.col("source"), F.lit(".example.com")).alias("entry"))
+    entries = sources.where(_k_col(F.col("source")) % 5 == 3).select(
+        F.concat(F.col("source"), F.lit(".example.com")).alias("entry")
     )
     suffixes = F.expr(
         "case when size(split(host, '\\\\.')) >= 2 then"
