@@ -110,6 +110,124 @@ def iter_gzip_members(data: bytes) -> Iterator[bytes]:
         pos = n - len(rest) + 8
 
 
+def iter_gzip_member_spans(fileobj, chunk_size: int = 1 << 20) -> Iterator[tuple[int, int]]:
+    """Yield ``(offset, length)`` byte spans of each RFC 1952 member in an
+    open binary STREAM — without ever materializing the file: headers parse
+    from a sliding buffer, the raw-DEFLATE body is scanned incrementally
+    (decompressed bytes are CRC'd and discarded in ≤4 MiB slices, so memory
+    is bounded by ``chunk_size`` + the inflate window), and the CRC32+ISIZE
+    trailer is verified per member, same contract as
+    :func:`iter_gzip_members`.
+
+    This is the cdx-style index builder for shards past the 2 GiB
+    byte-array ceiling (Spark's ``binaryFile`` content column, JVM arrays):
+    one streaming pass records where every member lives, after which any
+    member-aligned byte range of the shard is independently parseable —
+    the property ISO 28500 Annex C's member-per-record framing exists to
+    provide. See ``sources/warcfiles.py::warc_member_index`` /
+    ``read_warc_documents_chunked`` for the Spark composition.
+    """
+    buf = b""
+    base = 0  # absolute file offset of buf[0]
+    input_eof = False
+
+    def _fill(need: int | None = None) -> None:
+        """Grow buf to ``need`` bytes (or by one chunk when need is None)."""
+        nonlocal buf, input_eof
+        while not input_eof and (need is None or len(buf) < need):
+            chunk = fileobj.read(chunk_size)
+            if not chunk:
+                input_eof = True
+                break
+            buf += chunk
+            if need is None:
+                break
+
+    def _need(n: int, what: str) -> None:
+        _fill(n)
+        if len(buf) < n:
+            raise ValueError(f"truncated gzip {what} at byte {base + len(buf)}")
+
+    def _find_nul(start: int, what: str) -> int:
+        while True:
+            end = buf.find(b"\x00", start)
+            if end >= 0:
+                return end
+            if input_eof:
+                raise ValueError(f"unterminated gzip {what}")
+            _fill(len(buf) + 1)
+
+    _fill()
+    while buf or not input_eof:
+        if not buf:
+            _fill()
+            if not buf:
+                break
+        start_abs = base
+        _need(10, "member header")
+        if buf[:2] != GZIP_MAGIC:
+            raise ValueError(f"bad gzip magic at byte {base}")
+        cm, flg = buf[2], buf[3]
+        if cm != 8:
+            raise ValueError(f"unsupported gzip compression method {cm}")
+        pos = 10
+        if flg & _FEXTRA:
+            _need(pos + 2, "FEXTRA length")
+            (xlen,) = struct.unpack_from("<H", buf, pos)
+            pos += 2
+            _need(pos + xlen, "FEXTRA field")
+            pos += xlen
+        if flg & _FNAME:
+            pos = _find_nul(pos, "FNAME") + 1
+        if flg & _FCOMMENT:
+            pos = _find_nul(pos, "FCOMMENT") + 1
+        if flg & _FHCRC:
+            _need(pos + 2, "FHCRC field")
+            pos += 2
+        buf = buf[pos:]
+        base += pos
+
+        inf = zlib.decompressobj(-zlib.MAX_WBITS)
+        crc = 0
+        isize = 0
+        while True:
+            if not buf:
+                _fill()
+                if not buf:
+                    raise ValueError("truncated DEFLATE stream in gzip member")
+            data = buf
+            fed = data
+            while True:
+                try:
+                    out = inf.decompress(fed, 1 << 22)
+                except zlib.error as exc:
+                    raise ValueError(
+                        f"bad DEFLATE stream at byte {base}: {exc}"
+                    ) from None
+                if out:
+                    crc = zlib.crc32(out, crc)
+                    isize += len(out)
+                if inf.eof or not inf.unconsumed_tail:
+                    break
+                fed = inf.unconsumed_tail
+            if inf.eof:
+                consumed = len(data) - len(inf.unused_data)
+                base += consumed
+                buf = data[consumed:]
+                break
+            base += len(data)
+            buf = b""
+        _need(8, "member trailer")
+        crc_t, isize_t = struct.unpack_from("<II", buf, 0)
+        if crc & 0xFFFFFFFF != crc_t:
+            raise ValueError("gzip member CRC32 mismatch")
+        if isize % (1 << 32) != isize_t:
+            raise ValueError("gzip member ISIZE mismatch")
+        buf = buf[8:]
+        base += 8
+        yield (start_abs, base - start_abs)
+
+
 def gzip_member(payload: bytes) -> bytes:
     """One minimal RFC 1952 member framing ``payload`` — handwritten header
     (no flags, zero MTIME, XFL=0, OS=255 'unknown'), raw-DEFLATE body,

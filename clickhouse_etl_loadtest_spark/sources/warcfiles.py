@@ -17,9 +17,14 @@ Scale (100 TB of crawl shards):
 - The one Python stage is Arrow-batched ``mapInPandas`` over
   (path, content); everything downstream (extraction, scoring, dedup) is
   JVM column work on the emitted rows.
-- Files larger than Spark's 2 GiB byte-array ceiling would need member-
-  offset chunking (gzip members are independently seekable — that is WHY
-  the .warc.gz framing exists); real CC shards sit well under it.
+- Files larger than Spark's 2 GiB byte-array ceiling take the CHUNKED
+  path: :func:`warc_member_index` streams each shard once with bounded
+  memory and records every gzip member's (offset, length) — the cdx-style
+  index Common Crawl itself publishes — and
+  :func:`read_warc_documents_chunked` turns the index into member-aligned
+  byte ranges, one task per ~chunk, so a single 100 GiB shard fans out
+  across the cluster instead of pinning one task (gzip members are
+  independently seekable — that is WHY the .warc.gz framing exists).
 - ``pathGlobFilter``/``recursiveFileLookup`` push file pruning into the
   listing, so a lake of mixed artifacts only materializes the archives.
 """
@@ -73,3 +78,156 @@ def read_warc_documents(
             )
 
     return bin_df.select("path", "content").mapInPandas(walk, WARC_SCHEMA)
+
+
+def _local_path(uri: str) -> str:
+    """Executor-side file access for the streaming/ranged readers: tasks
+    open shards directly (seek + read), which ``binaryFile`` cannot do —
+    it materializes whole files into JVM byte arrays. Local filesystem URIs
+    only; an HDFS/S3 deployment swaps this for the fs client's ranged GET
+    (the access pattern — open(path), seek(offset), read(length) — is the
+    same everywhere)."""
+    if uri.startswith("file:"):
+        from urllib.parse import unquote, urlparse
+
+        return unquote(urlparse(uri).path)
+    return uri
+
+
+INDEX_SCHEMA = "archive_path string, member_index long, offset long, length long"
+
+
+def warc_member_index(
+    spark: SparkSession,
+    path: str,
+    glob: str = "*.warc.gz",
+    recursive: bool = False,
+) -> DataFrame:
+    """The cdx-style member-offset index: one row per gzip member across
+    every ``.warc.gz`` shard under ``path`` — ``(archive_path,
+    member_index, offset, length)``.
+
+    Built by STREAMING each shard once (``operators/warc.py::
+    iter_gzip_member_spans`` — bounded memory, CRC-verified per member), so
+    it works on shards PAST the 2 GiB ``binaryFile`` ceiling; the listing
+    itself stays distributed (``binaryFile`` with only the ``path`` column
+    selected never materializes content). One task per shard; persist the
+    result next to the shards — Common Crawl publishes exactly this index
+    (cdx) so readers never pay the scan twice."""
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .option("recursiveFileLookup", str(recursive).lower())
+        .load(path)
+        .select("path")
+    )
+
+    def scan(it):
+        import pandas as pd
+
+        from clickhouse_etl_loadtest_spark.operators.warc import (
+            iter_gzip_member_spans,
+        )
+
+        for pdf in it:
+            rows = []
+            for p in pdf["path"]:
+                try:
+                    with open(_local_path(p), "rb") as f:
+                        for i, (off, length) in enumerate(iter_gzip_member_spans(f)):
+                            rows.append((p, i, off, length))
+                except ValueError as exc:
+                    raise ValueError(f"malformed WARC archive {p}: {exc}") from exc
+            yield pd.DataFrame(
+                rows,
+                columns=["archive_path", "member_index", "offset", "length"],
+            )
+
+    return files.mapInPandas(scan, INDEX_SCHEMA)
+
+
+def read_warc_documents_chunked(
+    spark: SparkSession,
+    path: str,
+    glob: str = "*.warc.gz",
+    recursive: bool = False,
+    target_chunk_bytes: int = 1 << 30,
+    index: DataFrame | None = None,
+) -> DataFrame:
+    """Record-granularity shard splitting: the same output contract as
+    :func:`read_warc_documents` (one row per ``response``), but each task
+    reads ONE member-aligned byte range of ~``target_chunk_bytes`` instead
+    of a whole shard — so parallelism is ``total_bytes / chunk``, not shard
+    count, and a single huge shard cannot pin a task or blow the 2 GiB
+    byte-array ceiling.
+
+    Ranges come from the member index (pass a persisted ``index`` to skip
+    the indexing pass — the cdx pattern); grouping is a cumulative-bytes
+    window per shard (index rows are 4 fixed-width columns — tiny), and
+    each range task does one seek + one bounded read. ``record_index``
+    here is the global MEMBER ordinal within the shard (stable and
+    monotone regardless of chunking; the whole-shard reader numbers
+    responses instead — compare on (target_uri, html))."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    idx = (
+        index
+        if index is not None
+        else warc_member_index(spark, path, glob=glob, recursive=recursive)
+    )
+    w = Window.partitionBy("archive_path").orderBy("offset")
+    chunks = idx.withColumn(
+        "chunk",
+        ((F.sum("length").over(w) - F.col("length")) / F.lit(int(target_chunk_bytes)))
+        .cast("long"),
+    )
+    ranges = chunks.groupBy("archive_path", "chunk").agg(
+        F.min("offset").alias("start"),
+        (F.max(F.col("offset") + F.col("length")) - F.min("offset")).alias("nbytes"),
+        F.min("member_index").alias("first_member"),
+    )
+
+    def walk(it):
+        import pandas as pd
+
+        from clickhouse_etl_loadtest_spark.operators.warc import (
+            http_body,
+            iter_gzip_members,
+            iter_warc_records,
+        )
+
+        for pdf in it:
+            rows = []
+            for p, start, nbytes, first in zip(
+                pdf["archive_path"], pdf["start"], pdf["nbytes"], pdf["first_member"]
+            ):
+                try:
+                    with open(_local_path(p), "rb") as f:
+                        f.seek(int(start))
+                        blob = f.read(int(nbytes))
+                    i = int(first)
+                    for member in iter_gzip_members(blob):
+                        for rec in iter_warc_records(member):
+                            if rec["headers"].get("warc-type") == "response":
+                                rows.append(
+                                    (
+                                        p,
+                                        i,
+                                        rec["headers"].get("warc-target-uri", ""),
+                                        http_body(rec["payload"]).decode(
+                                            "utf-8", "replace"
+                                        ),
+                                    )
+                                )
+                        i += 1
+                except ValueError as exc:
+                    raise ValueError(
+                        f"malformed WARC range {p}[{start}:+{nbytes}]: {exc}"
+                    ) from exc
+            yield pd.DataFrame(
+                rows,
+                columns=["archive_path", "record_index", "target_uri", "html"],
+            )
+
+    return ranges.mapInPandas(walk, WARC_SCHEMA)

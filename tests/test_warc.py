@@ -224,3 +224,61 @@ def test_response_documents_skips_non_responses():
         )
     )
     assert list(response_documents(data)) == [("http://u", b"<p>one two three</p>")]
+
+
+def test_gz_member_spans_stream_exact_extents_tiny_chunks():
+    """iter_gzip_member_spans must report byte-exact (offset, length) spans
+    from a STREAM, under a pathologically small read chunk (7 bytes, so
+    every header field and the trailer straddle fills), including a member
+    with every optional header field and a stdlib-gzip member."""
+    import io
+
+    from clickhouse_etl_loadtest_spark.operators.warc import (
+        iter_gzip_member_spans,
+    )
+
+    payloads = [_record("resource", b"alpha"), _record("resource", b"b" * 300)]
+    members = [gzip_member(p) for p in payloads]
+    # one flagged member (FEXTRA+FNAME+FCOMMENT+FHCRC)
+    fp = _record("resource", b"flagged")
+    comp = zlib.compressobj(9, zlib.DEFLATED, -zlib.MAX_WBITS)
+    body = comp.compress(fp) + comp.flush()
+    flagged = (
+        b"\x1f\x8b\x08" + bytes([1 | 2 | 4 | 8 | 16]) + b"\x00\x00\x00\x00\x00\xff"
+        + struct.pack("<H", 6) + b"AB\x02\x00xy"
+        + b"name.warc\x00" + b"a comment\x00" + b"\x00\x00"
+        + body
+        + struct.pack("<II", zlib.crc32(fp) & 0xFFFFFFFF, len(fp))
+    )
+    members.append(flagged)
+    import gzip as _stdlib_gzip
+
+    members.append(_stdlib_gzip.compress(_record("resource", b"stdlib")))
+    blob = b"".join(members)
+    expected, off = [], 0
+    for m in members:
+        expected.append((off, len(m)))
+        off += len(m)
+    got = list(iter_gzip_member_spans(io.BytesIO(blob), chunk_size=7))
+    assert got == expected
+    # spans really are independently parseable slices
+    for (o, ln), p in zip(got[:2], payloads):
+        assert list(iter_gzip_members(blob[o : o + ln])) == [p]
+
+
+def test_gz_member_spans_truncated_and_corrupt_fail_loud():
+    import io
+
+    from clickhouse_etl_loadtest_spark.operators.warc import (
+        iter_gzip_member_spans,
+    )
+
+    member = gzip_member(_record("resource", b"x"))
+    with pytest.raises(ValueError, match="trailer"):
+        list(iter_gzip_member_spans(io.BytesIO(member[:-3])))
+    bad = bytearray(member)
+    bad[-10] ^= 0xFF  # flip a byte inside CRC region
+    with pytest.raises(ValueError, match="CRC32|DEFLATE"):
+        list(iter_gzip_member_spans(io.BytesIO(bytes(bad))))
+    with pytest.raises(ValueError, match="magic"):
+        list(iter_gzip_member_spans(io.BytesIO(b"not gzip at all")))

@@ -91,3 +91,79 @@ def test_reader_is_arrow_batched_one_python_stage(spark, tmp_path):
     assert "MapInPandas" in plan
     assert "BatchEvalPython" not in plan
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_member_index_matches_writer_extents(spark, tmp_path):
+    """warc_member_index must report byte-exact spans for every member of
+    every shard (computable here because the writer's member lengths are
+    known), with the listing pruned by the glob."""
+    from clickhouse_etl_loadtest_spark.sources.warcfiles import warc_member_index
+
+    d = tmp_path / "crawl"
+    d.mkdir()
+    shards = {}
+    for s, ids in enumerate(([0, 1], [2, 3, 4])):
+        blob = _gz(_shard(ids))
+        (d / f"s{s}.warc.gz").write_bytes(blob)
+        shards[f"s{s}.warc.gz"] = blob
+    (d / "notes.txt").write_text("not an archive")
+    idx = warc_member_index(spark, str(d)).collect()
+    got = {}
+    for r in idx:
+        name = r["archive_path"].rsplit("/", 1)[-1]
+        got.setdefault(name, []).append(
+            (r["member_index"], r["offset"], r["length"])
+        )
+    for name, blob in shards.items():
+        rows = sorted(got[name])
+        # spans tile the shard exactly: start at 0, contiguous, end at EOF
+        assert rows[0][1] == 0
+        for (i0, o0, l0), (i1, o1, _) in zip(rows, rows[1:]):
+            assert i1 == i0 + 1 and o1 == o0 + l0
+        assert rows[-1][1] + rows[-1][2] == len(blob)
+        # every span is an independently parseable member
+        from clickhouse_etl_loadtest_spark.operators.warc import iter_gzip_members
+
+        for _, o, ln in rows:
+            assert len(list(iter_gzip_members(blob[o : o + ln]))) == 1
+
+
+def test_chunked_reader_equals_whole_shard_reader(spark, tmp_path):
+    """read_warc_documents_chunked must emit exactly the whole-shard
+    reader's (target_uri, html) rows at ANY chunk size — including
+    target_chunk_bytes=1 (every member its own range task) — and accept a
+    pre-built (persisted) index, the cdx pattern."""
+    from clickhouse_etl_loadtest_spark.sources.warcfiles import (
+        read_warc_documents,
+        read_warc_documents_chunked,
+        warc_member_index,
+    )
+
+    d = tmp_path / "crawl"
+    d.mkdir()
+    (d / "s0.warc.gz").write_bytes(_gz(_shard([0, 1, 2, 3])))
+    (d / "s1.warc.gz").write_bytes(_gz(_shard([4, 5])))
+    want = sorted(
+        (r["target_uri"], r["html"])
+        for r in read_warc_documents(spark, str(d)).collect()
+    )
+    assert len(want) == 6
+    for chunk in (1, 200, 1 << 30):
+        got = sorted(
+            (r["target_uri"], r["html"])
+            for r in read_warc_documents_chunked(
+                spark, str(d), target_chunk_bytes=chunk
+            ).collect()
+        )
+        assert got == want, f"chunk={chunk}"
+    # pre-built index path + member-ordinal identity is monotone per shard
+    idx = warc_member_index(spark, str(d))
+    rows = read_warc_documents_chunked(
+        spark, str(d), target_chunk_bytes=150, index=idx
+    ).collect()
+    assert sorted((r["target_uri"], r["html"]) for r in rows) == want
+    per_shard = {}
+    for r in rows:
+        per_shard.setdefault(r["archive_path"], []).append(r["record_index"])
+    for ords in per_shard.values():
+        assert len(set(ords)) == len(ords)  # distinct member ordinals
