@@ -443,8 +443,6 @@ def doc_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     carry no-match pages through. Prefix matching is ``startswith`` —
     sargable, codegen'd, no regex.
     """
-    from pyspark.sql.window import Window
-
     d = _docs(spark, sf_dir)
     host = F.concat(F.col("source"), F.lit(".example.com"))
     path = F.concat(
