@@ -57,3 +57,46 @@ def global_rank(
         .withColumn(rank_col, (F.col("_offset") + F.row_number().over(in_bucket)).cast("bigint"))
         .drop("_offset")
     )
+
+
+def global_prefix_sum(
+    df: DataFrame,
+    bucket_order: list[Column],
+    bucket_cols: list[str],
+    tiebreaker: str,
+    value_col: str,
+    out_col: str = "prefix_sum",
+) -> DataFrame:
+    """Append ``out_col`` = the exact EXCLUSIVE global running sum of
+    ``value_col`` under (``bucket_order``..., ``tiebreaker`` ASC) — the
+    cumulative-offset twin of :func:`global_rank`, same histogram-first
+    shape: per-bucket SUMS (corpus-scale exchange hash-partitioned on the
+    bucket key, map-side combinable), one single-partition prefix pass over
+    the histogram-sized sums, broadcast back, then a bounded within-bucket
+    running-sum window. Equals
+    ``SUM(value) OVER (ORDER BY bucket..., tiebreaker ROWS BETWEEN
+    UNBOUNDED PRECEDING AND 1 PRECEDING)`` value-for-value (asserted by the
+    DuckDB oracle of the query that uses this) with no corpus-scale
+    ``Exchange SinglePartition``."""
+    hist = df.groupBy(*bucket_cols).agg(F.sum(value_col).alias("_bucket_sum"))
+    off_w = Window.orderBy(*bucket_order).rowsBetween(Window.unboundedPreceding, -1)
+    offsets = hist.select(
+        *bucket_cols,
+        F.coalesce(F.sum("_bucket_sum").over(off_w), F.lit(0)).alias("_offset"),
+    )
+    in_bucket = (
+        Window.partitionBy(*bucket_cols)
+        .orderBy(F.col(tiebreaker).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        df.join(F.broadcast(offsets), bucket_cols)
+        .withColumn(
+            out_col,
+            (
+                F.col("_offset")
+                + F.coalesce(F.sum(value_col).over(in_bucket), F.lit(0))
+            ).cast("bigint"),
+        )
+        .drop("_offset")
+    )

@@ -2284,3 +2284,91 @@ def doc_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "cross_entropy_nats", bucket.alias("bucket"))
         .orderBy("doc_id")
     )
+
+
+# --- training-context packing (GPT-style concatenate-and-cut) --------------------------
+# The last step before tokens hit the trainer: concatenate every document's
+# tokens (plus one EOS separator each) in a fixed corpus order and cut the
+# stream at fixed context-length boundaries (Brown et al. 2020 §2.2 pack
+# documents this way; sequences may span document boundaries). The manifest
+# below — each document's absolute token offset and the chunk span it lands
+# in — is what a training loader needs to map chunks back to provenance,
+# and what a curriculum re-order changes.
+
+_CTX_LEN = 512  # tokens per training context
+_PACK_BUCKET = 64  # doc_ids per prefix-sum histogram bucket
+
+_PACKING_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(lower(text), '{TOKEN_RE}')) + 1 AS BIGINT)
+               AS len_tokens
+    FROM documents
+),
+c AS (
+    SELECT doc_id, len_tokens,
+           CAST(COALESCE(SUM(len_tokens) OVER (
+               ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS BIGINT) AS start_offset
+    FROM t
+)
+SELECT doc_id, len_tokens, start_offset,
+       start_offset // {_CTX_LEN} AS chunk_first,
+       (start_offset + len_tokens - 1) // {_CTX_LEN} AS chunk_last,
+       CAST((start_offset + len_tokens - 1) // {_CTX_LEN}
+            - start_offset // {_CTX_LEN} + 1 AS BIGINT) AS n_chunks,
+       ((start_offset + len_tokens - 1) // {_CTX_LEN})
+           > (start_offset // {_CTX_LEN}) AS crosses_boundary
+FROM c
+ORDER BY doc_id
+"""
+
+
+@register("doc_context_packing", _PACKING_ORACLE)
+def doc_context_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-context packing manifest: concatenate documents in doc_id
+    order (one EOS token appended per document), cut the token stream at
+    ``_CTX_LEN`` boundaries, and report each document's absolute
+    ``start_offset`` and chunk span (``chunk_first``/``chunk_last``/
+    ``n_chunks``/``crosses_boundary``) — the provenance map a training
+    loader needs under GPT-style packing, where sequences span document
+    boundaries rather than padding.
+
+    The absolute offsets are an exact GLOBAL running sum — the canonical
+    scale-killer if written as one ``SUM() OVER (ORDER BY doc_id)`` window
+    (the whole corpus through ``Exchange SinglePartition``). Instead
+    ``operators/ranking.py::global_prefix_sum`` computes it histogram-first:
+    per-bucket token sums (one map-side-combinable shuffle on
+    ``doc_id div {_PACK_BUCKET}``), a single-partition prefix pass over the
+    HISTOGRAM (bucket-cardinality rows, ≪ corpus), broadcast back, bounded
+    within-bucket running-sum windows. The oracle recomputes the naive
+    window form, so the two-pass decomposition is value-pinned row-for-row.
+    """
+    from ..operators.ranking import global_prefix_sum
+
+    d = _docs(spark, sf_dir)
+    t = d.select(
+        "doc_id",
+        (F.size(_tokens()) + 1).cast("bigint").alias("len_tokens"),
+        (F.col("doc_id") - F.col("doc_id") % _PACK_BUCKET).alias("_pb"),
+    )
+    c = global_prefix_sum(
+        t,
+        bucket_order=[F.col("_pb").asc()],
+        bucket_cols=["_pb"],
+        tiebreaker="doc_id",
+        value_col="len_tokens",
+        out_col="start_offset",
+    )
+    end = F.col("start_offset") + F.col("len_tokens") - 1
+    chunk_first = F.floor(F.col("start_offset") / _CTX_LEN).cast("bigint")
+    chunk_last = F.floor(end / _CTX_LEN).cast("bigint")
+    return c.select(
+        "doc_id",
+        "len_tokens",
+        "start_offset",
+        chunk_first.alias("chunk_first"),
+        chunk_last.alias("chunk_last"),
+        (chunk_last - chunk_first + 1).cast("bigint").alias("n_chunks"),
+        (chunk_last > chunk_first).alias("crosses_boundary"),
+    ).orderBy("doc_id")

@@ -1655,7 +1655,7 @@ ORDER BY doc_id
 """
 
 
-@register("doc_dup_graph_triangles", _TRIANGLES_ORACLE)
+@register("doc_dup_graph_triangles", _TRIANGLES_ORACLE, extra=True)  # r10: slot to doc_context_packing (driver-green r9)
 def doc_dup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document triangle count and local clustering coefficient of the
     verified near-dup graph — does a doc sit in a dense mirror CLIQUE

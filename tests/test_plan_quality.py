@@ -1175,3 +1175,18 @@ def test_ann_topk_rank_is_partial_group_limited(spark, sf_dir):
             if "WindowGroupLimit" in ln and "Partial" in ln
         ]
         assert partial, f"{name}: no partial WindowGroupLimit\n{plan[:2000]}"
+
+
+def test_context_packing_prefix_sum_is_histogram_first(spark, sf_dir):
+    """The global running sum must be the two-pass decomposition: the ONLY
+    Exchange SinglePartition in the plan is the prefix pass over the
+    bucket-sum HISTOGRAM (bucket-cardinality rows), never the corpus — the
+    corpus-scale exchanges hash-partition on the bucket key, and the
+    within-bucket running-sum window is bucket-partitioned."""
+    plan = exec_plan_of(spark, sf_dir, "doc_context_packing")
+    single = [ln for ln in plan.splitlines() if "Exchange SinglePartition" in ln]
+    assert len(single) == 1, plan
+    assert "Exchange hashpartitioning(_pb" in plan
+    # the histogram side is an aggregate (bucket sums) feeding that exchange
+    assert "HashAggregate" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
