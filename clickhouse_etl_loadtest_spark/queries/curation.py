@@ -2372,3 +2372,96 @@ def doc_context_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         (chunk_last - chunk_first + 1).cast("bigint").alias("n_chunks"),
         (chunk_last > chunk_first).alias("crosses_boundary"),
     ).orderBy("doc_id")
+
+
+_CHUNKS_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(lower(text), '{TOKEN_RE}')) + 1 AS BIGINT)
+               AS len_tokens
+    FROM documents
+),
+c AS (
+    SELECT doc_id, len_tokens,
+           CAST(COALESCE(SUM(len_tokens) OVER (
+               ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS BIGINT) AS start_offset
+    FROM t
+),
+spans AS (
+    SELECT doc_id, len_tokens, start_offset,
+           unnest(generate_series(start_offset // {_CTX_LEN},
+                                  (start_offset + len_tokens - 1) // {_CTX_LEN}))
+               AS chunk_id
+    FROM c
+)
+SELECT chunk_id, doc_id,
+       GREATEST(start_offset, chunk_id * {_CTX_LEN}) - start_offset
+           AS doc_token_start,
+       LEAST(start_offset + len_tokens, (chunk_id + 1) * {_CTX_LEN})
+           - GREATEST(start_offset, chunk_id * {_CTX_LEN}) AS n_tokens_in_chunk,
+       GREATEST(start_offset, chunk_id * {_CTX_LEN}) - chunk_id * {_CTX_LEN}
+           AS chunk_token_start
+FROM spans
+ORDER BY chunk_id, doc_id
+"""
+
+
+@register("doc_context_chunks", _CHUNKS_ORACLE, extra=True)
+def doc_context_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The inverse packing manifest — one row per (chunk, document) overlap:
+    which token range of which document fills which slice of which training
+    context. This is the map a loader actually consumes (given chunk k,
+    fetch its constituent document spans) and the provenance index for
+    contamination tracing (given a document, which training contexts saw
+    it). Columns: ``doc_token_start`` (offset of the overlap within the
+    document), ``chunk_token_start`` (offset within the chunk),
+    ``n_tokens_in_chunk``.
+
+    Same histogram-first prefix sum as ``doc_context_packing``; the span
+    explode is map-side (sequence over the doc's chunk range — bounded by
+    doc length / context length), so output volume is the overlap count
+    (≈ corpus tokens / {_CTX_LEN} + docs), never quadratic.
+    """
+    from ..operators.ranking import global_prefix_sum
+
+    d = _docs(spark, sf_dir)
+    t = d.select(
+        "doc_id",
+        (F.size(_tokens()) + 1).cast("bigint").alias("len_tokens"),
+        (F.col("doc_id") - F.col("doc_id") % _PACK_BUCKET).alias("_pb"),
+    )
+    c = global_prefix_sum(
+        t,
+        bucket_order=[F.col("_pb").asc()],
+        bucket_cols=["_pb"],
+        tiebreaker="doc_id",
+        value_col="len_tokens",
+        out_col="start_offset",
+    )
+    end = F.col("start_offset") + F.col("len_tokens") - 1
+    spans = c.select(
+        "doc_id",
+        "len_tokens",
+        "start_offset",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("start_offset") / _CTX_LEN).cast("bigint"),
+                F.floor(end / _CTX_LEN).cast("bigint"),
+            )
+        ).alias("chunk_id"),
+    )
+    ov_start = F.greatest(F.col("start_offset"), F.col("chunk_id") * _CTX_LEN)
+    ov_end = F.least(
+        F.col("start_offset") + F.col("len_tokens"),
+        (F.col("chunk_id") + 1) * _CTX_LEN,
+    )
+    return spans.select(
+        "chunk_id",
+        "doc_id",
+        (ov_start - F.col("start_offset")).cast("bigint").alias("doc_token_start"),
+        (ov_end - ov_start).cast("bigint").alias("n_tokens_in_chunk"),
+        (ov_start - F.col("chunk_id") * _CTX_LEN)
+        .cast("bigint")
+        .alias("chunk_token_start"),
+    ).orderBy("chunk_id", "doc_id")

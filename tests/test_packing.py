@@ -1,0 +1,68 @@
+"""Training-context packing (queries/curation.py::doc_context_packing +
+doc_context_chunks): the two manifests must tile the token stream exactly
+and agree with each other."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from clickhouse_etl_loadtest_spark.queries import load_all
+
+REG = load_all()
+
+
+def test_chunks_tile_exactly_and_agree_with_doc_manifest(spark, sf_dir):
+    packing = REG["doc_context_packing"].fn(spark, sf_dir).collect()
+    chunks = REG["doc_context_chunks"].fn(spark, sf_dir).collect()
+
+    # per-document: the chunk overlaps sum to the document's token length
+    # and start at doc_token_start 0 on its first chunk
+    by_doc: dict[int, list] = {}
+    for r in chunks:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for p in packing:
+        rows = sorted(by_doc[p["doc_id"]], key=lambda r: r["chunk_id"])
+        assert [r["chunk_id"] for r in rows] == list(
+            range(p["chunk_first"], p["chunk_last"] + 1)
+        )
+        assert sum(r["n_tokens_in_chunk"] for r in rows) == p["len_tokens"]
+        assert rows[0]["doc_token_start"] == 0
+        # overlaps are contiguous within the document
+        seen = 0
+        for r in rows:
+            assert r["doc_token_start"] == seen
+            seen += r["n_tokens_in_chunk"]
+
+    # per-chunk: every chunk except the last is EXACTLY full (512 tokens,
+    # contiguous from slot 0) — the concatenate-and-cut invariant
+    by_chunk: dict[int, list] = {}
+    for r in chunks:
+        by_chunk.setdefault(r["chunk_id"], []).append(r)
+    last = max(by_chunk)
+    assert sorted(by_chunk) == list(range(last + 1))  # no empty chunks
+    for cid, rows in by_chunk.items():
+        rows.sort(key=lambda r: r["chunk_token_start"])
+        filled = 0
+        for r in rows:
+            assert r["chunk_token_start"] == filled
+            filled += r["n_tokens_in_chunk"]
+        if cid != last:
+            assert filled == 512
+        else:
+            assert 0 < filled <= 512
+
+    # grand total: chunks' tokens == packing's tokens == corpus tokens + EOS
+    total = sum(r["n_tokens_in_chunk"] for r in chunks)
+    assert total == sum(p["len_tokens"] for p in packing)
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    corpus_tokens = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(
+            F.size(
+                F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+            ).alias("n")
+        )
+        .agg(F.sum("n"))
+        .first()[0]
+    )
+    assert total == corpus_tokens + n_docs  # one EOS per document
