@@ -1596,7 +1596,7 @@ ORDER BY o_year
 """
 
 
-@register("region_market_share_by_year", _Q8_ORACLE)
+@register("region_market_share_by_year", _Q8_ORACLE, extra=True)  # r10: slot to doc_fim_split (4 driver verdicts)
 def region_market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 shape (adapted: the fixtures carry no partsupp, so the
     'national' share becomes the INTRA-REGION share — the fraction of
@@ -1661,7 +1661,7 @@ LIMIT {_Q10_TOPN}
 """
 
 
-@register("returned_item_customers", _Q10_ORACLE)
+@register("returned_item_customers", _Q10_ORACLE, extra=True)  # r10: slot to embedding_bitext_mining (4 driver verdicts)
 def returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 shape: the customers who returned the most revenue — the
     at-risk-account report. Returnflag filter pushes to the lineitem scan;

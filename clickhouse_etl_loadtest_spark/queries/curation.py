@@ -2465,3 +2465,196 @@ def doc_context_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("chunk_token_start"),
     ).orderBy("chunk_id", "doc_id")
+
+
+# --- chunk-level contamination tracing ------------------------------------------------
+# The query a pipeline owner runs when benchmark overlap is discovered AFTER
+# the corpus was packed: which training contexts must be dropped? Composes
+# the packing manifest (doc_context_chunks) with the per-document
+# decontamination verdict (doc_contamination_check) — a chunk is dropped if
+# ANY of its constituent token spans comes from a contaminated training
+# document OR from the eval set itself (eval docs leaking into training
+# contexts is the textbook contamination mode, Brown et al. 2020 App. C).
+
+_CONTAM_CHUNKS_ORACLE_TMPL = """
+WITH chunks AS ({CHUNKS}),
+contam AS ({CONTAM}),
+tagged AS (
+    SELECT c.chunk_id, c.n_tokens_in_chunk,
+           (COALESCE(ct.contaminated, FALSE) OR c.doc_id < {EVAL_MAX}) AS tainted
+    FROM chunks c LEFT JOIN contam ct USING (doc_id)
+)
+SELECT chunk_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN tainted THEN 1 ELSE 0 END) AS BIGINT) AS n_tainted_docs,
+       CAST(SUM(CASE WHEN tainted THEN n_tokens_in_chunk ELSE 0 END) AS BIGINT)
+           AS tainted_tokens,
+       CAST(SUM(n_tokens_in_chunk) AS BIGINT) AS chunk_tokens,
+       SUM(CASE WHEN tainted THEN 1 ELSE 0 END) > 0 AS drop_chunk
+FROM tagged
+GROUP BY chunk_id
+ORDER BY chunk_id
+"""
+
+
+def _contam_chunks_oracle() -> str:
+    from .text import _CONTAM_ORACLE, _EVAL_SET_MAX_DOC
+
+    return _CONTAM_CHUNKS_ORACLE_TMPL.format(
+        CHUNKS=_CHUNKS_ORACLE, CONTAM=_CONTAM_ORACLE, EVAL_MAX=_EVAL_SET_MAX_DOC
+    )
+
+
+@register("doc_contaminated_chunks", _contam_chunks_oracle())
+def doc_contaminated_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-training-context contamination verdict: for every packed chunk,
+    how many of its constituent documents are tainted (flagged by the
+    shingle-overlap decontamination check, or eval-set members themselves),
+    how many of its tokens those documents contribute, and whether the chunk
+    must be dropped before training. This is decontamination applied AT THE
+    ARTIFACT the trainer consumes — under GPT-style packing a clean document
+    still burns if it shares a context with a contaminated neighbour, and
+    this manifest quantifies exactly that collateral.
+
+    Scale: both inputs are already scale-posed — the chunk manifest carries
+    token counts (never text) through the histogram-first prefix sum, and the
+    contamination check broadcasts the eval shingle set. The composition adds
+    one doc-keyed LEFT join (manifest-scale rows, fixed-width) and one
+    map-side-combinable groupBy on chunk_id. Nothing here touches document
+    text.
+    """
+    from .text import _EVAL_SET_MAX_DOC, doc_contamination_check
+
+    chunks = doc_context_chunks(spark, sf_dir)
+    contam = doc_contamination_check(spark, sf_dir).select("doc_id", "contaminated")
+    tainted = F.coalesce(F.col("contaminated"), F.lit(False)) | (
+        F.col("doc_id") < _EVAL_SET_MAX_DOC
+    )
+    tagged = chunks.join(contam, "doc_id", "left").select(
+        "chunk_id", "n_tokens_in_chunk", tainted.alias("tainted")
+    )
+    t_int = F.col("tainted").cast("int")
+    return (
+        tagged.groupBy("chunk_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(t_int).alias("n_tainted_docs"),
+            F.sum(F.when(F.col("tainted"), F.col("n_tokens_in_chunk")).otherwise(0)).alias(
+                "tainted_tokens"
+            ),
+            F.sum("n_tokens_in_chunk").alias("chunk_tokens"),
+            (F.sum(t_int) > 0).alias("drop_chunk"),
+        )
+        .select(
+            "chunk_id",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("n_tainted_docs").cast("bigint").alias("n_tainted_docs"),
+            F.col("tainted_tokens").cast("bigint").alias("tainted_tokens"),
+            F.col("chunk_tokens").cast("bigint").alias("chunk_tokens"),
+            "drop_chunk",
+        )
+        .orderBy("chunk_id")
+    )
+
+
+# --- fill-in-the-middle split manifest --------------------------------------------------
+# FIM (Bavarian et al. 2022, "Efficient Training of Language Models to Fill
+# in the Middle"): a fixed fraction of training documents is rearranged as
+# prefix/suffix/middle so the model learns infilling. The transform itself is
+# a token-stream permutation applied by the loader; what the PIPELINE owns is
+# the deterministic split manifest — which documents flip, where the two cut
+# points fall, and in which order (PSM vs SPM) the spans are emitted. Hash-
+# based draws make the manifest reproducible across runs, engines, and
+# corpus growth (the doc_stratified_sample discipline — never df.sample).
+
+_FIM_RATE_PCT = 50  # fraction of eligible documents transformed, in percent
+_FIM_MIN_TOKENS = 4  # below this a 3-way split is degenerate; doc stays AR
+
+_FIM_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(lower(text), '{{TOKEN_RE}}')) AS BIGINT)
+               AS n_tokens
+    FROM documents
+),
+d AS (
+    SELECT doc_id, n_tokens,
+           ({{H_FLIP}} % 100) < {_FIM_RATE_PCT} AND n_tokens >= {_FIM_MIN_TOKENS}
+               AS fim,
+           {{H_CUT_A}} % (n_tokens + 1) AS u,
+           {{H_CUT_B}} % (n_tokens + 1) AS v,
+           {{H_MODE}} % 2 AS m
+    FROM t
+)
+SELECT doc_id, n_tokens, fim,
+       CASE WHEN NOT fim THEN 'none' WHEN m = 0 THEN 'psm' ELSE 'spm' END AS mode,
+       CASE WHEN fim THEN LEAST(u, v) ELSE n_tokens END AS prefix_len,
+       CASE WHEN fim THEN GREATEST(u, v) - LEAST(u, v) ELSE 0 END AS middle_len,
+       CASE WHEN fim THEN n_tokens - GREATEST(u, v) ELSE 0 END AS suffix_len
+FROM d
+ORDER BY doc_id
+"""
+
+
+def _fim_oracle() -> str:
+    return _FIM_ORACLE.format(
+        TOKEN_RE=TOKEN_RE,
+        H_FLIP=h60_sql_duckdb("'fim-flip-' || CAST(doc_id AS VARCHAR)"),
+        H_CUT_A=h60_sql_duckdb("'fim-cut-a-' || CAST(doc_id AS VARCHAR)"),
+        H_CUT_B=h60_sql_duckdb("'fim-cut-b-' || CAST(doc_id AS VARCHAR)"),
+        H_MODE=h60_sql_duckdb("'fim-mode-' || CAST(doc_id AS VARCHAR)"),
+    )
+
+
+def _fim_h(salt: str) -> Column:
+    return h60(F.concat(F.lit(salt), F.col("doc_id").cast("string")))
+
+
+@register("doc_fim_split", _fim_oracle())
+def doc_fim_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle split manifest (Bavarian et al. 2022): flag
+    ``_FIM_RATE_PCT``% of sufficiently-long documents for FIM, draw the two
+    cut points uniformly over token boundaries, and emit the
+    prefix/middle/suffix token lengths plus the emission order (PSM or SPM,
+    a fair coin per Bavarian §3). Every draw is an h60 hash of a salted
+    doc_id, so the manifest is a pure function of the corpus — rerunning,
+    re-sharding, or appending documents never reshuffles existing splits
+    (the joint-probability property SPM/PSM mixing relies on).
+
+    Scale: map-only — token counts come from the in-row tokenizer, every
+    draw is a hash of the row's own key, no joins, no shuffle of any kind
+    (plan-gated: zero Exchanges). 100 TB = one embarrassingly-parallel scan.
+    """
+    n = F.size(_tokens()).cast("bigint")
+    t = _docs(spark, sf_dir).select("doc_id", n.alias("n_tokens"))
+    fim = ((_fim_h("fim-flip-") % 100) < _FIM_RATE_PCT) & (
+        F.col("n_tokens") >= _FIM_MIN_TOKENS
+    )
+    u = _fim_h("fim-cut-a-") % (F.col("n_tokens") + 1)
+    v = _fim_h("fim-cut-b-") % (F.col("n_tokens") + 1)
+    mode = (
+        F.when(~F.col("fim"), "none")
+        .when(_fim_h("fim-mode-") % 2 == 0, "psm")
+        .otherwise("spm")
+    )
+    return (
+        t.select("doc_id", "n_tokens", fim.alias("fim"), u.alias("_u"), v.alias("_v"))
+        .select(
+            "doc_id",
+            "n_tokens",
+            "fim",
+            mode.alias("mode"),
+            F.when(F.col("fim"), F.least("_u", "_v"))
+            .otherwise(F.col("n_tokens"))
+            .alias("prefix_len"),
+            F.when(F.col("fim"), F.greatest("_u", "_v") - F.least("_u", "_v"))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("middle_len"),
+            F.when(F.col("fim"), F.col("n_tokens") - F.greatest("_u", "_v"))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("suffix_len"),
+        )
+        .orderBy("doc_id")
+    )

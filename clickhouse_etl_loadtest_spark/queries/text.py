@@ -3262,7 +3262,7 @@ ORDER BY doc_id, rnk
 """
 
 
-@register("doc_tfidf_top_terms", _TFIDF_ORACLE)
+@register("doc_tfidf_top_terms", _TFIDF_ORACLE, extra=True)  # r10: slot to doc_contaminated_chunks (5 driver verdicts)
 def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document keyword extraction: the top-3 non-stopword terms ranked
     by the INTEGER-exact composite (tf desc, df asc, token) — most frequent

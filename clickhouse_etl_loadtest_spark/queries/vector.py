@@ -1256,3 +1256,133 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("item_id", "text_rank", "vec_rank", rrf.alias("rrf"))
         .orderBy("item_id")
     )
+
+
+# --- margin-based bitext mining -------------------------------------------------------
+# Mining parallel sentence/document pairs from two monolingual corpora by
+# embedding similarity (CCMatrix / WikiMatrix): raw cosine over-selects hub
+# vectors, so each candidate is scored by its MARGIN — cosine divided by the
+# mean of both endpoints' k-NN cosines (Artetxe & Schwenk 2019, "ratio"
+# margin) — and only MUTUAL best matches above a threshold are mined. The
+# two deterministic vec_id-parity halves of the embeddings table stand in
+# for the two languages' corpora.
+
+_BITEXT_K = 4  # k-NN pool for the margin denominator (Artetxe & Schwenk use 4)
+_BITEXT_THRESH = 1.01  # mined-pair margin cutoff
+
+_BITEXT_ORACLE = f"""
+WITH x AS (SELECT vec_id AS x_id, embedding AS x_emb, {_norm_sql('embedding')} AS x_nrm
+           FROM embeddings WHERE vec_id % 2 = 0),
+y AS (SELECT vec_id AS y_id, embedding AS y_emb, {_norm_sql('embedding')} AS y_nrm
+      FROM embeddings WHERE vec_id % 2 = 1),
+scored AS (
+    SELECT x_id, y_id,
+           {_dot_sql('x_emb', 'y_emb')} / (x_nrm * y_nrm) AS cosine
+    FROM x CROSS JOIN y
+),
+rnk AS (
+    SELECT x_id, y_id, cosine,
+           ROW_NUMBER() OVER (PARTITION BY x_id ORDER BY cosine DESC, y_id) AS rx,
+           ROW_NUMBER() OVER (PARTITION BY y_id ORDER BY cosine DESC, x_id) AS ry
+    FROM scored
+),
+mx AS (SELECT x_id, CAST(SUM(CAST(cosine AS DECIMAL(38,18))) AS DOUBLE) / {_BITEXT_K}
+               AS knn_x
+       FROM rnk WHERE rx <= {_BITEXT_K} GROUP BY x_id),
+my AS (SELECT y_id, CAST(SUM(CAST(cosine AS DECIMAL(38,18))) AS DOUBLE) / {_BITEXT_K}
+               AS knn_y
+       FROM rnk WHERE ry <= {_BITEXT_K} GROUP BY y_id),
+m AS (
+    SELECT s.x_id, s.y_id, s.cosine,
+           s.cosine / ((mx.knn_x + my.knn_y) / 2) AS margin
+    FROM scored s JOIN mx USING (x_id) JOIN my USING (y_id)
+),
+best AS (
+    SELECT x_id, y_id, cosine, margin,
+           ROW_NUMBER() OVER (PARTITION BY x_id ORDER BY margin DESC, y_id) AS bx,
+           ROW_NUMBER() OVER (PARTITION BY y_id ORDER BY margin DESC, x_id) AS by_
+    FROM m
+)
+SELECT x_id, y_id, cosine, margin
+FROM best
+WHERE bx = 1 AND by_ = 1 AND margin >= {_BITEXT_THRESH}
+ORDER BY x_id
+"""
+
+
+@register("embedding_bitext_mining", _BITEXT_ORACLE)
+def embedding_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based bitext mining (Artetxe & Schwenk 2019): score every
+    cross-corpus candidate by cosine / mean(k-NN cosines of both endpoints),
+    keep mutual best matches above ``_BITEXT_THRESH``. The margin denominator
+    deflates hub vectors (high cosine against EVERYTHING) that raw-cosine
+    mining false-positives on; mutuality removes asymmetric one-way
+    attractions. The vec_id-parity halves stand in for the two languages.
+
+    Cross-engine determinism: the cosine is the shared sequential fold; the
+    k-NN means sum in DECIMAL(38,18) (order-independent) before one double
+    division, so margins are bit-identical and every rank tie-break (by id)
+    agrees.
+
+    Scale: this is the exact all-pairs baseline — the X side broadcasts and
+    the corpus side never shuffles with its vectors attached (norms computed
+    once per side; only fixed-width (id, cosine) rows enter the rank/mean
+    exchanges). At 100 TB the candidate set is pre-bounded per query by LSH
+    buckets (``ann_lsh_buckets``) or an IVF probe (``ivf_search_topk``)
+    before this margin rank — k-NN means and mutual-best need only each
+    vector's own candidate list, so the same windows apply unchanged to the
+    bounded candidate frame.
+    """
+    e = _emb(spark, sf_dir)
+    x = e.where(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("x_id"),
+        F.col("embedding").alias("x_emb"),
+        _norm(F.col("embedding")).alias("x_nrm"),
+    )
+    y = e.where(F.col("vec_id") % 2 == 1).select(
+        F.col("vec_id").alias("y_id"),
+        F.col("embedding").alias("y_emb"),
+        _norm(F.col("embedding")).alias("y_nrm"),
+    )
+    cosine = _dot(F.col("x_emb"), F.col("y_emb")) / (F.col("x_nrm") * F.col("y_nrm"))
+    scored = F.broadcast(x).crossJoin(y).select("x_id", "y_id", cosine.alias("cosine"))
+
+    wx = Window.partitionBy("x_id").orderBy(F.desc("cosine"), "y_id")
+    wy = Window.partitionBy("y_id").orderBy(F.desc("cosine"), "x_id")
+    rnk = scored.select(
+        "x_id",
+        "y_id",
+        "cosine",
+        F.row_number().over(wx).alias("rx"),
+        F.row_number().over(wy).alias("ry"),
+    )
+    dec = F.col("cosine").cast("decimal(38,18)")
+    mx = (
+        rnk.where(F.col("rx") <= _BITEXT_K)
+        .groupBy("x_id")
+        .agg((F.sum(dec).cast("double") / _BITEXT_K).alias("knn_x"))
+    )
+    my = (
+        rnk.where(F.col("ry") <= _BITEXT_K)
+        .groupBy("y_id")
+        .agg((F.sum(dec).cast("double") / _BITEXT_K).alias("knn_y"))
+    )
+    margin = F.col("cosine") / ((F.col("knn_x") + F.col("knn_y")) / 2)
+    m = scored.join(mx, "x_id").join(my, "y_id").select(
+        "x_id", "y_id", "cosine", margin.alias("margin")
+    )
+    bx = Window.partitionBy("x_id").orderBy(F.desc("margin"), "y_id")
+    by = Window.partitionBy("y_id").orderBy(F.desc("margin"), "x_id")
+    return (
+        m.select(
+            "x_id",
+            "y_id",
+            "cosine",
+            "margin",
+            F.row_number().over(bx).alias("_bx"),
+            F.row_number().over(by).alias("_by"),
+        )
+        .where((F.col("_bx") == 1) & (F.col("_by") == 1) & (F.col("margin") >= _BITEXT_THRESH))
+        .select("x_id", "y_id", "cosine", "margin")
+        .orderBy("x_id")
+    )

@@ -1190,3 +1190,44 @@ def test_context_packing_prefix_sum_is_histogram_first(spark, sf_dir):
     # the histogram side is an aggregate (bucket sums) feeding that exchange
     assert "HashAggregate" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_fim_split_is_map_only(spark, sf_dir):
+    """Every FIM draw is an md5 of the row's own key and the token count is
+    an in-row array size: no join, no window, no keyed shuffle, no Python —
+    the manifest is one embarrassingly-parallel scan (the final orderBy's
+    range exchange is presentation, not computation)."""
+    plan = exec_plan_of(spark, sf_dir, "doc_fim_split")
+    assert "Exchange hashpartitioning" not in plan
+    assert "Join" not in plan and "Window" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_contaminated_chunks_composes_manifest_scale_joins(spark, sf_dir):
+    """The chunk-level contamination rollup must stay manifest-scale: the
+    eval shingle set broadcasts (never a shuffled join side), document text
+    never crosses an exchange, no Python, and the prefix sum underneath
+    keeps its single histogram-only SinglePartition pass."""
+    plan = exec_plan_of(spark, sf_dir, "doc_contaminated_chunks")
+    assert "BroadcastHashJoin" in plan  # eval shingles + doc-keyed taint join
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    single = [ln for ln in plan.splitlines() if "Exchange SinglePartition" in ln]
+    assert len(single) == 1, plan  # the histogram prefix pass, nothing else
+    for ln in plan.splitlines():
+        if "Exchange" in ln:
+            assert "text#" not in ln, ln
+
+
+def test_bitext_mining_broadcasts_x_side_fixed_width_exchanges(spark, sf_dir):
+    """The all-pairs margin baseline must broadcast the X side (the only
+    nested-loop in the plan) and every exchange after scoring carries
+    fixed-width (id, cosine/margin) rows — embedding arrays never shuffle,
+    and no Python touches the hot path."""
+    plan = exec_plan_of(spark, sf_dir, "embedding_bitext_mining")
+    assert "BroadcastNestedLoopJoin" in plan  # broadcast(x).crossJoin(y)
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    for ln in plan.splitlines():
+        if "Exchange" in ln:
+            assert "emb#" not in ln and "embedding#" not in ln, ln
