@@ -1278,7 +1278,7 @@ ORDER BY o_orderpriority
 """
 
 
-@register("late_orders_by_priority", _Q4_ORACLE)
+@register("late_orders_by_priority", _Q4_ORACLE, extra=True)  # r10: slot to embedding_bitext_lsh (4 driver verdicts)
 def late_orders_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4 shape (adapted: the fixtures carry no commitdate, so "late"
     is shipped > {60} days after the order date): order counts by priority
@@ -2040,7 +2040,7 @@ ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
 """
 
 
-@register("part_supplier_kinds", _Q16_ORACLE)
+@register("part_supplier_kinds", _Q16_ORACLE, extra=True)  # r10: slot to embedding_bitext_lsh_recall (4 driver verdicts)
 def part_supplier_kinds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q16 shape (adapted: 'customer complaints' becomes a negative
     account balance — the fixtures carry no s_comment): how many distinct

@@ -396,6 +396,12 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds candidate pairs at any corpus size.
     """
     e = _emb(spark, sf_dir)
+    return _lsh_sig(e, extra_cols=["label"]).orderBy("vec_id")
+
+
+def _lsh_sig(e: DataFrame, extra_cols: list[str] | None = None) -> DataFrame:
+    """(vec_id, bucket) signature frame: the shared map-only projection used
+    by ``ann_lsh_buckets`` and the banded bitext candidate generation."""
 
     # factory keeps the lambda single-parameter (a second, defaulted param
     # would be interpreted by PySpark as the array-index lambda variable)
@@ -405,12 +411,14 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         return F.aggregate(prod, F.lit(0.0), lambda acc, x: acc + x)
 
     projs = [_proj(p).alias(f"d{p}") for p in range(_N_PLANES)]
-    proj = e.select("vec_id", "label", *projs)
+    proj = e.select("vec_id", *(extra_cols or []), *projs)
     bucket = None
     for p in range(_N_PLANES):
         term = F.when(F.col(f"d{p}") > 0, F.lit(1 << p)).otherwise(F.lit(0))
         bucket = term if bucket is None else bucket + term
-    return proj.select("vec_id", "label", bucket.cast("int").alias("bucket")).orderBy("vec_id")
+    return proj.select(
+        "vec_id", *(extra_cols or []), bucket.cast("int").alias("bucket")
+    )
 
 
 # --- IVF nearest-centroid assignment ----------------------------------------------------
@@ -1385,4 +1393,245 @@ def embedding_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((F.col("_bx") == 1) & (F.col("_by") == 1) & (F.col("margin") >= _BITEXT_THRESH))
         .select("x_id", "y_id", "cosine", "margin")
         .orderBy("x_id")
+    )
+
+
+# --- LSH-banded bitext mining (the production path) -----------------------------------
+# The all-pairs baseline above is O(|X|·|Y|); at corpus scale candidates
+# must be pre-bounded. Banding the 12-bit hyperplane signature into
+# _BITEXT_BANDS bands (same trick as MinHash LSH: near vectors agree on at
+# least one band with high probability) turns mining into a band-keyed
+# equi-join — candidate volume is the sum of per-band bucket products, not
+# the corpus square. The margin / mutual-best machinery then runs UNCHANGED
+# on the candidate frame, with each vector's k-NN mean taken over its own
+# candidate list (the denominator CCMatrix actually uses: the FAISS
+# neighborhood, not the full corpus).
+
+_BITEXT_BANDS = 4  # 12 planes -> 4 bands x 3 bits
+_BITEXT_BAND_BITS = _N_PLANES // _BITEXT_BANDS
+
+_BITEXT_LSH_ORACLE = f"""
+WITH proj AS (
+    SELECT vec_id,
+           {", ".join(
+               f"list_reduce(list_prepend(0.0, list_transform(generate_series(1, {DIM}), "
+               f"i -> CAST(embedding[i] AS DOUBLE) * ({_coeff_sql(p, 'i')}))), (acc, x) -> acc + x) AS d{p}"
+               for p in range(_N_PLANES)
+           )}
+    FROM embeddings
+),
+sig AS (
+    SELECT vec_id,
+           CAST({" + ".join(f"CASE WHEN d{p} > 0 THEN {1 << p} ELSE 0 END" for p in range(_N_PLANES))} AS INT)
+               AS bucket
+    FROM proj
+),
+bands AS (
+    SELECT vec_id, b.band_idx,
+           (bucket // CAST(POW(2, band_idx * {_BITEXT_BAND_BITS}) AS INT))
+               % {1 << _BITEXT_BAND_BITS} AS band_val
+    FROM sig, (SELECT unnest(generate_series(0, {_BITEXT_BANDS - 1})) AS band_idx) b
+),
+cand AS (
+    SELECT DISTINCT bx.vec_id AS x_id, by_.vec_id AS y_id
+    FROM bands bx
+    JOIN bands by_ ON bx.band_idx = by_.band_idx AND bx.band_val = by_.band_val
+    WHERE bx.vec_id % 2 = 0 AND by_.vec_id % 2 = 1
+),
+n AS (SELECT vec_id, embedding, {_norm_sql('embedding')} AS nrm FROM embeddings),
+scored AS (
+    SELECT x_id, y_id,
+           {_dot_sql('a.embedding', 'b.embedding')} / (a.nrm * b.nrm) AS cosine
+    FROM cand JOIN n a ON a.vec_id = x_id JOIN n b ON b.vec_id = y_id
+),
+rnk AS (
+    SELECT x_id, y_id, cosine,
+           ROW_NUMBER() OVER (PARTITION BY x_id ORDER BY cosine DESC, y_id) AS rx,
+           ROW_NUMBER() OVER (PARTITION BY y_id ORDER BY cosine DESC, x_id) AS ry
+    FROM scored
+),
+mx AS (SELECT x_id, CAST(SUM(CAST(cosine AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*)
+               AS knn_x
+       FROM rnk WHERE rx <= {_BITEXT_K} GROUP BY x_id),
+my AS (SELECT y_id, CAST(SUM(CAST(cosine AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*)
+               AS knn_y
+       FROM rnk WHERE ry <= {_BITEXT_K} GROUP BY y_id),
+m AS (
+    SELECT s.x_id, s.y_id, s.cosine,
+           s.cosine / ((mx.knn_x + my.knn_y) / 2) AS margin
+    FROM scored s JOIN mx USING (x_id) JOIN my USING (y_id)
+),
+best AS (
+    SELECT x_id, y_id, cosine, margin,
+           ROW_NUMBER() OVER (PARTITION BY x_id ORDER BY margin DESC, y_id) AS bx,
+           ROW_NUMBER() OVER (PARTITION BY y_id ORDER BY margin DESC, x_id) AS by_
+    FROM m
+)
+SELECT x_id, y_id, cosine, margin
+FROM best
+WHERE bx = 1 AND by_ = 1 AND margin >= {_BITEXT_THRESH}
+ORDER BY x_id
+"""
+
+
+@register("embedding_bitext_lsh", _BITEXT_LSH_ORACLE)
+def embedding_bitext_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitext mining over LSH-banded candidates — how
+    ``embedding_bitext_mining`` actually runs at 100 TB. The 12-bit
+    hyperplane signature splits into 4 bands of 3 bits; a cross-corpus
+    pair is a candidate iff it agrees on at least one band, so candidate
+    generation is a band-keyed equi-join (shuffle keys: (band_idx,
+    band_val) — fixed-width, skew-bounded by band width) instead of a
+    cross join. The k-NN margin denominator averages each vector's own
+    candidate cosines (÷ actual candidate count, not the fixed k — short
+    lists must not deflate the mean), and mutual-best + threshold run
+    unchanged on the candidate frame.
+
+    Scale: signatures are the map-only ``ann_lsh_buckets`` projection; the
+    candidate join and the vector re-attach joins shuffle fixed-width ids
+    (embeddings cross an exchange only keyed by their own vec_id, never
+    fanned out); everything downstream is bounded by candidate volume.
+    Recall vs the exact baseline is measured by
+    ``embedding_bitext_lsh_recall`` — the band count is the recall/cost
+    dial, exactly like LSH near-dup banding.
+    """
+    e = _emb(spark, sf_dir)
+    sig = _lsh_sig(e)
+    band_val = (
+        F.floor(
+            F.col("bucket") / F.pow(F.lit(2), F.col("band_idx") * _BITEXT_BAND_BITS)
+        ).cast("int")
+        % (1 << _BITEXT_BAND_BITS)
+    )
+    bands = sig.select(
+        "vec_id",
+        "bucket",
+        F.posexplode(F.array(*[F.lit(i) for i in range(_BITEXT_BANDS)])).alias(
+            "band_idx", "_v"
+        ),
+    ).select("vec_id", "band_idx", band_val.alias("band_val"))
+    bx = bands.where(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("x_id"), "band_idx", "band_val"
+    )
+    by = bands.where(F.col("vec_id") % 2 == 1).select(
+        F.col("vec_id").alias("y_id"), "band_idx", "band_val"
+    )
+    cand = bx.join(by, ["band_idx", "band_val"]).select("x_id", "y_id").distinct()
+
+    n = e.select(
+        "vec_id",
+        F.col("embedding"),
+        _norm(F.col("embedding")).alias("nrm"),
+    )
+    a = n.select(
+        F.col("vec_id").alias("x_id"),
+        F.col("embedding").alias("x_emb"),
+        F.col("nrm").alias("x_nrm"),
+    )
+    b = n.select(
+        F.col("vec_id").alias("y_id"),
+        F.col("embedding").alias("y_emb"),
+        F.col("nrm").alias("y_nrm"),
+    )
+    cosine = _dot(F.col("x_emb"), F.col("y_emb")) / (F.col("x_nrm") * F.col("y_nrm"))
+    scored = (
+        cand.join(a, "x_id").join(b, "y_id").select("x_id", "y_id", cosine.alias("cosine"))
+    )
+
+    wx = Window.partitionBy("x_id").orderBy(F.desc("cosine"), "y_id")
+    wy = Window.partitionBy("y_id").orderBy(F.desc("cosine"), "x_id")
+    rnk = scored.select(
+        "x_id",
+        "y_id",
+        "cosine",
+        F.row_number().over(wx).alias("rx"),
+        F.row_number().over(wy).alias("ry"),
+    )
+    dec = F.col("cosine").cast("decimal(38,18)")
+    mx = (
+        rnk.where(F.col("rx") <= _BITEXT_K)
+        .groupBy("x_id")
+        .agg((F.sum(dec).cast("double") / F.count(F.lit(1))).alias("knn_x"))
+    )
+    my = (
+        rnk.where(F.col("ry") <= _BITEXT_K)
+        .groupBy("y_id")
+        .agg((F.sum(dec).cast("double") / F.count(F.lit(1))).alias("knn_y"))
+    )
+    margin = F.col("cosine") / ((F.col("knn_x") + F.col("knn_y")) / 2)
+    m = scored.join(mx, "x_id").join(my, "y_id").select(
+        "x_id", "y_id", "cosine", margin.alias("margin")
+    )
+    wbx = Window.partitionBy("x_id").orderBy(F.desc("margin"), "y_id")
+    wby = Window.partitionBy("y_id").orderBy(F.desc("margin"), "x_id")
+    return (
+        m.select(
+            "x_id",
+            "y_id",
+            "cosine",
+            "margin",
+            F.row_number().over(wbx).alias("_bx"),
+            F.row_number().over(wby).alias("_by"),
+        )
+        .where((F.col("_bx") == 1) & (F.col("_by") == 1) & (F.col("margin") >= _BITEXT_THRESH))
+        .select("x_id", "y_id", "cosine", "margin")
+        .orderBy("x_id")
+    )
+
+
+_BITEXT_RECALL_ORACLE = f"""
+WITH exact_p AS (SELECT x_id, y_id FROM ({_BITEXT_ORACLE})),
+lsh_p AS (SELECT x_id, y_id FROM ({_BITEXT_LSH_ORACLE})),
+j AS (
+    SELECT COALESCE(e.x_id, l.x_id) AS x_id,
+           (e.x_id IS NOT NULL)::INT AS in_exact,
+           (l.x_id IS NOT NULL)::INT AS in_lsh
+    FROM exact_p e FULL OUTER JOIN lsh_p l
+      ON e.x_id = l.x_id AND e.y_id = l.y_id
+)
+SELECT CAST(SUM(in_exact) AS BIGINT) AS n_exact,
+       CAST(SUM(in_lsh) AS BIGINT) AS n_lsh,
+       CAST(SUM(in_exact * in_lsh) AS BIGINT) AS n_common,
+       ROUND(SUM(in_exact * in_lsh) * 1.0 / NULLIF(SUM(in_exact), 0), 6) AS recall,
+       ROUND(SUM(in_exact * in_lsh) * 1.0 / NULLIF(SUM(in_lsh), 0), 6)
+           AS precision_vs_exact
+FROM j
+"""
+
+
+@register("embedding_bitext_lsh_recall", _BITEXT_RECALL_ORACLE)
+def embedding_bitext_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall/precision of the LSH-banded bitext miner against the exact
+    all-pairs baseline — the quality dial for the band count, mirroring
+    ``ann_recall_eval`` / ``doc_lsh_recall_curve``. Composes the two
+    registered miners, so the number measures exactly what their users get.
+
+    Scale: both inputs end at mined-pair volume (≤ min(|X|, |Y|) rows by
+    mutuality); the membership join and the single-row rollup are
+    negligible — and stay distributed (no driver-side counting)."""
+    exact = embedding_bitext_mining(spark, sf_dir).select(
+        "x_id", "y_id", F.lit(1).alias("in_exact")
+    )
+    lsh = embedding_bitext_lsh(spark, sf_dir).select(
+        F.col("x_id").alias("l_x_id"), F.col("y_id").alias("l_y_id"), F.lit(1).alias("in_lsh")
+    )
+    j = exact.join(
+        lsh,
+        (F.col("x_id") == F.col("l_x_id")) & (F.col("y_id") == F.col("l_y_id")),
+        "full_outer",
+    ).select(
+        F.coalesce(F.col("in_exact"), F.lit(0)).alias("in_exact"),
+        F.coalesce(F.col("in_lsh"), F.lit(0)).alias("in_lsh"),
+    )
+    both = F.col("in_exact") * F.col("in_lsh")
+    return j.agg(
+        F.sum("in_exact").cast("bigint").alias("n_exact"),
+        F.sum("in_lsh").cast("bigint").alias("n_lsh"),
+        F.sum(both).cast("bigint").alias("n_common"),
+        F.round(F.sum(both) * 1.0 / F.nullif(F.sum("in_exact"), F.lit(0)), 6).alias(
+            "recall"
+        ),
+        F.round(F.sum(both) * 1.0 / F.nullif(F.sum("in_lsh"), F.lit(0)), 6).alias(
+            "precision_vs_exact"
+        ),
     )

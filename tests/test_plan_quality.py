@@ -1231,3 +1231,17 @@ def test_bitext_mining_broadcasts_x_side_fixed_width_exchanges(spark, sf_dir):
     for ln in plan.splitlines():
         if "Exchange" in ln:
             assert "emb#" not in ln and "embedding#" not in ln, ln
+
+
+def test_bitext_lsh_candidates_are_equi_joined_never_crossed(spark, sf_dir):
+    """The banded miner must contain NO all-pairs shape: candidates come
+    from a band-keyed equi-join, vectors re-attach by their own vec_id, and
+    no Python touches the path. (The broadcast-hash form of the id joins is
+    fine; what must never appear is a nested-loop/cartesian pair source.)"""
+    plan = exec_plan_of(spark, sf_dir, "embedding_bitext_lsh")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln and "emb" in ln:
+            assert "x_id#" in ln or "y_id#" in ln or "vec_id#" in ln, ln
