@@ -1441,7 +1441,7 @@ ORDER BY c_mktsegment
 """
 
 
-@register("idle_rich_customers_by_segment", _Q22_ORACLE)
+@register("idle_rich_customers_by_segment", _Q22_ORACLE, extra=True)  # r10: slot to doc_curriculum_packing (4 driver verdicts)
 def idle_rich_customers_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 shape (segment stands in for the fixtures' missing phone
     prefix, and — since every fixture customer has orders — "idle" means no

@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 from ..functions.hashing import h32, h32_sql_duckdb, h60, h60_sql_duckdb
 from ..operators.bpe import EOW as _BPE_EOW
 from . import register
-from .text import STOPWORDS, TOKEN_RE, _docs, _sql_in, _tokens
+from .text import CTX_LEN, STOPWORDS, TOKEN_RE, _docs, _sql_in, _tokens
 
 # --- incremental dedup vs a prior snapshot ------------------------------------------
 
@@ -2295,7 +2295,7 @@ def doc_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 # in — is what a training loader needs to map chunks back to provenance,
 # and what a curriculum re-order changes.
 
-_CTX_LEN = 512  # tokens per training context
+_CTX_LEN = CTX_LEN  # tokens per training context (canonical constant in queries/text.py)
 _PACK_BUCKET = 64  # doc_ids per prefix-sum histogram bucket
 
 _PACKING_ORACLE = f"""

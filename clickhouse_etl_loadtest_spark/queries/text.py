@@ -37,6 +37,9 @@ from ..functions.hashing import (
 from . import register
 
 TOKEN_RE = "[a-z0-9]+"
+
+# tokens per training context — the packing constant shared with queries/curation.py
+CTX_LEN = 512
 # BPE-ish pretokenizer: letter runs, digit runs, single punctuation marks
 BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
 
@@ -179,8 +182,9 @@ def doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- curriculum ordering: exact global rank without a global sort ----------------
 
-_CURRICULUM_ORACLE = f"""
-WITH stats AS (
+# shared by doc_curriculum_order and doc_curriculum_packing (same scoring —
+# a drifted copy would silently rank and pack under different curricula)
+_CURRICULUM_SCORED_SQL = f"""stats AS (
     SELECT doc_id, n_chars,
            len(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS n_tokens,
            length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS n_punct
@@ -191,7 +195,10 @@ WITH stats AS (
             + CASE WHEN n_punct * 1.0 / NULLIF(n_chars, 0) < 0.1 THEN 1 ELSE 0 END
             + CASE WHEN n_tokens >= 20 THEN 1 ELSE 0 END) AS q
     FROM stats
-), ranked AS (
+)"""
+
+_CURRICULUM_ORACLE = f"""
+WITH {_CURRICULUM_SCORED_SQL}, ranked AS (
     SELECT doc_id, CAST(q AS INT) AS quality_score, n_tokens,
            ROW_NUMBER() OVER (ORDER BY q DESC, n_tokens ASC, doc_id ASC) AS curriculum_rank,
            COUNT(*) OVER () AS n
@@ -250,6 +257,83 @@ def doc_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def _curriculum_packing_oracle() -> str:
+    return f"""
+WITH {_CURRICULUM_SCORED_SQL},
+t AS (
+    SELECT doc_id, CAST(q AS INT) AS quality_score, n_tokens,
+           CAST(n_tokens + 1 AS BIGINT) AS len_tokens
+    FROM scored
+),
+c AS (
+    SELECT doc_id, quality_score, len_tokens,
+           CAST(COALESCE(SUM(len_tokens) OVER (
+               ORDER BY quality_score DESC, n_tokens ASC, doc_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS BIGINT) AS start_offset
+    FROM t
+)
+SELECT doc_id, quality_score, len_tokens, start_offset,
+       start_offset // {CTX_LEN} AS chunk_first,
+       (start_offset + len_tokens - 1) // {CTX_LEN} AS chunk_last,
+       ((start_offset + len_tokens - 1) // {CTX_LEN})
+           > (start_offset // {CTX_LEN}) AS crosses_boundary
+FROM c
+ORDER BY doc_id
+"""
+
+
+@register("doc_curriculum_packing", _curriculum_packing_oracle())
+def doc_curriculum_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-context packing under the CURRICULUM order: the token stream
+    concatenates in (quality DESC, length ASC, doc_id) order — what the
+    loader consumes when a curriculum schedule re-orders the corpus — and
+    each document's absolute offset and chunk span shift accordingly. One
+    query answers "where does my document land after the re-order", the
+    thing a curriculum change invalidates about every packing manifest.
+
+    The scale point: ``operators/ranking.py::global_prefix_sum`` is
+    order-GENERIC — the same histogram-first two-pass machinery that packs
+    by doc_id (``doc_context_packing``, bucket = doc_id div 64) packs by
+    any total order when handed that order's bucket key, here the
+    (quality_score, n_tokens) prefix of the curriculum sort. The histogram
+    is the distinct (quality, length) pairs; the corpus never crosses an
+    ``Exchange SinglePartition`` (plan-gated), and the oracle recomputes
+    the naive corpus-wide window so the decomposition is value-pinned under
+    the non-trivial ordering too.
+    """
+    from ..operators.ranking import global_prefix_sum
+
+    d = _docs(spark, sf_dir)
+    sig = quality_signal_cols()
+    t = d.select(
+        "doc_id",
+        sig["quality_score"].cast("int").alias("quality_score"),
+        sig["n_tokens"].cast("bigint").alias("n_tokens"),
+        (sig["n_tokens"] + 1).cast("bigint").alias("len_tokens"),
+    )
+    c = global_prefix_sum(
+        t,
+        bucket_order=[F.col("quality_score").desc(), F.col("n_tokens").asc()],
+        bucket_cols=["quality_score", "n_tokens"],
+        tiebreaker="doc_id",
+        value_col="len_tokens",
+        out_col="start_offset",
+    )
+    end = F.col("start_offset") + F.col("len_tokens") - 1
+    chunk_first = F.floor(F.col("start_offset") / CTX_LEN).cast("bigint")
+    chunk_last = F.floor(end / CTX_LEN).cast("bigint")
+    return c.select(
+        "doc_id",
+        "quality_score",
+        "len_tokens",
+        "start_offset",
+        chunk_first.alias("chunk_first"),
+        chunk_last.alias("chunk_last"),
+        (chunk_last > chunk_first).alias("crosses_boundary"),
+    ).orderBy("doc_id")
 
 
 # --- language identification -----------------------------------------------------

@@ -1245,3 +1245,18 @@ def test_bitext_lsh_candidates_are_equi_joined_never_crossed(spark, sf_dir):
     for ln in plan.splitlines():
         if "Exchange hashpartitioning" in ln and "emb" in ln:
             assert "x_id#" in ln or "y_id#" in ln or "vec_id#" in ln, ln
+
+
+def test_curriculum_packing_prefix_sum_is_histogram_first(spark, sf_dir):
+    """Packing under the curriculum order must keep the two-pass shape with
+    the NON-TRIVIAL bucket key: the only Exchange SinglePartition is the
+    prefix pass over the (quality, length) histogram, corpus exchanges
+    hash-partition on that key pair, and no Python appears."""
+    plan = exec_plan_of(spark, sf_dir, "doc_curriculum_packing")
+    single = [ln for ln in plan.splitlines() if "Exchange SinglePartition" in ln]
+    assert len(single) == 1, plan
+    assert "Exchange hashpartitioning(quality_score" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    for ln in plan.splitlines():
+        if "Exchange" in ln:
+            assert "text#" not in ln, ln
