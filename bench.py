@@ -447,6 +447,43 @@ def main() -> None:
         }
         print(f"# web wave: {web_wave}", file=sys.stderr)
 
+    # Training-data wave (round 10 second wave): the packing / contamination /
+    # FIM / bitext queries at the gate scale, profile-only like the web wave.
+    # Default-on — a few seconds warm except the exact bitext arm (~4 s: the
+    # all-pairs recall baseline, quadratic by design and measured as such).
+    training_wave = None
+    if os.environ.get("SPARK_GRAFT_TRAINING_WAVE", "1") == "1":
+        _TRAINING_WAVE_QUERIES = (
+            "doc_context_packing",
+            "doc_context_chunks",
+            "doc_contaminated_chunks",
+            "doc_curriculum_packing",
+            "doc_fim_split",
+            "embedding_bitext_mining",
+            "embedding_bitext_lsh",
+            "embedding_bitext_lsh_recall",
+        )
+        training_calib = calibration(spark, runs_out=calib_runs.setdefault("training", []))
+        training_q = {}
+        for name in _TRAINING_WAVE_QUERIES:
+            q = registry[name]
+            q.fn(spark, sf_dir).count()  # warmup
+            runs = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                q.fn(spark, sf_dir).count()
+                runs.append(time.perf_counter() - t0)
+            training_q[name] = round(statistics.median(runs), 3)
+        training_wave = {
+            "calib_sec": training_calib,
+            "queries": training_q,
+            "warm_total_sec": round(sum(training_q.values()), 3),
+            "warm_total_norm_sec": round(
+                sum(training_q.values()) * (CALIB_REF_SEC / training_calib), 3
+            ),
+        }
+        print(f"# training wave: {training_wave}", file=sys.stderr)
+
     # Shard-ingestion wave (round 10): the 100-TB ingestion mouth, measured —
     # pack one .warc.gz shard FILE per hash bucket from the gate-scale corpus
     # (member-per-document gzip concatenation, the Common Crawl framing), then
@@ -647,6 +684,9 @@ def main() -> None:
                 "web_wave": web_wave
                 if web_wave is not None
                 else _carried_forward((prev_profile or {}).get("web_wave")),
+                "training_wave": training_wave
+                if training_wave is not None
+                else _carried_forward((prev_profile or {}).get("training_wave")),
                 "shard_wave": shard_wave
                 if shard_wave is not None
                 else _carried_forward((prev_profile or {}).get("shard_wave")),
