@@ -355,11 +355,17 @@ def embedding_standardize_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 _N_PLANES = 12
 
 # deterministic rational hyperplane coefficients shared by both engines:
-# coeff(p, i) = (h60('hp<p>_<i>') % 2001 - 1000) / 1000  in [-1, 1]
-def _coeff_spark(p: int, i_col: Column) -> Column:
-    seed = F.concat(F.lit(f"hp{p}_"), i_col.cast("string"))
-    h = F.conv(F.substring(F.md5(seed), 1, 15), 16, 10).cast("long")
-    return (h % 2001 - 1000).cast("double") / 1000.0
+# coeff(p, i) = (h60('hp<p>_<i>') % 2001 - 1000) / 1000  in [-1, 1].
+# Spark-side they are folded to LITERAL arrays at plan-build time — the
+# md5 derivation is a pure function of (p, i), so deriving it per ROW (the
+# original form: an md5 chain inside a transform() lambda = 768 interpreted
+# md5 calls per vector) spent more time minting constants than projecting;
+# hashlib reproduces the exact same doubles once on the driver.
+def _coeff_py(p: int, i: int) -> float:
+    import hashlib
+
+    h = int(hashlib.md5(f"hp{p}_{i}".encode()).hexdigest()[:15], 16)
+    return (h % 2001 - 1000) / 1000.0
 
 
 def _coeff_sql(p: int, i_expr: str) -> str:
@@ -403,10 +409,8 @@ def _lsh_sig(e: DataFrame, extra_cols: list[str] | None = None) -> DataFrame:
     """(vec_id, bucket) signature frame: the shared map-only projection used
     by ``ann_lsh_buckets`` and the banded bitext candidate generation."""
 
-    # factory keeps the lambda single-parameter (a second, defaulted param
-    # would be interpreted by PySpark as the array-index lambda variable)
     def _proj(p: int):
-        coeffs = F.transform(F.sequence(F.lit(1), F.lit(DIM)), lambda i: _coeff_spark(p, i))
+        coeffs = F.array(*[F.lit(_coeff_py(p, i)) for i in range(1, DIM + 1)])
         prod = F.zip_with(F.col("embedding"), coeffs, lambda x, cfc: x.cast("double") * cfc)
         return F.aggregate(prod, F.lit(0.0), lambda acc, x: acc + x)
 
