@@ -1,0 +1,116 @@
+"""Streaming incremental packing: streamed == batch manifest, replay
+idempotence, cursor exactness — driven both as direct foreachBatch-body
+calls and through a REAL availableNow file stream.
+
+The streamed==batch equality doubles as the literal-drift guard: the
+operator re-declares the tokenizer regex and context length, and any drift
+from ``doc_context_packing``'s values breaks row-for-row equality here
+(the ``_LANG_MARKERS`` lesson from the wetstream operator).
+"""
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from clickhouse_etl_loadtest_spark.operators.packstream import (
+    cursor,
+    pack_batch,
+    read_manifest,
+)
+from clickhouse_etl_loadtest_spark.queries import load_all
+
+REG = load_all()
+
+_COLS = [
+    "doc_id",
+    "len_tokens",
+    "start_offset",
+    "chunk_first",
+    "chunk_last",
+    "n_chunks",
+    "crosses_boundary",
+]
+
+
+def _canon(df):
+    return [tuple(r) for r in df.select(*_COLS).orderBy("doc_id").collect()]
+
+
+@pytest.fixture()
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _waves(docs, n_waves=4):
+    ids = sorted(r["doc_id"] for r in docs.select("doc_id").collect())
+    per = (len(ids) + n_waves - 1) // n_waves
+    return [ids[i * per : (i + 1) * per] for i in range(n_waves)]
+
+
+def test_streamed_equals_batch_manifest(spark, sf_dir, docs, tmp_path):
+    state = str(tmp_path / "pack_state")
+    for bid, wave in enumerate(_waves(docs)):
+        pack_batch(spark, docs.where(F.col("doc_id").isin(wave)), state, bid)
+    batch = REG["doc_context_packing"].fn(spark, sf_dir)
+    assert _canon(read_manifest(spark, state)) == _canon(batch)
+
+
+def test_replay_is_idempotent_and_cursor_exact(spark, sf_dir, docs, tmp_path):
+    state = str(tmp_path / "pack_state")
+    waves = _waves(docs)
+    for bid, wave in enumerate(waves):
+        pack_batch(spark, docs.where(F.col("doc_id").isin(wave)), state, bid)
+    before = _canon(read_manifest(spark, state))
+    end_before = cursor(spark, state)
+    # checkpoint-recovery replay of the LAST wave: same batch_id, same rows
+    last_bid = len(waves) - 1
+    info = pack_batch(
+        spark, docs.where(F.col("doc_id").isin(waves[last_bid])), state, last_bid
+    )
+    assert _canon(read_manifest(spark, state)) == before
+    assert cursor(spark, state) == end_before == info["end"]
+    # the cursor equals the exact corpus token mass (tokens + one EOS per doc)
+    total = read_manifest(spark, state).agg(F.sum("len_tokens")).first()[0]
+    assert end_before == int(total)
+
+
+def test_real_availablenow_stream(spark, sf_dir, docs, tmp_path):
+    """Drive pack_batch as a real foreachBatch body over a file stream and
+    require the merged manifest to equal the one-shot batch pack."""
+    src = tmp_path / "incoming"
+    src.mkdir()
+    state = str(tmp_path / "pack_state")
+    rows = docs.select("doc_id", "text").orderBy("doc_id").collect()
+    per = (len(rows) + 2) // 3
+    for w in range(3):
+        chunk = rows[w * per : (w + 1) * per]
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([r["doc_id"] for r in chunk], pa.int64()),
+                    "text": pa.array([r["text"] for r in chunk], pa.string()),
+                }
+            ),
+            str(src / f"wave{w}.parquet"),
+        )
+    stream = spark.readStream.schema("doc_id long, text string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(src))
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda bdf, bid: pack_batch(bdf.sparkSession, bdf, state, bid)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    batch = REG["doc_context_packing"].fn(spark, sf_dir)
+    assert _canon(read_manifest(spark, state)) == _canon(batch)
+
+
+def test_empty_state_reads(spark, tmp_path):
+    state = str(tmp_path / "nothing")
+    assert read_manifest(spark, state).count() == 0
+    assert cursor(spark, state) == 0
