@@ -1982,7 +1982,7 @@ ORDER BY part_value DESC, p_partkey
 """
 
 
-@register("important_part_value_fraction", _Q11N_ORACLE)
+@register("important_part_value_fraction", _Q11N_ORACLE, extra=True)  # r10: slot to doc_release_packing (4 driver verdicts)
 def important_part_value_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape (adapted: supply value = the nation's summed
     extended price per part, standing in for supplycost*availqty): parts

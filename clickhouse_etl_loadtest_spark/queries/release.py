@@ -69,6 +69,7 @@ from .text import (
     _GOPHER_MIN_MWL,
     _GOPHER_MIN_STOPWORD_HITS,
     _GOPHER_MIN_WORDS,
+    CTX_LEN,
     STOPWORDS,
     TOKEN_RE,
     _docs,
@@ -83,7 +84,7 @@ _K_SQL = "COALESCE(TRY_CAST(regexp_extract(source, '([0-9]+)$', 1) AS BIGINT), 0
 
 _LID_CTES, _LID_OUT = predict_lang_sql_ctes("gq", "pkey", "norm")
 
-_RELEASE_ORACLE = f"""
+_RELEASE_CTES = f"""
 WITH html AS (SELECT doc_id, source, {_HTML_SQL} AS h FROM documents),
 pages AS (
     SELECT doc_id * 2 AS pkey, doc_id, source, h,
@@ -187,7 +188,9 @@ final AS (
     SELECT s.*, (s.survivor AND s.fp_rn = 1) AS released,
            COALESCE(l.predicted_lang, 'und') AS predicted_lang
     FROM surv s LEFT JOIN {_LID_OUT} l USING (pkey)
-),
+)"""
+
+_RELEASE_ORACLE = f"""{_RELEASE_CTES},
 mix AS (
     SELECT source,
            string_agg(predicted_lang || ':' || CAST(cnt AS VARCHAR), ','
@@ -369,10 +372,20 @@ def doc_corpus_release(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def release_card(walked: DataFrame, sources: DataFrame) -> DataFrame:
+    """Per-source dataset card over the released corpus: aggregates the
+    per-page verdicts of :func:`release_flags` (module docstring for stage
+    semantics and the scale shape)."""
+    final = release_flags(walked, sources)
+    return _card_rollup(final)
+
+
+def release_flags(walked: DataFrame, sources: DataFrame) -> DataFrame:
     """Every post-walk stage of the corpus release over a (target_uri, html)
-    frame; ``sources`` is the distinct source list the robots rules and
-    blocklist entries derive from (module docstring for stage semantics and
-    the scale shape)."""
+    frame, returning the PER-PAGE verdict frame (one row per crawled page
+    with robots/blocklist/cap/gopher/dedup flags, the trained-langid verdict
+    and the released bit) — the input both the dataset card and the release
+    packing manifest aggregate; ``sources`` is the distinct source list the
+    robots rules and blocklist entries derive from."""
     doc_id = F.regexp_extract("target_uri", r"([0-9]+)$", 1).cast("bigint")
     is_mirror = F.col("target_uri").contains("/doc/dup/")
     w_host = F.regexp_extract("target_uri", r"^http://([^/]+)", 1)
@@ -510,10 +523,12 @@ def release_card(walked: DataFrame, sources: DataFrame) -> DataFrame:
     fp_w = Window.partitionBy("fingerprint").orderBy(
         F.col("survivor").desc(), "doc_id", "path"
     )
-    final = flags.withColumn(
+    return flags.withColumn(
         "released", F.col("survivor") & (F.row_number().over(fp_w) == 1)
     )
 
+
+def _card_rollup(final: DataFrame) -> DataFrame:
     card = final.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_pages"),
         F.count(F.when(~F.col("robots_ok"), 1)).alias("n_robots_denied"),
@@ -560,3 +575,91 @@ def release_card(walked: DataFrame, sources: DataFrame) -> DataFrame:
         lang_mix.alias("lang_mix"),
         "fp_checksum",
     ).orderBy("source")
+
+
+# --- release packing: the trainer-ready manifest over the RELEASED corpus --------------
+# The dataset card says what survived; the loader needs WHERE each released
+# page's tokens land. Packing runs over the release survivors in crawl
+# (pkey) order — the last arc of the shards→training-set chain, so the one
+# query covers archive walk → curation → dedup → token offsets end-to-end
+# and one wrong byte anywhere shifts every downstream offset (the oracle
+# recomputes all of it).
+
+_RELEASE_PACK_BUCKET = 128  # pkeys per prefix-sum histogram bucket (~64 pages)
+
+_RELEASE_PACKING_ORACLE = f"""{_RELEASE_CTES},
+rel AS (
+    SELECT pkey, doc_id, source, predicted_lang,
+           CAST(n_tokens + 1 AS BIGINT) AS len_tokens
+    FROM final WHERE released
+),
+c AS (
+    SELECT pkey, doc_id, source, predicted_lang, len_tokens,
+           CAST(COALESCE(SUM(len_tokens) OVER (
+               ORDER BY pkey ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS BIGINT) AS start_offset
+    FROM rel
+)
+SELECT pkey, doc_id, source, predicted_lang, len_tokens, start_offset,
+       start_offset // {CTX_LEN} AS chunk_first,
+       (start_offset + len_tokens - 1) // {CTX_LEN} AS chunk_last,
+       ((start_offset + len_tokens - 1) // {CTX_LEN})
+           > (start_offset // {CTX_LEN}) AS crosses_boundary
+FROM c
+ORDER BY pkey
+"""
+
+
+@register("doc_release_packing", _RELEASE_PACKING_ORACLE)
+def doc_release_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trainer-ready packing manifest over the corpus release: the pages
+    :func:`release_flags` marks ``released`` (the full robots → blocklist →
+    cap → Gopher → trained-langid → dedup chain) concatenate in crawl
+    (pkey) order at the shared context length, and every page gets its
+    absolute token offset and chunk span. This closes the
+    shards→training-set chain: ``doc_corpus_release`` is the accounting
+    view, this is the artifact a loader mmaps.
+
+    Scale: everything upstream is ``doc_corpus_release``'s audited shape
+    (one extraction materialization, broadcast rules, conditional-rank
+    windows); packing adds the histogram-first exact prefix sum over the
+    RELEASED subset — one bucket-keyed shuffle of (pkey, len_tokens) rows
+    plus a histogram-sized single-partition prefix (plan-gated: exactly one
+    Exchange SinglePartition in the whole chain, and no exchange ever
+    carries html/text).
+    """
+    from ..operators.ranking import global_prefix_sum
+
+    _ctx = CTX_LEN
+    d = _docs(spark, sf_dir)
+    final = release_flags(packed_walk(crawl_frame(d)), d.select("source").distinct())
+    rel = final.where(F.col("released")).select(
+        "pkey",
+        "doc_id",
+        "source",
+        "predicted_lang",
+        (F.col("n_tokens") + 1).cast("bigint").alias("len_tokens"),
+        (F.col("pkey") - F.col("pkey") % _RELEASE_PACK_BUCKET).alias("_pb"),
+    )
+    c = global_prefix_sum(
+        rel,
+        bucket_order=[F.col("_pb").asc()],
+        bucket_cols=["_pb"],
+        tiebreaker="pkey",
+        value_col="len_tokens",
+        out_col="start_offset",
+    )
+    end = F.col("start_offset") + F.col("len_tokens") - 1
+    chunk_first = F.floor(F.col("start_offset") / _ctx).cast("bigint")
+    chunk_last = F.floor(end / _ctx).cast("bigint")
+    return c.select(
+        "pkey",
+        "doc_id",
+        "source",
+        "predicted_lang",
+        "len_tokens",
+        "start_offset",
+        chunk_first.alias("chunk_first"),
+        chunk_last.alias("chunk_last"),
+        (chunk_last > chunk_first).alias("crosses_boundary"),
+    ).orderBy("pkey")

@@ -1260,3 +1260,22 @@ def test_curriculum_packing_prefix_sum_is_histogram_first(spark, sf_dir):
     for ln in plan.splitlines():
         if "Exchange" in ln:
             assert "text#" not in ln, ln
+
+
+def test_release_packing_keeps_the_release_shape_plus_one_histogram_pass(spark, sf_dir):
+    """doc_release_packing: the audited corpus-release shape (one
+    materialization, no Python in the final plan, text never crossing an
+    exchange) plus EXACTLY ONE Exchange SinglePartition — the prefix pass
+    over the released-page bucket histogram, never the corpus."""
+    plan = exec_plan_of(spark, sf_dir, "doc_release_packing")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "MapInPandas" not in plan  # behind the checkpoint boundary
+    assert "CartesianProduct" not in plan
+    single = [ln for ln in plan.splitlines() if "Exchange SinglePartition" in ln]
+    assert len(single) == 1, plan
+    assert "Exchange hashpartitioning(_pb" in plan
+    for ln in plan.splitlines():
+        if "Exchange" in ln:
+            assert (
+                "html#" not in ln and "extracted#" not in ln and "norm#" not in ln
+            ), ln
