@@ -2658,3 +2658,114 @@ def doc_fim_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- packing efficiency ----------------------------------------------------------------
+# The one-row audit a pipeline owner reads before choosing GPT-style packing
+# over pad-per-document batching: how many contexts the packed stream needs,
+# how full the stream is, how many documents straddle a boundary (attention
+# contamination surface under full attention), and what padding would have
+# cost instead (each doc rounded up to whole contexts — the Brown 2020 §2.2
+# motivation, quantified on this corpus).
+
+_PACK_EFF_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(lower(text), '{TOKEN_RE}')) + 1 AS BIGINT)
+               AS len_tokens
+    FROM documents
+),
+tot AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM((len_tokens + {_CTX_LEN} - 1) // {_CTX_LEN}) AS BIGINT)
+               AS padded_chunks
+    FROM t
+),
+c AS (
+    SELECT len_tokens,
+           CAST(COALESCE(SUM(len_tokens) OVER (
+               ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS BIGINT) AS start_offset
+    FROM t
+),
+x AS (
+    SELECT CAST(SUM(CASE WHEN (start_offset + len_tokens - 1) // {_CTX_LEN}
+                              > start_offset // {_CTX_LEN}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_crossing
+    FROM c
+)
+SELECT tot.n_docs, tot.total_tokens,
+       (tot.total_tokens + {_CTX_LEN} - 1) // {_CTX_LEN} AS packed_chunks,
+       tot.padded_chunks,
+       x.n_crossing,
+       ROUND(tot.total_tokens * 1.0
+             / (((tot.total_tokens + {_CTX_LEN} - 1) // {_CTX_LEN}) * {_CTX_LEN}),
+             6) AS packed_utilization,
+       ROUND(tot.total_tokens * 1.0 / (tot.padded_chunks * {_CTX_LEN}), 6)
+           AS padded_utilization
+FROM tot CROSS JOIN x
+"""
+
+
+@register("doc_packing_efficiency", _PACK_EFF_ORACLE, extra=True)
+def doc_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-vs-padding audit, one row: packed context count and stream
+    utilization (GPT-style concatenate-and-cut wastes only the final
+    context's tail), the padded alternative's context count and utilization
+    (each doc rounded up to whole contexts), and how many documents cross a
+    context boundary — the sizes of the compute-vs-provenance tradeoff.
+
+    Scale: token counts are in-row; the padded rollup is one global
+    aggregate (map-side combined, 1-row final). The boundary-crossing count
+    reuses the histogram-first prefix sum, so nothing here serializes the
+    corpus."""
+    from ..operators.ranking import global_prefix_sum
+
+    d = _docs(spark, sf_dir)
+    t = d.select(
+        "doc_id",
+        (F.size(_tokens()) + 1).cast("bigint").alias("len_tokens"),
+        (F.col("doc_id") - F.col("doc_id") % _PACK_BUCKET).alias("_pb"),
+    )
+    tot = t.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("len_tokens").cast("bigint").alias("total_tokens"),
+        F.sum(
+            F.floor((F.col("len_tokens") + _CTX_LEN - 1) / _CTX_LEN).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("padded_chunks"),
+    )
+    c = global_prefix_sum(
+        t,
+        bucket_order=[F.col("_pb").asc()],
+        bucket_cols=["_pb"],
+        tiebreaker="doc_id",
+        value_col="len_tokens",
+        out_col="start_offset",
+    )
+    end = F.col("start_offset") + F.col("len_tokens") - 1
+    crossing = (
+        F.floor(end / _CTX_LEN) > F.floor(F.col("start_offset") / _CTX_LEN)
+    ).cast("int")
+    x = c.agg(F.sum(crossing).cast("bigint").alias("n_crossing"))
+    packed_chunks = F.floor((F.col("total_tokens") + _CTX_LEN - 1) / _CTX_LEN).cast(
+        "bigint"
+    )
+    return (
+        tot.crossJoin(F.broadcast(x))
+        .select(
+            "n_docs",
+            "total_tokens",
+            packed_chunks.alias("packed_chunks"),
+            "padded_chunks",
+            "n_crossing",
+            F.round(
+                F.col("total_tokens") * 1.0 / (packed_chunks * _CTX_LEN), 6
+            ).alias("packed_utilization"),
+            F.round(
+                F.col("total_tokens") * 1.0 / (F.col("padded_chunks") * _CTX_LEN), 6
+            ).alias("padded_utilization"),
+        )
+    )

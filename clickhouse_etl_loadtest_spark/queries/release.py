@@ -610,6 +610,31 @@ ORDER BY pkey
 """
 
 
+def _release_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Released pages with their absolute token offsets — the shared core of
+    the release packing manifest and its inverse chunk map."""
+    from ..operators.ranking import global_prefix_sum
+
+    d = _docs(spark, sf_dir)
+    final = release_flags(packed_walk(crawl_frame(d)), d.select("source").distinct())
+    rel = final.where(F.col("released")).select(
+        "pkey",
+        "doc_id",
+        "source",
+        "predicted_lang",
+        (F.col("n_tokens") + 1).cast("bigint").alias("len_tokens"),
+        (F.col("pkey") - F.col("pkey") % _RELEASE_PACK_BUCKET).alias("_pb"),
+    )
+    return global_prefix_sum(
+        rel,
+        bucket_order=[F.col("_pb").asc()],
+        bucket_cols=["_pb"],
+        tiebreaker="pkey",
+        value_col="len_tokens",
+        out_col="start_offset",
+    )
+
+
 @register("doc_release_packing", _RELEASE_PACKING_ORACLE)
 def doc_release_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trainer-ready packing manifest over the corpus release: the pages
@@ -628,30 +653,10 @@ def doc_release_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exchange SinglePartition in the whole chain, and no exchange ever
     carries html/text).
     """
-    from ..operators.ranking import global_prefix_sum
-
-    _ctx = CTX_LEN
-    d = _docs(spark, sf_dir)
-    final = release_flags(packed_walk(crawl_frame(d)), d.select("source").distinct())
-    rel = final.where(F.col("released")).select(
-        "pkey",
-        "doc_id",
-        "source",
-        "predicted_lang",
-        (F.col("n_tokens") + 1).cast("bigint").alias("len_tokens"),
-        (F.col("pkey") - F.col("pkey") % _RELEASE_PACK_BUCKET).alias("_pb"),
-    )
-    c = global_prefix_sum(
-        rel,
-        bucket_order=[F.col("_pb").asc()],
-        bucket_cols=["_pb"],
-        tiebreaker="pkey",
-        value_col="len_tokens",
-        out_col="start_offset",
-    )
+    c = _release_offsets(spark, sf_dir)
     end = F.col("start_offset") + F.col("len_tokens") - 1
-    chunk_first = F.floor(F.col("start_offset") / _ctx).cast("bigint")
-    chunk_last = F.floor(end / _ctx).cast("bigint")
+    chunk_first = F.floor(F.col("start_offset") / CTX_LEN).cast("bigint")
+    chunk_last = F.floor(end / CTX_LEN).cast("bigint")
     return c.select(
         "pkey",
         "doc_id",
@@ -663,3 +668,78 @@ def doc_release_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         chunk_last.alias("chunk_last"),
         (chunk_last > chunk_first).alias("crosses_boundary"),
     ).orderBy("pkey")
+
+
+_RELEASE_CHUNKS_ORACLE = f"""{_RELEASE_CTES},
+rel AS (
+    SELECT pkey, doc_id, source, predicted_lang,
+           CAST(n_tokens + 1 AS BIGINT) AS len_tokens
+    FROM final WHERE released
+),
+c AS (
+    SELECT pkey, doc_id, len_tokens,
+           CAST(COALESCE(SUM(len_tokens) OVER (
+               ORDER BY pkey ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS BIGINT) AS start_offset
+    FROM rel
+),
+spans AS (
+    SELECT pkey, doc_id, len_tokens, start_offset,
+           unnest(generate_series(start_offset // {CTX_LEN},
+                                  (start_offset + len_tokens - 1) // {CTX_LEN}))
+               AS chunk_id
+    FROM c
+)
+SELECT chunk_id, pkey, doc_id,
+       GREATEST(start_offset, chunk_id * {CTX_LEN}) - start_offset
+           AS doc_token_start,
+       LEAST(start_offset + len_tokens, (chunk_id + 1) * {CTX_LEN})
+           - GREATEST(start_offset, chunk_id * {CTX_LEN}) AS n_tokens_in_chunk,
+       GREATEST(start_offset, chunk_id * {CTX_LEN}) - chunk_id * {CTX_LEN}
+           AS chunk_token_start
+FROM spans
+ORDER BY chunk_id, pkey
+"""
+
+
+@register("doc_release_chunks", _RELEASE_CHUNKS_ORACLE, extra=True)
+def doc_release_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The inverse release-packing manifest — one row per (training chunk,
+    released page) overlap with offsets on both sides: what a loader
+    consumes to assemble chunk k from the released corpus, and the
+    provenance index that answers "which training contexts saw this page"
+    for post-release contamination tracing (the ``doc_context_chunks``
+    shape, now over the fully-curated stream).
+
+    Scale: the release-offsets core is shared with ``doc_release_packing``;
+    the span explode is map-side and output volume is overlap count
+    (≈ released tokens / context length + pages), never quadratic."""
+    c = _release_offsets(spark, sf_dir)
+    end = F.col("start_offset") + F.col("len_tokens") - 1
+    spans = c.select(
+        "pkey",
+        "doc_id",
+        "len_tokens",
+        "start_offset",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("start_offset") / CTX_LEN).cast("bigint"),
+                F.floor(end / CTX_LEN).cast("bigint"),
+            )
+        ).alias("chunk_id"),
+    )
+    ov_start = F.greatest(F.col("start_offset"), F.col("chunk_id") * CTX_LEN)
+    ov_end = F.least(
+        F.col("start_offset") + F.col("len_tokens"),
+        (F.col("chunk_id") + 1) * CTX_LEN,
+    )
+    return spans.select(
+        "chunk_id",
+        "pkey",
+        "doc_id",
+        (ov_start - F.col("start_offset")).cast("bigint").alias("doc_token_start"),
+        (ov_end - ov_start).cast("bigint").alias("n_tokens_in_chunk"),
+        (ov_start - F.col("chunk_id") * CTX_LEN)
+        .cast("bigint")
+        .alias("chunk_token_start"),
+    ).orderBy("chunk_id", "pkey")
