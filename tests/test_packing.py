@@ -66,3 +66,70 @@ def test_chunks_tile_exactly_and_agree_with_doc_manifest(spark, sf_dir):
         .first()[0]
     )
     assert total == corpus_tokens + n_docs  # one EOS per document
+
+
+def test_release_chunks_tile_release_packing_exactly(spark, sf_dir):
+    """The release-side pair of manifests obeys the same tiling algebra:
+    per released page the chunk overlaps are contiguous and sum to its
+    length, every non-final chunk is exactly full, and the stream totals
+    agree — over the CURATED corpus, where the released set is a filtered,
+    re-keyed (pkey) subset of the crawl."""
+    packing = REG["doc_release_packing"].fn(spark, sf_dir).collect()
+    chunks = REG["doc_release_chunks"].fn(spark, sf_dir).collect()
+
+    by_page: dict[int, list] = {}
+    for r in chunks:
+        by_page.setdefault(r["pkey"], []).append(r)
+    assert set(by_page) == {p["pkey"] for p in packing}
+    for p in packing:
+        rows = sorted(by_page[p["pkey"]], key=lambda r: r["chunk_id"])
+        assert [r["chunk_id"] for r in rows] == list(
+            range(p["chunk_first"], p["chunk_last"] + 1)
+        )
+        assert sum(r["n_tokens_in_chunk"] for r in rows) == p["len_tokens"]
+        assert rows[0]["doc_token_start"] == 0
+
+    by_chunk: dict[int, list] = {}
+    for r in chunks:
+        by_chunk.setdefault(r["chunk_id"], []).append(r)
+    last = max(by_chunk)
+    assert sorted(by_chunk) == list(range(last + 1))
+    for cid, rows in by_chunk.items():
+        rows.sort(key=lambda r: r["chunk_token_start"])
+        filled = 0
+        for r in rows:
+            assert r["chunk_token_start"] == filled
+            filled += r["n_tokens_in_chunk"]
+        assert filled == 512 if cid != last else 0 < filled <= 512
+
+    assert sum(r["n_tokens_in_chunk"] for r in chunks) == sum(
+        p["len_tokens"] for p in packing
+    )
+
+
+def test_curriculum_packing_is_a_permutation_of_the_same_stream(spark, sf_dir):
+    """Curriculum packing re-orders WHICH tokens land where but must
+    conserve the stream: same per-doc lengths as doc_id-order packing, same
+    grand total, offsets a bijection onto [0, total), and the offset order
+    must equal the curriculum rank order."""
+    base = {r["doc_id"]: r for r in REG["doc_context_packing"].fn(spark, sf_dir).collect()}
+    cur = REG["doc_curriculum_packing"].fn(spark, sf_dir).collect()
+    order = {
+        r["doc_id"]: r["curriculum_rank"]
+        for r in REG["doc_curriculum_order"].fn(spark, sf_dir).collect()
+    }
+    assert {r["doc_id"] for r in cur} == set(base)
+    for r in cur:
+        assert r["len_tokens"] == base[r["doc_id"]]["len_tokens"]
+    total = sum(r["len_tokens"] for r in cur)
+    assert total == sum(b["len_tokens"] for b in base.values())
+    # exclusive prefix offsets tile [0, total) without gaps or overlaps
+    spans = sorted((r["start_offset"], r["len_tokens"]) for r in cur)
+    cursor = 0
+    for off, ln in spans:
+        assert off == cursor
+        cursor += ln
+    assert cursor == total
+    # and the tiling order IS the curriculum order
+    by_offset = [r["doc_id"] for r in sorted(cur, key=lambda r: r["start_offset"])]
+    assert by_offset == sorted(order, key=lambda d: order[d])
