@@ -114,3 +114,30 @@ def test_empty_state_reads(spark, tmp_path):
     state = str(tmp_path / "nothing")
     assert read_manifest(spark, state).count() == 0
     assert cursor(spark, state) == 0
+
+
+def test_interleaved_waves_pack_in_arrival_order(spark, tmp_path):
+    """When doc_id ranges interleave ACROSS waves, the stream packs in
+    (arrival wave, doc_id within wave) order — not global doc_id order.
+    The offsets must still tile [0, total) exactly, and each wave's rows
+    must sit between its predecessor's end and its own end."""
+    rows = [(i, f"tok{i} " * (i % 7 + 1)) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    state = str(tmp_path / "pack_state")
+    # wave 0 takes the HIGH ids, wave 1 the low ids, wave 2 the middle
+    waves = [range(40, 60), range(0, 20), range(20, 40)]
+    ends = []
+    for bid, ids in enumerate(waves):
+        info = pack_batch(spark, df.where(F.col("doc_id").isin(list(ids))), state, bid)
+        ends.append(info["end"])
+    m = read_manifest(spark, state).collect()
+    assert len(m) == 60
+    spans = sorted((r["start_offset"], r["len_tokens"], r["doc_id"]) for r in m)
+    acc = 0
+    for off, ln, _ in spans:
+        assert off == acc
+        acc += ln
+    assert acc == ends[-1] == cursor(spark, state)  # tiles to the final cursor
+    # arrival order: wave 0's docs (ids 40-59) occupy the LOWEST offsets
+    by_offset = [d for _, _, d in spans]
+    assert by_offset == list(range(40, 60)) + list(range(0, 20)) + list(range(20, 40))
