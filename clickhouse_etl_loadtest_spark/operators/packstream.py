@@ -65,6 +65,26 @@ def pack_batch(
     """Fold one wave of documents (``doc_id``, ``text`` columns) into the
     persistent packing manifest; returns ``{"start": ..., "end": ...,
     "n_docs": ...}`` for the wave. Shaped to be a ``foreachBatch`` body."""
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(_TOKEN_RE), F.lit(0))
+    return pack_lengths_batch(
+        spark,
+        batch_df.select(
+            "doc_id", (F.size(toks) + 1).cast("bigint").alias("len_tokens")
+        ),
+        state_path,
+        batch_id,
+    )
+
+
+def pack_lengths_batch(
+    spark: SparkSession,
+    lengths_df: DataFrame,
+    state_path: str,
+    batch_id: int,
+) -> dict:
+    """Core fold over precomputed (``doc_id``, ``len_tokens``) rows — what
+    curated pipelines call when the store already measured the text (the
+    wet store's ``n_tokens``); :func:`pack_batch` is the tokenizing skin."""
     from .ranking import global_prefix_sum
 
     prev_cursor, _ = _read_latest(spark, f"{state_path}/cursor", batch_id)
@@ -72,10 +92,9 @@ def pack_batch(
     if prev_cursor is not None:
         start = int(prev_cursor.first()["end_offset"])
 
-    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(_TOKEN_RE), F.lit(0))
-    t = batch_df.select(
+    t = lengths_df.select(
         "doc_id",
-        (F.size(toks) + 1).cast("bigint").alias("len_tokens"),
+        F.col("len_tokens").cast("bigint").alias("len_tokens"),
         (F.col("doc_id") - F.col("doc_id") % _PACK_BUCKET).alias("_pb"),
     )
     c = global_prefix_sum(
@@ -116,9 +135,14 @@ def pack_batch(
     return {"start": start, "end": start + batch_tokens, "n_docs": n_docs}
 
 
-def read_manifest(spark: SparkSession, state_path: str) -> DataFrame:
+def read_manifest(
+    spark: SparkSession, state_path: str, exclude_batch_id: int | None = None
+) -> DataFrame:
     """Everything packed so far, across all waves — the manifest a loader
-    reads. Returns an EMPTY correctly-typed frame before the first wave."""
+    reads. Returns an EMPTY correctly-typed frame before the first wave.
+    ``exclude_batch_id`` drops one wave's partition — a replaying batch must
+    anti-join against the PRE-batch manifest, never its own crashed
+    output."""
     from pyspark.errors import AnalysisException
 
     try:
@@ -127,6 +151,10 @@ def read_manifest(spark: SparkSession, state_path: str) -> DataFrame:
         if "PATH_NOT_FOUND" in str(e) or "UNABLE_TO_INFER_SCHEMA" in str(e):
             return spark.createDataFrame([], schema=_MANIFEST_SCHEMA)
         raise
+    if exclude_batch_id is not None:
+        df = df.where(
+            F.substring("batch", 2, 18).cast("long") != int(exclude_batch_id)
+        )
     return df.drop("batch")
 
 
@@ -134,3 +162,88 @@ def cursor(spark: SparkSession, state_path: str) -> int:
     """Current end of the packed token stream (0 before the first wave)."""
     latest, _ = _read_latest(spark, f"{state_path}/cursor", None)
     return 0 if latest is None else int(latest.first()["end_offset"])
+
+
+def curate_and_pack_batch(
+    spark: SparkSession,
+    wave_df: DataFrame,
+    wet_store: str,
+    pack_state: str,
+    batch_id: int,
+    id_col: str = "doc_id",
+    warc_col: str = "warc",
+    blocklist: list | None = None,
+    cap_per_host: int | None = None,
+    robots_rules: DataFrame | None = None,
+) -> dict:
+    """The incremental shards→trainer path in ONE ``foreachBatch`` body:
+    land this wave's archives through the WET curation store
+    (``wetstream.wet_batch`` — robots/blocklist/host-cap applied per wave,
+    quality + langid scored), then append the wave's NEWLY-KEPT documents to
+    the packed token stream.
+
+    "Newly kept" is streaming-dedup semantics — keep FIRST ARRIVAL:
+    quality-passing docs of THIS wave whose fingerprint no earlier wave
+    carried (within the wave, lowest doc_id wins the fingerprint), minus any
+    doc_id already packed (covers re-crawls: a later re-crawl of a packed
+    doc updates its store verdict but cannot re-pack — the token stream is
+    append-only, exactly like a real pretraining ingest). When waves arrive
+    in doc_id order this equals the batch keep-first rule, which is what the
+    streamed==batch test pins.
+
+    Replay idempotence: ``wet_batch`` overwrites its own store partition;
+    the fingerprint-novelty check reads only EARLIER batches; the
+    already-packed check excludes the replaying batch's own manifest
+    partition; and ``pack_lengths_batch`` recomputes from the pre-batch
+    cursor. A post-crash re-delivery therefore reproduces identical
+    partitions everywhere.
+
+    Scale: the store reads are verdict rows (fixed-width, no text); the
+    novelty/packed checks are two hash anti-joins on 8-byte keys; packing is
+    the histogram-first prefix sum. Nothing here rescans document bodies.
+    """
+    from .wetstream import wet_batch
+
+    wet_batch(
+        wave_df,
+        wet_store,
+        batch_id,
+        id_col=id_col,
+        warc_col=warc_col,
+        blocklist=blocklist,
+        cap_per_host=cap_per_host,
+        robots_rules=robots_rules,
+    )
+    raw = spark.read.parquet(wet_store)
+    # latest-wins per doc (re-crawls replace their verdict), as in
+    # wetstream.read_wet_store — recomputed here because the packed-stream
+    # decision needs the fingerprint column that reader projects away
+    latest = raw.groupBy("doc_id").agg(F.max("batch_seq").alias("batch_seq"))
+    cur = raw.join(latest, ["doc_id", "batch_seq"])
+    prior_fp = (
+        cur.where(F.col("batch_seq") < batch_id).select("fingerprint").distinct()
+    )
+    from pyspark.sql.window import Window
+
+    wave = cur.where(F.col("keep_quality") & (F.col("batch_seq") == batch_id))
+    wave_canon = (
+        wave.withColumn(
+            "_fp_min", F.min("doc_id").over(Window.partitionBy("fingerprint"))
+        )
+        .where(F.col("doc_id") == F.col("_fp_min"))
+        .drop("_fp_min")
+    )
+    already = read_manifest(spark, pack_state, exclude_batch_id=batch_id).select(
+        "doc_id"
+    )
+    fresh = wave_canon.join(prior_fp, "fingerprint", "left_anti").join(
+        already, "doc_id", "left_anti"
+    )
+    return pack_lengths_batch(
+        spark,
+        fresh.select(
+            "doc_id", (F.col("n_tokens") + 1).cast("bigint").alias("len_tokens")
+        ),
+        pack_state,
+        batch_id,
+    )

@@ -141,3 +141,82 @@ def test_interleaved_waves_pack_in_arrival_order(spark, tmp_path):
     # arrival order: wave 0's docs (ids 40-59) occupy the LOWEST offsets
     by_offset = [d for _, _, d in spans]
     assert by_offset == list(range(40, 60)) + list(range(0, 20)) + list(range(20, 40))
+
+
+def test_curate_and_pack_streamed_equals_batch(spark, sf_dir, tmp_path):
+    """The composed incremental shards→trainer path: archives stream in
+    doc_id-ordered waves through WET curation into the packed token stream,
+    and the final manifest must equal the batch composition (full-corpus
+    verdicts → keep-first kept set → doc_id-order prefix sum). A replay of
+    the last wave must change nothing."""
+    from clickhouse_etl_loadtest_spark.operators.packstream import (
+        curate_and_pack_batch,
+    )
+    from clickhouse_etl_loadtest_spark.operators.wetstream import (
+        _walk_warc,
+        wet_verdicts,
+    )
+    from clickhouse_etl_loadtest_spark.queries.html import _warc_col
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    frame = docs.select("doc_id", _warc_col().alias("warc"))
+    ids = sorted(r["doc_id"] for r in docs.select("doc_id").collect())
+    per = (len(ids) + 2) // 3
+    wet_store = str(tmp_path / "wet_store")
+    pack_state = str(tmp_path / "pack_state")
+    infos = []
+    for bid in range(3):
+        wave_ids = ids[bid * per : (bid + 1) * per]
+        infos.append(
+            curate_and_pack_batch(
+                spark,
+                frame.where(F.col("doc_id").isin(wave_ids)),
+                wet_store,
+                pack_state,
+                bid,
+            )
+        )
+    got = sorted(
+        (
+            (r["doc_id"], r["len_tokens"], r["start_offset"], r["n_chunks"])
+            for r in read_manifest(spark, pack_state).collect()
+        )
+    )
+
+    # batch twin: full-corpus verdicts -> keep-first kept set -> doc_id-order
+    # exclusive prefix sum, computed independently in plain Python
+    v = wet_verdicts(_walk_warc(frame)).collect()
+    first_by_fp: dict[int, int] = {}
+    for r in sorted(v, key=lambda r: r["doc_id"]):
+        first_by_fp.setdefault(r["fingerprint"], r["doc_id"])
+    kept = [
+        r
+        for r in sorted(v, key=lambda r: r["doc_id"])
+        if r["keep_quality"] and first_by_fp[r["fingerprint"]] == r["doc_id"]
+    ]
+    want, acc = [], 0
+    for r in kept:
+        ln = r["n_tokens"] + 1
+        first = acc // 512
+        last = (acc + ln - 1) // 512
+        want.append((r["doc_id"], ln, acc, last - first + 1))
+        acc += ln
+    assert got == sorted(want)
+    assert infos[-1]["end"] == acc == cursor(spark, pack_state)
+
+    # post-crash re-delivery of the final wave: everything must be unchanged
+    replay = curate_and_pack_batch(
+        spark,
+        frame.where(F.col("doc_id").isin(ids[2 * per :])),
+        wet_store,
+        pack_state,
+        2,
+    )
+    assert replay == infos[-1]
+    got2 = sorted(
+        (
+            (r["doc_id"], r["len_tokens"], r["start_offset"], r["n_chunks"])
+            for r in read_manifest(spark, pack_state).collect()
+        )
+    )
+    assert got2 == got
