@@ -1,0 +1,88 @@
+"""Margin-based mutual-best pair mining (Artetxe & Schwenk 2019) as a
+reusable operator: given a scored cross-corpus candidate frame, rank by the
+RATIO margin — cosine divided by the mean of both endpoints' k-NN cosines —
+and keep mutual best matches above a threshold.
+
+Used by three registered queries: ``embedding_bitext_mining`` (exact
+all-pairs baseline, fixed-k means), ``embedding_bitext_lsh`` (banded
+candidates, count means — short candidate lists must not deflate the
+denominator), and ``doc_crosslingual_mining`` (hashed text embeddings
+across language subsets). The DuckDB oracles mirror the same window/
+aggregate chain literally per query.
+
+Cross-engine determinism: callers provide bit-identical ``cosine`` values
+(shared sequential folds); the k-NN means sum in DECIMAL(38,18)
+(order-independent) before one double division, so margins and every
+id-tie-broken rank agree across engines.
+
+Scale: all inputs are (x_id, y_id, cosine) rows — fixed-width; the two
+rank windows and two mean aggregates shuffle only those keys, bounded by
+candidate volume (the caller's contract: pre-bound candidates by LSH bands
+or IVF probes before mining at corpus scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def margin_mutual_best(
+    scored: DataFrame,
+    k: int,
+    threshold: float,
+    mean_by: str = "k",
+) -> DataFrame:
+    """Mine mutual-best pairs by ratio margin from ``scored``
+    (``x_id``, ``y_id``, ``cosine`` columns).
+
+    ``mean_by="k"`` divides each endpoint's top-k cosine sum by the fixed
+    ``k`` (the dense-candidate baseline semantics); ``"count"`` divides by
+    the actual top-k row count (bounded-candidate semantics — short lists
+    keep an honest mean). Returns (x_id, y_id, cosine, margin) ordered by
+    x_id."""
+    if mean_by not in ("k", "count"):
+        raise ValueError(f"mean_by must be 'k' or 'count', got {mean_by!r}")
+    wx = Window.partitionBy("x_id").orderBy(F.desc("cosine"), "y_id")
+    wy = Window.partitionBy("y_id").orderBy(F.desc("cosine"), "x_id")
+    rnk = scored.select(
+        "x_id",
+        "y_id",
+        "cosine",
+        F.row_number().over(wx).alias("rx"),
+        F.row_number().over(wy).alias("ry"),
+    )
+    dec = F.col("cosine").cast("decimal(38,18)")
+    div = F.lit(k) if mean_by == "k" else F.count(F.lit(1))
+    mx = (
+        rnk.where(F.col("rx") <= k)
+        .groupBy("x_id")
+        .agg((F.sum(dec).cast("double") / div).alias("knn_x"))
+    )
+    my = (
+        rnk.where(F.col("ry") <= k)
+        .groupBy("y_id")
+        .agg((F.sum(dec).cast("double") / div).alias("knn_y"))
+    )
+    margin = F.col("cosine") / ((F.col("knn_x") + F.col("knn_y")) / 2)
+    m = scored.join(mx, "x_id").join(my, "y_id").select(
+        "x_id", "y_id", "cosine", margin.alias("margin")
+    )
+    bx = Window.partitionBy("x_id").orderBy(F.desc("margin"), "y_id")
+    by = Window.partitionBy("y_id").orderBy(F.desc("margin"), "x_id")
+    return (
+        m.select(
+            "x_id",
+            "y_id",
+            "cosine",
+            "margin",
+            F.row_number().over(bx).alias("_bx"),
+            F.row_number().over(by).alias("_by"),
+        )
+        .where(
+            (F.col("_bx") == 1) & (F.col("_by") == 1) & (F.col("margin") >= threshold)
+        )
+        .select("x_id", "y_id", "cosine", "margin")
+        .orderBy("x_id")
+    )

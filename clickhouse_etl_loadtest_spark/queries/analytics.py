@@ -1905,7 +1905,7 @@ LIMIT {_Q2_TOPN}
 """
 
 
-@register("min_cost_supplier_per_part", _Q2_ORACLE)
+@register("min_cost_supplier_per_part", _Q2_ORACLE, extra=True)  # r10: slot to doc_crosslingual_mining (4 driver verdicts)
 def min_cost_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 shape (adapted: the fixtures carry no partsupp, so the
     supply-cost relation derives from lineitem — a supplier's cost for a

@@ -4048,3 +4048,125 @@ def doc_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- cross-lingual document pair mining -----------------------------------------------
+# Bitext mining on REAL text: the hashed-embedding bridge projects each
+# language's documents into the shared vector space, and the ratio-margin
+# mutual-best miner (operators/bitext.py — the embedding_bitext_mining
+# machinery) aligns documents across the language boundary. The CCMatrix
+# recipe at document granularity, with no external encoder. Only
+# positive-cosine candidates enter the margin (standard practice: a
+# negative or zero neighborhood mean makes the ratio meaningless).
+
+_XLING_X_LANG = "en"
+_XLING_Y_LANG = "de"
+_XLING_K = 4
+_XLING_THRESH = 1.01
+
+_XLING_DOT = (
+    f"list_reduce(list_prepend(0.0, list_transform(generate_series(1, {_HASH_EMB_DIM}), "
+    f"i -> xe[i] * ye[i])), (acc, x) -> acc + x)"
+)
+
+_XLING_ORACLE_TMPL = """
+WITH {CTE},
+x AS (
+    SELECT e.doc_id AS x_id, e.embedding AS xe
+    FROM emb e JOIN documents d ON d.doc_id = e.doc_id
+    WHERE d.lang = '{XL}'
+),
+y AS (
+    SELECT e.doc_id AS y_id, e.embedding AS ye
+    FROM emb e JOIN documents d ON d.doc_id = e.doc_id
+    WHERE d.lang = '{YL}'
+),
+scored AS (
+    SELECT * FROM (
+        SELECT x_id, y_id, {DOT} AS cosine FROM x CROSS JOIN y
+    ) WHERE cosine > 0
+),
+rnk AS (
+    SELECT x_id, y_id, cosine,
+           ROW_NUMBER() OVER (PARTITION BY x_id ORDER BY cosine DESC, y_id) AS rx,
+           ROW_NUMBER() OVER (PARTITION BY y_id ORDER BY cosine DESC, x_id) AS ry
+    FROM scored
+),
+mx AS (SELECT x_id, CAST(SUM(CAST(cosine AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*)
+               AS knn_x
+       FROM rnk WHERE rx <= {K} GROUP BY x_id),
+my AS (SELECT y_id, CAST(SUM(CAST(cosine AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*)
+               AS knn_y
+       FROM rnk WHERE ry <= {K} GROUP BY y_id),
+m AS (
+    SELECT s.x_id, s.y_id, s.cosine,
+           s.cosine / ((mx.knn_x + my.knn_y) / 2) AS margin
+    FROM scored s JOIN mx USING (x_id) JOIN my USING (y_id)
+),
+best AS (
+    SELECT x_id, y_id, cosine, margin,
+           ROW_NUMBER() OVER (PARTITION BY x_id ORDER BY margin DESC, y_id) AS bx,
+           ROW_NUMBER() OVER (PARTITION BY y_id ORDER BY margin DESC, x_id) AS by_
+    FROM m
+)
+SELECT x_id AS en_doc, y_id AS de_doc, cosine, margin
+FROM best
+WHERE bx = 1 AND by_ = 1 AND margin >= {T}
+ORDER BY en_doc
+"""
+
+
+def _xling_oracle() -> str:
+    return _XLING_ORACLE_TMPL.format(
+        CTE=_HASH_EMB_CTE,
+        XL=_XLING_X_LANG,
+        YL=_XLING_Y_LANG,
+        DOT=_XLING_DOT,
+        K=_XLING_K,
+        T=_XLING_THRESH,
+    )
+
+
+@register("doc_crosslingual_mining", _xling_oracle())
+def doc_crosslingual_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-lingual document pair mining: hashed text embeddings
+    (``doc_embedding_hashed``) of the ``en`` and ``de`` subsets, scored by
+    the shared dot-product fold (vectors are unit-norm), positive-cosine
+    candidates ranked by the ratio margin with mutual-best + threshold
+    (``operators/bitext.py`` — the same miner the embedding-table queries
+    use, with count means because the positive filter bounds candidate
+    lists). CCMatrix at document granularity with no external encoder.
+
+    Scale: the embedding bridge is a token-keyed rollup (no text past it);
+    the X side broadcasts for the exact baseline, and at corpus scale
+    candidates pre-bound by LSH bands exactly as ``embedding_bitext_lsh``
+    does — the miner runs unchanged on the bounded frame.
+    """
+    from ..operators.bitext import margin_mutual_best
+
+    emb = doc_embedding_hashed(spark, sf_dir)
+    langs = _docs(spark, sf_dir).select("doc_id", "lang")
+    e = emb.join(langs, "doc_id")
+    x = e.where(F.col("lang") == _XLING_X_LANG).select(
+        F.col("doc_id").alias("x_id"), F.col("embedding").alias("xe")
+    )
+    y = e.where(F.col("lang") == _XLING_Y_LANG).select(
+        F.col("doc_id").alias("y_id"), F.col("embedding").alias("ye")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("xe"), F.col("ye"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        F.broadcast(x)
+        .crossJoin(y)
+        .select("x_id", "y_id", dot.alias("cosine"))
+        .where(F.col("cosine") > 0)
+    )
+    return margin_mutual_best(scored, _XLING_K, _XLING_THRESH, mean_by="count").select(
+        F.col("x_id").alias("en_doc"),
+        F.col("y_id").alias("de_doc"),
+        "cosine",
+        "margin",
+    )

@@ -1358,46 +1358,9 @@ def embedding_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cosine = _dot(F.col("x_emb"), F.col("y_emb")) / (F.col("x_nrm") * F.col("y_nrm"))
     scored = F.broadcast(x).crossJoin(y).select("x_id", "y_id", cosine.alias("cosine"))
+    from ..operators.bitext import margin_mutual_best
 
-    wx = Window.partitionBy("x_id").orderBy(F.desc("cosine"), "y_id")
-    wy = Window.partitionBy("y_id").orderBy(F.desc("cosine"), "x_id")
-    rnk = scored.select(
-        "x_id",
-        "y_id",
-        "cosine",
-        F.row_number().over(wx).alias("rx"),
-        F.row_number().over(wy).alias("ry"),
-    )
-    dec = F.col("cosine").cast("decimal(38,18)")
-    mx = (
-        rnk.where(F.col("rx") <= _BITEXT_K)
-        .groupBy("x_id")
-        .agg((F.sum(dec).cast("double") / _BITEXT_K).alias("knn_x"))
-    )
-    my = (
-        rnk.where(F.col("ry") <= _BITEXT_K)
-        .groupBy("y_id")
-        .agg((F.sum(dec).cast("double") / _BITEXT_K).alias("knn_y"))
-    )
-    margin = F.col("cosine") / ((F.col("knn_x") + F.col("knn_y")) / 2)
-    m = scored.join(mx, "x_id").join(my, "y_id").select(
-        "x_id", "y_id", "cosine", margin.alias("margin")
-    )
-    bx = Window.partitionBy("x_id").orderBy(F.desc("margin"), "y_id")
-    by = Window.partitionBy("y_id").orderBy(F.desc("margin"), "x_id")
-    return (
-        m.select(
-            "x_id",
-            "y_id",
-            "cosine",
-            "margin",
-            F.row_number().over(bx).alias("_bx"),
-            F.row_number().over(by).alias("_by"),
-        )
-        .where((F.col("_bx") == 1) & (F.col("_by") == 1) & (F.col("margin") >= _BITEXT_THRESH))
-        .select("x_id", "y_id", "cosine", "margin")
-        .orderBy("x_id")
-    )
+    return margin_mutual_best(scored, _BITEXT_K, _BITEXT_THRESH, mean_by="k")
 
 
 # --- LSH-banded bitext mining (the production path) -----------------------------------
@@ -1541,46 +1504,9 @@ def embedding_bitext_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         cand.join(a, "x_id").join(b, "y_id").select("x_id", "y_id", cosine.alias("cosine"))
     )
+    from ..operators.bitext import margin_mutual_best
 
-    wx = Window.partitionBy("x_id").orderBy(F.desc("cosine"), "y_id")
-    wy = Window.partitionBy("y_id").orderBy(F.desc("cosine"), "x_id")
-    rnk = scored.select(
-        "x_id",
-        "y_id",
-        "cosine",
-        F.row_number().over(wx).alias("rx"),
-        F.row_number().over(wy).alias("ry"),
-    )
-    dec = F.col("cosine").cast("decimal(38,18)")
-    mx = (
-        rnk.where(F.col("rx") <= _BITEXT_K)
-        .groupBy("x_id")
-        .agg((F.sum(dec).cast("double") / F.count(F.lit(1))).alias("knn_x"))
-    )
-    my = (
-        rnk.where(F.col("ry") <= _BITEXT_K)
-        .groupBy("y_id")
-        .agg((F.sum(dec).cast("double") / F.count(F.lit(1))).alias("knn_y"))
-    )
-    margin = F.col("cosine") / ((F.col("knn_x") + F.col("knn_y")) / 2)
-    m = scored.join(mx, "x_id").join(my, "y_id").select(
-        "x_id", "y_id", "cosine", margin.alias("margin")
-    )
-    wbx = Window.partitionBy("x_id").orderBy(F.desc("margin"), "y_id")
-    wby = Window.partitionBy("y_id").orderBy(F.desc("margin"), "x_id")
-    return (
-        m.select(
-            "x_id",
-            "y_id",
-            "cosine",
-            "margin",
-            F.row_number().over(wbx).alias("_bx"),
-            F.row_number().over(wby).alias("_by"),
-        )
-        .where((F.col("_bx") == 1) & (F.col("_by") == 1) & (F.col("margin") >= _BITEXT_THRESH))
-        .select("x_id", "y_id", "cosine", "margin")
-        .orderBy("x_id")
-    )
+    return margin_mutual_best(scored, _BITEXT_K, _BITEXT_THRESH, mean_by="count")
 
 
 _BITEXT_RECALL_ORACLE = f"""

@@ -1279,3 +1279,17 @@ def test_release_packing_keeps_the_release_shape_plus_one_histogram_pass(spark, 
             assert (
                 "html#" not in ln and "extracted#" not in ln and "norm#" not in ln
             ), ln
+
+
+def test_crosslingual_mining_text_free_past_the_bridge(spark, sf_dir):
+    """doc_crosslingual_mining: document text feeds only the hashed-embedding
+    bridge (token-keyed rollup); past it every exchange carries fixed-width
+    (id, cosine/margin) rows or the id-keyed 64-double vectors — no Python,
+    no cartesian fallback, the X side broadcast for the cross join."""
+    plan = exec_plan_of(spark, sf_dir, "doc_crosslingual_mining")
+    assert "BroadcastNestedLoopJoin" in plan  # broadcast(x).crossJoin(y)
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    for ln in plan.splitlines():
+        if "Exchange" in ln:
+            assert "text#" not in ln, ln
