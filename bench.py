@@ -462,6 +462,10 @@ def main() -> None:
             "embedding_bitext_mining",
             "embedding_bitext_lsh",
             "embedding_bitext_lsh_recall",
+            # doc_crosslingual_mining stays out of the wave: its exact arm is
+            # ~20 s at the gate scale (positive-cosine keeps ~every pair on
+            # this shared-vocab fixture — zero selectivity, quadratic by
+            # design; SCALING.md documents the curve and the LSH contract)
         )
         training_calib = calibration(spark, runs_out=calib_runs.setdefault("training", []))
         training_q = {}
