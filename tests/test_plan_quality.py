@@ -1282,14 +1282,15 @@ def test_release_packing_keeps_the_release_shape_plus_one_histogram_pass(spark, 
 
 
 def test_crosslingual_mining_text_free_past_the_bridge(spark, sf_dir):
-    """doc_crosslingual_mining: document text feeds only the hashed-embedding
-    bridge (token-keyed rollup); past it every exchange carries fixed-width
-    (id, cosine/margin) rows or the id-keyed 64-double vectors — no Python,
-    no cartesian fallback, the X side broadcast for the cross join."""
+    """doc_crosslingual_mining: the bridge + fold materialize ONCE behind a
+    localCheckpoint (the final plan reads the scored candidates as an
+    ExistingRDD — text and embeddings never appear downstream); the miner
+    itself is windows/joins over fixed-width (id, cosine/margin) rows with
+    no Python and no cartesian fallback."""
     plan = exec_plan_of(spark, sf_dir, "doc_crosslingual_mining")
-    assert "BroadcastNestedLoopJoin" in plan  # broadcast(x).crossJoin(y)
+    assert "Scan ExistingRDD" in plan  # the checkpointed candidate frame
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     for ln in plan.splitlines():
         if "Exchange" in ln:
-            assert "text#" not in ln, ln
+            assert "text#" not in ln and "xe#" not in ln and "ye#" not in ln, ln
