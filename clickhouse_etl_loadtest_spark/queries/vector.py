@@ -1441,6 +1441,35 @@ ORDER BY x_id
 """
 
 
+def _banded_pairs(sig_x: DataFrame, sig_y: DataFrame) -> DataFrame:
+    """Cross-corpus candidate pairs agreeing on >=1 signature band: explode
+    each side's bucket into (band_idx, band_val) keys, equi-join, distinct.
+    ``sig_x``/``sig_y`` carry (x_id|y_id, bucket). Shared by the
+    embedding-table and document-level banded miners."""
+
+    def _bands(sig: DataFrame, id_col: str) -> DataFrame:
+        band_val = (
+            F.floor(
+                F.col("bucket") / F.pow(F.lit(2), F.col("band_idx") * _BITEXT_BAND_BITS)
+            ).cast("int")
+            % (1 << _BITEXT_BAND_BITS)
+        )
+        return sig.select(
+            id_col,
+            "bucket",
+            F.posexplode(F.array(*[F.lit(i) for i in range(_BITEXT_BANDS)])).alias(
+                "band_idx", "_v"
+            ),
+        ).select(id_col, "band_idx", band_val.alias("band_val"))
+
+    return (
+        _bands(sig_x, "x_id")
+        .join(_bands(sig_y, "y_id"), ["band_idx", "band_val"])
+        .select("x_id", "y_id")
+        .distinct()
+    )
+
+
 @register("embedding_bitext_lsh", _BITEXT_LSH_ORACLE)
 def embedding_bitext_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bitext mining over LSH-banded candidates — how
@@ -1464,26 +1493,10 @@ def embedding_bitext_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = _emb(spark, sf_dir)
     sig = _lsh_sig(e)
-    band_val = (
-        F.floor(
-            F.col("bucket") / F.pow(F.lit(2), F.col("band_idx") * _BITEXT_BAND_BITS)
-        ).cast("int")
-        % (1 << _BITEXT_BAND_BITS)
+    cand = _banded_pairs(
+        sig.where(F.col("vec_id") % 2 == 0).select(F.col("vec_id").alias("x_id"), "bucket"),
+        sig.where(F.col("vec_id") % 2 == 1).select(F.col("vec_id").alias("y_id"), "bucket"),
     )
-    bands = sig.select(
-        "vec_id",
-        "bucket",
-        F.posexplode(F.array(*[F.lit(i) for i in range(_BITEXT_BANDS)])).alias(
-            "band_idx", "_v"
-        ),
-    ).select("vec_id", "band_idx", band_val.alias("band_val"))
-    bx = bands.where(F.col("vec_id") % 2 == 0).select(
-        F.col("vec_id").alias("x_id"), "band_idx", "band_val"
-    )
-    by = bands.where(F.col("vec_id") % 2 == 1).select(
-        F.col("vec_id").alias("y_id"), "band_idx", "band_val"
-    )
-    cand = bx.join(by, ["band_idx", "band_val"]).select("x_id", "y_id").distinct()
 
     n = e.select(
         "vec_id",
@@ -1564,4 +1577,174 @@ def embedding_bitext_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(both) * 1.0 / F.nullif(F.sum("in_lsh"), F.lit(0)), 6).alias(
             "precision_vs_exact"
         ),
+    )
+
+
+# --- LSH-banded cross-lingual document mining -------------------------------------------
+# The production path for doc_crosslingual_mining (queries/text.py): the
+# same hyperplane signatures over the HASHED TEXT embeddings, band-keyed
+# candidate generation, then the count-mean margin miner on the bounded
+# frame. Lives here with the rest of the LSH machinery; the exact arm owns
+# the semantics docstring.
+
+_XLSH_ORACLE_TMPL = """
+WITH {CTE},
+langside AS (
+    SELECT e.doc_id, e.embedding, d.lang
+    FROM emb e JOIN documents d ON d.doc_id = e.doc_id
+    WHERE d.lang IN ('{XL}', '{YL}')
+),
+proj AS (
+    SELECT doc_id, lang,
+           {PROJS}
+    FROM langside
+),
+sig AS (
+    SELECT doc_id, lang,
+           CAST({BUCKET} AS INT) AS bucket
+    FROM proj
+),
+bands AS (
+    SELECT doc_id, lang, b.band_idx,
+           (bucket // CAST(POW(2, band_idx * {BB}) AS INT)) % {BW} AS band_val
+    FROM sig, (SELECT unnest(generate_series(0, {NB} - 1)) AS band_idx) b
+),
+cand AS (
+    SELECT DISTINCT bx.doc_id AS x_id, by_.doc_id AS y_id
+    FROM bands bx
+    JOIN bands by_ ON bx.band_idx = by_.band_idx AND bx.band_val = by_.band_val
+    WHERE bx.lang = '{XL}' AND by_.lang = '{YL}'
+),
+scored AS (
+    SELECT * FROM (
+        SELECT c.x_id, c.y_id,
+               {DOT} AS cosine
+        FROM cand c
+        JOIN emb ex ON ex.doc_id = c.x_id
+        JOIN emb ey ON ey.doc_id = c.y_id
+    ) WHERE cosine > 0
+),
+rnk AS (
+    SELECT x_id, y_id, cosine,
+           ROW_NUMBER() OVER (PARTITION BY x_id ORDER BY cosine DESC, y_id) AS rx,
+           ROW_NUMBER() OVER (PARTITION BY y_id ORDER BY cosine DESC, x_id) AS ry
+    FROM scored
+),
+mx AS (SELECT x_id, CAST(SUM(CAST(cosine AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*)
+               AS knn_x
+       FROM rnk WHERE rx <= {K} GROUP BY x_id),
+my AS (SELECT y_id, CAST(SUM(CAST(cosine AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*)
+               AS knn_y
+       FROM rnk WHERE ry <= {K} GROUP BY y_id),
+m AS (
+    SELECT s.x_id, s.y_id, s.cosine,
+           s.cosine / ((mx.knn_x + my.knn_y) / 2) AS margin
+    FROM scored s JOIN mx USING (x_id) JOIN my USING (y_id)
+),
+best AS (
+    SELECT x_id, y_id, cosine, margin,
+           ROW_NUMBER() OVER (PARTITION BY x_id ORDER BY margin DESC, y_id) AS bx,
+           ROW_NUMBER() OVER (PARTITION BY y_id ORDER BY margin DESC, x_id) AS by_
+    FROM m
+)
+SELECT x_id AS en_doc, y_id AS de_doc, cosine, margin
+FROM best
+WHERE bx = 1 AND by_ = 1 AND margin >= {T}
+ORDER BY en_doc
+"""
+
+
+def _xlsh_oracle() -> str:
+    from .text import _HASH_EMB_CTE, _HASH_EMB_DIM
+
+    projs = ", ".join(
+        f"list_reduce(list_prepend(0.0, list_transform(generate_series(1, {_HASH_EMB_DIM}), "
+        f"i -> CAST(embedding[i] AS DOUBLE) * ({_coeff_sql(p, 'i')}))), (acc, x) -> acc + x) AS d{p}"
+        for p in range(_N_PLANES)
+    )
+    bucket = " + ".join(
+        f"CASE WHEN d{p} > 0 THEN {1 << p} ELSE 0 END" for p in range(_N_PLANES)
+    )
+    dot = (
+        f"list_reduce(list_prepend(0.0, list_transform(generate_series(1, {_HASH_EMB_DIM}), "
+        f"i -> ex.embedding[i] * ey.embedding[i])), (acc, x) -> acc + x)"
+    )
+    from .text import _XLING_K, _XLING_THRESH, _XLING_X_LANG, _XLING_Y_LANG
+
+    return _XLSH_ORACLE_TMPL.format(
+        CTE=_HASH_EMB_CTE,
+        XL=_XLING_X_LANG,
+        YL=_XLING_Y_LANG,
+        PROJS=projs,
+        BUCKET=bucket,
+        BB=_BITEXT_BAND_BITS,
+        BW=1 << _BITEXT_BAND_BITS,
+        NB=_BITEXT_BANDS,
+        DOT=dot,
+        K=_XLING_K,
+        T=_XLING_THRESH,
+    )
+
+
+@register("doc_crosslingual_lsh", _xlsh_oracle(), extra=True)
+def doc_crosslingual_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded cross-lingual document mining — ``doc_crosslingual_mining``'s
+    production path: hyperplane signatures over the hashed text embeddings,
+    band-keyed candidate equi-join (never all-pairs), positive-cosine gate,
+    count-mean ratio margin, mutual best + threshold. The capability's
+    external verdicts ride on the driver-visible exact arm; this query pins
+    the bounded path value-level against DuckDB every sweep.
+
+    Scale: exactly the ``embedding_bitext_lsh`` shape with the text bridge
+    in front — signatures map-only, candidates bounded by band geometry,
+    vectors re-attach keyed by their own doc_id, the miner unchanged.
+    """
+    from ..operators.bitext import margin_mutual_best
+    from .text import (
+        _XLING_K,
+        _XLING_THRESH,
+        _XLING_X_LANG,
+        _XLING_Y_LANG,
+        _docs,
+        doc_embedding_hashed,
+    )
+
+    emb = doc_embedding_hashed(spark, sf_dir)
+    langs = _docs(spark, sf_dir).select("doc_id", "lang")
+    e = (
+        emb.join(langs, "doc_id")
+        .where(F.col("lang").isin(_XLING_X_LANG, _XLING_Y_LANG))
+        .localCheckpoint()
+    )
+    sig = _lsh_sig(
+        e.select(F.col("doc_id").alias("vec_id"), "embedding"), extra_cols=[]
+    ).join(
+        e.select(F.col("doc_id").alias("vec_id"), "lang"), "vec_id"
+    )
+    cand = _banded_pairs(
+        sig.where(F.col("lang") == _XLING_X_LANG).select(
+            F.col("vec_id").alias("x_id"), "bucket"
+        ),
+        sig.where(F.col("lang") == _XLING_Y_LANG).select(
+            F.col("vec_id").alias("y_id"), "bucket"
+        ),
+    )
+    a = e.select(F.col("doc_id").alias("x_id"), F.col("embedding").alias("xe"))
+    b = e.select(F.col("doc_id").alias("y_id"), F.col("embedding").alias("ye"))
+    dot = F.aggregate(
+        F.zip_with(F.col("xe"), F.col("ye"), lambda p, q: p * q),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        cand.join(a, "x_id")
+        .join(b, "y_id")
+        .select("x_id", "y_id", dot.alias("cosine"))
+        .where(F.col("cosine") > 0)
+    ).localCheckpoint()
+    return margin_mutual_best(scored, _XLING_K, _XLING_THRESH, mean_by="count").select(
+        F.col("x_id").alias("en_doc"),
+        F.col("y_id").alias("de_doc"),
+        "cosine",
+        "margin",
     )
