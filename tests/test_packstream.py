@@ -220,3 +220,21 @@ def test_curate_and_pack_streamed_equals_batch(spark, sf_dir, tmp_path):
         )
     )
     assert got2 == got
+
+
+def test_empty_wave_advances_nothing(spark, tmp_path):
+    """An empty micro-batch (a wave whose curation dropped everything) must
+    land an empty manifest partition, leave the cursor where it was, and
+    not disturb later waves' offsets."""
+    df = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "gamma delta epsilon")], "doc_id long, text string"
+    )
+    state = str(tmp_path / "pack_state")
+    i0 = pack_batch(spark, df.where(F.col("doc_id") == 0), state, 0)
+    i1 = pack_batch(spark, df.where(F.col("doc_id") < 0), state, 1)  # empty
+    i2 = pack_batch(spark, df.where(F.col("doc_id") == 1), state, 2)
+    assert i1 == {"start": i0["end"], "end": i0["end"], "n_docs": 0}
+    assert i2["start"] == i0["end"]
+    m = {r["doc_id"]: r["start_offset"] for r in read_manifest(spark, state).collect()}
+    assert m == {0: 0, 1: i0["end"]}
+    assert cursor(spark, state) == i2["end"]
