@@ -42,12 +42,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..textconst import CTX_LEN as _CTX_LEN
 from .streamhh import _batch_part, _read_latest
 from .wetstream import _TOKEN_RE
-
-# must equal queries/text.py::CTX_LEN — the streamed==batch parity test in
-# tests/test_packstream.py breaks on any drift (the _LANG_MARKERS lesson)
-_CTX_LEN = 512
 _PACK_BUCKET = 64  # doc_ids per prefix-sum histogram bucket (matches batch)
 
 _MANIFEST_SCHEMA = (
@@ -87,7 +84,15 @@ def pack_lengths_batch(
     wet store's ``n_tokens``); :func:`pack_batch` is the tokenizing skin."""
     from .ranking import global_prefix_sum
 
-    prev_cursor, _ = _read_latest(spark, f"{state_path}/cursor", batch_id)
+    prev_cursor, prev_id = _read_latest(spark, f"{state_path}/cursor", batch_id)
+    # "replay recomputes from the pre-batch cursor" assumes foreachBatch's
+    # monotonic batch ids: replaying an OLDER batch after a newer one landed
+    # would read the newer cursor and silently corrupt the stream — fail loud
+    if prev_id is not None and prev_id > batch_id:
+        raise ValueError(
+            f"pack state at {state_path} already holds cursor batch {prev_id} "
+            f"> {batch_id}; out-of-order re-delivery would corrupt offsets"
+        )
     start = 0
     if prev_cursor is not None:
         start = int(prev_cursor.first()["end_offset"])
@@ -220,8 +225,13 @@ def curate_and_pack_batch(
     # decision needs the fingerprint column that reader projects away
     latest = raw.groupBy("doc_id").agg(F.max("batch_seq").alias("batch_seq"))
     cur = raw.join(latest, ["doc_id", "batch_seq"])
+    # novelty reads RAW sightings, not latest-wins verdicts: a doc re-crawled
+    # in THIS wave would otherwise vanish from the prior set, letting a new
+    # same-fingerprint doc re-pack content the stream already carries. Any
+    # earlier arrival of a fingerprint blocks re-packing; the replaying
+    # batch's own rows stay excluded, so replays are unchanged.
     prior_fp = (
-        cur.where(F.col("batch_seq") < batch_id).select("fingerprint").distinct()
+        raw.where(F.col("batch_seq") < batch_id).select("fingerprint").distinct()
     )
     from pyspark.sql.window import Window
 

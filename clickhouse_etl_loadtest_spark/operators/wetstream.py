@@ -47,8 +47,10 @@ from ..functions.hashing import h60
 from ..functions.html import extract_text
 from .robots import robots_verdict
 
-# literal twins of queries/text.py constants (see module docstring)
-_TOKEN_RE = "[a-z0-9]+"
+from ..textconst import TOKEN_RE as _TOKEN_RE
+
+# literal twins of queries/text.py constants (see module docstring);
+# TOKEN_RE itself is canonical in textconst.py, shared by both layers
 _STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
 _LANG_MARKERS = {
     "de": ("der", "die", "das", "und", "nicht", "ist"),

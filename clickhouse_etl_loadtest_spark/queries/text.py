@@ -36,10 +36,10 @@ from ..functions.hashing import (
 )
 from . import register
 
-TOKEN_RE = "[a-z0-9]+"
-
-# tokens per training context — the packing constant shared with queries/curation.py
-CTX_LEN = 512
+# canonical literals live one layer down so operators/ can share them
+# without importing queries/ (see textconst.py); re-exported here unchanged
+# for this module's existing importers (curation.py, release.py, tests)
+from ..textconst import CTX_LEN, TOKEN_RE  # noqa: F401
 # BPE-ish pretokenizer: letter runs, digit runs, single punctuation marks
 BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
 

@@ -405,12 +405,21 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _lsh_sig(e, extra_cols=["label"]).orderBy("vec_id")
 
 
-def _lsh_sig(e: DataFrame, extra_cols: list[str] | None = None) -> DataFrame:
+def _lsh_sig(
+    e: DataFrame, extra_cols: list[str] | None = None, dim: int = DIM
+) -> DataFrame:
     """(vec_id, bucket) signature frame: the shared map-only projection used
-    by ``ann_lsh_buckets`` and the banded bitext candidate generation."""
+    by ``ann_lsh_buckets`` and the banded bitext candidate generation.
+
+    ``dim`` MUST equal the length of the input ``embedding`` vectors: the
+    hyperplane coefficients are plan-time literal arrays of that length, and
+    ``zip_with`` silently null-pads a mismatch (every projection would go
+    null and all rows would collapse into one bucket). Callers feeding
+    anything other than the embeddings table (e.g. the hashed text
+    embeddings) must pass their own dim explicitly."""
 
     def _proj(p: int):
-        coeffs = F.array(*[F.lit(_coeff_py(p, i)) for i in range(1, DIM + 1)])
+        coeffs = F.array(*[F.lit(_coeff_py(p, i)) for i in range(1, dim + 1)])
         prod = F.zip_with(F.col("embedding"), coeffs, lambda x, cfc: x.cast("double") * cfc)
         return F.aggregate(prod, F.lit(0.0), lambda acc, x: acc + x)
 
@@ -1701,6 +1710,7 @@ def doc_crosslingual_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..operators.bitext import margin_mutual_best
     from .text import (
+        _HASH_EMB_DIM,
         _XLING_K,
         _XLING_THRESH,
         _XLING_X_LANG,
@@ -1717,7 +1727,9 @@ def doc_crosslingual_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     sig = _lsh_sig(
-        e.select(F.col("doc_id").alias("vec_id"), "embedding"), extra_cols=[]
+        e.select(F.col("doc_id").alias("vec_id"), "embedding"),
+        extra_cols=[],
+        dim=_HASH_EMB_DIM,
     ).join(
         e.select(F.col("doc_id").alias("vec_id"), "lang"), "vec_id"
     )

@@ -2,10 +2,10 @@
 idempotence, cursor exactness — driven both as direct foreachBatch-body
 calls and through a REAL availableNow file stream.
 
-The streamed==batch equality doubles as the literal-drift guard: the
-operator re-declares the tokenizer regex and context length, and any drift
-from ``doc_context_packing``'s values breaks row-for-row equality here
-(the ``_LANG_MARKERS`` lesson from the wetstream operator).
+The tokenizer regex and context length are canonical in ``textconst.py``
+(shared by both layers since round 11), so literal drift is impossible by
+construction; the streamed==batch equality still pins the SEMANTICS (same
+tokenize, same prefix-sum, same chunking) row-for-row.
 """
 
 import pyarrow as pa
@@ -220,6 +220,58 @@ def test_curate_and_pack_streamed_equals_batch(spark, sf_dir, tmp_path):
         )
     )
     assert got2 == got
+
+
+def test_recrawl_in_wave_does_not_unblock_fingerprint(spark, sf_dir, tmp_path):
+    """A doc re-crawled in the CURRENT wave must not make its fingerprint
+    look novel: novelty derives from raw sightings, not latest-wins
+    verdicts. Otherwise a new smaller-doc_id doc carrying the same
+    fingerprint would re-pack content the token stream already holds."""
+    from clickhouse_etl_loadtest_spark.operators.packstream import (
+        curate_and_pack_batch,
+    )
+    from clickhouse_etl_loadtest_spark.operators.wetstream import (
+        _walk_warc,
+        wet_verdicts,
+    )
+    from clickhouse_etl_loadtest_spark.queries.html import _warc_col
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    frame = docs.select("doc_id", _warc_col().alias("warc"))
+    good = (
+        wet_verdicts(_walk_warc(frame))
+        .where("keep_quality")
+        .orderBy("doc_id")
+        .first()["doc_id"]
+    )
+    w = frame.where(F.col("doc_id") == good).first()["warc"]
+    wet_store = str(tmp_path / "wet_store")
+    pack_state = str(tmp_path / "pack_state")
+    wave0 = spark.createDataFrame([(10, w)], "doc_id long, warc string")
+    i0 = curate_and_pack_batch(spark, wave0, wet_store, pack_state, 0)
+    assert i0["n_docs"] == 1
+    # wave 1 re-crawls doc 10 AND introduces doc 5 with identical content:
+    # doc 5 wins the within-wave canon but the fingerprint was carried by
+    # wave 0, so NOTHING new may enter the stream
+    wave1 = spark.createDataFrame([(10, w), (5, w)], "doc_id long, warc string")
+    i1 = curate_and_pack_batch(spark, wave1, wet_store, pack_state, 1)
+    assert i1["n_docs"] == 0
+    assert i1["end"] == i0["end"] == cursor(spark, pack_state)
+    assert [r["doc_id"] for r in read_manifest(spark, pack_state).collect()] == [10]
+
+
+def test_out_of_order_batch_replay_fails_loud(spark, tmp_path):
+    """Re-delivering an OLDER batch after a newer one landed would read the
+    newer cursor and rewrite the old manifest with wrong offsets; the
+    operator must refuse (foreachBatch only ever replays the newest id)."""
+    df = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "gamma delta epsilon")], "doc_id long, text string"
+    )
+    state = str(tmp_path / "pack_state")
+    pack_batch(spark, df.where(F.col("doc_id") == 0), state, 0)
+    pack_batch(spark, df.where(F.col("doc_id") == 1), state, 1)
+    with pytest.raises(ValueError, match="out-of-order"):
+        pack_batch(spark, df.where(F.col("doc_id") == 0), state, 0)
 
 
 def test_empty_wave_advances_nothing(spark, tmp_path):
