@@ -238,53 +238,15 @@ def main() -> None:
             p = prev_profile.get("queries", {}).get(name)
             if not p:
                 continue
-            d = {"wall_delta_sec": round(timings[name] - p["warm_median_sec"], 3)}
-            cpu_regressed = None
-            if name in stage_cpu and p.get("stage_cpu_ms") is not None:
-                d["cpu_delta_ms"] = stage_cpu[name] - p["stage_cpu_ms"]
-                if p["stage_cpu_ms"]:
-                    d["cpu_delta_pct"] = round(
-                        100.0 * d["cpu_delta_ms"] / p["stage_cpu_ms"], 1
-                    )
-                # work-based signal: executor run time is summed in-task work,
-                # immune to the driver/JVM/page-cache swings that move walls
-                # (round-9 lesson: normalized walls flagged +13% while every
-                # CPU delta was flat-to-negative — calibration jitter). A
-                # regression is only REAL-flagged when the work moved too.
-                cpu_regressed = d["cpu_delta_ms"] > max(
-                    0.25 * p["stage_cpu_ms"], 150
-                )
-                d["cpu_regressed"] = cpu_regressed
-            if prev_factor is not None:
-                prev_norm = p.get("warm_median_norm_sec", round(p["warm_median_sec"] * prev_factor, 3))
-                d["wall_delta_norm_sec"] = round(timings_norm[name] - prev_norm, 3)
-                # sigma floor at 20% of the profile median: a single capture's
-                # in-run stdev understates the environmental envelope.
-                # Measured round 5 on region_revenue with plan verification:
-                # identical all-broadcast plans (no AQE strategy flip across
-                # 10 runs, same code), fresh-session warm walls 1.16-1.84 s
-                # (in-session 2*sigma ~= 30% of median) AND a
-                # session-to-session median shift of +42% (0.92 -> ~1.31 s)
-                # vs the profile's lucky-tight in-run sigma of 0.058 s.
-                # Sub-second broadcast-heavy queries swing with JVM/GC and
-                # page-cache state the sort+agg calibration can't see; below
-                # ~±40% a one-run delta is indistinguishable from that
-                # envelope, so only larger deltas earn a flag.
-                d["noise"] = abs(d["wall_delta_norm_sec"]) <= 2 * max(
-                    spread[name]["stdev"] * q_factor,
-                    p.get("warm_stdev_sec", 0.0) * prev_factor,
-                    0.20 * prev_norm,
-                    0.05,  # floor: sub-50ms normalized deltas are scheduler jitter
-                )
-            else:
-                d["noise"] = abs(d["wall_delta_sec"]) <= 2 * max(
-                    spread[name]["stdev"], p.get("warm_stdev_sec", 0.0)
-                )
-            # noise classification keys on WORK when CPU data exists: a
-            # wall-only regression with flat CPU is the environment
-            if not d["noise"] and cpu_regressed is False:
-                d["noise"] = True
-                d["noise_reason"] = "wall regressed but stage-CPU flat"
+            d = query_delta(
+                timings[name],
+                timings_norm[name],
+                spread[name]["stdev"],
+                q_factor,
+                prev_factor,
+                p,
+                stage_cpu.get(name),
+            )
             if not d["noise"]:
                 noise_flags.append(name)
             profile_delta[name] = d
@@ -631,6 +593,16 @@ def main() -> None:
             streaming_100m["duration_sec"] * stream_factor, 1
         )
 
+    # Streaming-wave delta vs the previous round, keyed on WORK — see
+    # stream20m_delta for the classification rules.
+    streaming_delta = None
+    if streaming_20m is not None and (prev_profile or {}).get("streaming_loadtest_20m"):
+        streaming_delta = stream20m_delta(
+            streaming_20m, prev_profile["streaming_loadtest_20m"]
+        )
+        if not streaming_delta["noise"]:
+            noise_flags.append("streaming_loadtest_20m")
+
     # Rewrite the committed profile with the FULL diagnostics (spread,
     # stage-CPU, deltas, loadtest + streaming detail, calibration). The
     # round-end commit makes the driver's own run the next round's delta
@@ -665,6 +637,7 @@ def main() -> None:
                 "calibration": calib,
                 "queries_spread": spread,
                 "profile_delta_vs_prev_round": profile_delta,
+                "streaming_delta_vs_prev_round": streaming_delta,
                 "loadtest_5m": loadtest,
                 "loadtest_5m_steady": loadtest_steady,
                 "loadtest_5m_by_processes": sweep or None,
@@ -761,6 +734,117 @@ def _carried_forward(r: dict | None) -> dict | None:
     out = dict(r)
     out["carried_forward"] = True
     return out
+
+
+def query_delta(
+    wall: float,
+    wall_norm: float,
+    run_stdev: float,
+    q_factor: float,
+    prev_factor: float | None,
+    p: dict,
+    cpu_ms: float | None,
+) -> dict:
+    """Classify one query's round-over-round delta against its committed
+    profile row ``p``. Pure so the classification rules — especially the
+    never-both invariant below — stay unit-testable."""
+    d = {"wall_delta_sec": round(wall - p["warm_median_sec"], 3)}
+    cpu_regressed = None
+    if cpu_ms is not None and p.get("stage_cpu_ms") is not None:
+        d["cpu_delta_ms"] = cpu_ms - p["stage_cpu_ms"]
+        if p["stage_cpu_ms"]:
+            d["cpu_delta_pct"] = round(100.0 * d["cpu_delta_ms"] / p["stage_cpu_ms"], 1)
+        # work-based signal: executor run time is summed in-task work,
+        # immune to the driver/JVM/page-cache swings that move walls
+        # (round-9 lesson: normalized walls flagged +13% while every
+        # CPU delta was flat-to-negative — calibration jitter). A
+        # regression is only REAL-flagged when the work moved too.
+        cpu_regressed = d["cpu_delta_ms"] > max(0.25 * p["stage_cpu_ms"], 150)
+        d["cpu_regressed"] = cpu_regressed
+    if prev_factor is not None:
+        prev_norm = p.get(
+            "warm_median_norm_sec", round(p["warm_median_sec"] * prev_factor, 3)
+        )
+        d["wall_delta_norm_sec"] = round(wall_norm - prev_norm, 3)
+        # sigma floor at 20% of the profile median: a single capture's
+        # in-run stdev understates the environmental envelope.
+        # Measured round 5 on region_revenue with plan verification:
+        # identical all-broadcast plans (no AQE strategy flip across
+        # 10 runs, same code), fresh-session warm walls 1.16-1.84 s
+        # (in-session 2*sigma ~= 30% of median) AND a
+        # session-to-session median shift of +42% (0.92 -> ~1.31 s)
+        # vs the profile's lucky-tight in-run sigma of 0.058 s.
+        # Sub-second broadcast-heavy queries swing with JVM/GC and
+        # page-cache state the sort+agg calibration can't see; below
+        # ~±40% a one-run delta is indistinguishable from that
+        # envelope, so only larger deltas earn a flag.
+        d["noise"] = abs(d["wall_delta_norm_sec"]) <= 2 * max(
+            run_stdev * q_factor,
+            p.get("warm_stdev_sec", 0.0) * prev_factor,
+            0.20 * prev_norm,
+            0.05,  # floor: sub-50ms normalized deltas are scheduler jitter
+        )
+    else:
+        d["noise"] = abs(d["wall_delta_sec"]) <= 2 * max(
+            run_stdev, p.get("warm_stdev_sec", 0.0)
+        )
+    # noise classification keys on WORK when CPU data exists: a
+    # wall-only regression with flat CPU is the environment
+    if not d["noise"] and cpu_regressed is False:
+        d["noise"] = True
+        d["noise_reason"] = "wall regressed but stage-CPU flat"
+    # ...and the converse is an INVARIANT, not a judgment call: a row must
+    # never read cpu_regressed AND noise (round-10 lesson — the driver's run
+    # emitted exactly that for dedup_pipeline_e2e, absorbing a CPU signal the
+    # work-keyed rule exists to surface)
+    if d["noise"] and cpu_regressed is True:
+        d["noise"] = False
+        d["noise_reason"] = (
+            "disagreement: stage-CPU regressed though wall sits "
+            "inside the noise envelope"
+        )
+    return d
+
+
+def stream20m_delta(cur: dict, prev20: dict) -> dict:
+    """Round-over-round delta for the 20M streaming wave, keyed on WORK (the
+    state store's summed update time) — wall alone can neither flag nor
+    clear this wave: RocksDB update time is the measured swing axis, and a
+    work regression is never classified noise (same invariant as
+    :func:`query_delta`)."""
+    prev_ss = prev20.get("state_store") or {}
+    cur_ss = cur.get("state_store") or {}
+    d = {
+        "wall_delta_sec": round(cur["duration_sec"] - prev20["duration_sec"], 1)
+        if prev20.get("duration_sec") is not None
+        else None,
+        "wall_delta_norm_sec": round(
+            cur["duration_sec_norm"] - prev20["duration_sec_norm"], 1
+        )
+        if prev20.get("duration_sec_norm") is not None
+        and cur.get("duration_sec_norm") is not None
+        else None,
+        "baseline_carried_forward": bool(prev20.get("carried_forward")),
+    }
+    prev_upd = prev_ss.get("update_time_ms_sum")
+    cur_upd = cur_ss.get("update_time_ms_sum")
+    work_regressed = None
+    if prev_upd and cur_upd is not None:
+        d["update_time_delta_ms"] = cur_upd - prev_upd
+        d["update_time_delta_pct"] = round(100.0 * (cur_upd - prev_upd) / prev_upd, 1)
+        work_regressed = (cur_upd - prev_upd) > 0.25 * prev_upd
+        d["work_regressed"] = work_regressed
+    if work_regressed is True:
+        d["noise"] = False
+        d["noise_reason"] = "state-store update time (work) regressed >25%"
+    elif work_regressed is False:
+        d["noise"] = True
+        d["noise_reason"] = "update time flat; wall movement is the environment"
+    else:  # no state metrics on one side: fall back to normalized wall
+        nd = d.get("wall_delta_norm_sec")
+        base = prev20.get("duration_sec_norm") or 0
+        d["noise"] = nd is None or abs(nd) <= max(0.20 * base, 2.0)
+    return d
 
 
 def _compact_loadtest(r: dict | None) -> dict | None:

@@ -62,6 +62,77 @@ def test_compact_stdout_line_fits_tail_budget():
     assert len(line) <= 1800, f"{len(line)} chars — the driver tail truncates at ~2000"
 
 
+def _delta(wall=1.0, cpu_ms=1000, prev_cpu_ms=1000, run_stdev=0.02, prev_wall=1.0):
+    p = {
+        "warm_median_sec": prev_wall,
+        "warm_median_norm_sec": prev_wall,
+        "warm_stdev_sec": 0.02,
+        "stage_cpu_ms": prev_cpu_ms,
+    }
+    return bench.query_delta(wall, wall, run_stdev, 1.0, 1.0, p, cpu_ms)
+
+
+def test_query_delta_never_both_cpu_regressed_and_noise():
+    """Round-10 contradiction: the driver's profile showed a row with
+    cpu_regressed: true AND noise: true. The classifier must surface the
+    disagreement instead of absorbing the CPU signal."""
+    # wall flat (inside every envelope) but stage-CPU +42%
+    d = _delta(wall=1.02, cpu_ms=1418, prev_cpu_ms=1000)
+    assert d["cpu_regressed"] is True
+    assert d["noise"] is False
+    assert "disagreement" in d["noise_reason"]
+    # the general invariant, a few shapes
+    for w, c in ((0.9, 1500), (1.3, 1400), (1.0, 5000)):
+        d = bench.query_delta(
+            w, w, 0.02, 1.0, 1.0,
+            {"warm_median_sec": 1.0, "warm_median_norm_sec": 1.0,
+             "warm_stdev_sec": 0.02, "stage_cpu_ms": 1000}, c)
+        assert not (d.get("cpu_regressed") and d["noise"])
+
+
+def test_query_delta_wall_only_regression_is_noise():
+    # wall +80% but CPU flat: environment, not the plan
+    d = _delta(wall=1.8, cpu_ms=1010, prev_cpu_ms=1000)
+    assert d["cpu_regressed"] is False
+    assert d["noise"] is True
+    assert d["noise_reason"] == "wall regressed but stage-CPU flat"
+
+
+def test_query_delta_real_regression_flags():
+    # both wall and CPU up: a real regression, flagged
+    d = _delta(wall=2.0, cpu_ms=2000, prev_cpu_ms=1000)
+    assert d["cpu_regressed"] is True and d["noise"] is False
+
+
+def test_stream20m_delta_keys_on_update_time():
+    prev = {
+        "duration_sec": 18.8,
+        "duration_sec_norm": 13.7,
+        "state_store": {"update_time_ms_sum": 441_000},
+    }
+    # the round-10 shape: wall +77%, update time +26% -> work regressed,
+    # never noise (regardless of wall normalization)
+    cur = {
+        "duration_sec": 33.3,
+        "duration_sec_norm": 25.1,
+        "state_store": {"update_time_ms_sum": 555_000},
+    }
+    d = bench.stream20m_delta(cur, prev)
+    assert d["work_regressed"] is True and d["noise"] is False
+    assert d["update_time_delta_pct"] == 25.9
+    # wall up but update time flat -> environment
+    cur2 = {
+        "duration_sec": 33.3,
+        "duration_sec_norm": 25.1,
+        "state_store": {"update_time_ms_sum": 450_000},
+    }
+    d2 = bench.stream20m_delta(cur2, prev)
+    assert d2["work_regressed"] is False and d2["noise"] is True
+    # no state metrics on the prev side -> falls back to normalized wall
+    d3 = bench.stream20m_delta(cur, {"duration_sec": 18.8, "duration_sec_norm": 13.7})
+    assert "work_regressed" not in d3 and d3["noise"] is False
+
+
 def test_compact_stream20m_carries_gate_fields():
     out = bench._compact_stream20m(
         dict(_rep_loadtest(), duration_sec_norm=57.3,
