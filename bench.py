@@ -1024,6 +1024,14 @@ def run_streaming_loadtest(
                 "commit_time_ms_sum": so.get("commitTimeMs"),
                 "update_time_ms_sum": so.get("allUpdatesTimeMs"),
             }
+            if os.environ.get("SPARK_GRAFT_STATE_METRICS_FULL") == "1":
+                # probe mode (scripts/probe_stream20m.py): every RocksDB
+                # custom metric Spark exposes — memtable/compaction/stall
+                # counters — too bulky for the committed profile, decisive
+                # for regression triage
+                out["state_store"]["custom_metrics"] = {
+                    k: v for k, v in sorted(cm.items()) if v
+                }
         print(f"# streaming loadtest {label}: {out}", file=sys.stderr)
         return out
     finally:

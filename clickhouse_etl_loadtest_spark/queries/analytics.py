@@ -1325,7 +1325,7 @@ WHERE p.p_brand LIKE '{_Q17_BRAND_PREFIX}%'
 """
 
 
-@register("small_quantity_part_revenue", _Q17_ORACLE)
+@register("small_quantity_part_revenue", _Q17_ORACLE, extra=True)
 def small_quantity_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 shape: average yearly revenue that would be lost by
     refusing small orders (quantity < 20% of the part's average) for one
@@ -1763,7 +1763,7 @@ ORDER BY s.s_suppkey
 """
 
 
-@register("top_supplier_revenue", _Q15_ORACLE)
+@register("top_supplier_revenue", _Q15_ORACLE, extra=True)
 def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 shape: the supplier(s) achieving maximum revenue over one
     quarter — the view-plus-scalar-subquery shape, with ties KEPT (no

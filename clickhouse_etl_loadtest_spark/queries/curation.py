@@ -2708,7 +2708,7 @@ FROM tot CROSS JOIN x
 """
 
 
-@register("doc_packing_efficiency", _PACK_EFF_ORACLE, extra=True)
+@register("doc_packing_efficiency", _PACK_EFF_ORACLE)
 def doc_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Packing-vs-padding audit, one row: packed context count and stream
     utilization (GPT-style concatenate-and-cut wastes only the final

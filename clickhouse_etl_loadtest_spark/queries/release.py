@@ -702,7 +702,7 @@ ORDER BY chunk_id, pkey
 """
 
 
-@register("doc_release_chunks", _RELEASE_CHUNKS_ORACLE, extra=True)
+@register("doc_release_chunks", _RELEASE_CHUNKS_ORACLE)
 def doc_release_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The inverse release-packing manifest — one row per (training chunk,
     released page) overlap with offsets on both sides: what a loader

@@ -870,7 +870,7 @@ ORDER BY vec_id
 """
 
 
-@register("embedding_pca_energy_total", _PCA_ENERGY_ORACLE)
+@register("embedding_pca_energy_total", _PCA_ENERGY_ORACLE, extra=True)
 def embedding_pca_energy_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SQL-expressible external surface of the PCA capability
     (``embedding_pca_residuals`` stays rows-only — its docstring carries the
@@ -1695,7 +1695,7 @@ def _xlsh_oracle() -> str:
     )
 
 
-@register("doc_crosslingual_lsh", _xlsh_oracle(), extra=True)
+@register("doc_crosslingual_lsh", _xlsh_oracle())
 def doc_crosslingual_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded cross-lingual document mining — ``doc_crosslingual_mining``'s
     production path: hyperplane signatures over the hashed text embeddings,
