@@ -33,14 +33,18 @@ Scale:
   on the 60-bit fingerprint, so the merged pass shuffles fixed-width rows
   regardless of document sizes.
 
-Quality/langid constants are kept literal here (operators must not import
-from the query registry layer); drift against the batch query is pinned by
+Quality constants are kept literal here (operators must not import from
+the query registry layer); language-ID is the TRAINED classifier shared as
+CODE (``operators/langid.py::predict_lang_spark`` — the same tier
+``doc_wet_pipeline`` and ``doc_corpus_release`` compose since round 11, so
+the tiers cannot drift). Remaining literal drift against the batch query
+is pinned by
 ``tests/test_wetstream.py::test_streamed_waves_equal_batch_pipeline``.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.hashing import h60
@@ -48,18 +52,7 @@ from ..functions.html import extract_text
 from .robots import robots_verdict
 
 from ..textconst import TOKEN_RE as _TOKEN_RE
-
-# literal twins of queries/text.py constants (see module docstring);
-# TOKEN_RE itself is canonical in textconst.py, shared by both layers
-_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
-_LANG_MARKERS = {
-    "de": ("der", "die", "das", "und", "nicht", "ist"),
-    "en": ("the", "and", "of", "to", "is", "that"),
-    "es": ("el", "la", "de", "que", "los", "es"),
-    "fr": ("le", "la", "les", "des", "est", "une"),
-    "zh": ("de", "shi", "le", "bu", "wo", "zai"),
-}
-_LANGS = sorted(_LANG_MARKERS)
+from .langid import predict_lang_spark
 
 
 def _walk_warc(df: DataFrame, id_col: str = "doc_id", warc_col: str = "warc") -> DataFrame:
@@ -108,10 +101,13 @@ def _walk_warc(df: DataFrame, id_col: str = "doc_id", warc_col: str = "warc") ->
 
 def wet_verdicts(walked: DataFrame, html_col: str = "html") -> DataFrame:
     """Per-document verdict rows from (doc_id, target_uri, html): extraction,
-    quality score (length/punct/token signals), marker-word language-ID, the
+    quality score (length/punct/token signals), TRAINED language-ID
+    (``predict_lang_spark`` — the tier every composed pipeline shares), the
     whitespace-normalized 60-bit fingerprint, and the host (for curation).
-    Map-only; raw text is dropped from the output, so everything downstream
-    shuffles fixed-width rows."""
+    The extracted frame materializes once (localCheckpoint) so the metrics
+    branch and the langid rollup never re-run the extraction; raw text is
+    dropped from the output and never crosses an Exchange, so everything
+    downstream shuffles fixed-width rows."""
     # Curation host key: case-insensitive scheme, authority lowercased with
     # userinfo and port stripped — 'HTTP://u@A.Example.COM:8080/x' keys as
     # 'a.example.com', so odd-but-legal URIs cannot silently bypass
@@ -130,7 +126,7 @@ def wet_verdicts(walked: DataFrame, html_col: str = "html") -> DataFrame:
         host.alias("host"),
         path.alias("path"),
         extract_text(F.col(html_col)).alias("extracted"),
-    )
+    ).localCheckpoint()
     toks = F.regexp_extract_all(F.lower(F.col("extracted")), F.lit(_TOKEN_RE), F.lit(0))
     n_chars = F.length("extracted")
     n_punct = n_chars - F.length(F.regexp_replace("extracted", "[^a-zA-Z0-9 ]", ""))
@@ -142,27 +138,25 @@ def wet_verdicts(walked: DataFrame, html_col: str = "html") -> DataFrame:
         + F.when(F.size(toks) >= 20, 1).otherwise(0)
     )
 
-    def _hits(markers: tuple[str, ...]) -> Column:
-        arr = F.array(*[F.lit(w) for w in markers])
-        return F.size(F.filter(toks, lambda w: F.array_contains(arr, w)))
-
-    best = F.greatest(*[_hits(_LANG_MARKERS[lang]) for lang in _LANGS])
-    lang_expr = None
-    for lang in _LANGS:
-        cond = _hits(_LANG_MARKERS[lang]) == best
-        lang_expr = F.when(cond, lang) if lang_expr is None else lang_expr.when(cond, lang)
-
     norm = F.regexp_replace(F.trim(F.lower(F.col("extracted"))), r"\s+", " ")
-    return ex.select(
-        "doc_id",
-        "host",
-        "path",
-        lang_expr.alias("predicted_lang"),
-        F.size(toks).cast("bigint").alias("n_tokens"),
-        quality.cast("int").alias("quality_score"),
-        (quality >= 2).alias("keep_quality"),
-        h60(norm).alias("fingerprint"),
-        h60(F.col("extracted")).alias("text_hash"),
+    lang = predict_lang_spark(
+        ex.select("doc_id", norm.alias("norm_text")), "doc_id", "norm_text"
+    )
+    return (
+        ex.select(
+            "doc_id",
+            "host",
+            "path",
+            F.size(toks).cast("bigint").alias("n_tokens"),
+            quality.cast("int").alias("quality_score"),
+            (quality >= 2).alias("keep_quality"),
+            h60(norm).alias("fingerprint"),
+            h60(F.col("extracted")).alias("text_hash"),
+        )
+        .join(lang, "doc_id", "left")
+        .withColumn(
+            "predicted_lang", F.coalesce(F.col("predicted_lang"), F.lit("und"))
+        )
     )
 
 

@@ -508,18 +508,13 @@ def doc_warc_gz_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- the composed WET pipeline: archive → text → filters → dedup ----------------------
 
-from .text import LANG_MARKERS, STOPWORDS, TOKEN_RE, _langs, _sql_in  # noqa: E402
+from ..operators.langid import predict_lang_spark, predict_lang_sql_ctes  # noqa: E402
+from .text import TOKEN_RE  # noqa: E402
 
-_WET_HITS_SQL = ",\n           ".join(
-    f"len(list_filter(toks, w -> w IN {_sql_in(LANG_MARKERS[lang])})) AS hits_{lang}"
-    for lang in _langs
-)
-_WET_GREATEST = f"GREATEST({', '.join('hits_' + lang for lang in _langs)})"
-_WET_LANG_CASE = (
-    "CASE "
-    + " ".join(f"WHEN hits_{lang} = {_WET_GREATEST} THEN '{lang}'" for lang in _langs)
-    + " END"
-)
+# the langid stage is the TRAINED classifier (operators/langid.py), the same
+# tier doc_corpus_release composes — since round 11 the two composed
+# pipelines agree on language-ID (one implementation, one oracle twin)
+_WET_LID_CTES, _WET_LID_OUT = predict_lang_sql_ctes("normed", "doc_id", "norm_text")
 
 _WET_NORM_SQL = h60_sql_duckdb(
     "regexp_replace(trim(lower(extracted)), '\\s+', ' ', 'g')"
@@ -546,20 +541,21 @@ scored AS (
             + CASE WHEN len(toks) >= 20 THEN 1 ELSE 0 END) AS q
     FROM sig
 ),
-langed AS (
-    SELECT doc_id, extracted, n_tokens, q,
-           {_WET_HITS_SQL}
-    FROM scored
+normed AS (
+    SELECT doc_id,
+           regexp_replace(trim(lower(extracted)), '\\s+', ' ', 'g') AS norm_text
+    FROM ex
 ),
+{_WET_LID_CTES},
 fp AS (
-    SELECT doc_id, n_tokens,
+    SELECT s.doc_id, n_tokens,
            CAST(q AS INT) AS quality_score,
            q >= 2 AS keep_quality,
-           {_WET_LANG_CASE} AS predicted_lang,
+           COALESCE(l.predicted_lang, 'und') AS predicted_lang,
            {_WET_NORM_SQL}
                AS fingerprint,
            {h60_sql_duckdb("extracted")} AS text_hash
-    FROM langed
+    FROM scored s LEFT JOIN {_WET_LID_OUT} l USING (doc_id)
 ),
 dedup AS (
     SELECT *, doc_id = MIN(doc_id) OVER (PARTITION BY fingerprint) AS is_canonical
@@ -588,12 +584,15 @@ def doc_wet_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ONLY keyed exchange is the dedup window on the 60-bit fingerprint —
     raw text never shuffles (dropped before the window).
 
-    The langid stage here is the marker-word CHEAP tier (zero extra passes,
-    shared constants with ``doc_language_id``); the trained upgrade is
-    ``doc_language_id_clf`` (``operators/langid.py`` — hashed char-bigram
-    logistic, map-side once its two rollups are fused into this chain's
-    aggregations), which a production pipeline would swap in when marker
-    collisions (e.g. zh-pinyin 'de' ∈ es markers) start costing recall.
+    The langid stage is the TRAINED classifier (``operators/langid.py``
+    ``predict_lang_spark`` — hashed bigram+trigram logistic over the
+    normalized text, pinned weights, DECIMAL-folded scores), the same tier
+    ``doc_corpus_release`` composes: since round 11 every composed pipeline
+    agrees on language-ID through one shared implementation. The extracted
+    frame materializes ONCE (localCheckpoint, the corpus-release precedent)
+    so the metrics branch and the langid rollup both read it without
+    re-running the walk; pages too short to yield a bigram coalesce to
+    'und'. The marker-word cheap tier survives as ``doc_language_id``.
     """
     d = _docs(spark, sf_dir).select("doc_id", _warc_col().alias("warc"))
 
@@ -626,7 +625,9 @@ def doc_wet_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=["doc_id", "html"])
 
     walked = d.mapInPandas(walk, "doc_id long, html string")
-    ex = walked.select("doc_id", extract_text(F.col("html")).alias("extracted"))
+    ex = walked.select(
+        "doc_id", extract_text(F.col("html")).alias("extracted")
+    ).localCheckpoint()
 
     toks = F.regexp_extract_all(F.lower(F.col("extracted")), F.lit(TOKEN_RE), F.lit(0))
     n_chars = F.length("extracted")
@@ -637,26 +638,26 @@ def doc_wet_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.when(F.size(toks) >= 20, 1).otherwise(0)
     )
 
-    def _hits(markers: tuple[str, ...]) -> Column:
-        arr = F.array(*[F.lit(w) for w in markers])
-        return F.size(F.filter(toks, lambda w: F.array_contains(arr, w)))
-
-    best = F.greatest(*[_hits(LANG_MARKERS[lang]) for lang in _langs])
-    lang_expr = None
-    for lang in _langs:
-        cond = _hits(LANG_MARKERS[lang]) == best
-        lang_expr = F.when(cond, lang) if lang_expr is None else lang_expr.when(cond, lang)
-
     norm = F.regexp_replace(F.trim(F.lower(F.col("extracted"))), r"\s+", " ")
-    scored = ex.select(
-        "doc_id",
-        lang_expr.alias("predicted_lang"),
-        F.size(toks).cast("bigint").alias("n_tokens"),
-        quality.cast("int").alias("quality_score"),
-        (quality >= 2).alias("keep_quality"),
-        h60(norm).alias("fingerprint"),
-        h60(F.col("extracted")).alias("text_hash"),
-    )  # raw text dropped HERE — only 60-bit keys + scalars cross the shuffle
+    # trained language-ID over the normalized text — both branches read the
+    # checkpointed frame, so the walk never re-runs and text stays map-side
+    lang = predict_lang_spark(
+        ex.select("doc_id", norm.alias("norm_text")), "doc_id", "norm_text"
+    )
+    scored = (
+        ex.select(
+            "doc_id",
+            F.size(toks).cast("bigint").alias("n_tokens"),
+            quality.cast("int").alias("quality_score"),
+            (quality >= 2).alias("keep_quality"),
+            h60(norm).alias("fingerprint"),
+            h60(F.col("extracted")).alias("text_hash"),
+        )  # raw text dropped HERE — only 60-bit keys + scalars cross shuffles
+        .join(lang, "doc_id", "left")
+        .withColumn(
+            "predicted_lang", F.coalesce(F.col("predicted_lang"), F.lit("und"))
+        )
+    )
 
     from pyspark.sql import Window
 

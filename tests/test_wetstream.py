@@ -21,11 +21,11 @@ REG = load_all()
 
 # doc 7 duplicates doc 2's text exactly (keep-first => 2 canonical, 7 not);
 # every text is >=100 chars so the quality length rule has both outcomes.
-# Docs 8-11 are marker-drift tripwires: each contains words where the
-# operator's literal _LANG_MARKERS historically drifted from text.py's
-# LANG_MARKERS ('that' vs 'in' for en, 'nicht' vs 'ein' for de) arranged so
-# ANY drift in those four slots flips predicted_lang and breaks the
-# streamed==batch equality below.
+# Docs 8-11 were marker-drift tripwires for the literal _LANG_MARKERS era;
+# since round 11 language-ID is the trained classifier shared as CODE
+# (operators/langid.py::predict_lang_spark) on both sides, so drift is
+# structurally impossible — the docs stay because mixed-language text still
+# exercises the score argmax through the streamed==batch equality below.
 _BASE = "the fast key order sort table scan merge part window small hash join "
 DOCS = [
     (0, _BASE + "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu"),
