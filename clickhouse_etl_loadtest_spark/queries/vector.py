@@ -1450,23 +1450,30 @@ ORDER BY x_id
 """
 
 
-def _banded_pairs(sig_x: DataFrame, sig_y: DataFrame) -> DataFrame:
+def _banded_pairs(
+    sig_x: DataFrame,
+    sig_y: DataFrame,
+    bands: int = _BITEXT_BANDS,
+    band_bits: int = _BITEXT_BAND_BITS,
+) -> DataFrame:
     """Cross-corpus candidate pairs agreeing on >=1 signature band: explode
     each side's bucket into (band_idx, band_val) keys, equi-join, distinct.
     ``sig_x``/``sig_y`` carry (x_id|y_id, bucket). Shared by the
-    embedding-table and document-level banded miners."""
+    embedding-table and document-level banded miners; ``bands``/``band_bits``
+    (bands x band_bits must cover the signature planes) parametrize the
+    recall/cost dial so the recall-curve harness can sweep band counts."""
 
     def _bands(sig: DataFrame, id_col: str) -> DataFrame:
         band_val = (
             F.floor(
-                F.col("bucket") / F.pow(F.lit(2), F.col("band_idx") * _BITEXT_BAND_BITS)
+                F.col("bucket") / F.pow(F.lit(2), F.col("band_idx") * band_bits)
             ).cast("int")
-            % (1 << _BITEXT_BAND_BITS)
+            % (1 << band_bits)
         )
         return sig.select(
             id_col,
             "bucket",
-            F.posexplode(F.array(*[F.lit(i) for i in range(_BITEXT_BANDS)])).alias(
+            F.posexplode(F.array(*[F.lit(i) for i in range(bands)])).alias(
                 "band_idx", "_v"
             ),
         ).select(id_col, "band_idx", band_val.alias("band_val"))

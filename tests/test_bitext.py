@@ -116,3 +116,74 @@ def test_banded_pairs_are_a_subset_semantically_consistent(spark, tmp_path):
     ys = [r["y_id"] for r in rows]
     assert len(xs) == len(set(xs)) and len(ys) == len(set(ys))
     assert all(x % 2 == 0 and y % 2 == 1 for x, y in zip(xs, ys))
+
+
+def _correlated_corpus(n_pairs=50, n_noise=70, noise=0.35, seed=17):
+    """TRUE pairs at high cosine over a random noise floor — the regime the
+    banding argument assumes (the embeddings-table fixture is the
+    near-orthogonal WORST case; this is the realistic complement). Pair i
+    is (x=2i, y=2i+1): two unit perturbations of one shared base direction
+    (cosine ~0.89 at noise=0.35); the noise vectors are independent."""
+    rng = np.random.default_rng(seed)
+    vecs = []
+    for _ in range(n_pairs):
+        b = rng.normal(size=DIM)
+        vecs.append(_unit(b + noise * rng.normal(size=DIM)))
+        vecs.append(_unit(b + noise * rng.normal(size=DIM)))
+    for _ in range(n_noise):
+        vecs.append(_unit(rng.normal(size=DIM)))
+        vecs.append(_unit(rng.normal(size=DIM)))
+    return vecs
+
+
+def test_correlated_fixture_production_recall(spark, tmp_path):
+    """On the correlated fixture the production setting (4 bands x 3 bits)
+    must keep >= 0.9 of the TRUE pairs the exact miner finds (measured
+    0.98 — one banding miss out of 50). The overall-vs-exact recall is
+    lower by design: the exact arm also mines low-cosine noise-floor
+    margin-pairs that banding intentionally prunes, which is the
+    worst-case number embedding_bitext_lsh_recall reports on the
+    near-orthogonal fixture."""
+    vecs = _correlated_corpus()
+    sf = _write_embeddings(tmp_path, vecs)
+    planted = {(2 * i, 2 * i + 1) for i in range(50)}
+    exact = {(r.x_id, r.y_id) for r in REG["embedding_bitext_mining"].fn(spark, sf).collect()}
+    assert len(exact & planted) >= 0.95 * len(planted)  # the baseline sees them
+    lsh = {(r.x_id, r.y_id) for r in REG["embedding_bitext_lsh"].fn(spark, sf).collect()}
+    exact_p, lsh_p = exact & planted, lsh & planted
+    assert len(lsh_p & exact_p) / len(exact_p) >= 0.9
+
+
+def test_recall_curve_vs_band_count_on_correlated_fixture(spark, tmp_path):
+    """Candidate-level true-pair recall must climb monotonically with the
+    band count (shorter bands = more collisions = higher recall), with the
+    documented floors: >=0.8 at 3 bands, >=0.9 at the production 4, >=0.95
+    at 6 (measured 0.58 / 0.90 / 0.98 / 1.00 for 2/3/4/6 — the curve
+    recorded in SCALING.md)."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_etl_loadtest_spark.queries.vector import _banded_pairs, _lsh_sig
+
+    vecs = _correlated_corpus()
+    sf = _write_embeddings(tmp_path, vecs)
+    planted = {(2 * i, 2 * i + 1) for i in range(50)}
+    sig = spark.read.parquet(f"{sf}/embeddings.parquet")
+    sig = _lsh_sig(sig)
+    recalls = {}
+    for bands, bits in ((2, 6), (3, 4), (4, 3), (6, 2)):
+        cand = {
+            (r.x_id, r.y_id)
+            for r in _banded_pairs(
+                sig.where(F.col("vec_id") % 2 == 0).select(
+                    F.col("vec_id").alias("x_id"), "bucket"
+                ),
+                sig.where(F.col("vec_id") % 2 == 1).select(
+                    F.col("vec_id").alias("y_id"), "bucket"
+                ),
+                bands,
+                bits,
+            ).collect()
+        }
+        recalls[bands] = len(cand & planted) / len(planted)
+    assert recalls[2] <= recalls[3] <= recalls[4] <= recalls[6], recalls
+    assert recalls[3] >= 0.8 and recalls[4] >= 0.9 and recalls[6] >= 0.95, recalls
