@@ -533,6 +533,12 @@ def main() -> None:
             _shutil.rmtree(shard_dir, ignore_errors=True)
             _shutil.rmtree(store_dir, ignore_errors=True)
 
+    # >2 GiB single-shard chunked-reader proof — opt-in (build + two reads
+    # cost minutes); carried forward in the profile like the 100M wave
+    bigshard_wave = None
+    if os.environ.get("SPARK_GRAFT_BIGSHARD", "0") == "1":
+        bigshard_wave = run_bigshard_wave(spark)
+
     crash_recovery = None
     if os.environ.get("SPARK_GRAFT_CRASH_RECOVERY_20M", "0") == "1":
         import tempfile as _tempfile
@@ -667,6 +673,9 @@ def main() -> None:
                 "shard_wave": shard_wave
                 if shard_wave is not None
                 else _carried_forward((prev_profile or {}).get("shard_wave")),
+                "bigshard_wave": bigshard_wave
+                if bigshard_wave is not None
+                else _carried_forward((prev_profile or {}).get("bigshard_wave")),
                 "best": best,
             },
             f,
@@ -734,6 +743,129 @@ def _carried_forward(r: dict | None) -> dict | None:
     out = dict(r)
     out["carried_forward"] = True
     return out
+
+
+def run_bigshard_wave(spark, target_gib: float = 3.2, chunk_bytes: int = 256 << 20) -> dict:
+    """Opt-in (SPARK_GRAFT_BIGSHARD=1): the >2 GiB chunked-reader proof at
+    its actual regime. Builds ONE ``.warc.gz`` shard past the 2 GiB
+    ``binaryFile`` byte-array ceiling — the size
+    ``read_warc_documents_chunked`` exists for — then proves chunked ==
+    whole-archive extraction there: a driver-side bounded-memory stream
+    walk computes the ground truth (doc count + xor of h60(uri|html)) and
+    the distributed chunked reader must reproduce both, on the fresh-index
+    AND the persisted-index (cdx reuse) paths. Costs ~2 min + ~3.3 GiB of
+    /tmp; the result carries forward in the profile like the other opt-in
+    waves."""
+    import gzip as _gzip
+    import hashlib
+    import math
+    import shutil
+    import tempfile
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from clickhouse_etl_loadtest_spark.functions.hashing import h60
+    from clickhouse_etl_loadtest_spark.operators.warc import (
+        http_body,
+        iter_gzip_member_spans,
+        iter_gzip_members,
+        iter_warc_records,
+    )
+    from clickhouse_etl_loadtest_spark.sources.warcfiles import (
+        read_warc_documents_chunked,
+        warc_member_index,
+    )
+
+    member_raw = 3 << 20  # 3 MiB of random lowercase per response record
+    d = tempfile.mkdtemp(prefix="bench-bigshard-")
+    shard = f"{d}/big-00000.warc.gz"
+    out: dict = {"target_chunk_bytes": chunk_bytes}
+    try:
+        # build: random lowercase barely compresses, so level-1 members land
+        # ~0.8x raw; append until past the target (deterministic per-member
+        # numpy streams — rebuildable bit-for-bit)
+        t0 = time.perf_counter()
+        written, n_members = 0, 0
+        target = int(target_gib * (1 << 30))
+        with open(shard, "wb") as f:
+            while written < target:
+                rng = np.random.default_rng(n_members)
+                text = (
+                    rng.integers(97, 123, size=member_raw, dtype=np.uint8)
+                    .tobytes()
+                    .decode()
+                )
+                uri = f"http://big.example.com/doc/{n_members}"
+                payload = f"HTTP/1.1 200 OK\r\n\r\n<p>{text}</p>".encode()
+                rec = (
+                    f"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: {uri}"
+                    f"\r\nContent-Length: {len(payload)}\r\n\r\n"
+                ).encode() + payload + b"\r\n\r\n"
+                member = _gzip.compress(rec, compresslevel=1)
+                f.write(member)
+                written += len(member)
+                n_members += 1
+        out["build_sec"] = round(time.perf_counter() - t0, 1)
+        out["shard_bytes"] = written
+        out["n_members"] = n_members
+        if written <= (2 << 30) + (64 << 20):
+            raise AssertionError("bigshard fixture must clear the 2 GiB ceiling")
+
+        # driver-side ground truth: one bounded-memory streaming pass (the
+        # 'whole-archive extraction' a binaryFile reader CANNOT do here)
+        t0 = time.perf_counter()
+        n_docs, checksum = 0, 0
+        with open(shard, "rb") as f:
+            spans = list(iter_gzip_member_spans(f))
+            for off, length in spans:
+                f.seek(off)
+                for m in iter_gzip_members(f.read(length)):
+                    for rec in iter_warc_records(m):
+                        if rec["headers"].get("warc-type") == "response":
+                            uri = rec["headers"].get("warc-target-uri", "")
+                            html = http_body(rec["payload"]).decode("utf-8", "replace")
+                            checksum ^= int(
+                                hashlib.md5(f"{uri}|{html}".encode()).hexdigest()[:15],
+                                16,
+                            )
+                            n_docs += 1
+        out["stream_truth_sec"] = round(time.perf_counter() - t0, 1)
+        out["n_docs"] = n_docs
+        out["n_chunks"] = math.ceil(written / chunk_bytes)
+
+        def _agg(df):
+            r = (
+                df.select(h60(F.concat_ws("|", "target_uri", "html")).alias("h"))
+                .agg(F.count(F.lit(1)).alias("n"), F.expr("bit_xor(h)").alias("chk"))
+                .first()
+            )
+            return int(r["n"]), int(r["chk"])
+
+        t0 = time.perf_counter()
+        n1, c1 = _agg(read_warc_documents_chunked(spark, d, target_chunk_bytes=chunk_bytes))
+        out["chunked_fresh_sec"] = round(time.perf_counter() - t0, 1)
+
+        t0 = time.perf_counter()
+        warc_member_index(spark, d).write.mode("overwrite").parquet(f"{d}/index")
+        out["index_build_sec"] = round(time.perf_counter() - t0, 1)
+        idx = spark.read.parquet(f"{d}/index")
+        t0 = time.perf_counter()
+        n2, c2 = _agg(
+            read_warc_documents_chunked(spark, d, target_chunk_bytes=chunk_bytes, index=idx)
+        )
+        out["chunked_index_reuse_sec"] = round(time.perf_counter() - t0, 1)
+
+        out["equal"] = (n1, c1) == (n_docs, checksum) == (n2, c2)
+        if not out["equal"]:
+            raise AssertionError(
+                f"bigshard mismatch: truth=({n_docs},{checksum}) "
+                f"fresh=({n1},{c1}) reuse=({n2},{c2})"
+            )
+        print(f"# bigshard wave: {out}", file=sys.stderr)
+        return out
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
 
 
 def query_delta(

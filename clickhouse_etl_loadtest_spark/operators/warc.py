@@ -60,9 +60,18 @@ def iter_gzip_members(data: bytes) -> Iterator[bytes]:
     the CRC32 + ISIZE trailer per member. Raises ``ValueError`` on bad
     magic, an unsupported compression method, a truncated header/trailer,
     or a CRC/length mismatch.
+
+    The DEFLATE body is fed in bounded memoryview slices: the obvious
+    ``inf.decompress(data[pos:])`` per member copies the whole remaining
+    blob (and ``unused_data`` copies it again), which is O(members x
+    blob_size) memcpy — measured as a multi-minute stall per 256 MiB range
+    task at the >2 GiB-shard regime (~16 GiB of copying per task). This
+    form is O(blob_size) with ≤ ``_FEED``-sized copies.
     """
+    mv = memoryview(data)
     pos = 0
     n = len(data)
+    _FEED = 1 << 20
     while pos < n:
         if data[pos : pos + 2] != GZIP_MAGIC:
             raise ValueError(f"bad gzip magic at byte {pos}")
@@ -92,22 +101,33 @@ def iter_gzip_members(data: bytes) -> Iterator[bytes]:
         if pos > n:
             raise ValueError("truncated gzip member header fields")
         inf = zlib.decompressobj(-zlib.MAX_WBITS)
-        try:
-            out = inf.decompress(data[pos:])
-        except zlib.error as exc:
-            raise ValueError(f"bad DEFLATE stream at byte {pos}: {exc}") from None
-        if not inf.eof:
-            raise ValueError("truncated DEFLATE stream in gzip member")
-        rest = inf.unused_data
-        if len(rest) < 8:
+        chunks = []
+        while True:
+            if pos >= n:
+                raise ValueError("truncated DEFLATE stream in gzip member")
+            fed = mv[pos : pos + _FEED]
+            try:
+                piece = inf.decompress(fed)
+            except zlib.error as exc:
+                raise ValueError(
+                    f"bad DEFLATE stream at byte {pos}: {exc}"
+                ) from None
+            if piece:
+                chunks.append(piece)
+            if inf.eof:
+                pos += len(fed) - len(inf.unused_data)
+                break
+            pos += len(fed)
+        out = b"".join(chunks)
+        if pos + 8 > n:
             raise ValueError("truncated gzip member trailer")
-        crc, isize = struct.unpack_from("<II", rest, 0)
+        crc, isize = struct.unpack_from("<II", data, pos)
         if zlib.crc32(out) & 0xFFFFFFFF != crc:
             raise ValueError("gzip member CRC32 mismatch")
         if len(out) % (1 << 32) != isize:
             raise ValueError("gzip member ISIZE mismatch")
         yield out
-        pos = n - len(rest) + 8
+        pos += 8
 
 
 def iter_gzip_member_spans(fileobj, chunk_size: int = 1 << 20) -> Iterator[tuple[int, int]]:

@@ -36,6 +36,14 @@ from pyspark.sql import DataFrame, SparkSession
 WARC_SCHEMA = (
     "archive_path string, record_index long, target_uri string, html string"
 )
+_WARC_COLS = ["archive_path", "record_index", "target_uri", "html"]
+
+# Max DECOMPRESSED html bytes per yielded pandas batch. Arrow string arrays
+# use int32 offsets (2 GiB of character data per array); a task that walks
+# several ranges — or one shard that inflates well past its compressed size
+# — would otherwise hand pyarrow a ChunkedArray and fail the conversion.
+# 256 MiB leaves 8x headroom even before UTF-8 multi-byte inflation.
+_ARROW_BATCH_CAP = 256 << 20
 
 
 def read_warc_documents(
@@ -63,19 +71,24 @@ def read_warc_documents(
         from clickhouse_etl_loadtest_spark.operators.warc import response_documents
 
         for pdf in it:
-            rows = []
+            rows, acc = [], 0
             for p, content in zip(pdf["path"], pdf["content"]):
                 try:
                     for i, (uri, body) in enumerate(
                         response_documents(bytes(content))
                     ):
-                        rows.append((p, i, uri, body.decode("utf-8", "replace")))
+                        html = body.decode("utf-8", "replace")
+                        rows.append((p, i, uri, html))
+                        acc += len(html)
+                        # flush before the DECOMPRESSED text outgrows Arrow's
+                        # 2 GiB per-array string limit (int32 offsets): a
+                        # sub-ceiling shard can still inflate past it
+                        if acc >= _ARROW_BATCH_CAP:
+                            yield pd.DataFrame(rows, columns=_WARC_COLS)
+                            rows, acc = [], 0
                 except ValueError as exc:
                     raise ValueError(f"malformed WARC archive {p}: {exc}") from exc
-            yield pd.DataFrame(
-                rows,
-                columns=["archive_path", "record_index", "target_uri", "html"],
-            )
+            yield pd.DataFrame(rows, columns=_WARC_COLS)
 
     return bin_df.select("path", "content").mapInPandas(walk, WARC_SCHEMA)
 
@@ -198,7 +211,7 @@ def read_warc_documents_chunked(
         )
 
         for pdf in it:
-            rows = []
+            rows, acc = [], 0
             for p, start, nbytes, first in zip(
                 pdf["archive_path"], pdf["start"], pdf["nbytes"], pdf["first_member"]
             ):
@@ -210,24 +223,30 @@ def read_warc_documents_chunked(
                     for member in iter_gzip_members(blob):
                         for rec in iter_warc_records(member):
                             if rec["headers"].get("warc-type") == "response":
+                                html = http_body(rec["payload"]).decode(
+                                    "utf-8", "replace"
+                                )
                                 rows.append(
                                     (
                                         p,
                                         i,
                                         rec["headers"].get("warc-target-uri", ""),
-                                        http_body(rec["payload"]).decode(
-                                            "utf-8", "replace"
-                                        ),
+                                        html,
                                     )
                                 )
+                                acc += len(html)
+                                # several ~chunk-sized ranges can land in one
+                                # task; flush before the decompressed text
+                                # outgrows Arrow's 2 GiB string-array limit
+                                # (found at the 3.4 GiB-shard regime proof)
+                                if acc >= _ARROW_BATCH_CAP:
+                                    yield pd.DataFrame(rows, columns=_WARC_COLS)
+                                    rows, acc = [], 0
                         i += 1
                 except ValueError as exc:
                     raise ValueError(
                         f"malformed WARC range {p}[{start}:+{nbytes}]: {exc}"
                     ) from exc
-            yield pd.DataFrame(
-                rows,
-                columns=["archive_path", "record_index", "target_uri", "html"],
-            )
+            yield pd.DataFrame(rows, columns=_WARC_COLS)
 
     return ranges.mapInPandas(walk, WARC_SCHEMA)
