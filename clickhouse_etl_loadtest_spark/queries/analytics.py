@@ -2095,7 +2095,7 @@ WHERE l_shipdate >= TIMESTAMP '{_Q6_START}' AND l_shipdate < TIMESTAMP '{_Q6_END
 """
 
 
-@register("discount_forecast_revenue", _Q6_ORACLE)
+@register("discount_forecast_revenue", _Q6_ORACLE, extra=True)
 def discount_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6 shape: revenue that would be forfeited by eliminating a band
     of small-quantity discounts — a single-table triple-predicate global
@@ -2146,7 +2146,7 @@ LIMIT {_Q18_TOPN}
 """
 
 
-@register("large_volume_customer_orders", _Q18_ORACLE)
+@register("large_volume_customer_orders", _Q18_ORACLE, extra=True)
 def large_volume_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape: the customers behind the largest-volume orders — a
     fact-scale rollup filtered by HAVING, joined back through orders to

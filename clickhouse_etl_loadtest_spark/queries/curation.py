@@ -258,6 +258,147 @@ def source_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- data-constrained epoch planning (Muennighoff et al. 2023, public) ---------------
+# Given a training budget larger than the corpus, how many EPOCHS of each
+# source should the sampler schedule? Temperature-flattened weights
+# (alpha = 0.5: w_s ∝ sqrt(tokens_s)) allocate the budget; sources whose
+# allocation exceeds the repetition cap (4 epochs — past which repeated
+# data stops helping, the paper's headline result) are capped and the
+# remainder redistributes over the uncapped sources in one pass. A source
+# pushed past the cap BY the redistribution is flagged (`recap_needed`)
+# rather than silently re-capped — the iterative fixpoint is the sampler's
+# job; this query is the audit-friendly plan.
+
+_EPOCH_BUDGET_X = 3.8  # training budget as a multiple of corpus tokens
+_EPOCH_CAP = 4.0  # max useful epochs per source
+
+_EPOCH_ORACLE = f"""
+WITH per_source AS (
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(regexp_extract_all(lower(text), '{TOKEN_RE}'))) AS BIGINT) AS n_tokens
+    FROM documents GROUP BY source
+),
+tot AS (
+    SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(CAST(sqrt(CAST(n_tokens AS DOUBLE)) AS DECIMAL(38,18))) AS DOUBLE) AS denom
+    FROM per_source
+),
+alloc AS (
+    SELECT source, n_docs, n_tokens,
+           sqrt(CAST(n_tokens AS DOUBLE)) / denom AS mix_weight,
+           (sqrt(CAST(n_tokens AS DOUBLE)) / denom) * (total_tokens * {_EPOCH_BUDGET_X})
+               / n_tokens AS epochs_raw
+    FROM per_source, tot
+),
+flagged AS (
+    SELECT *, epochs_raw > {_EPOCH_CAP} AS capped FROM alloc
+),
+rem AS (
+    SELECT CAST(COALESCE(SUM(CASE WHEN capped THEN n_tokens END), 0) AS BIGINT) AS capped_tokens,
+           CAST(COALESCE(SUM(CASE WHEN NOT capped
+                THEN CAST(sqrt(CAST(n_tokens AS DOUBLE)) AS DECIMAL(38,18)) END), 0) AS DOUBLE)
+               AS denom2
+    FROM flagged
+)
+SELECT source, n_docs, n_tokens,
+       ROUND(mix_weight, 6) AS mix_weight,
+       capped,
+       ROUND(CASE WHEN capped THEN {_EPOCH_CAP} * n_tokens
+             ELSE sqrt(CAST(n_tokens AS DOUBLE)) / denom2
+                  * (total_tokens * {_EPOCH_BUDGET_X} - {_EPOCH_CAP} * capped_tokens)
+             END, 6) AS final_tokens,
+       ROUND(CASE WHEN capped THEN {_EPOCH_CAP}
+             ELSE sqrt(CAST(n_tokens AS DOUBLE)) / denom2
+                  * (total_tokens * {_EPOCH_BUDGET_X} - {_EPOCH_CAP} * capped_tokens)
+                  / n_tokens END, 6) AS final_epochs,
+       (NOT capped) AND sqrt(CAST(n_tokens AS DOUBLE)) / denom2
+           * (total_tokens * {_EPOCH_BUDGET_X} - {_EPOCH_CAP} * capped_tokens)
+           / n_tokens > {_EPOCH_CAP} AS recap_needed
+FROM flagged, tot, rem
+ORDER BY source
+"""
+
+
+@register("doc_source_epoch_plan", _EPOCH_ORACLE)
+def doc_source_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source epoch plan for a data-constrained training run
+    (Muennighoff et al. 2023): temperature-flattened weights
+    (w_s ∝ sqrt(tokens_s)) split a budget of ``_EPOCH_BUDGET_X`` x the
+    corpus; sources allocated past ``_EPOCH_CAP`` epochs cap there and the
+    remainder redistributes across uncapped sources in ONE pass
+    (``recap_needed`` flags any source the redistribution itself pushes
+    past the cap — the fixpoint loop belongs to the sampler, the audit
+    belongs here).
+
+    Scale: one shuffle (the source rollup); every later stage is
+    source-cardinality (domains, not documents) with 1-row totals joined
+    back by broadcast. The sqrt-weight sums fold in DECIMAL(38,18) so both
+    engines see order-independent denominators.
+    """
+    d = _docs(spark, sf_dir).select(
+        "source", F.size(_tokens()).cast("long").alias("n_toks")
+    )
+    per_source = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_toks").alias("n_tokens")
+    )
+    tot = per_source.agg(
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum(F.sqrt(F.col("n_tokens").cast("double")).cast("decimal(38,18)"))
+        .cast("double")
+        .alias("denom"),
+    )
+    sq = F.sqrt(F.col("n_tokens").cast("double"))
+    budget = F.col("total_tokens") * _EPOCH_BUDGET_X
+    flagged = per_source.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "total_tokens",
+        (sq / F.col("denom")).alias("mix_weight"),
+        ((sq / F.col("denom")) * budget / F.col("n_tokens") > _EPOCH_CAP).alias(
+            "capped"
+        ),
+    )
+    rem = flagged.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("capped"), F.col("n_tokens"))), F.lit(0)
+        ).alias("capped_tokens"),
+        F.coalesce(
+            F.sum(F.when(~F.col("capped"), sq.cast("decimal(38,18)"))),
+            F.lit(0).cast("decimal(38,18)"),
+        )
+        .cast("double")
+        .alias("denom2"),
+    )
+    b_rem = (
+        F.col("total_tokens") * _EPOCH_BUDGET_X - _EPOCH_CAP * F.col("capped_tokens")
+    )
+    final_tokens = F.when(
+        F.col("capped"), F.lit(_EPOCH_CAP) * F.col("n_tokens")
+    ).otherwise(sq / F.col("denom2") * b_rem)
+    final_epochs = F.when(F.col("capped"), F.lit(_EPOCH_CAP)).otherwise(
+        sq / F.col("denom2") * b_rem / F.col("n_tokens")
+    )
+    return (
+        flagged.crossJoin(F.broadcast(rem))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round("mix_weight", 6).alias("mix_weight"),
+            "capped",
+            F.round(final_tokens, 6).alias("final_tokens"),
+            F.round(final_epochs, 6).alias("final_epochs"),
+            (
+                ~F.col("capped")
+                & (sq / F.col("denom2") * b_rem / F.col("n_tokens") > _EPOCH_CAP)
+            ).alias("recap_needed"),
+        )
+        .orderBy("source")
+    )
+
+
 # --- cross-document repeated n-gram (boilerplate) coverage ---------------------------
 
 _GRAM_K = 5
@@ -2465,6 +2606,198 @@ def doc_context_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("chunk_token_start"),
     ).orderBy("chunk_id", "doc_id")
+
+
+# --- tokenizer-aware packing: the BPE-token stream through the same machinery --------
+
+_BPE_PACKING_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id, CAST(n_pieces + 1 AS BIGINT) AS len_tokens
+    FROM ({_bpe_encode_oracle(_BPE_NUM_MERGES)}) enc
+),
+c AS (
+    SELECT doc_id, len_tokens,
+           CAST(COALESCE(SUM(len_tokens) OVER (
+               ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS BIGINT) AS start_offset
+    FROM t
+)
+SELECT doc_id, len_tokens, start_offset,
+       start_offset // {_CTX_LEN} AS chunk_first,
+       (start_offset + len_tokens - 1) // {_CTX_LEN} AS chunk_last,
+       CAST((start_offset + len_tokens - 1) // {_CTX_LEN}
+            - start_offset // {_CTX_LEN} + 1 AS BIGINT) AS n_chunks,
+       ((start_offset + len_tokens - 1) // {_CTX_LEN})
+           > (start_offset // {_CTX_LEN}) AS crosses_boundary
+FROM c
+ORDER BY doc_id
+"""
+
+
+@register("doc_bpe_context_packing", _BPE_PACKING_ORACLE)
+def doc_bpe_context_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-aware training-context packing: the SAME packing manifest
+    as ``doc_context_packing`` but over the TRAINED BPE tokenizer's
+    token-id stream (``doc_bpe_encode_corpus``'s ``n_pieces`` + one EOS per
+    doc) instead of whitespace tokens — what a production pretraining
+    pipeline actually cuts at context boundaries. Proves the packing
+    machinery is tokenizer-generic: lengths come from ANY measured source,
+    the histogram-first prefix sum doesn't care.
+
+    Scale: the tokenizer pass is ``doc_bpe_encode_corpus``'s distinct-word
+    decomposition (vocab-bounded segmentation, broadcast word→ids map);
+    packing adds the usual one-histogram-SinglePartition prefix sum over
+    bucket sums — the corpus never single-partitions.
+    """
+    from ..operators.ranking import global_prefix_sum
+
+    enc = doc_bpe_encode_corpus(spark, sf_dir)
+    t = enc.select(
+        "doc_id",
+        (F.col("n_pieces") + 1).cast("bigint").alias("len_tokens"),
+        (F.col("doc_id") - F.col("doc_id") % _PACK_BUCKET).alias("_pb"),
+    )
+    c = global_prefix_sum(
+        t,
+        bucket_order=[F.col("_pb").asc()],
+        bucket_cols=["_pb"],
+        tiebreaker="doc_id",
+        value_col="len_tokens",
+        out_col="start_offset",
+    )
+    end = F.col("start_offset") + F.col("len_tokens") - 1
+    chunk_first = F.floor(F.col("start_offset") / _CTX_LEN).cast("bigint")
+    chunk_last = F.floor(end / _CTX_LEN).cast("bigint")
+    return c.select(
+        "doc_id",
+        "len_tokens",
+        "start_offset",
+        chunk_first.alias("chunk_first"),
+        chunk_last.alias("chunk_last"),
+        (chunk_last - chunk_first + 1).cast("bigint").alias("n_chunks"),
+        (chunk_last > chunk_first).alias("crosses_boundary"),
+    ).orderBy("doc_id")
+
+
+# --- padded bin packing by harmonic size classes (Lee & Lee 1985) ---------------------
+# The OTHER packing discipline: instruction-tuning / eval batching pads each
+# context and never splits a document, so the job is bin packing whole docs
+# into CTX_LEN bins with minimum padding. First-fit-decreasing is inherently
+# sequential; the HARMONIC family is not: a doc of (capped) length L packs
+# k = floor(CTX/L) per bin, so class membership is a map-side function, the
+# within-class rank is the histogram-first global rank, and bin/slot are
+# pure arithmetic on that rank — deterministic, shuffle-bounded, and
+# identical in SQL (competitive ratio ~1.69 vs optimal, the documented
+# trade for distributability).
+
+_HARMONIC_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id,
+           LEAST(CAST(len(regexp_extract_all(lower(text), '{{TOKEN_RE}}')) + 1 AS BIGINT),
+                 {{CTX}}) AS len_tokens
+    FROM documents
+),
+k AS (
+    SELECT doc_id, len_tokens,
+           CAST({{CTX}} // len_tokens AS BIGINT) AS size_class
+    FROM t
+),
+r AS (
+    SELECT doc_id, len_tokens, size_class,
+           ROW_NUMBER() OVER (PARTITION BY size_class ORDER BY doc_id) AS rank_in_class
+    FROM k
+),
+cls AS (
+    SELECT size_class,
+           CAST(CEIL(COUNT(*) * 1.0 / size_class) AS BIGINT) AS n_bins
+    FROM k GROUP BY size_class
+),
+off AS (
+    SELECT size_class,
+           CAST(COALESCE(SUM(n_bins) OVER (
+               ORDER BY size_class ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS BIGINT) AS bin_offset
+    FROM cls
+)
+SELECT r.doc_id, r.len_tokens, r.size_class,
+       CAST(o.bin_offset + (r.rank_in_class - 1) // r.size_class AS BIGINT) AS bin_id,
+       CAST((r.rank_in_class - 1) % r.size_class AS BIGINT) AS slot
+FROM r JOIN off o USING (size_class)
+ORDER BY r.doc_id
+""".format(TOKEN_RE=TOKEN_RE, CTX=_CTX_LEN)
+
+
+@register("doc_pack_harmonic", _HARMONIC_ORACLE)
+def doc_pack_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padded bin-packing manifest (harmonic size classes): every document
+    (token count + EOS, capped at the context length) lands in a
+    ``size_class`` ``k = floor(CTX/len)``; ``k`` docs of a class share one
+    bin, so ``bin_id``/``slot`` follow arithmetically from the doc's rank
+    within its class. The manifest a padded-batch loader consumes:
+    (doc_id, len_tokens, size_class, bin_id, slot), bins globally numbered
+    class-major.
+
+    Scale: class assignment is map-side; the within-class rank is
+    ``operators/ranking.py::global_rank`` (histogram-first — no
+    corpus-scale ``Exchange SinglePartition``; the only single-partition
+    passes run over the class histogram, ≤ CTX_LEN rows); the class→bin
+    offset table is class-cardinality and broadcasts back. Compare
+    ``doc_context_packing`` for the GPT-style concatenate-and-split
+    discipline; ``doc_packing_efficiency`` audits the gap between the two.
+    """
+    from ..operators.ranking import global_rank
+
+    d = _docs(spark, sf_dir)
+    t = d.select(
+        "doc_id",
+        F.least(
+            (F.size(_tokens()) + 1).cast("bigint"), F.lit(_CTX_LEN).cast("bigint")
+        ).alias("len_tokens"),
+    )
+    k = t.select(
+        "doc_id",
+        "len_tokens",
+        F.floor(_CTX_LEN / F.col("len_tokens")).cast("bigint").alias("size_class"),
+        (F.col("doc_id") - F.col("doc_id") % _PACK_BUCKET).alias("_pb"),
+    )
+    ranked = global_rank(
+        k,
+        bucket_order=[F.col("size_class").asc(), F.col("_pb").asc()],
+        bucket_cols=["size_class", "_pb"],
+        tiebreaker="doc_id",
+        rank_col="_grank",
+    )
+    # class-major global rank minus the exclusive count of earlier classes
+    # = the within-class rank; both tables are class-cardinality (tiny)
+    cls = k.groupBy("size_class").agg(F.count(F.lit(1)).alias("_n"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy("size_class").rowsBetween(Window.unboundedPreceding, -1)
+    off = cls.select(
+        "size_class",
+        F.coalesce(F.sum("_n").over(w), F.lit(0)).alias("_class_off"),
+        F.coalesce(
+            F.sum(F.ceil(F.col("_n") / F.col("size_class")).cast("bigint")).over(w),
+            F.lit(0),
+        ).alias("_bin_off"),
+    )
+    r = ranked.join(F.broadcast(off), "size_class").select(
+        "doc_id",
+        "len_tokens",
+        "size_class",
+        (F.col("_grank") - F.col("_class_off")).alias("_rank_in_class"),
+        "_bin_off",
+    )
+    in_class = F.col("_rank_in_class") - 1
+    return r.select(
+        "doc_id",
+        "len_tokens",
+        "size_class",
+        (F.col("_bin_off") + F.floor(in_class / F.col("size_class")))
+        .cast("bigint")
+        .alias("bin_id"),
+        (in_class % F.col("size_class")).cast("bigint").alias("slot"),
+    ).orderBy("doc_id")
 
 
 # --- chunk-level contamination tracing ------------------------------------------------

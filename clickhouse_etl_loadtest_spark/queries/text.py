@@ -3599,7 +3599,7 @@ ORDER BY doc_id
 """
 
 
-@register("doc_gopher_rules", _GOPHER_ORACLE)
+@register("doc_gopher_rules", _GOPHER_ORACLE, extra=True)
 def doc_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Gopher repetition-free quality rules (Rae et al. 2021, Table A1),
     each emitted as its own verdict column plus the conjunction: word-count

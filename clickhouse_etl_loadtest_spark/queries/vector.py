@@ -807,6 +807,90 @@ def embedding_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataF
     )
 
 
+# --- SemDeDup: cluster-bounded semantic dedup (Abbas et al. 2023, public) ------------
+
+_SEMDEDUP_ORACLE = f"""
+WITH assigned AS (
+    SELECT vec_id, cluster FROM ({_kmeans_oracle(_KMEANS_K, _KMEANS_ITERS)}) base
+),
+n AS (
+    SELECT a.vec_id, a.cluster, e.embedding, {_norm_sql('e.embedding')} AS nrm
+    FROM assigned a JOIN embeddings e USING (vec_id)
+),
+dropped AS (
+    SELECT DISTINCT b.vec_id
+    FROM n a JOIN n b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+    WHERE {_dot_sql('a.embedding', 'b.embedding')} / (a.nrm * b.nrm) >= {_NEAR_DUP_THRESHOLD}
+)
+SELECT n.vec_id, n.cluster,
+       n.vec_id NOT IN (SELECT vec_id FROM dropped) AS keep
+FROM n
+ORDER BY n.vec_id
+"""
+
+
+@register("embedding_semdedup", _SEMDEDUP_ORACLE)
+def embedding_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic dedup made corpus-tractable by
+    BOUNDING the pairwise cosine pass to k-means clusters — near-duplicate
+    pairs are only searched WITHIN a cluster, so the quadratic term is
+    Σ n_c² instead of n² (the paper's point: at web scale the all-pairs
+    pass is impossible; clustering first makes each block small enough to
+    compare exhaustively). Within every cluster, of each pair at
+    cosine ≥ threshold the lower vec_id survives — the same keep-first
+    discipline as ``semantic_dedup_keep`` (the exact global twin, whose
+    keep-set this approximates: a near-dup pair split across clusters is
+    the method's documented miss).
+
+    Scale: k-means assignment is map-only (k x dim codebook in the
+    closure); the pair search shuffles vectors ONCE keyed by cluster and
+    the per-cluster join is the bounded block; the keep decision joins ids
+    only. The clustered frame localCheckpoints — three consumers (both
+    pair sides + the output) must not re-run Lloyd iterations.
+    """
+    from ..operators.clustering import kmeans_fit_assign
+
+    e = _emb(spark, sf_dir)
+    assigned = kmeans_fit_assign(e, k=_KMEANS_K, iterations=_KMEANS_ITERS).select(
+        "vec_id", "cluster"
+    )
+    n = (
+        e.join(assigned, "vec_id")
+        .select("vec_id", "cluster", "embedding", _norm(F.col("embedding")).alias("nrm"))
+        .localCheckpoint()
+    )
+    a = n.select(
+        "cluster",
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    b = n.select(
+        "cluster",
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    cosine = _dot(F.col("emb_a"), F.col("emb_b")) / (F.col("nrm_a") * F.col("nrm_b"))
+    dropped = (
+        a.join(b, "cluster")
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .where(cosine >= _NEAR_DUP_THRESHOLD)
+        .select(F.col("vec_b").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        n.select("vec_id", "cluster")
+        .join(dropped.withColumn("_drop", F.lit(True)), "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster",
+            F.coalesce(~F.col("_drop"), F.lit(True)).alias("keep"),
+        )
+        .orderBy("vec_id")
+    )
+
+
 # --- PCA residual audit (decorrelation screening before quantization/IVF) ------------
 
 _PCA_K = 8

@@ -137,7 +137,7 @@ SELECT doc_id, raw_url, url_norm, host FROM urls ORDER BY doc_id
 """
 
 
-@register("doc_url_normalize", _URL_NORMALIZE_ORACLE)
+@register("doc_url_normalize", _URL_NORMALIZE_ORACLE, extra=True)
 def doc_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical URL per document: lowercased scheme/host, no ``www.``, no
     default port, no fragment, tracking params stripped, surviving params

@@ -1305,3 +1305,60 @@ def test_crosslingual_mining_text_free_past_the_bridge(spark, sf_dir):
     for ln in plan.splitlines():
         if "Exchange" in ln:
             assert "text#" not in ln and "xe#" not in ln and "ye#" not in ln, ln
+
+
+def test_semdedup_bounds_pairs_by_cluster(spark, sf_dir):
+    """SemDeDup's whole point: the pairwise cosine pass is keyed by k-means
+    cluster (one cluster-hash shuffle, per-cluster joins), never a corpus
+    cartesian; the clustered frame materializes once (localCheckpoint) and
+    all three consumers read it; no corpus-scale single partition, no
+    Python in the final plan."""
+    plan = exec_plan_of(spark, sf_dir, "embedding_semdedup")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "Exchange hashpartitioning(cluster" in plan
+    assert plan.count("Scan ExistingRDD") >= 3  # both pair sides + the output
+
+
+def test_harmonic_packing_rank_is_histogram_first(spark, sf_dir):
+    """The within-class rank must be the histogram-first global rank: the
+    only SinglePartition exchanges run over class-cardinality frames (the
+    (class, bucket) histogram and the class-offset table, ≤ CTX_LEN rows),
+    never the corpus; corpus-scale exchanges hash on the class/bucket key;
+    document text never crosses an exchange."""
+    plan = exec_plan_of(spark, sf_dir, "doc_pack_harmonic")
+    single = [ln for ln in plan.splitlines() if "Exchange SinglePartition" in ln]
+    assert len(single) == 2, plan
+    assert "Exchange hashpartitioning(size_class" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    for ln in plan.splitlines():
+        if "Exchange" in ln:
+            assert "text#" not in ln, ln
+
+
+def test_bpe_packing_composes_tokenizer_and_prefix_sum(spark, sf_dir):
+    """Tokenizer-aware packing: the packing half keeps the histogram-first
+    shape (bucket-keyed corpus exchange on _pb) and document text never
+    crosses an exchange — the tokenizer half shuffles distinct WORDS, not
+    documents (doc_bpe_encode_corpus's contract)."""
+    plan = exec_plan_of(spark, sf_dir, "doc_bpe_context_packing")
+    assert "Exchange hashpartitioning(_pb" in plan
+    assert "CartesianProduct" not in plan
+    for ln in plan.splitlines():
+        if "Exchange" in ln:
+            assert "text#" not in ln, ln
+
+
+def test_epoch_plan_stays_source_cardinality(spark, sf_dir):
+    """After the one source rollup everything is source-cardinality: totals
+    are 1-row aggregates joined back by broadcast (never a Window over the
+    corpus), and no text crosses an exchange."""
+    plan = exec_plan_of(spark, sf_dir, "doc_source_epoch_plan")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    for ln in plan.splitlines():
+        if "Exchange" in ln:
+            assert "text#" not in ln, ln
