@@ -2800,6 +2800,87 @@ def doc_pack_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+_HARMONIC_STATS_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id,
+           LEAST(CAST(len(regexp_extract_all(lower(text), '{{TOKEN_RE}}')) + 1 AS BIGINT),
+                 {{CTX}}) AS len_tokens
+    FROM documents
+),
+k AS (
+    SELECT len_tokens, CAST({{CTX}} // len_tokens AS BIGINT) AS size_class FROM t
+),
+cls AS (
+    SELECT size_class,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len_tokens) AS BIGINT) AS class_tokens,
+           CAST(CEIL(COUNT(*) * 1.0 / size_class) AS BIGINT) AS n_bins
+    FROM k GROUP BY size_class
+)
+SELECT CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+       CAST(SUM(class_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_bins) AS BIGINT) AS n_bins,
+       CAST(CEIL(SUM(class_tokens) * 1.0 / {{CTX}}) AS BIGINT) AS lower_bound_bins,
+       ROUND(SUM(class_tokens) * 1.0 / (SUM(n_bins) * {{CTX}}), 6) AS utilization,
+       ROUND(SUM(class_tokens) * 1.0 / (SUM(n_docs) * {{CTX}}), 6)
+           AS one_doc_per_bin_utilization,
+       ROUND(SUM(n_bins) * 1.0 / CEIL(SUM(class_tokens) * 1.0 / {{CTX}}), 6)
+           AS bins_over_lower_bound
+FROM cls
+""".format(TOKEN_RE=TOKEN_RE, CTX=_CTX_LEN)
+
+
+@register("doc_pack_harmonic_stats", _HARMONIC_STATS_ORACLE, extra=True)
+def doc_pack_harmonic_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding audit of the harmonic packer (one row): bins used vs the L1
+    lower bound (ceil(total/CTX) — no packer can beat it), token
+    utilization vs the naive one-document-per-bin baseline every padded
+    loader starts from. The number a pipeline owner reads before deciding
+    whether a smarter (sequential, non-distributable) packer is worth it.
+
+    Scale: everything reduces over the class histogram (≤ CTX_LEN rows) —
+    one corpus shuffle for the class rollup, then arithmetic."""
+    d = _docs(spark, sf_dir)
+    t = d.select(
+        F.least(
+            (F.size(_tokens()) + 1).cast("bigint"), F.lit(_CTX_LEN).cast("bigint")
+        ).alias("len_tokens"),
+    )
+    cls = (
+        t.select(
+            "len_tokens",
+            F.floor(_CTX_LEN / F.col("len_tokens")).cast("bigint").alias("size_class"),
+        )
+        .groupBy("size_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("len_tokens").alias("class_tokens"),
+        )
+        .select(
+            "n_docs",
+            "class_tokens",
+            F.ceil(F.col("n_docs") / F.col("size_class")).cast("bigint").alias("n_bins"),
+        )
+    )
+    total = F.sum("class_tokens")
+    bins = F.sum("n_bins")
+    docs = F.sum("n_docs")
+    lower = F.ceil(total * 1.0 / _CTX_LEN).cast("bigint")
+    return cls.agg(
+        docs.cast("bigint").alias("n_docs"),
+        total.cast("bigint").alias("total_tokens"),
+        bins.cast("bigint").alias("n_bins"),
+        lower.alias("lower_bound_bins"),
+        F.round(total * 1.0 / (bins * _CTX_LEN), 6).alias("utilization"),
+        F.round(total * 1.0 / (docs * _CTX_LEN), 6).alias(
+            "one_doc_per_bin_utilization"
+        ),
+        F.round(bins * 1.0 / F.ceil(total * 1.0 / _CTX_LEN), 6).alias(
+            "bins_over_lower_bound"
+        ),
+    )
+
+
 # --- chunk-level contamination tracing ------------------------------------------------
 # The query a pipeline owner runs when benchmark overlap is discovered AFTER
 # the corpus was packed: which training contexts must be dropped? Composes
