@@ -20,6 +20,11 @@ from clickhouse_etl_loadtest_spark.service import (
     ServiceConnectionError,
 )
 
+# first-progress readiness under a fully loaded suite: the 60 s library
+# default flaked once when 32 executor threads were contended for 35 min
+# (round 11); the product default stays 60 s, the TESTS tolerate load
+_READY_TIMEOUT_S = 180.0
+
 SPEC = {
     "pipeline_id": "svc-test",
     "source": {
@@ -86,7 +91,7 @@ def test_full_lifecycle_over_http(spark, service):
         for i in range(10)
     ]
     _write_batch(f"{src}/svc_topic", "b1.json", recs + recs)  # every key duplicated
-    pid = client.create_pipeline(SPEC)
+    pid = client.create_pipeline(SPEC, timeout_s=_READY_TIMEOUT_S)
     assert pid == "svc-test"
     assert client.get_running_pipeline() == "svc-test"
     assert client.check_if_pipeline_exists(SPEC) == (True, "svc-test")
@@ -126,11 +131,11 @@ def test_recreate_after_delete(spark, service):
         "b1.json",
         [{"event_id": "e1", "payload": "p", "timestamp": "2024-01-01T00:00:00.000Z"}],
     )
-    client.create_pipeline(SPEC)
+    client.create_pipeline(SPEC, timeout_s=_READY_TIMEOUT_S)
     client.cleanup_pipeline()
     other = copy.deepcopy(SPEC)
     other["pipeline_id"] = "svc-test-2"
-    assert client.create_pipeline(other) == "svc-test-2"
+    assert client.create_pipeline(other, timeout_s=_READY_TIMEOUT_S) == "svc-test-2"
     assert client.check_if_pipeline_exists(SPEC) == (False, "svc-test-2")
     client.delete_pipeline()
 
