@@ -2800,6 +2800,63 @@ def doc_pack_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# --- tokenizer-compression quality signal ---------------------------------------------
+# Chars-per-BPE-token as a quality dial: pathologically repetitive text
+# compresses far ABOVE the corpus band (few long merged pieces), while
+# noise/garbage compresses far BELOW it (everything falls back to
+# characters). Cheap, language-agnostic, and computed from an artifact the
+# pipeline already ships (the encoded corpus) — the compression-based
+# filtering idea used by public data-curation recipes.
+
+_COMPRESS_LO = 1.35  # chars per BPE piece: below = noise-like (band is relative to the trained merge budget)
+_COMPRESS_HI = 1.70  # above = degenerate/repetitive
+
+_BPE_COMPRESS_ORACLE = f"""
+WITH enc AS (
+    SELECT doc_id, n_pieces FROM ({{ENC}}) base
+)
+SELECT d.doc_id,
+       CAST(d.n_chars AS BIGINT) AS n_chars,
+       e.n_pieces,
+       ROUND(d.n_chars * 1.0 / NULLIF(e.n_pieces, 0), 6) AS chars_per_piece,
+       COALESCE(d.n_chars * 1.0 / NULLIF(e.n_pieces, 0)
+                BETWEEN {{LO}} AND {{HI}}, FALSE) AS keep_compression
+FROM documents d JOIN enc e USING (doc_id)
+ORDER BY d.doc_id
+""".format(ENC=_bpe_encode_oracle(_BPE_NUM_MERGES), LO=_COMPRESS_LO, HI=_COMPRESS_HI)
+
+
+@register("doc_bpe_compression_quality", _BPE_COMPRESS_ORACLE)
+def doc_bpe_compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-ratio quality filter over the TRAINED tokenizer: keep
+    documents whose chars-per-BPE-piece sits inside the healthy band
+    (1.35–1.70 on the trained 60-merge tokenizer — the band is relative to
+    the merge budget); repetitive text compresses above it,
+    character-noise below. Zero extra passes over text — composes
+    ``doc_bpe_encode_corpus``'s n_pieces with the stored ``n_chars``
+    column; empty docs (0 pieces) fail the keep (NULL ratio → FALSE).
+
+    Scale: inherits the encode query's distinct-word decomposition; this
+    adds one doc-keyed join of two fixed-width columns.
+    """
+    enc = doc_bpe_encode_corpus(spark, sf_dir).select("doc_id", "n_pieces")
+    d = _docs(spark, sf_dir).select("doc_id", F.col("n_chars").cast("bigint").alias("n_chars"))
+    ratio = F.col("n_chars") * 1.0 / F.nullif(F.col("n_pieces"), F.lit(0))
+    return (
+        d.join(enc, "doc_id")
+        .select(
+            "doc_id",
+            "n_chars",
+            "n_pieces",
+            F.round(ratio, 6).alias("chars_per_piece"),
+            F.coalesce(
+                ratio.between(_COMPRESS_LO, _COMPRESS_HI), F.lit(False)
+            ).alias("keep_compression"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 _HARMONIC_STATS_ORACLE = f"""
 WITH t AS (
     SELECT doc_id,

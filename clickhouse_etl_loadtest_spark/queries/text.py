@@ -1983,6 +1983,60 @@ def doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- soft dedup: down-weight duplicate clusters instead of dropping them ---------------
+
+_SOFTDEDUP_ORACLE = f"""
+WITH sized AS (
+    SELECT doc_id, cluster_size FROM ({{CLUSTERS}}) base
+),
+t AS (
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS BIGINT) AS n_tokens
+    FROM documents
+)
+SELECT t.doc_id,
+       CAST(COALESCE(s.cluster_size, 1) AS BIGINT) AS cluster_size,
+       ROUND(1.0 / COALESCE(s.cluster_size, 1), 6) AS sample_weight,
+       ROUND(t.n_tokens * 1.0 / COALESCE(s.cluster_size, 1), 6) AS effective_tokens
+FROM t LEFT JOIN sized s USING (doc_id)
+ORDER BY t.doc_id
+""".format(CLUSTERS=_DUP_CLUSTERS_ORACLE)
+
+
+@register("doc_softdedup_weights", _SOFTDEDUP_ORACLE)
+def doc_softdedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft deduplication: instead of DROPPING near-duplicates (keep-one,
+    the ``doc_dup_clusters`` / ``doc_fuzzy_dedup_keep`` discipline), keep
+    every copy and hand the sampler a per-document weight
+    ``1 / cluster_size`` of its verified near-dup component (singletons
+    weight 1) — each distinct content contributes exactly one effective
+    copy of token mass, but no shard or source loses rows (the soft-dedup
+    observation: hard removal of common content can hurt; down-weighting
+    preserves provenance mixing and keeps the distribution smooth).
+    ``effective_tokens`` is the per-row mass after weighting; its corpus
+    sum equals the one-per-cluster deduped corpus size in expectation.
+
+    Scale: the component labels come from the verified-pair graph
+    (corpus-orders smaller than the corpus, ``operators/graph.py``); this
+    adds one doc-keyed left join of fixed-width columns — text never
+    shuffles.
+    """
+    d = _docs(spark, sf_dir)
+    sized = doc_dup_clusters(spark, sf_dir).select("doc_id", "cluster_size")
+    t = d.select("doc_id", F.size(_tokens()).cast("bigint").alias("n_tokens"))
+    size = F.coalesce(F.col("cluster_size"), F.lit(1)).cast("bigint")
+    return (
+        t.join(sized, "doc_id", "left")
+        .select(
+            "doc_id",
+            size.alias("cluster_size"),
+            F.round(1.0 / size, 6).alias("sample_weight"),
+            F.round(F.col("n_tokens") * 1.0 / size, 6).alias("effective_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # --- quality-ranked cluster representative ------------------------------------------
 
 _CLUSTER_BEST_ORACLE = f"""

@@ -173,7 +173,7 @@ ORDER BY doc_id
 """
 
 
-@register("doc_host_cap_sample", _HOST_CAP_ORACLE)
+@register("doc_host_cap_sample", _HOST_CAP_ORACLE, extra=True)
 def doc_host_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-host document cap: keep the top ``_HOST_CAP`` docs per canonical
     host, ranked by length (quality proxy) with doc_id as the deterministic
@@ -214,7 +214,7 @@ ORDER BY host
 """
 
 
-@register("doc_host_mixture_weights", _HOST_MIX_ORACLE)
+@register("doc_host_mixture_weights", _HOST_MIX_ORACLE, extra=True)
 def doc_host_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-flattened host mixing weights
     (``w_h = n_h^alpha / sum(n^alpha)``, alpha=0.5): the sampling
