@@ -1362,3 +1362,27 @@ def test_epoch_plan_stays_source_cardinality(spark, sf_dir):
     for ln in plan.splitlines():
         if "Exchange" in ln:
             assert "text#" not in ln, ln
+
+
+def test_softdedup_weights_join_fixed_width_no_text(spark, sf_dir):
+    """The weighting pass adds one doc-keyed left join of fixed-width
+    columns on top of the pair-graph components — document text never
+    crosses an exchange and no Python appears outside the component
+    iteration's own frames."""
+    plan = exec_plan_of(spark, sf_dir, "doc_softdedup_weights")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    for ln in plan.splitlines():
+        if "Exchange" in ln:
+            assert "text#" not in ln, ln
+
+
+def test_bpe_compression_joins_counts_only(spark, sf_dir):
+    """The band filter composes two fixed-width per-doc columns (n_chars,
+    n_pieces) — text reaches only the tokenizer's own distinct-word stage,
+    never an exchange here."""
+    plan = exec_plan_of(spark, sf_dir, "doc_bpe_compression_quality")
+    assert "CartesianProduct" not in plan
+    for ln in plan.splitlines():
+        if "Exchange" in ln:
+            assert "text#" not in ln, ln
