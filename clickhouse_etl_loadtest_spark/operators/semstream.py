@@ -1,0 +1,203 @@
+"""Incremental SemDeDup: the streaming-maintenance twin of
+``queries/vector.py::embedding_semdedup``.
+
+An embedding corpus arrives in waves; re-running the cluster-bounded
+pairwise pass over everything per wave is a full-corpus rescan.
+``semdedup_batch`` is a ``foreachBatch`` body: assign the wave to a FIXED
+pinned codebook (map-only — the centroids ride in the assignment UDF's
+closure; training the codebook is a one-time setup step, exactly like the
+trained langid weights), compare each wave vector against (a) every
+previously SEEN vector of the same cluster and (b) every lower-vec_id
+vector of its own wave, and land the wave's verdict rows in a per-batch
+partition of a persistent parquet store.
+
+The store keeps every SEEN vector, not just admitted ones — the batch
+pairwise rule (``a < b`` and cosine ≥ threshold drops ``b`` even when ``a``
+was itself dropped) requires it: a newcomer near an already-dropped vector
+must still drop. Waves arriving in vec_id order therefore converge to the
+batch query's exact keep set (the streamed==batch parity test in
+``tests/test_semstream.py``); under arbitrary arrival the rule is
+arrival-first — the same ordering contract as ``operators/packstream.py``.
+
+Replay idempotence: a batch reads only EARLIER batches' partitions and
+overwrites its own, so a post-crash re-delivery reproduces identical
+partitions (the ``fuzzydedup.admit_batch`` / ``wetstream.wet_batch``
+recipe); an out-of-order re-delivery of an older batch after a newer one
+landed fails loud (the packstream cursor guard).
+
+Scale: assignment is map-side (k x dim codebook in the closure); the only
+joins are keyed by cluster — the SemDeDup bound (Σ n_c² pairwise work, not
+n²); vectors shuffle once per wave for cluster co-location and their norms
+are stored so re-ingested state never recomputes them.
+
+Reference: no counterpart (the reference has no vector notion); the
+streaming tier of the LLM-pipeline extension, SURVEY.md §7.6. SemDeDup:
+Abbas et al. 2023 (public).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .clustering import _assign
+from .streamhh import _batch_part
+
+_STORE_SCHEMA = (
+    "vec_id bigint, cluster int, embedding array<double>, nrm double, keep boolean"
+)
+
+
+def _norm(col):
+    # identical fold to queries/vector.py::_norm — the parity tests compare
+    # cosines computed on both sides bit-for-bit
+    return F.sqrt(
+        F.aggregate(
+            F.transform(col, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def semdedup_dropped(n: DataFrame, threshold: float) -> DataFrame:
+    """Distinct ``vec_id``s dropped by the within-cluster pairwise
+    keep-first rule over ``n`` (``vec_id``, ``cluster``, ``embedding``,
+    ``nrm``): of every same-cluster pair at cosine ≥ ``threshold`` the
+    higher vec_id drops. The shared core of the batch query and the
+    streaming operator's within-wave half."""
+    a = n.select(
+        "cluster",
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    b = n.select(
+        "cluster",
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    cosine = _dot(F.col("emb_a"), F.col("emb_b")) / (F.col("nrm_a") * F.col("nrm_b"))
+    return (
+        a.join(b, "cluster")
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .where(cosine >= threshold)
+        .select(F.col("vec_b").alias("vec_id"))
+        .distinct()
+    )
+
+
+def _read_store(
+    spark: SparkSession, state_path: str, before_batch_id: int | None
+) -> DataFrame:
+    """All store rows (empty, correctly-typed frame when the store doesn't
+    exist yet); ``before_batch_id`` keeps only strictly EARLIER batches —
+    what a (re)playing batch must compare against."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        df = spark.read.parquet(state_path)
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" in str(e) or "UNABLE_TO_INFER_SCHEMA" in str(e):
+            return spark.createDataFrame([], schema=_STORE_SCHEMA)
+        raise
+    ids = F.substring("batch", 2, 18).cast("long")
+    if before_batch_id is not None:
+        df = df.where(ids < int(before_batch_id))
+    return df.drop("batch")
+
+
+def semdedup_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    state_path: str,
+    batch_id: int,
+    centroids: list[list[float]],
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Fold one wave of vectors into the persistent semantic-dedup store;
+    returns ``{"n": ..., "kept": ...}``. Shaped to be a ``foreachBatch``
+    body. ``centroids`` is the PINNED codebook (train once on a seed
+    sample, reuse every wave — re-fitting per wave would silently reshard
+    history's clusters)."""
+    from pyspark.errors import AnalysisException
+
+    # out-of-order guard (the packstream contract): an older batch replayed
+    # after a newer one landed would compare against the future
+    try:
+        existing = spark.read.parquet(state_path)
+        top = existing.select(
+            F.max(F.substring("batch", 2, 18).cast("long")).alias("m")
+        ).first()["m"]
+        if top is not None and int(top) > batch_id:
+            raise ValueError(
+                f"semdedup store at {state_path} already holds batch {top} "
+                f"> {batch_id}; out-of-order re-delivery would compare "
+                f"against the future"
+            )
+    except AnalysisException:
+        pass
+
+    wave = (
+        _assign(
+            batch_df.select(
+                F.col(id_col).cast("long").alias("vec_id"),
+                F.col(vec_col).alias("embedding"),
+            ),
+            centroids,
+            "embedding",
+        )
+        .select(
+            "vec_id",
+            "cluster",
+            F.col("embedding").cast("array<double>").alias("embedding"),
+            _norm(F.col("embedding")).alias("nrm"),
+        )
+        .localCheckpoint()  # three consumers below; never re-run the assign
+    )
+    prior = _read_store(spark, state_path, before_batch_id=batch_id)
+    p = prior.select(
+        "cluster",
+        F.col("embedding").alias("emb_p"),
+        F.col("nrm").alias("nrm_p"),
+    )
+    cosine = _dot(F.col("embedding"), F.col("emb_p")) / (F.col("nrm") * F.col("nrm_p"))
+    dropped_prior = (
+        wave.join(p, "cluster").where(cosine >= threshold).select("vec_id").distinct()
+    )
+    dropped = dropped_prior.union(semdedup_dropped(wave, threshold)).distinct()
+    verdict = (
+        wave.join(dropped.withColumn("_d", F.lit(True)), "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster",
+            "embedding",
+            "nrm",
+            F.coalesce(~F.col("_d"), F.lit(True)).alias("keep"),
+        )
+    )
+    part = _batch_part(batch_id)
+    verdict.write.mode("overwrite").parquet(f"{state_path}/batch={part}")
+    landed = spark.read.parquet(f"{state_path}/batch={part}")
+    agg = landed.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("keep"), 1)).alias("kept"),
+    ).first()
+    return {"n": int(agg["n"]), "kept": int(agg["kept"])}
+
+
+def read_semdedup_store(spark: SparkSession, state_path: str) -> DataFrame:
+    """Every seen vector's verdict, across all waves:
+    (vec_id, cluster, keep)."""
+    return _read_store(spark, state_path, None).select("vec_id", "cluster", "keep")

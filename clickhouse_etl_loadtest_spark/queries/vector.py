@@ -846,9 +846,13 @@ def embedding_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     closure); the pair search shuffles vectors ONCE keyed by cluster and
     the per-cluster join is the bounded block; the keep decision joins ids
     only. The clustered frame localCheckpoints — three consumers (both
-    pair sides + the output) must not re-run Lloyd iterations.
+    pair sides + the output) must not re-run Lloyd iterations. The
+    pairwise rule is ``operators/semstream.py::semdedup_dropped`` — the
+    same code the INCREMENTAL twin (``semstream.semdedup_batch``, waves
+    against a pinned codebook) applies per wave.
     """
     from ..operators.clustering import kmeans_fit_assign
+    from ..operators.semstream import semdedup_dropped
 
     e = _emb(spark, sf_dir)
     assigned = kmeans_fit_assign(e, k=_KMEANS_K, iterations=_KMEANS_ITERS).select(
@@ -859,26 +863,7 @@ def embedding_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "cluster", "embedding", _norm(F.col("embedding")).alias("nrm"))
         .localCheckpoint()
     )
-    a = n.select(
-        "cluster",
-        F.col("vec_id").alias("vec_a"),
-        F.col("embedding").alias("emb_a"),
-        F.col("nrm").alias("nrm_a"),
-    )
-    b = n.select(
-        "cluster",
-        F.col("vec_id").alias("vec_b"),
-        F.col("embedding").alias("emb_b"),
-        F.col("nrm").alias("nrm_b"),
-    )
-    cosine = _dot(F.col("emb_a"), F.col("emb_b")) / (F.col("nrm_a") * F.col("nrm_b"))
-    dropped = (
-        a.join(b, "cluster")
-        .where(F.col("vec_a") < F.col("vec_b"))
-        .where(cosine >= _NEAR_DUP_THRESHOLD)
-        .select(F.col("vec_b").alias("vec_id"))
-        .distinct()
-    )
+    dropped = semdedup_dropped(n, _NEAR_DUP_THRESHOLD)
     return (
         n.select("vec_id", "cluster")
         .join(dropped.withColumn("_drop", F.lit(True)), "vec_id", "left")
