@@ -133,3 +133,51 @@ def test_curriculum_packing_is_a_permutation_of_the_same_stream(spark, sf_dir):
     # and the tiling order IS the curriculum order
     by_offset = [r["doc_id"] for r in sorted(cur, key=lambda r: r["start_offset"])]
     assert by_offset == sorted(order, key=lambda d: order[d])
+
+
+def test_harmonic_bins_never_overfill_and_cover_every_doc(spark, sf_dir):
+    """Bin-packing validity, independent of the oracle equality: every bin's
+    token sum fits the context length, every document packs exactly once,
+    slots stay inside their class capacity, and the stats row's accounting
+    reconciles with the manifest."""
+    m = REG["doc_pack_harmonic"].fn(spark, sf_dir)
+    ctx = 512
+    # validity: per-bin fill <= CTX (k docs of length <= CTX/k)
+    overfull = (
+        m.groupBy("bin_id")
+        .agg(F.sum("len_tokens").alias("fill"))
+        .where(F.col("fill") > ctx)
+        .count()
+    )
+    assert overfull == 0
+    rows = m.collect()
+    assert len({r["doc_id"] for r in rows}) == len(rows)  # exactly once
+    assert all(0 <= r["slot"] < r["size_class"] for r in rows)
+    # (bin_id, slot) is a real injective placement
+    assert len({(r["bin_id"], r["slot"]) for r in rows}) == len(rows)
+    stats = REG["doc_pack_harmonic_stats"].fn(spark, sf_dir).first()
+    assert stats["n_docs"] == len(rows)
+    assert stats["n_bins"] == len({r["bin_id"] for r in rows})
+    assert stats["total_tokens"] == sum(r["len_tokens"] for r in rows)
+    assert stats["n_bins"] >= stats["lower_bound_bins"]  # no packer beats L1
+
+
+def test_epoch_plan_conserves_the_budget(spark, sf_dir):
+    """Accounting invariants of the one-pass redistribution: capped sources
+    sit exactly at the cap, redistribution CONSERVES the budget (capped
+    mass + leftover split = budget) whether or not a recap flag fired, and
+    the flag is exactly "uncapped but pushed past the cap" — never
+    silently re-capped."""
+    rows = REG["doc_source_epoch_plan"].fn(spark, sf_dir).collect()
+    assert any(r["capped"] for r in rows) and any(not r["capped"] for r in rows)
+    total_tokens = sum(r["n_tokens"] for r in rows)
+    budget = total_tokens * 3.8
+    for r in rows:
+        if r["capped"]:
+            assert r["final_epochs"] == 4.0
+            assert r["final_tokens"] == 4.0 * r["n_tokens"]
+            assert not r["recap_needed"]
+        else:
+            assert r["recap_needed"] == (r["final_epochs"] > 4.0)
+    got = sum(r["final_tokens"] for r in rows)
+    assert abs(got - budget) < 1e-3 * budget
