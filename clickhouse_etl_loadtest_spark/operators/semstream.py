@@ -137,6 +137,15 @@ def semdedup_batch(
     # after a newer one landed would compare against the future
     try:
         existing = spark.read.parquet(state_path)
+    except AnalysisException as e:
+        # only a missing/empty store means "no state" — any other analysis
+        # failure must not silently skip the ordering guard (the same
+        # discriminating handler as _read_store)
+        if "PATH_NOT_FOUND" in str(e) or "UNABLE_TO_INFER_SCHEMA" in str(e):
+            existing = None
+        else:
+            raise
+    if existing is not None:
         top = existing.select(
             F.max(F.substring("batch", 2, 18).cast("long")).alias("m")
         ).first()["m"]
@@ -146,8 +155,6 @@ def semdedup_batch(
                 f"> {batch_id}; out-of-order re-delivery would compare "
                 f"against the future"
             )
-    except AnalysisException:
-        pass
 
     wave = (
         _assign(

@@ -99,15 +99,12 @@ def _walk_warc(df: DataFrame, id_col: str = "doc_id", warc_col: str = "warc") ->
     return df.mapInPandas(walk, "doc_id long, target_uri string, html string")
 
 
-def wet_verdicts(walked: DataFrame, html_col: str = "html") -> DataFrame:
-    """Per-document verdict rows from (doc_id, target_uri, html): extraction,
-    quality score (length/punct/token signals), TRAINED language-ID
-    (``predict_lang_spark`` — the tier every composed pipeline shares), the
-    whitespace-normalized 60-bit fingerprint, and the host (for curation).
-    The extracted frame materializes once (localCheckpoint) so the metrics
-    branch and the langid rollup never re-run the extraction; raw text is
-    dropped from the output and never crosses an Exchange, so everything
-    downstream shuffles fixed-width rows."""
+def _wet_extract(walked: DataFrame, html_col: str = "html") -> DataFrame:
+    """(doc_id, host, path, extracted) — the expensive Arrow-batched
+    extraction pass, UNMATERIALIZED: callers choose the reuse strategy
+    (``wet_verdicts`` localCheckpoints for one-shot batch queries; the
+    streaming landers persist + unpersist so a long-running stream never
+    accumulates pinned non-fault-tolerant RDD blocks across waves)."""
     # Curation host key: case-insensitive scheme, authority lowercased with
     # userinfo and port stripped — 'HTTP://u@A.Example.COM:8080/x' keys as
     # 'a.example.com', so odd-but-legal URIs cannot silently bypass
@@ -121,12 +118,28 @@ def wet_verdicts(walked: DataFrame, html_col: str = "html") -> DataFrame:
     path = F.regexp_extract(
         "target_uri", r"^(?i)[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)", 1
     )
-    ex = walked.select(
+    return walked.select(
         "doc_id",
         host.alias("host"),
         path.alias("path"),
         extract_text(F.col(html_col)).alias("extracted"),
-    ).localCheckpoint()
+    )
+
+
+def wet_verdicts(walked: DataFrame, html_col: str = "html") -> DataFrame:
+    """Per-document verdict rows from (doc_id, target_uri, html): extraction,
+    quality score (length/punct/token signals), TRAINED language-ID
+    (``predict_lang_spark`` — the tier every composed pipeline shares), the
+    whitespace-normalized 60-bit fingerprint, and the host (for curation).
+    The extracted frame materializes once (localCheckpoint) so the metrics
+    branch and the langid rollup never re-run the extraction; raw text is
+    dropped from the output and never crosses an Exchange, so everything
+    downstream shuffles fixed-width rows."""
+    return _score_extracted(_wet_extract(walked, html_col).localCheckpoint())
+
+
+def _score_extracted(ex: DataFrame) -> DataFrame:
+    """Verdict rows from an already-materialized extraction frame."""
     toks = F.regexp_extract_all(F.lower(F.col("extracted")), F.lit(_TOKEN_RE), F.lit(0))
     n_chars = F.length("extracted")
     n_punct = n_chars - F.length(F.regexp_replace("extracted", "[^a-zA-Z0-9 ]", ""))
@@ -235,8 +248,40 @@ def wet_batch(
     per-batch subdir makes replays (post-crash re-delivery of the same
     micro-batch) idempotent — curation is deterministic per wave, so a
     replay reproduces the identical partition."""
-    verdicts = wet_verdicts(_walk_warc(batch_df, id_col=id_col, warc_col=warc_col))
-    _land_verdicts(verdicts, store_path, batch_id, blocklist, cap_per_host, robots_rules)
+    _land_extracted(
+        _wet_extract(_walk_warc(batch_df, id_col=id_col, warc_col=warc_col)),
+        store_path,
+        batch_id,
+        blocklist,
+        cap_per_host,
+        robots_rules,
+    )
+
+
+def _land_extracted(
+    ex: DataFrame,
+    store_path: str,
+    batch_id: int,
+    blocklist: list[str] | None,
+    cap_per_host: int | None,
+    robots_rules: DataFrame | None = None,
+) -> None:
+    """Streaming-side materialize→score→land: persist (NOT localCheckpoint —
+    lineage survives an executor loss, and the blocks are explicitly
+    released once the write lands, so a long stream's storage footprint
+    stays one-wave-bounded) the extraction frame, score+land it, unpersist."""
+    ex = ex.persist()
+    try:
+        _land_verdicts(
+            _score_extracted(ex),
+            store_path,
+            batch_id,
+            blocklist,
+            cap_per_host,
+            robots_rules,
+        )
+    finally:
+        ex.unpersist()
 
 
 def _land_verdicts(
@@ -300,8 +345,8 @@ def wet_shard_batch(
     walked = batch_df.mapInPandas(walk, "target_uri string, html string").select(
         h60(F.col("target_uri")).alias("doc_id"), "target_uri", "html"
     )
-    _land_verdicts(
-        wet_verdicts(walked), store_path, batch_id, blocklist, cap_per_host, robots_rules
+    _land_extracted(
+        _wet_extract(walked), store_path, batch_id, blocklist, cap_per_host, robots_rules
     )
 
 

@@ -2693,8 +2693,8 @@ def doc_bpe_context_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 _HARMONIC_ORACLE = f"""
 WITH t AS (
     SELECT doc_id,
-           LEAST(CAST(len(regexp_extract_all(lower(text), '{{TOKEN_RE}}')) + 1 AS BIGINT),
-                 {{CTX}}) AS len_tokens
+           GREATEST(LEAST(CAST(len(regexp_extract_all(lower(text), '{{TOKEN_RE}}')) + 1 AS BIGINT),
+                 {{CTX}}), 1) AS len_tokens
     FROM documents
 ),
 k AS (
@@ -2748,10 +2748,16 @@ def doc_pack_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.ranking import global_rank
 
     d = _docs(spark, sf_dir)
+    # greatest(..., 1): a NULL text gives size() = -1 → len 0 → NULL
+    # size_class (512/0) — clamping keeps the bin-validity invariant even if
+    # the fixture's non-null-text guarantee ever changes
     t = d.select(
         "doc_id",
-        F.least(
-            (F.size(_tokens()) + 1).cast("bigint"), F.lit(_CTX_LEN).cast("bigint")
+        F.greatest(
+            F.least(
+                (F.size(_tokens()) + 1).cast("bigint"), F.lit(_CTX_LEN).cast("bigint")
+            ),
+            F.lit(1).cast("bigint"),
         ).alias("len_tokens"),
     )
     k = t.select(
@@ -2860,8 +2866,8 @@ def doc_bpe_compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 _HARMONIC_STATS_ORACLE = f"""
 WITH t AS (
     SELECT doc_id,
-           LEAST(CAST(len(regexp_extract_all(lower(text), '{{TOKEN_RE}}')) + 1 AS BIGINT),
-                 {{CTX}}) AS len_tokens
+           GREATEST(LEAST(CAST(len(regexp_extract_all(lower(text), '{{TOKEN_RE}}')) + 1 AS BIGINT),
+                 {{CTX}}), 1) AS len_tokens
     FROM documents
 ),
 k AS (
@@ -2898,9 +2904,13 @@ def doc_pack_harmonic_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: everything reduces over the class histogram (≤ CTX_LEN rows) —
     one corpus shuffle for the class rollup, then arithmetic."""
     d = _docs(spark, sf_dir)
+    # same greatest(...,1) clamp as doc_pack_harmonic (NULL-text guard)
     t = d.select(
-        F.least(
-            (F.size(_tokens()) + 1).cast("bigint"), F.lit(_CTX_LEN).cast("bigint")
+        F.greatest(
+            F.least(
+                (F.size(_tokens()) + 1).cast("bigint"), F.lit(_CTX_LEN).cast("bigint")
+            ),
+            F.lit(1).cast("bigint"),
         ).alias("len_tokens"),
     )
     cls = (
