@@ -399,6 +399,181 @@ def doc_source_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- epoch-plan FIXPOINT (the allocation the sampler actually schedules) --------------
+# The one-pass query above flags `recap_needed` and leaves the fixpoint to
+# the sampler. The iterative fixpoint (cap -> redistribute -> re-cap until no
+# flag) is provably <= n_sources rounds, but it does NOT need iteration:
+# under sqrt-flattened weights a source s gets epochs lambda/sqrt(t_s), so it
+# caps iff sqrt(t_s) < lambda/cap — the capped set is a PREFIX of sources
+# sorted by token count ascending (small sources repeat more and cap first),
+# and the multiplier lambda is monotone in the capped prefix (capping a
+# source frees less budget than its share, so lambda only grows; capped
+# sources stay capped). Water-filling: one window pass over the sorted
+# source table finds the unique boundary k* where
+#   lambda_k = (B - cap*T_k) / (S - S_k)      (T_k, S_k = prefix sums)
+# caps exactly the first k sources — no loop, no recursion, identical SQL.
+# Feasible while budget_x < cap (all-capped would allocate cap*T > B).
+
+if _EPOCH_BUDGET_X >= _EPOCH_CAP:  # not an assert: must survive python -O
+    raise ValueError(
+        "epoch fixpoint requires budget_x < cap (otherwise every source caps "
+        "and the boundary search has no uncapped remainder)"
+    )
+
+_EPOCH_FIXPOINT_ORACLE = f"""
+WITH per_source AS (
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(regexp_extract_all(lower(text), '{TOKEN_RE}'))) AS BIGINT) AS n_tokens
+    FROM documents GROUP BY source
+),
+pool AS (SELECT * FROM per_source WHERE n_tokens > 0),
+tot AS (
+    SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(CAST(sqrt(CAST(n_tokens AS DOUBLE)) AS DECIMAL(38,18))) AS DOUBLE) AS sqrt_total
+    FROM pool
+),
+ordered AS (
+    SELECT n_tokens,
+           sqrt(CAST(n_tokens AS DOUBLE)) AS sq,
+           CAST(SUM(n_tokens) OVER w AS BIGINT) AS cum_tokens,
+           CAST(SUM(CAST(sqrt(CAST(n_tokens AS DOUBLE)) AS DECIMAL(38,18))) OVER w AS DOUBLE)
+               AS cum_sqrt,
+           LEAD(sqrt(CAST(n_tokens AS DOUBLE))) OVER (ORDER BY n_tokens, source) AS next_sq
+    FROM pool
+    WINDOW w AS (ORDER BY n_tokens, source ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+cand AS (
+    -- NULLIF: the all-capped boundary (k = n) divides by exactly zero (the
+    -- DECIMAL prefix sum is exact); NULL fails both comparisons, so the
+    -- infeasible candidate drops without an engine-specific div-by-zero
+    SELECT (t.total_tokens * {_EPOCH_BUDGET_X} - {_EPOCH_CAP} * o.cum_tokens)
+               / NULLIF(t.sqrt_total - o.cum_sqrt, 0) AS lam
+    FROM ordered o, tot t
+    WHERE (t.total_tokens * {_EPOCH_BUDGET_X} - {_EPOCH_CAP} * o.cum_tokens)
+              / NULLIF(t.sqrt_total - o.cum_sqrt, 0) > {_EPOCH_CAP} * o.sq
+      AND (o.next_sq IS NULL
+           OR (t.total_tokens * {_EPOCH_BUDGET_X} - {_EPOCH_CAP} * o.cum_tokens)
+                  / NULLIF(t.sqrt_total - o.cum_sqrt, 0) <= {_EPOCH_CAP} * o.next_sq)
+),
+lam AS (
+    SELECT COALESCE((SELECT MAX(lam) FROM cand),
+                    (SELECT total_tokens * {_EPOCH_BUDGET_X} / sqrt_total FROM tot)) AS lam
+)
+SELECT p.source, p.n_docs, p.n_tokens,
+       ROUND(sqrt(CAST(p.n_tokens AS DOUBLE)) / t.sqrt_total, 6) AS mix_weight,
+       l.lam > {_EPOCH_CAP} * sqrt(CAST(p.n_tokens AS DOUBLE)) AS capped,
+       ROUND(CASE WHEN l.lam > {_EPOCH_CAP} * sqrt(CAST(p.n_tokens AS DOUBLE))
+             THEN {_EPOCH_CAP} * p.n_tokens
+             ELSE l.lam * sqrt(CAST(p.n_tokens AS DOUBLE)) END, 6) AS final_tokens,
+       ROUND(CASE WHEN l.lam > {_EPOCH_CAP} * sqrt(CAST(p.n_tokens AS DOUBLE))
+             THEN {_EPOCH_CAP}
+             ELSE l.lam * sqrt(CAST(p.n_tokens AS DOUBLE)) / p.n_tokens END, 6)
+           AS final_epochs
+FROM pool p, tot t, lam l
+ORDER BY p.source
+"""
+
+
+@register("doc_source_epoch_fixpoint", _EPOCH_FIXPOINT_ORACLE)
+def doc_source_epoch_fixpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The epoch allocation a sampler actually schedules: the FIXPOINT of
+    cap→redistribute→re-cap (``doc_source_epoch_plan`` is the one-pass audit
+    view that flags ``recap_needed`` instead). Computed closed-form as
+    water-filling — sources sorted ascending by token count, prefix sums
+    locate the unique boundary where the redistribution multiplier caps
+    exactly the prefix — so no iteration and no recursion anywhere; the
+    naive iterative loop provably converges to the same allocation
+    (``tests/test_packing.py`` asserts equality), every capped source sits
+    exactly at the cap, no uncapped source exceeds it, and the budget is
+    conserved to the last token.
+
+    Scale: one shuffle (the source rollup); the window pass and totals run
+    over the source-cardinality table (domains, not documents — the same
+    deliberate single-partition-over-a-histogram trade as
+    ``doc_pack_harmonic``), and the 1-row (total, lambda) frame broadcasts
+    back. Prefix sums of sqrt weights fold in DECIMAL(38,18) so both
+    engines see identical boundaries.
+    """
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir).select(
+        "source", F.size(_tokens()).cast("long").alias("n_toks")
+    )
+    pool = (
+        d.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_toks").alias("n_tokens"))
+        .where(F.col("n_tokens") > 0)
+    )
+    tot = pool.agg(
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum(F.sqrt(F.col("n_tokens").cast("double")).cast("decimal(38,18)"))
+        .cast("double")
+        .alias("sqrt_total"),
+    )
+    sq = F.sqrt(F.col("n_tokens").cast("double"))
+    w = Window.orderBy("n_tokens", "source").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ordered = pool.select(
+        "n_tokens",
+        sq.alias("sq"),
+        F.sum("n_tokens").over(w).cast("bigint").alias("cum_tokens"),
+        F.sum(sq.cast("decimal(38,18)")).over(w).cast("double").alias("cum_sqrt"),
+        F.lead(sq).over(Window.orderBy("n_tokens", "source")).alias("next_sq"),
+    )
+    budget = F.col("total_tokens") * _EPOCH_BUDGET_X
+    # try_divide: the all-capped boundary (k = n) has an exactly-zero
+    # denominator (DECIMAL prefix sums); NULL fails both predicates below,
+    # dropping the infeasible candidate instead of tripping ANSI div-by-zero
+    lam_k = F.try_divide(
+        budget - _EPOCH_CAP * F.col("cum_tokens"),
+        F.col("sqrt_total") - F.col("cum_sqrt"),
+    )
+    cand = (
+        ordered.crossJoin(F.broadcast(tot))
+        .where(lam_k > _EPOCH_CAP * F.col("sq"))
+        .where(
+            F.col("next_sq").isNull() | (lam_k <= _EPOCH_CAP * F.col("next_sq"))
+        )
+        .agg(F.max(lam_k).alias("cand_lam"))
+    )
+    lam = (
+        tot.crossJoin(F.broadcast(cand))
+        .select(
+            F.coalesce(
+                F.col("cand_lam"), budget / F.col("sqrt_total")
+            ).alias("lam"),
+            "sqrt_total",
+        )
+    )
+    p_sq = F.sqrt(F.col("n_tokens").cast("double"))
+    is_capped = F.col("lam") > _EPOCH_CAP * p_sq
+    return (
+        pool.crossJoin(F.broadcast(lam))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(p_sq / F.col("sqrt_total"), 6).alias("mix_weight"),
+            is_capped.alias("capped"),
+            F.round(
+                F.when(is_capped, F.lit(_EPOCH_CAP) * F.col("n_tokens")).otherwise(
+                    F.col("lam") * p_sq
+                ),
+                6,
+            ).alias("final_tokens"),
+            F.round(
+                F.when(is_capped, F.lit(_EPOCH_CAP)).otherwise(
+                    F.col("lam") * p_sq / F.col("n_tokens")
+                ),
+                6,
+            ).alias("final_epochs"),
+        )
+        .orderBy("source")
+    )
+
+
 # --- cross-document repeated n-gram (boilerplate) coverage ---------------------------
 
 _GRAM_K = 5

@@ -181,3 +181,66 @@ def test_epoch_plan_conserves_the_budget(spark, sf_dir):
             assert r["recap_needed"] == (r["final_epochs"] > 4.0)
     got = sum(r["final_tokens"] for r in rows)
     assert abs(got - budget) < 1e-3 * budget
+
+
+def _iterative_epoch_fixpoint(per_source, budget_x=3.8, cap=4.0):
+    """The naive cap->redistribute->re-cap loop the closed form replaces:
+    re-derive capped set and multiplier until no uncapped source exceeds the
+    cap (<= n_sources rounds — each round caps at least one new source)."""
+    import math
+
+    budget = sum(t for _, t in per_source) * budget_x
+    capped: set[str] = set()
+    for _ in range(len(per_source) + 1):
+        rem_budget = budget - cap * sum(t for s, t in per_source if s in capped)
+        denom = sum(math.sqrt(t) for s, t in per_source if s not in capped)
+        newly = {
+            s
+            for s, t in per_source
+            if s not in capped and rem_budget * math.sqrt(t) / denom / t > cap
+        }
+        if not newly:
+            lam = rem_budget / denom
+            return capped, lam
+        capped |= newly
+    raise AssertionError("fixpoint did not converge within n_sources rounds")
+
+
+def test_epoch_fixpoint_equals_the_iterative_loop(spark, sf_dir):
+    """The closed-form water-filling boundary IS the fixpoint: same capped
+    set and same allocations as the naive iterative loop; every capped
+    source sits exactly at the cap, no uncapped source exceeds it, and the
+    budget is conserved exactly (the two properties the one-pass audit
+    query can only flag)."""
+    rows = REG["doc_source_epoch_fixpoint"].fn(spark, sf_dir).collect()
+    per_source = [(r["source"], r["n_tokens"]) for r in rows]
+    capped, lam = _iterative_epoch_fixpoint(per_source)
+    import math
+
+    assert {r["source"] for r in rows if r["capped"]} == capped
+    assert any(r["capped"] for r in rows) and any(not r["capped"] for r in rows)
+    total_tokens = sum(r["n_tokens"] for r in rows)
+    budget = total_tokens * 3.8
+    for r in rows:
+        if r["capped"]:
+            assert r["final_epochs"] == 4.0
+            assert r["final_tokens"] == 4.0 * r["n_tokens"]
+        else:
+            # never past the cap — the property doc_source_epoch_plan lacks
+            assert r["final_epochs"] <= 4.0
+            want = lam * math.sqrt(r["n_tokens"])
+            assert abs(r["final_tokens"] - want) <= max(1e-6 * want, 5e-7)
+    got = sum(r["final_tokens"] for r in rows)
+    assert abs(got - budget) < 1e-9 * budget  # conserved exactly, not ~1e-3
+
+
+def test_epoch_fixpoint_caps_a_prefix_by_size(spark, sf_dir):
+    """Under sqrt-flattening small sources cap first: the capped set is a
+    prefix of sources sorted ascending by token count (the invariant the
+    closed-form boundary search rests on)."""
+    rows = sorted(
+        REG["doc_source_epoch_fixpoint"].fn(spark, sf_dir).collect(),
+        key=lambda r: (r["n_tokens"], r["source"]),
+    )
+    flags = [r["capped"] for r in rows]
+    assert flags == sorted(flags, reverse=True)
