@@ -2981,6 +2981,154 @@ def doc_pack_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# --- harmonic-vs-FFD gap, measured -----------------------------------------------------
+# The harmonic packer trades FFD's sequentiality for distributability at a
+# CITED ~1.69 competitive ratio. This query makes the trade a MEASURED
+# number: exact first-fit-decreasing bin count beside the harmonic count and
+# the L1 lower bound. FFD is inherently sequential, but it only needs the
+# (length -> count) histogram (<= CTX_LEN rows at ANY corpus size — docs cap
+# at the context length), so the sequential part runs driver-side over the
+# histogram in O(distinct-lengths x bins) while the corpus itself sees one
+# shuffle. The DuckDB oracle replays first-fit per document with a recursive
+# CTE (one step per doc, residual list as state) — slow but exact, and only
+# ever run at the sf0.001/sf0.01 gates.
+
+
+def _ffd_bin_count(hist: list[tuple[int, int]], ctx: int) -> int:
+    """Exact first-fit-decreasing bin count from a (length, count) histogram.
+
+    Equal lengths batch without changing first-fit semantics: while placing
+    items of length L in descending-length order, every bin left of the
+    scan pointer was already seen to have residual < L and residuals only
+    shrink, so the pointer never needs to rewind within a length class; a
+    fresh bin deterministically takes floor(ctx/L) items."""
+    resid: list[int] = []
+    i = 0
+    for length, count in sorted(hist, reverse=True):
+        i = 0
+        c = int(count)
+        while c:
+            while i < len(resid) and resid[i] < length:
+                i += 1
+            if i == len(resid):
+                k = ctx // length
+                full, c = divmod(c, k)
+                resid.extend([ctx - k * length] * full)
+                if c:
+                    resid.append(ctx - c * length)
+                    c = 0
+                i = len(resid)
+            else:
+                q = min(c, resid[i] // length)
+                resid[i] -= q * length
+                c -= q
+    return len(resid)
+
+
+_FFD_GAP_ORACLE = f"""
+WITH RECURSIVE t AS (
+    SELECT doc_id,
+           GREATEST(LEAST(CAST(len(regexp_extract_all(lower(text), '{{TOKEN_RE}}')) + 1 AS BIGINT),
+                 {{CTX}}), 1) AS len_tokens
+    FROM documents
+),
+docs AS (
+    SELECT len_tokens,
+           ROW_NUMBER() OVER (ORDER BY len_tokens DESC, doc_id) AS rn
+    FROM t
+),
+ffd AS (
+    SELECT CAST(0 AS BIGINT) AS rn, CAST([] AS BIGINT[]) AS resid
+    UNION ALL
+    SELECT d.rn,
+           CASE WHEN len(list_filter(range(1, len(f.resid) + 1),
+                                     i -> f.resid[i] >= d.len_tokens)) = 0
+                THEN list_append(f.resid, CAST({{CTX}} AS BIGINT) - d.len_tokens)
+                ELSE list_transform(range(1, len(f.resid) + 1),
+                       i -> CASE WHEN i = list_filter(range(1, len(f.resid) + 1),
+                                        j -> f.resid[j] >= d.len_tokens)[1]
+                            THEN f.resid[i] - d.len_tokens ELSE f.resid[i] END)
+           END AS resid
+    FROM ffd f JOIN docs d ON d.rn = f.rn + 1
+),
+ffd_final AS (
+    SELECT CAST(len(resid) AS BIGINT) AS ffd_bins FROM ffd ORDER BY rn DESC LIMIT 1
+),
+cls AS (
+    SELECT CAST({{CTX}} // len_tokens AS BIGINT) AS size_class,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len_tokens) AS BIGINT) AS class_tokens
+    FROM t GROUP BY 1
+),
+agg AS (
+    SELECT CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+           CAST(SUM(class_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(CAST(CEIL(n_docs * 1.0 / size_class) AS BIGINT)) AS BIGINT) AS harmonic_bins,
+           CAST(CEIL(SUM(class_tokens) * 1.0 / {{CTX}}) AS BIGINT) AS lower_bound_bins
+    FROM cls
+)
+SELECT a.n_docs, a.total_tokens, a.lower_bound_bins, a.harmonic_bins, x.ffd_bins,
+       ROUND(x.ffd_bins * 1.0 / a.lower_bound_bins, 6) AS ffd_over_lower_bound,
+       ROUND(a.harmonic_bins * 1.0 / x.ffd_bins, 6) AS harmonic_over_ffd
+FROM agg a, ffd_final x
+""".format(TOKEN_RE=TOKEN_RE, CTX=_CTX_LEN)
+
+
+@register("doc_pack_ffd_gap", _FFD_GAP_ORACLE)
+def doc_pack_ffd_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The harmonic packer's competitive ratio, measured (one row): exact
+    first-fit-decreasing bin count vs ``doc_pack_harmonic``'s count vs the
+    L1 lower bound. ``harmonic_over_ffd`` is the number a pipeline owner
+    reads before trading distributability for a sequential packer.
+
+    Scale: ONE corpus shuffle (the length histogram — lengths cap at
+    CTX_LEN, so it is ≤ CTX_LEN rows at any corpus size); FFD then runs
+    driver-side over the histogram (:func:`_ffd_bin_count` — batched
+    first-fit, exact per-item semantics), the same bounded-collect
+    discipline as the BPE merge table and the class-histogram passes.
+    """
+    d = _docs(spark, sf_dir)
+    t = d.select(
+        F.greatest(
+            F.least(
+                (F.size(_tokens()) + 1).cast("bigint"), F.lit(_CTX_LEN).cast("bigint")
+            ),
+            F.lit(1).cast("bigint"),
+        ).alias("len_tokens"),
+    )
+    hist = [
+        (int(r["len_tokens"]), int(r["n"]))
+        for r in t.groupBy("len_tokens").agg(F.count(F.lit(1)).alias("n")).collect()
+    ]
+    ffd_bins = _ffd_bin_count(hist, _CTX_LEN)
+    n_docs = sum(c for _, c in hist)
+    total_tokens = sum(length * c for length, c in hist)
+    by_class: dict[int, int] = {}
+    for length, c in hist:
+        k = _CTX_LEN // length
+        by_class[k] = by_class.get(k, 0) + c
+    harmonic_bins = sum(-(-n // k) for k, n in by_class.items())
+    lower_bound = -(-total_tokens // _CTX_LEN)
+    return spark.createDataFrame(
+        [
+            (
+                n_docs,
+                total_tokens,
+                lower_bound,
+                harmonic_bins,
+                ffd_bins,
+                round(ffd_bins / lower_bound, 6),
+                round(harmonic_bins / ffd_bins, 6),
+            )
+        ],
+        schema=(
+            "n_docs bigint, total_tokens bigint, lower_bound_bins bigint, "
+            "harmonic_bins bigint, ffd_bins bigint, ffd_over_lower_bound double, "
+            "harmonic_over_ffd double"
+        ),
+    )
+
+
 # --- tokenizer-compression quality signal ---------------------------------------------
 # Chars-per-BPE-token as a quality dial: pathologically repetitive text
 # compresses far ABOVE the corpus band (few long merged pieces), while
