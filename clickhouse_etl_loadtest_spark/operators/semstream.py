@@ -116,6 +116,21 @@ def _read_store(
     return df.drop("batch")
 
 
+def codebook_ref_stats(
+    df: DataFrame, centroids: list[list[float]], vec_col: str = "embedding"
+) -> dict:
+    """Training-time assignment-distance distribution of a codebook over its
+    seed sample: ``{"mean_dist2": ..., "p95_dist2": ...}``. Persist this
+    beside the pinned codebook and pass it to every :func:`semdedup_batch`
+    as ``ref_stats`` — the yardstick the per-wave drift check compares
+    against."""
+    r = _assign(df, centroids, vec_col).agg(
+        F.avg("dist2").alias("mean_dist2"),
+        F.percentile("dist2", 0.95).alias("p95_dist2"),
+    ).first()
+    return {"mean_dist2": float(r["mean_dist2"]), "p95_dist2": float(r["p95_dist2"])}
+
+
 def semdedup_batch(
     spark: SparkSession,
     batch_df: DataFrame,
@@ -125,12 +140,27 @@ def semdedup_batch(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    ref_stats: dict | None = None,
+    drift_factor: float = 1.5,
 ) -> dict:
     """Fold one wave of vectors into the persistent semantic-dedup store;
-    returns ``{"n": ..., "kept": ...}``. Shaped to be a ``foreachBatch``
-    body. ``centroids`` is the PINNED codebook (train once on a seed
-    sample, reuse every wave — re-fitting per wave would silently reshard
-    history's clusters)."""
+    returns ``{"n": ..., "kept": ..., "mean_dist2": ..., "p95_dist2": ...,
+    "drift_flagged": ...}``. Shaped to be a ``foreachBatch`` body.
+    ``centroids`` is the PINNED codebook (train once on a seed sample,
+    reuse every wave — re-fitting per wave would silently reshard history's
+    clusters).
+
+    Staleness signal: embeddings drift where langid alphabets don't, and a
+    drifted wave degrades the cluster-bounded recall SILENTLY (vectors land
+    in clusters that no longer describe them, so true near-dups stop
+    meeting). Every wave therefore reports its assignment-distance
+    distribution (mean/p95 ``dist2`` — one extra tiny agg over the already-
+    materialized wave); when ``ref_stats`` (the training-time distribution
+    from :func:`codebook_ref_stats`) is supplied, ``drift_flagged`` goes
+    True as soon as either statistic exceeds ``drift_factor`` x its
+    reference — the operator keeps folding (the verdict rows are still
+    exact for what WAS compared), the flag tells the pipeline owner to
+    re-train and re-seed before recall decays further."""
     from pyspark.errors import AnalysisException
 
     # out-of-order guard (the packstream contract): an older batch replayed
@@ -168,11 +198,28 @@ def semdedup_batch(
         .select(
             "vec_id",
             "cluster",
+            "dist2",
             F.col("embedding").cast("array<double>").alias("embedding"),
             _norm(F.col("embedding")).alias("nrm"),
         )
-        .localCheckpoint()  # three consumers below; never re-run the assign
+        .localCheckpoint()  # four consumers below; never re-run the assign
     )
+    ws = wave.agg(
+        F.avg("dist2").alias("mean_dist2"),
+        F.percentile("dist2", 0.95).alias("p95_dist2"),
+    ).first()
+    mean_d = None if ws["mean_dist2"] is None else float(ws["mean_dist2"])
+    p95_d = None if ws["p95_dist2"] is None else float(ws["p95_dist2"])
+    drift = None
+    if ref_stats is not None:
+        drift = bool(
+            mean_d is not None
+            and (
+                mean_d > drift_factor * float(ref_stats["mean_dist2"])
+                or p95_d > drift_factor * float(ref_stats["p95_dist2"])
+            )
+        )
+    wave = wave.drop("dist2")
     prior = _read_store(spark, state_path, before_batch_id=batch_id)
     p = prior.select(
         "cluster",
@@ -201,7 +248,13 @@ def semdedup_batch(
         F.count(F.lit(1)).alias("n"),
         F.count(F.when(F.col("keep"), 1)).alias("kept"),
     ).first()
-    return {"n": int(agg["n"]), "kept": int(agg["kept"])}
+    return {
+        "n": int(agg["n"]),
+        "kept": int(agg["kept"]),
+        "mean_dist2": mean_d,
+        "p95_dist2": p95_d,
+        "drift_flagged": drift,
+    }
 
 
 def read_semdedup_store(spark: SparkSession, state_path: str) -> DataFrame:

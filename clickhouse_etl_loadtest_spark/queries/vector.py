@@ -876,6 +876,127 @@ def embedding_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- SemDeDup cross-cluster miss, measured --------------------------------------------
+# The dedup twin of doc_lsh_recall_curve: embedding_semdedup's documented
+# trade (a near-dup pair split across clusters is never compared) deserves a
+# NUMBER the pipeline owner can dial. For each cluster count k, what
+# fraction of the exact near-dup pairs stay within a cluster (pair_recall),
+# and what fraction of the exact drop-set the cluster-bounded rule still
+# drops (drop_recall)? The cosine pass runs ONCE (the exact pair set);
+# per-k work is two id-keyed joins against that fixed pair list — recall
+# always falls as k grows, which is exactly the dial: k buys Σ n_c² speed
+# at measured recall cost.
+
+_SEMDEDUP_RECALL_KS = (2, 4, 8, 16)
+
+
+def _semdedup_recall_oracle(ks: tuple, iters: int) -> str:
+    asg = [
+        f"asg{k} AS (SELECT vec_id, cluster FROM ({_kmeans_oracle(k, iters)}) base)"
+        for k in ks
+    ]
+    rows = [
+        f"SELECT CAST({k} AS BIGINT) AS k, CAST(COUNT(*) AS BIGINT) AS n_pairs_within, "
+        f"CAST(COUNT(DISTINCT p.vb) AS BIGINT) AS n_dropped "
+        f"FROM exact_pairs p JOIN asg{k} x ON p.va = x.vec_id "
+        f"JOIN asg{k} y ON p.vb = y.vec_id AND x.cluster = y.cluster"
+        for k in ks
+    ]
+    asg_sql = ",\n".join(asg)
+    per_k_sql = " UNION ALL ".join(rows)
+    return f"""
+WITH n AS (
+    SELECT vec_id, embedding, {_norm_sql('embedding')} AS nrm FROM embeddings
+),
+exact_pairs AS (
+    SELECT a.vec_id AS va, b.vec_id AS vb
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE {_dot_sql('a.embedding', 'b.embedding')} / (a.nrm * b.nrm) >= {_NEAR_DUP_THRESHOLD}
+),
+ex AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs_exact,
+           CAST(COUNT(DISTINCT vb) AS BIGINT) AS n_dropped_exact
+    FROM exact_pairs
+),
+{asg_sql},
+per_k AS ({per_k_sql})
+SELECT p.k, e.n_pairs_exact, p.n_pairs_within, e.n_dropped_exact, p.n_dropped,
+       ROUND(p.n_pairs_within * 1.0 / NULLIF(e.n_pairs_exact, 0), 6) AS pair_recall,
+       ROUND(p.n_dropped * 1.0 / NULLIF(e.n_dropped_exact, 0), 6) AS drop_recall
+FROM per_k p, ex e
+ORDER BY p.k
+"""
+
+
+@register(
+    "embedding_semdedup_recall",
+    _semdedup_recall_oracle(_SEMDEDUP_RECALL_KS, _KMEANS_ITERS),
+)
+def embedding_semdedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of the cluster-bounded SemDeDup drop-set vs the exact global
+    twin, as a function of the cluster count k — one row per k in
+    ``_SEMDEDUP_RECALL_KS``: how many exact near-dup pairs survive within a
+    cluster (``pair_recall``) and how much of ``semantic_dedup_keep``'s
+    drop-set the bounded rule reproduces (``drop_recall``). The
+    cluster-bounded drop-set is a SUBSET of the exact one by construction,
+    so recall is the whole story (precision is always 1).
+
+    Scale: the exact cosine pass runs once (the blocked pair join —
+    localCheckpointed, reused by every k); each k adds a Lloyd fit plus two
+    id-keyed joins of the fixed pair list against the assignment — ids
+    only, vectors never re-shuffle per k.
+    """
+    from ..operators.clustering import kmeans_fit_assign
+
+    e = _emb(spark, sf_dir)
+    pairs = (
+        embedding_near_dup_pairs(spark, sf_dir)
+        .select("vec_a", "vec_b")
+        .localCheckpoint()  # reused by ex + every per-k join below
+    )
+    ex = pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs_exact"),
+        F.count_distinct("vec_b").alias("n_dropped_exact"),
+    )
+    per_k: DataFrame | None = None
+    for k in _SEMDEDUP_RECALL_KS:
+        assigned = kmeans_fit_assign(e, k=k, iterations=_KMEANS_ITERS).select(
+            "vec_id", "cluster"
+        )
+        x = assigned.select(F.col("vec_id").alias("vec_a"), F.col("cluster").alias("_ca"))
+        y = assigned.select(F.col("vec_id").alias("vec_b"), F.col("cluster").alias("_cb"))
+        row = (
+            pairs.join(x, "vec_a")
+            .join(y, "vec_b")
+            .where(F.col("_ca") == F.col("_cb"))
+            .agg(
+                F.count(F.lit(1)).alias("n_pairs_within"),
+                F.count_distinct("vec_b").alias("n_dropped"),
+            )
+            .select(F.lit(k).cast("bigint").alias("k"), "n_pairs_within", "n_dropped")
+        )
+        per_k = row if per_k is None else per_k.unionByName(row)
+    return (
+        per_k.crossJoin(F.broadcast(ex))
+        .select(
+            "k",
+            "n_pairs_exact",
+            "n_pairs_within",
+            "n_dropped_exact",
+            "n_dropped",
+            F.round(
+                F.col("n_pairs_within") * 1.0 / F.nullif(F.col("n_pairs_exact"), F.lit(0)),
+                6,
+            ).alias("pair_recall"),
+            F.round(
+                F.col("n_dropped") * 1.0 / F.nullif(F.col("n_dropped_exact"), F.lit(0)),
+                6,
+            ).alias("drop_recall"),
+        )
+        .orderBy("k")
+    )
+
+
 # --- PCA residual audit (decorrelation screening before quantization/IVF) ------------
 
 _PCA_K = 8

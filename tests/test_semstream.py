@@ -181,3 +181,47 @@ def test_out_of_order_redelivery_fails_loud(spark, tmp_path):
     df = spark.createDataFrame(waves[0], "vec_id long, embedding array<double>")
     with pytest.raises(ValueError, match="out-of-order"):
         semdedup_batch(spark, df, state, 0, cents, THRESHOLD)
+
+
+def test_wave_reports_codebook_drift(spark, tmp_path):
+    """The pinned-codebook staleness signal: an in-distribution wave stays
+    unflagged; a deliberately shifted wave (embeddings drift, the codebook
+    doesn't) reports assignment distances past the training-time yardstick
+    and flags. The fold itself still lands either way — the flag is a
+    re-train signal, not a gate."""
+    from clickhouse_etl_loadtest_spark.operators.semstream import codebook_ref_stats
+
+    vecs = _corpus(n=40, n_dups=8)
+    cents = _centroids(vecs)
+    state = str(tmp_path / "sem_state")
+    seed_df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    ref = codebook_ref_stats(seed_df, cents)
+    assert ref["mean_dist2"] > 0 and ref["p95_dist2"] >= ref["mean_dist2"]
+
+    # wave 0: same distribution as the seed sample -> no flag
+    info0 = semdedup_batch(
+        spark, seed_df, state, 0, cents, THRESHOLD, ref_stats=ref
+    )
+    assert info0["drift_flagged"] is False
+    assert info0["mean_dist2"] > 0 and info0["p95_dist2"] > 0
+
+    # wave 1: drifted embedding space (constant offset, re-normalized) ->
+    # assignment distances blow past the yardstick and the wave flags
+    import numpy as np
+
+    shift = np.ones(DIM) / np.sqrt(DIM)
+    drifted = [
+        (100 + i, _unit(np.asarray(v) + 3.0 * shift)) for i, (_, v) in enumerate(vecs)
+    ]
+    df1 = spark.createDataFrame(drifted, "vec_id long, embedding array<double>")
+    info1 = semdedup_batch(spark, df1, state, 1, cents, THRESHOLD, ref_stats=ref)
+    assert info1["drift_flagged"] is True
+    assert info1["mean_dist2"] > 1.5 * ref["mean_dist2"]
+
+    # without a reference the metric still reports, the flag stays None
+    df2 = spark.createDataFrame(
+        [(200 + i, v) for i, (_, v) in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    info2 = semdedup_batch(spark, df2, state, 2, cents, THRESHOLD)
+    assert info2["drift_flagged"] is None and info2["mean_dist2"] > 0
