@@ -1264,7 +1264,7 @@ def exact_substring_cut_spans(d: DataFrame, L: int = _CUT_L) -> DataFrame:
     )
 
 
-@register("doc_exact_substring_cuts", _exact_cut_oracle(_CUT_L))
+@register("doc_exact_substring_cuts", _exact_cut_oracle(_CUT_L), extra=True)
 def doc_exact_substring_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """:func:`exact_substring_cut_spans` bound at L=``_CUT_L`` over the
     documents table — per document, the token ranges a find-and-cut pass
@@ -3216,7 +3216,7 @@ FROM cls
 """.format(TOKEN_RE=TOKEN_RE, CTX=_CTX_LEN)
 
 
-@register("doc_pack_harmonic_stats", _HARMONIC_STATS_ORACLE, extra=True)
+@register("doc_pack_harmonic_stats", _HARMONIC_STATS_ORACLE)
 def doc_pack_harmonic_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Padding audit of the harmonic packer (one row): bins used vs the L1
     lower bound (ceil(total/CTX) — no packer can beat it), token

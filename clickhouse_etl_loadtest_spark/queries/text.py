@@ -2821,7 +2821,7 @@ ORDER BY doc_id, chunk_idx
 """
 
 
-@register("doc_cdc_chunks", _CDC_ORACLE)
+@register("doc_cdc_chunks", _CDC_ORACLE, extra=True)
 def doc_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-defined chunking (Rabin-style: LBFS, Muthitacharoen et al.
     2001 — the rsync/storage-dedup boundary rule, used at corpus scale for
@@ -2888,7 +2888,7 @@ FROM groups
 """
 
 
-@register("doc_cdc_dedup_ratio", _CDC_RATIO_ORACLE)
+@register("doc_cdc_dedup_ratio", _CDC_RATIO_ORACLE, extra=True)
 def doc_cdc_dedup_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The CDC payoff number: corpus-level chunk-dedup savings — total vs
     distinct chunk references and the token volume a content-addressed
@@ -3826,7 +3826,7 @@ def _hash_ann_oracle() -> str:
     return _HASH_ANN_ORACLE.format(CTE=_HASH_EMB_CTE)
 
 
-@register("doc_hashed_ann_topk", _hash_ann_oracle())
+@register("doc_hashed_ann_topk", _hash_ann_oracle(), extra=True)
 def doc_hashed_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text ANN end-to-end with no external model: hashed embeddings
     (``doc_embedding_hashed``) -> exact cosine top-k, the document-side twin
