@@ -539,6 +539,21 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_BIGSHARD", "0") == "1":
         bigshard_wave = run_bigshard_wave(spark)
 
+    # Composed streaming tier at bench scale (round 12): curate_and_pack as
+    # a real multi-wave drive. Default-on small (6 waves x 2 replicas of the
+    # gate corpus, ~1 min); the 20M-token regime (32 waves x 4 replicas) is
+    # opt-in and carries forward like the other expensive waves.
+    packstream_wave = None
+    if os.environ.get("SPARK_GRAFT_PACKSTREAM_WAVE", "1") == "1":
+        packstream_wave = run_packstream_wave(spark, sf_dir, n_waves=6, replicas=2)
+        print(f"# packstream wave: {packstream_wave}", file=sys.stderr)
+    packstream_wave_20m = None
+    if os.environ.get("SPARK_GRAFT_PACKSTREAM_20M", "0") == "1":
+        packstream_wave_20m = run_packstream_wave(
+            spark, sf_dir, n_waves=32, replicas=4
+        )
+        print(f"# packstream wave 20M: {packstream_wave_20m}", file=sys.stderr)
+
     crash_recovery = None
     if os.environ.get("SPARK_GRAFT_CRASH_RECOVERY_20M", "0") == "1":
         import tempfile as _tempfile
@@ -676,6 +691,12 @@ def main() -> None:
                 "bigshard_wave": bigshard_wave
                 if bigshard_wave is not None
                 else _carried_forward((prev_profile or {}).get("bigshard_wave")),
+                "packstream_wave": packstream_wave
+                if packstream_wave is not None
+                else _carried_forward((prev_profile or {}).get("packstream_wave")),
+                "packstream_wave_20m": packstream_wave_20m
+                if packstream_wave_20m is not None
+                else _carried_forward((prev_profile or {}).get("packstream_wave_20m")),
                 "best": best,
             },
             f,
@@ -743,6 +764,118 @@ def _carried_forward(r: dict | None) -> dict | None:
     out = dict(r)
     out["carried_forward"] = True
     return out
+
+
+def run_packstream_wave(spark, sf_dir: str, n_waves: int = 6, replicas: int = 2) -> dict:
+    """The composed streaming tier at bench scale: drive the shards→trainer
+    chain (``operators/packstream.py::curate_and_pack_batch`` — WARC walk →
+    extract → quality/langid → store landing → fingerprint novelty →
+    incremental pack) through ``n_waves`` REAL waves against one persistent
+    state, the regime the snapshot recipe exists for.
+
+    Each wave carries ``replicas`` copies of the gate corpus: replica 0
+    keeps the SAME doc_ids and text every wave (a steady re-crawl — store
+    verdicts overwrite per wave, nothing re-packs), replicas >= 1 are
+    salted unique per (wave, replica) (fresh content — every
+    quality-passing doc packs). So every wave exercises all three store
+    paths at once (fresh landing, re-crawl overwrite, novelty pack) while
+    the store, manifest, and cursor grow wave over wave.
+
+    Recorded: per-wave wall (the growth curve IS the measurement — each
+    wave re-reads the store's fixed-width verdict rows for the novelty
+    anti-join, O(store) by design, so wall should grow gently and
+    linearly, never super-linearly), packed docs + cursor per wave, final
+    store/manifest size on disk, and the REPLAY cost of re-delivering the
+    last wave (must be idempotent: same info dict, same manifest)."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from pyspark.sql import functions as F
+
+    from clickhouse_etl_loadtest_spark.operators.packstream import (
+        curate_and_pack_batch,
+        read_manifest,
+    )
+    from clickhouse_etl_loadtest_spark.queries.html import _warc_col
+
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_base = base.count()
+    stride = 100_000_000  # doc_id offset per replica slot (fixture ids are tiny)
+    wet_store = _tempfile.mkdtemp(prefix="bench-packstream-wet-")
+    pack_state = _tempfile.mkdtemp(prefix="bench-packstream-pack-")
+
+    def wave_frame(w: int):
+        parts = []
+        for r in range(replicas):
+            # replica 0: one fixed id block + fixed salt (the steady
+            # re-crawl); others: a fresh id block and salt per wave
+            off = stride if r == 0 else stride * (2 + w * (replicas - 1) + (r - 1))
+            salt = " steady" if r == 0 else f" w{w}r{r}"
+            parts.append(
+                base.withColumn("doc_id", (F.col("doc_id") + off).cast("long"))
+                .withColumn("text", F.concat(F.col("text"), F.lit(salt)))
+            )
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        return df.select("doc_id", _warc_col().alias("warc"))
+
+    try:
+        per_wall, per_packed, per_cursor = [], [], []
+        for w in range(n_waves):
+            wdf = wave_frame(w)
+            t0 = time.perf_counter()
+            info = curate_and_pack_batch(spark, wdf, wet_store, pack_state, w)
+            per_wall.append(round(time.perf_counter() - t0, 3))
+            per_packed.append(int(info["n_docs"]))
+            per_cursor.append(int(info["end"]))
+        store_rows = spark.read.parquet(wet_store).count()
+        manifest_rows = read_manifest(spark, pack_state).count()
+
+        # post-crash re-delivery of the last wave: same info, same manifest
+        wdf = wave_frame(n_waves - 1)
+        t0 = time.perf_counter()
+        replay = curate_and_pack_batch(
+            spark, wdf, wet_store, pack_state, n_waves - 1
+        )
+        replay_sec = round(time.perf_counter() - t0, 3)
+        replay_equal = (
+            int(replay["end"]) == per_cursor[-1]
+            and int(replay["n_docs"]) == per_packed[-1]
+            and read_manifest(spark, pack_state).count() == manifest_rows
+            and spark.read.parquet(wet_store).count() == store_rows
+        )
+
+        def _du(path: str) -> int:
+            tot = 0
+            for dirpath, _, files in os.walk(path):
+                for fn in files:
+                    tot += os.path.getsize(os.path.join(dirpath, fn))
+            return tot
+
+        head = per_wall[: max(1, min(3, n_waves // 2))]
+        tail = per_wall[-len(head):]
+        return {
+            "n_waves": n_waves,
+            "replicas": replicas,
+            "docs_per_wave": int(n_base * replicas),
+            "per_wave_wall_sec": per_wall,
+            "wall_tail_over_head": round(
+                statistics.median(tail) / statistics.median(head), 3
+            ),
+            "packed_docs_per_wave": per_packed,
+            "packed_docs_total": int(sum(per_packed)),
+            "final_cursor_tokens": per_cursor[-1],
+            "store_rows": int(store_rows),
+            "manifest_rows": int(manifest_rows),
+            "wet_store_bytes": _du(wet_store),
+            "pack_state_bytes": _du(pack_state),
+            "replay_sec": replay_sec,
+            "replay_equal": bool(replay_equal),
+        }
+    finally:
+        _shutil.rmtree(wet_store, ignore_errors=True)
+        _shutil.rmtree(pack_state, ignore_errors=True)
 
 
 def run_bigshard_wave(spark, target_gib: float = 3.2, chunk_bytes: int = 256 << 20) -> dict:
