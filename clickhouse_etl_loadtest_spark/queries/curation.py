@@ -258,6 +258,152 @@ def source_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- 2-D mixture rebalancing via iterative proportional fitting ----------------------
+# source_mixing_weights balances ONE marginal (uniform over sources); a real
+# mixture recipe has TWO constraints at once: hit a target LANGUAGE
+# distribution while drawing from each SOURCE in proportion to what it
+# actually holds. That is the classic contingency-table problem solved by
+# iterative proportional fitting (Deming & Stephan 1940; Sinkhorn's
+# alternating row/column scaling): scale per-lang to the target marginal,
+# rescale per-source back to availability, repeat. Each sweep only touches
+# the (lang x source) CELL table — tiny after one corpus rollup — so the
+# unrolled iterations cost nothing at any corpus size, and the same unroll
+# is expressible in SQL verbatim.
+
+_IPF_ITERS = 3
+
+_IPF_ORACLE_ITER = """
+lsum{t} AS (
+    SELECT lang, CAST(SUM(CAST(n_tokens * m AS DECIMAL(38,18))) AS DOUBLE) AS cur
+    FROM cells{p} GROUP BY lang
+),
+rowscaled{t} AS (
+    SELECT c.lang, c.source, c.n_tokens,
+           c.m * ((t.total * 1.0 / t.n_langs) / l.cur) AS m
+    FROM cells{p} c JOIN lsum{t} l USING (lang), tot t
+),
+ssum{t} AS (
+    SELECT source, CAST(SUM(CAST(n_tokens * m AS DECIMAL(38,18))) AS DOUBLE) AS cur
+    FROM rowscaled{t} GROUP BY source
+),
+cells{t} AS (
+    SELECT r.lang, r.source, r.n_tokens, r.m * (s.src_tokens / ss.cur) AS m
+    FROM rowscaled{t} r JOIN src s USING (source) JOIN ssum{t} ss USING (source)
+)"""
+
+_IPF_ORACLE = (
+    f"""
+WITH cells0 AS (
+    SELECT lang, source,
+           CAST(SUM(len(regexp_extract_all(lower(text), '{TOKEN_RE}'))) AS BIGINT)
+               AS n_tokens,
+           1.0 AS m
+    FROM documents GROUP BY lang, source
+    HAVING SUM(len(regexp_extract_all(lower(text), '{TOKEN_RE}'))) > 0
+),
+tot AS (
+    SELECT CAST(SUM(n_tokens) AS BIGINT) AS total,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+    FROM cells0
+),
+src AS (
+    SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS src_tokens
+    FROM cells0 GROUP BY source
+),"""
+    + ",".join(
+        _IPF_ORACLE_ITER.format(t=t, p=t - 1) for t in range(1, _IPF_ITERS + 1)
+    )
+    + f""",
+lfin AS (
+    SELECT lang, CAST(SUM(CAST(n_tokens * m AS DECIMAL(38,18))) AS DOUBLE) AS cur
+    FROM cells{_IPF_ITERS} GROUP BY lang
+)
+SELECT c.lang, c.source, c.n_tokens,
+       ROUND(c.m, 6) AS weight,
+       ROUND(c.n_tokens * c.m, 6) AS alloc_tokens,
+       ROUND(l.cur / (t.total * 1.0 / t.n_langs), 6) AS lang_residual
+FROM cells{_IPF_ITERS} c JOIN lfin l USING (lang), tot t
+ORDER BY c.lang, c.source
+"""
+)
+
+
+@register("doc_mixture_ipf", _IPF_ORACLE)
+def doc_mixture_ipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D data-mixture rebalancing (iterative proportional fitting /
+    Sinkhorn scaling): per-(lang, source) sampling weights that steer the
+    corpus toward a UNIFORM language marginal while each source keeps
+    contributing exactly its available token mass — ``_IPF_ITERS``
+    alternating row/column sweeps, ending on the source scaling so source
+    totals hold exactly and ``lang_residual`` reports how far each
+    language's marginal still sits from target (the convergence audit; 1.0
+    = converged). The weight column is the multiplier a 2-D mixture
+    sampler applies per cell.
+
+    Scale: ONE corpus shuffle (the lang x source rollup); every sweep
+    aggregates and rescales the cell table (languages x domains — always
+    tiny), with 1-row totals broadcast back. DECIMAL-folded marginal sums
+    keep the scale factors order-independent across engines.
+    """
+    d = _docs(spark, sf_dir).select(
+        "lang", "source", F.size(_tokens()).cast("long").alias("n_toks")
+    )
+    cells = (
+        d.groupBy("lang", "source")
+        .agg(F.sum("n_toks").alias("n_tokens"))
+        .where(F.col("n_tokens") > 0)
+        .withColumn("m", F.lit(1.0))
+    )
+    tot = cells.agg(
+        F.sum("n_tokens").alias("total"),
+        F.count_distinct("lang").alias("n_langs"),
+    )
+    src = cells.groupBy("source").agg(F.sum("n_tokens").alias("src_tokens"))
+    alloc_dec = F.sum((F.col("n_tokens") * F.col("m")).cast("decimal(38,18)"))
+    for _ in range(_IPF_ITERS):
+        lsum = cells.groupBy("lang").agg(alloc_dec.cast("double").alias("cur"))
+        cells = (
+            cells.join(lsum, "lang")
+            .crossJoin(F.broadcast(tot))
+            .select(
+                "lang",
+                "source",
+                "n_tokens",
+                (
+                    F.col("m")
+                    * ((F.col("total") * 1.0 / F.col("n_langs")) / F.col("cur"))
+                ).alias("m"),
+            )
+        )
+        ssum = cells.groupBy("source").agg(alloc_dec.cast("double").alias("cur"))
+        cells = (
+            cells.join(F.broadcast(src), "source")
+            .join(F.broadcast(ssum), "source")
+            .select(
+                "lang",
+                "source",
+                "n_tokens",
+                (F.col("m") * (F.col("src_tokens") / F.col("cur"))).alias("m"),
+            )
+        )
+    lfin = cells.groupBy("lang").agg(alloc_dec.cast("double").alias("cur"))
+    return (
+        cells.join(lfin, "lang")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "source",
+            "n_tokens",
+            F.round("m", 6).alias("weight"),
+            F.round(F.col("n_tokens") * F.col("m"), 6).alias("alloc_tokens"),
+            F.round(
+                F.col("cur") / (F.col("total") * 1.0 / F.col("n_langs")), 6
+            ).alias("lang_residual"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
 # --- data-constrained epoch planning (Muennighoff et al. 2023, public) ---------------
 # Given a training budget larger than the corpus, how many EPOCHS of each
 # source should the sampler schedule? Temperature-flattened weights
@@ -2105,6 +2251,83 @@ def doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         # steps), which 9 dp absorbs; pred compares the UNROUNDED prob
         .select("doc_id", "label", F.round("prob", 9).alias("prob"), "pred")
         .orderBy("doc_id")
+    )
+
+
+# --- classifier calibration: the precision/recall dial ---------------------------------
+# A trained quality classifier ships with a THRESHOLD, and the threshold is
+# a business decision (keep more data vs keep cleaner data). This query
+# makes the dial a table: precision/recall/F1 of the trained model against
+# its labels at every candidate threshold — what the pipeline owner reads
+# before setting the keep bar, the same measure-the-dial discipline as
+# doc_lsh_recall_curve / embedding_semdedup_recall.
+
+_PR_THRESHOLDS = (0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)
+
+_PR_CURVE_ORACLE = f"""
+WITH scored AS (
+    SELECT label, prob FROM ({_logreg_oracle(_LOGREG_ITERS, _LOGREG_LR)}) base
+),
+thr AS (SELECT unnest({list(_PR_THRESHOLDS)}) AS threshold),
+agg AS (
+    SELECT t.threshold,
+           CAST(COUNT(*) FILTER (WHERE s.prob >= t.threshold AND s.label) AS BIGINT) AS tp,
+           CAST(COUNT(*) FILTER (WHERE s.prob >= t.threshold AND NOT s.label) AS BIGINT) AS fp,
+           CAST(COUNT(*) FILTER (WHERE s.prob < t.threshold AND s.label) AS BIGINT) AS fn
+    FROM scored s, thr t GROUP BY t.threshold
+)
+SELECT threshold, tp, fp, fn,
+       ROUND(tp * 1.0 / NULLIF(tp + fp, 0), 6) AS precision_,
+       ROUND(tp * 1.0 / NULLIF(tp + fn, 0), 6) AS recall_,
+       ROUND(2.0 * tp / NULLIF(2.0 * tp + fp + fn, 0), 6) AS f1
+FROM agg
+ORDER BY threshold
+"""
+
+
+@register("doc_quality_pr_curve", _PR_CURVE_ORACLE)
+def doc_quality_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration curve of the trained quality classifier
+    (``doc_quality_classifier``): precision/recall/F1 against the heuristic
+    labels at every candidate keep-threshold — one row per threshold. The
+    comparison uses the 9-dp-rounded probabilities both engines emit, so
+    the threshold compare is bit-identical across engines.
+
+    Scale: reuses the trained weights (session-memoized) and ONE scoring
+    pass; the threshold fan-out is a 9-row broadcast crossJoin aggregated
+    per threshold — counts only, no per-doc rows survive.
+    """
+    scored = doc_quality_classifier(spark, sf_dir).select("label", "prob")
+    thr = spark.createDataFrame(
+        [(t,) for t in _PR_THRESHOLDS], schema="threshold double"
+    )
+    hit = F.col("prob") >= F.col("threshold")
+    return (
+        scored.crossJoin(F.broadcast(thr))
+        .groupBy("threshold")
+        .agg(
+            F.count(F.when(hit & F.col("label"), 1)).alias("tp"),
+            F.count(F.when(hit & ~F.col("label"), 1)).alias("fp"),
+            F.count(F.when(~hit & F.col("label"), 1)).alias("fn"),
+        )
+        .select(
+            "threshold",
+            "tp",
+            "fp",
+            "fn",
+            F.round(
+                F.col("tp") * 1.0 / F.nullif(F.col("tp") + F.col("fp"), F.lit(0)), 6
+            ).alias("precision_"),
+            F.round(
+                F.col("tp") * 1.0 / F.nullif(F.col("tp") + F.col("fn"), F.lit(0)), 6
+            ).alias("recall_"),
+            F.round(
+                2.0 * F.col("tp")
+                / F.nullif(2.0 * F.col("tp") + F.col("fp") + F.col("fn"), F.lit(0)),
+                6,
+            ).alias("f1"),
+        )
+        .orderBy("threshold")
     )
 
 

@@ -1595,7 +1595,7 @@ ORDER BY doc_id
 )
 
 
-@register("doc_dup_graph_pagerank_weighted", _PAGERANK_W_ORACLE)
+@register("doc_dup_graph_pagerank_weighted", _PAGERANK_W_ORACLE, extra=True)
 def doc_dup_graph_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Similarity-WEIGHTED PageRank over the verified near-dup graph: a
     neighbor at Jaccard 0.95 should pull far more centrality mass than one
@@ -1669,7 +1669,7 @@ ORDER BY doc_id
 )
 
 
-@register("doc_pagerank_keep", _PR_KEEP_ORACLE)
+@register("doc_pagerank_keep", _PR_KEEP_ORACLE, extra=True)
 def doc_pagerank_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Centrality-canonical dedup keep: within each duplicate cluster,
     keep the member with the highest PageRank (tie → lowest doc_id) — the

@@ -244,3 +244,39 @@ def test_epoch_fixpoint_caps_a_prefix_by_size(spark, sf_dir):
     )
     flags = [r["capped"] for r in rows]
     assert flags == sorted(flags, reverse=True)
+
+
+def test_mixture_ipf_holds_source_totals_and_converges(spark, sf_dir):
+    """IPF invariants: the last sweep ends on the source side, so every
+    source's allocated mass equals its availability EXACTLY (relative
+    1e-9); weights are strictly positive; and the language residuals
+    bracket 1 tightly after 3 sweeps (the convergence audit a sampler
+    reads)."""
+    rows = REG["doc_mixture_ipf"].fn(spark, sf_dir).collect()
+    assert len(rows) > 1
+    by_source: dict = {}
+    for r in rows:
+        assert r["weight"] > 0
+        a, t = by_source.get(r["source"], (0.0, 0))
+        by_source[r["source"]] = (a + r["alloc_tokens"], t + r["n_tokens"])
+    for src, (alloc, avail) in by_source.items():
+        assert abs(alloc - avail) <= 1e-9 * avail + 1e-6, src
+    # residuals: every language within 25% of target after 3 sweeps on the
+    # fixture (exactness is the source marginal's job, not the language's)
+    residuals = {r["lang"]: r["lang_residual"] for r in rows}
+    assert all(0.75 <= v <= 1.25 for v in residuals.values()), residuals
+
+
+def test_quality_pr_curve_is_a_real_curve(spark, sf_dir):
+    """Threshold-sweep invariants: positives (tp+fn) are constant across
+    thresholds, recall is monotone non-increasing as the threshold rises,
+    and the curve actually moves (not all rows identical)."""
+    rows = sorted(
+        REG["doc_quality_pr_curve"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["threshold"],
+    )
+    positives = {r["tp"] + r["fn"] for r in rows}
+    assert len(positives) == 1
+    recalls = [r["recall_"] for r in rows]
+    assert all(a >= b for a, b in zip(recalls, recalls[1:]))
+    assert len({(r["tp"], r["fp"]) for r in rows}) > 1

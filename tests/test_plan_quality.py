@@ -1386,3 +1386,45 @@ def test_bpe_compression_joins_counts_only(spark, sf_dir):
     for ln in plan.splitlines():
         if "Exchange" in ln:
             assert "text#" not in ln, ln
+
+
+def test_epoch_fixpoint_window_is_source_cardinality(spark, sf_dir):
+    """The fixpoint's window pass (prefix sums + lead) runs AFTER the source
+    rollup, so its SinglePartition sort is source-cardinality (the
+    class-histogram trade); text never crosses an exchange and no Python
+    appears anywhere."""
+    plan = exec_plan_of(spark, sf_dir, "doc_source_epoch_fixpoint")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    # the boundary/window machinery must sit above the source rollup:
+    # every SinglePartition exchange consumes the aggregated (source,
+    # n_tokens) shape, never raw documents columns
+    for ln in plan.splitlines():
+        if "Exchange" in ln:
+            assert "text#" not in ln, ln
+
+
+def test_mixture_ipf_sweeps_touch_only_the_cell_table(spark, sf_dir):
+    """IPF: one corpus shuffle (the lang x source rollup) feeds every
+    sweep; the sweeps re-aggregate the tiny cell table with broadcast
+    totals — no Python, no cartesian blowup, and text never crosses an
+    exchange however many sweeps run."""
+    plan = exec_plan_of(spark, sf_dir, "doc_mixture_ipf")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
+    for ln in plan.splitlines():
+        if "Exchange" in ln:
+            assert "text#" not in ln, ln
+
+
+def test_quality_pr_curve_aggregates_counts_only(spark, sf_dir):
+    """The calibration curve adds a 9-row broadcast fan-out + a count
+    aggregation on top of the classifier's scoring pass — no per-doc rows
+    survive to the output side and text never crosses an exchange."""
+    plan = exec_plan_of(spark, sf_dir, "doc_quality_pr_curve")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+    for ln in plan.splitlines():
+        if "Exchange" in ln:
+            assert "text#" not in ln, ln
