@@ -554,6 +554,29 @@ def main() -> None:
         )
         print(f"# packstream wave 20M: {packstream_wave_20m}", file=sys.stderr)
 
+    # Incremental SemDeDup at bench scale (round 12): default-on over the
+    # gate fixture's embeddings; the sf1.0 variant (20k vectors) is opt-in
+    # and needs the /tmp/scale fixture.
+    semstream_wave = None
+    if os.environ.get("SPARK_GRAFT_SEMSTREAM_WAVE", "1") == "1":
+        semstream_wave = run_semstream_wave(spark, sf_dir, n_waves=8)
+        print(f"# semstream wave: {semstream_wave}", file=sys.stderr)
+    semstream_wave_sf1 = None
+    if os.environ.get("SPARK_GRAFT_SEMSTREAM_SF1", "0") == "1":
+        _ss_dir = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/scale/sf1.0")
+        if os.path.exists(f"{_ss_dir}/embeddings.parquet"):
+            # the scale fixture is 8 TIGHT clusters (within-cluster cosine
+            # ~0.99, planted ~2% near-dups at ~0.9999999) - at the
+            # near-orthogonal fixture's 0.40 threshold everything within a
+            # cluster collapses (kept ~0); 0.999 drops only the planted
+            # dups, same join volume, meaningful keep semantics
+            semstream_wave_sf1 = run_semstream_wave(
+                spark, _ss_dir, n_waves=16, threshold=0.999
+            )
+            print(f"# semstream wave sf1: {semstream_wave_sf1}", file=sys.stderr)
+        else:
+            print(f"# semstream sf1 wave skipped: no {_ss_dir}", file=sys.stderr)
+
     crash_recovery = None
     if os.environ.get("SPARK_GRAFT_CRASH_RECOVERY_20M", "0") == "1":
         import tempfile as _tempfile
@@ -697,6 +720,12 @@ def main() -> None:
                 "packstream_wave_20m": packstream_wave_20m
                 if packstream_wave_20m is not None
                 else _carried_forward((prev_profile or {}).get("packstream_wave_20m")),
+                "semstream_wave": semstream_wave
+                if semstream_wave is not None
+                else _carried_forward((prev_profile or {}).get("semstream_wave")),
+                "semstream_wave_sf1": semstream_wave_sf1
+                if semstream_wave_sf1 is not None
+                else _carried_forward((prev_profile or {}).get("semstream_wave_sf1")),
                 "best": best,
             },
             f,
@@ -876,6 +905,105 @@ def run_packstream_wave(spark, sf_dir: str, n_waves: int = 6, replicas: int = 2)
     finally:
         _shutil.rmtree(wet_store, ignore_errors=True)
         _shutil.rmtree(pack_state, ignore_errors=True)
+
+
+def run_semstream_wave(
+    spark, sf_dir: str, n_waves: int = 8, k: int = 8, threshold: float | None = None
+) -> dict:
+    """Incremental SemDeDup at bench scale: split the fixture's embedding
+    corpus into ``n_waves`` vec_id-ordered waves and fold them through
+    ``operators/semstream.py::semdedup_batch`` against ONE pinned codebook
+    (trained on the first wave's k lowest-vec_id vectors — the operator's
+    documented init rule) with the round-12 drift yardstick attached.
+
+    The scale question this answers: per-wave wall GROWS with the store
+    (each wave compares against every SEEN same-cluster vector — Σ n_c x
+    wave work, linear in history by design), so the record keeps the whole
+    wall sequence plus the tail/head ratio, the per-wave drift metrics
+    (same-distribution waves must NOT flag), and the replay cost of the
+    last wave (identical store required)."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from pyspark.sql import functions as F
+
+    from clickhouse_etl_loadtest_spark.operators.semstream import (
+        codebook_ref_stats,
+        read_semdedup_store,
+        semdedup_batch,
+    )
+    from clickhouse_etl_loadtest_spark.queries.vector import _NEAR_DUP_THRESHOLD
+
+    if threshold is None:
+        threshold = _NEAR_DUP_THRESHOLD
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    )
+    n_vec = emb.count()
+    per = -(-n_vec // n_waves)
+    centroids = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.orderBy("vec_id").limit(k).collect()
+    ]
+    bounds = [r["vec_id"] for r in emb.orderBy("vec_id").select("vec_id").collect()][
+        ::per
+    ] + [None]
+    n_waves = len(bounds) - 1  # uneven splits shrink the last stride
+    first = emb.where(F.col("vec_id") < bounds[1]) if bounds[1] is not None else emb
+    ref = codebook_ref_stats(first, centroids)
+
+    state = _tempfile.mkdtemp(prefix="bench-semstream-")
+    try:
+        walls, infos = [], []
+        for w in range(n_waves):
+            lo, hi = bounds[w], bounds[w + 1]
+            wave = emb.where(F.col("vec_id") >= lo)
+            if hi is not None:
+                wave = wave.where(F.col("vec_id") < hi)
+            t0 = time.perf_counter()
+            info = semdedup_batch(
+                spark, wave, state, w, centroids, threshold, ref_stats=ref
+            )
+            walls.append(round(time.perf_counter() - t0, 3))
+            infos.append(info)
+        store = read_semdedup_store(spark, state)
+        store_rows = store.count()
+        kept_rows = store.where("keep").count()
+        # replay the last wave: identical info and store row count required
+        lo = bounds[n_waves - 1]
+        wave = emb.where(F.col("vec_id") >= lo)
+        if bounds[n_waves] is not None:
+            wave = wave.where(F.col("vec_id") < bounds[n_waves])
+        t0 = time.perf_counter()
+        replay = semdedup_batch(
+            spark, wave, state, n_waves - 1, centroids, threshold, ref_stats=ref
+        )
+        replay_sec = round(time.perf_counter() - t0, 3)
+        head = walls[: max(1, min(3, n_waves // 2))]
+        tail = walls[-len(head):]
+        return {
+            "n_waves": n_waves,
+            "k": k,
+            "threshold": threshold,
+            "vectors": int(n_vec),
+            "per_wave_wall_sec": walls,
+            "wall_tail_over_head": round(
+                statistics.median(tail) / statistics.median(head), 3
+            ),
+            "kept_per_wave": [i["kept"] for i in infos],
+            "store_rows": int(store_rows),
+            "kept_rows": int(kept_rows),
+            "mean_dist2_per_wave": [round(i["mean_dist2"], 4) for i in infos],
+            "drift_flags": [bool(i["drift_flagged"]) for i in infos],
+            "replay_sec": replay_sec,
+            "replay_equal": bool(
+                replay == infos[-1]
+                and read_semdedup_store(spark, state).count() == store_rows
+            ),
+        }
+    finally:
+        _shutil.rmtree(state, ignore_errors=True)
 
 
 def run_bigshard_wave(spark, target_gib: float = 3.2, chunk_bytes: int = 256 << 20) -> dict:

@@ -353,6 +353,11 @@ def doc_mixture_ipf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("n_toks").alias("n_tokens"))
         .where(F.col("n_tokens") > 0)
         .withColumn("m", F.lit(1.0))
+        # every sweep references the cell frame twice (marginal sum + the
+        # rescale join); without materialization the corpus rollup re-derives
+        # 2^sweeps times (measured 5.3 s -> sub-second at the gate). The
+        # frame is languages x domains — always tiny.
+        .localCheckpoint()
     )
     tot = cells.agg(
         F.sum("n_tokens").alias("total"),
@@ -385,6 +390,7 @@ def doc_mixture_ipf(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_tokens",
                 (F.col("m") * (F.col("src_tokens") / F.col("cur"))).alias("m"),
             )
+            .localCheckpoint()  # bound the per-sweep plan (tiny frame)
         )
     lfin = cells.groupBy("lang").agg(alloc_dec.cast("double").alias("cur"))
     return (
