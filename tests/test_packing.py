@@ -280,3 +280,40 @@ def test_quality_pr_curve_is_a_real_curve(spark, sf_dir):
     recalls = [r["recall_"] for r in rows]
     assert all(a >= b for a, b in zip(recalls, recalls[1:]))
     assert len({(r["tp"], r["fp"]) for r in rows}) > 1
+
+
+def test_ffd_histogram_walk_equals_per_item_first_fit():
+    """The batched histogram walk in _ffd_bin_count must be EXACTLY
+    first-fit-decreasing, not an approximation of it: differential against
+    the textbook per-item scan over randomized histograms (Spark-free)."""
+    import random
+
+    from clickhouse_etl_loadtest_spark.queries.curation import _ffd_bin_count
+
+    def brute(hist, ctx):
+        items = []
+        for length, count in sorted(hist, reverse=True):
+            items.extend([length] * count)
+        bins: list[int] = []
+        for it in items:
+            for i, r in enumerate(bins):
+                if r >= it:
+                    bins[i] = r - it
+                    break
+            else:
+                bins.append(ctx - it)
+        return len(bins)
+
+    rng = random.Random(12)
+    for trial in range(60):
+        ctx = rng.choice([16, 64, 512])
+        n_lens = rng.randint(1, 12)
+        hist = [
+            (rng.randint(1, ctx), rng.randint(1, 40)) for _ in range(n_lens)
+        ]
+        # merge duplicate lengths (the histogram contract)
+        merged: dict[int, int] = {}
+        for length, c in hist:
+            merged[length] = merged.get(length, 0) + c
+        hist = list(merged.items())
+        assert _ffd_bin_count(hist, ctx) == brute(hist, ctx), (trial, ctx, hist)
