@@ -640,87 +640,33 @@ def doc_source_epoch_fixpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly at the cap, no uncapped source exceeds it, and the budget is
     conserved to the last token.
 
-    Scale: one shuffle (the source rollup); the window pass and totals run
-    over the source-cardinality table (domains, not documents — the same
-    deliberate single-partition-over-a-histogram trade as
-    ``doc_pack_harmonic``), and the 1-row (total, lambda) frame broadcasts
+    Scale: one shuffle (the source rollup); the fixpoint itself is
+    ``operators/epochs.py::epoch_fixpoint`` — the reusable function a
+    sampler calls on ANY (source, n_tokens) rollup — whose window pass and
+    totals run over the source-cardinality table (domains, not documents —
+    the same deliberate single-partition-over-a-histogram trade as
+    ``doc_pack_harmonic``), with the 1-row (total, lambda) frame broadcast
     back. Prefix sums of sqrt weights fold in DECIMAL(38,18) so both
     engines see identical boundaries.
     """
-    from pyspark.sql import Window
+    from ..operators.epochs import epoch_fixpoint
 
     d = _docs(spark, sf_dir).select(
         "source", F.size(_tokens()).cast("long").alias("n_toks")
     )
-    pool = (
-        d.groupBy("source")
-        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_toks").alias("n_tokens"))
-        .where(F.col("n_tokens") > 0)
+    pool = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_toks").alias("n_tokens")
     )
-    tot = pool.agg(
-        F.sum("n_tokens").alias("total_tokens"),
-        F.sum(F.sqrt(F.col("n_tokens").cast("double")).cast("decimal(38,18)"))
-        .cast("double")
-        .alias("sqrt_total"),
-    )
-    sq = F.sqrt(F.col("n_tokens").cast("double"))
-    w = Window.orderBy("n_tokens", "source").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    ordered = pool.select(
-        "n_tokens",
-        sq.alias("sq"),
-        F.sum("n_tokens").over(w).cast("bigint").alias("cum_tokens"),
-        F.sum(sq.cast("decimal(38,18)")).over(w).cast("double").alias("cum_sqrt"),
-        F.lead(sq).over(Window.orderBy("n_tokens", "source")).alias("next_sq"),
-    )
-    budget = F.col("total_tokens") * _EPOCH_BUDGET_X
-    # try_divide: the all-capped boundary (k = n) has an exactly-zero
-    # denominator (DECIMAL prefix sums); NULL fails both predicates below,
-    # dropping the infeasible candidate instead of tripping ANSI div-by-zero
-    lam_k = F.try_divide(
-        budget - _EPOCH_CAP * F.col("cum_tokens"),
-        F.col("sqrt_total") - F.col("cum_sqrt"),
-    )
-    cand = (
-        ordered.crossJoin(F.broadcast(tot))
-        .where(lam_k > _EPOCH_CAP * F.col("sq"))
-        .where(
-            F.col("next_sq").isNull() | (lam_k <= _EPOCH_CAP * F.col("next_sq"))
-        )
-        .agg(F.max(lam_k).alias("cand_lam"))
-    )
-    lam = (
-        tot.crossJoin(F.broadcast(cand))
-        .select(
-            F.coalesce(
-                F.col("cand_lam"), budget / F.col("sqrt_total")
-            ).alias("lam"),
-            "sqrt_total",
-        )
-    )
-    p_sq = F.sqrt(F.col("n_tokens").cast("double"))
-    is_capped = F.col("lam") > _EPOCH_CAP * p_sq
     return (
-        pool.crossJoin(F.broadcast(lam))
+        epoch_fixpoint(pool, _EPOCH_BUDGET_X, _EPOCH_CAP)
         .select(
             "source",
             "n_docs",
             "n_tokens",
-            F.round(p_sq / F.col("sqrt_total"), 6).alias("mix_weight"),
-            is_capped.alias("capped"),
-            F.round(
-                F.when(is_capped, F.lit(_EPOCH_CAP) * F.col("n_tokens")).otherwise(
-                    F.col("lam") * p_sq
-                ),
-                6,
-            ).alias("final_tokens"),
-            F.round(
-                F.when(is_capped, F.lit(_EPOCH_CAP)).otherwise(
-                    F.col("lam") * p_sq / F.col("n_tokens")
-                ),
-                6,
-            ).alias("final_epochs"),
+            F.round("mix_weight", 6).alias("mix_weight"),
+            "capped",
+            F.round("final_tokens", 6).alias("final_tokens"),
+            F.round("final_epochs", 6).alias("final_epochs"),
         )
         .orderBy("source")
     )
