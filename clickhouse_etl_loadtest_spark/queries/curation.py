@@ -2089,7 +2089,9 @@ _LOGREG_LR = 0.3
 _LOGREG_CACHE: dict[str, list] = {}
 
 
-def _logreg_oracle(iters: int, lr: float) -> str:
+def _logreg_oracle(
+    iters: int, lr: float, train_where: str = "TRUE", eval_where: str = "TRUE"
+) -> str:
     """Unroll the full-batch gradient-descent loop as chained CTEs — the
     ``_kmeans_oracle`` pattern applied to ``operators/logreg.py``: per
     iteration one CTE computes the 5 gradient sums (each row's contribution
@@ -2121,7 +2123,7 @@ def _logreg_oracle(iters: int, lr: float) -> str:
              + CASE WHEN n_punct * 1.0 / NULLIF(CAST(n_chars AS DOUBLE), 0.0) < 0.1 THEN 1 ELSE 0 END
              + CASE WHEN n_tokens >= 20 THEN 1 ELSE 0 END) >= 2) AS label
     FROM raw
-), nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM feat),
+), nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM feat f WHERE {train_where} ),
 w0 AS (SELECT 0.0 AS b, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3, 0.0 AS w4)"""
     ]
     # z folded left in the Spark _logit order: ((((b + w1*x1) + w2*x2) + ...)
@@ -2135,7 +2137,10 @@ w0 AS (SELECT 0.0 AS b, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3, 0.0 AS w4)"""
                 for j, c in enumerate(feats)
             ]
         )
-        ctes.append(f"g{t} AS MATERIALIZED (SELECT {gsums} FROM feat f, w{t - 1} w)")
+        ctes.append(
+            f"g{t} AS MATERIALIZED (SELECT {gsums} FROM feat f, w{t - 1} w "
+            f"WHERE {train_where})"
+        )
         upd = ", ".join(
             [f"w.b - {lr} * CAST(g.g0 AS DOUBLE) / nn.n AS b"]
             + [
@@ -2151,6 +2156,7 @@ w0 AS (SELECT 0.0 AS b, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3, 0.0 AS w4)"""
         + f"""
 SELECT f.doc_id, f.label, round({prob}, 9) AS prob, {prob} >= 0.5 AS pred
 FROM feat f, w{iters} w
+WHERE {eval_where}
 ORDER BY f.doc_id"""
     )
 
@@ -2237,19 +2243,10 @@ ORDER BY threshold
 """
 
 
-@register("doc_quality_pr_curve", _PR_CURVE_ORACLE)
-def doc_quality_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Calibration curve of the trained quality classifier
-    (``doc_quality_classifier``): precision/recall/F1 against the heuristic
-    labels at every candidate keep-threshold — one row per threshold. The
-    comparison uses the 9-dp-rounded probabilities both engines emit, so
-    the threshold compare is bit-identical across engines.
-
-    Scale: reuses the trained weights (session-memoized) and ONE scoring
-    pass; the threshold fan-out is a 9-row broadcast crossJoin aggregated
-    per threshold — counts only, no per-doc rows survive.
-    """
-    scored = doc_quality_classifier(spark, sf_dir).select("label", "prob")
+def _pr_over(spark: SparkSession, scored: DataFrame) -> DataFrame:
+    """Threshold fan-out shared by the in-sample and held-out curves:
+    (label, prob) rows -> one (threshold, tp, fp, fn, precision_, recall_,
+    f1) row per candidate threshold."""
     thr = spark.createDataFrame(
         [(t,) for t in _PR_THRESHOLDS], schema="threshold double"
     )
@@ -2281,6 +2278,88 @@ def doc_quality_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("threshold")
     )
+
+
+@register("doc_quality_pr_curve", _PR_CURVE_ORACLE)
+def doc_quality_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration curve of the trained quality classifier
+    (``doc_quality_classifier``): precision/recall/F1 against the heuristic
+    labels at every candidate keep-threshold — one row per threshold. The
+    comparison uses the 9-dp-rounded probabilities both engines emit, so
+    the threshold compare is bit-identical across engines.
+
+    Scale: reuses the trained weights (session-memoized) and ONE scoring
+    pass; the threshold fan-out is a 9-row broadcast crossJoin aggregated
+    per threshold — counts only, no per-doc rows survive. This curve is
+    IN-SAMPLE (training fit); ``doc_quality_pr_holdout`` is the
+    generalization twin.
+    """
+    return _pr_over(
+        spark, doc_quality_classifier(spark, sf_dir).select("label", "prob")
+    )
+
+
+# --- held-out calibration (the generalization twin) ------------------------------------
+# The in-sample curve measures FIT; a pipeline owner sets the threshold on
+# data the model never saw. Same split discipline as the trained langid's
+# held-out eval: train on doc_id % 5 < 4, report the curve on the held-out
+# fifth only.
+
+_HOLDOUT_MOD, _HOLDOUT_EVAL = 5, 4
+
+_PR_HOLDOUT_ORACLE = f"""
+WITH scored AS (
+    SELECT label, prob FROM ({_logreg_oracle(
+        _LOGREG_ITERS,
+        _LOGREG_LR,
+        train_where=f"f.doc_id % {_HOLDOUT_MOD} < {_HOLDOUT_EVAL}",
+        eval_where=f"f.doc_id % {_HOLDOUT_MOD} = {_HOLDOUT_EVAL}",
+    )}) base
+),
+thr AS (SELECT unnest({list(_PR_THRESHOLDS)}) AS threshold),
+agg AS (
+    SELECT t.threshold,
+           CAST(COUNT(*) FILTER (WHERE s.prob >= t.threshold AND s.label) AS BIGINT) AS tp,
+           CAST(COUNT(*) FILTER (WHERE s.prob >= t.threshold AND NOT s.label) AS BIGINT) AS fp,
+           CAST(COUNT(*) FILTER (WHERE s.prob < t.threshold AND s.label) AS BIGINT) AS fn
+    FROM scored s, thr t GROUP BY t.threshold
+)
+SELECT threshold, tp, fp, fn,
+       ROUND(tp * 1.0 / NULLIF(tp + fp, 0), 6) AS precision_,
+       ROUND(tp * 1.0 / NULLIF(tp + fn, 0), 6) AS recall_,
+       ROUND(2.0 * tp / NULLIF(2.0 * tp + fp + fn, 0), 6) AS f1
+FROM agg
+ORDER BY threshold
+"""
+
+
+@register("doc_quality_pr_holdout", _PR_HOLDOUT_ORACLE, extra=True)
+def doc_quality_pr_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HELD-OUT calibration curve: train the quality classifier on 4/5 of
+    the corpus (``doc_id % 5 < 4``), report precision/recall/F1 on the
+    untouched fifth — the number the in-sample curve overstates. The
+    deterministic id split is the ``doc_train_test_split`` discipline; the
+    oracle re-runs the full GD trajectory on the training slice only.
+
+    Scale: identical shape to the in-sample curve — the split adds one
+    map-side predicate to the gradient scan and the scoring pass.
+    """
+    from ..operators.logreg import logistic_fit, logistic_predict
+
+    feats = _quality_features(spark, sf_dir)
+    train = feats.where(F.col("doc_id") % _HOLDOUT_MOD < _HOLDOUT_EVAL)
+    key = f"{sf_dir}#holdout{_HOLDOUT_MOD}-{_HOLDOUT_EVAL}"
+    if key not in _LOGREG_CACHE:
+        _LOGREG_CACHE[key] = logistic_fit(
+            train, _LOGREG_FEATURES, "label", iterations=_LOGREG_ITERS, lr=_LOGREG_LR
+        )
+    w = _LOGREG_CACHE[key]
+    heldout = feats.where(F.col("doc_id") % _HOLDOUT_MOD == _HOLDOUT_EVAL)
+    scored = (
+        logistic_predict(heldout, _LOGREG_FEATURES, w)
+        .select("label", F.round("prob", 9).alias("prob"))
+    )
+    return _pr_over(spark, scored)
 
 
 # --- bigram-LM cross-entropy scoring (the shuffle-join sibling of the unigram) -------
