@@ -284,6 +284,98 @@ def _land_extracted(
         ex.unpersist()
 
 
+def _compaction_floor(store_path: str) -> int | None:
+    """Highest batch id folded into a compacted partition, or None. One
+    metadata read per wave — the marker is a single tiny JSON file."""
+    import json
+    import os
+
+    p = os.path.join(store_path, "_compaction_floor.json")
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return int(json.load(f)["floor"])
+
+
+def compact_wet_store(spark: SparkSession, store_path: str, upto_batch_id: int) -> dict:
+    """Fold every per-batch partition with id <= ``upto_batch_id`` into ONE
+    consolidated partition (``batch=c<upto>``), preserving BOTH read
+    semantics exactly:
+
+    - per ``doc_id`` the row with the highest ``batch_seq`` survives —
+      `read_wet_store`'s latest-wins merge sees the identical verdict;
+    - per ``fingerprint`` the earliest sighting survives — the
+      keep-first-arrival novelty set ``packstream.curate_and_pack_batch``
+      anti-joins against is the same SET (novelty is a distinct check, so
+      dropping LATER re-sightings of a fingerprint changes nothing).
+
+    The store then carries a compaction FLOOR: replaying a batch at or
+    below it would overwrite history the consolidated partition now owns,
+    so :func:`wet_batch` fails loud instead — the standard compaction
+    contract (compact only batches whose replay window the streaming
+    checkpoint has committed past).
+
+    Why this exists, with a number: the per-wave store read grows with the
+    PARTITION COUNT (`BENCH_PROFILE.json::packstream_wave_20m` holds 32
+    partitions of fixed-width rows — flat walls there, but a store that
+    ingests for months accumulates thousands of partitions whose listing
+    and footer costs dominate long before the rows do). Compaction is one
+    ordinary Spark job: scan the merged partitions, two keyed rollups
+    (doc, fingerprint), one partition write — nothing driver-side.
+    """
+    import json
+    import os
+    import re
+    import shutil
+
+    floor = _compaction_floor(store_path)
+    if floor is not None and upto_batch_id <= floor:
+        raise ValueError(
+            f"store at {store_path} is already compacted through {floor}; "
+            f"re-compacting at {upto_batch_id} would step backwards"
+        )
+    parts = [
+        d
+        for d in os.listdir(store_path)
+        if re.fullmatch(r"batch=[bc]\d+", d)
+        and int(re.sub(r"\D", "", d)) <= upto_batch_id
+    ]
+    if not parts:
+        raise ValueError(f"no partitions at or below {upto_batch_id} to compact")
+    merged = spark.read.parquet(*[f"{store_path}/{d}" for d in parts])
+    from pyspark.sql.window import Window
+
+    # rank(), not row_number(), on the latest-wins side: a batch can carry
+    # two rows for one doc_id (shard ingestion with a duplicated URI), and
+    # read_wet_store's (doc_id, max batch_seq) join keeps BOTH — compaction
+    # must preserve that exactly. The fingerprint side is a distinct SET
+    # (novelty anti-join), so one earliest row per fingerprint suffices.
+    latest = Window.partitionBy("doc_id").orderBy(F.col("batch_seq").desc())
+    first_fp = Window.partitionBy("fingerprint").orderBy(
+        F.col("batch_seq").asc(), F.col("doc_id").asc()
+    )
+    keep = (
+        merged.withColumn("_rl", F.rank().over(latest))
+        .withColumn("_rf", F.row_number().over(first_fp))
+        .where((F.col("_rl") == 1) | (F.col("_rf") == 1))
+        .drop("_rl", "_rf")
+    )
+    out = f"{store_path}/batch=c{upto_batch_id}"
+    tmp = f"{store_path}/_compacting_c{upto_batch_id}"
+    keep.write.mode("overwrite").parquet(tmp)
+    rows = spark.read.parquet(tmp).count()
+    # swap in: land the consolidated partition, then drop the merged ones
+    if os.path.exists(out):
+        shutil.rmtree(out)
+    os.rename(tmp, out)
+    for d in parts:
+        if f"{store_path}/{d}" != out:
+            shutil.rmtree(f"{store_path}/{d}")
+    with open(os.path.join(store_path, "_compaction_floor.json"), "w") as f:
+        json.dump({"floor": int(upto_batch_id)}, f)
+    return {"floor": int(upto_batch_id), "merged_partitions": len(parts), "rows": int(rows)}
+
+
 def _land_verdicts(
     verdicts: DataFrame,
     store_path: str,
@@ -292,6 +384,15 @@ def _land_verdicts(
     cap_per_host: int | None,
     robots_rules: DataFrame | None = None,
 ) -> None:
+    # compaction floor: a (re)delivery at or below it would overwrite
+    # history the consolidated partition now owns — fail loud (the same
+    # contract as the packstream/semstream out-of-order guards)
+    floor = _compaction_floor(store_path)
+    if floor is not None and batch_id <= floor:
+        raise ValueError(
+            f"wet store at {store_path} is compacted through batch {floor}; "
+            f"batch {batch_id} cannot (re)land below the compaction floor"
+        )
     # politeness first (a disallowed page must not even count against the
     # host cap), then the blocklist, then the per-host burst cap
     if robots_rules is not None:

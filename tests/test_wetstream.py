@@ -399,3 +399,95 @@ def test_recrawl_latest_batch_wins(spark, tmp_path):
     # keep-first by doc_id: 0 < 2, so the re-crawled doc 0 takes canonicity
     assert after[0]["is_canonical"] and not after[2]["is_canonical"]
     assert first[2]["is_canonical"]
+
+
+def test_compaction_preserves_reads_and_floors_replays(spark, tmp_path):
+    """compact_wet_store folds batches <= floor into one partition without
+    changing what readers see: read_wet_store output identical row-for-row
+    (including re-crawl latest-wins — doc 0 re-crawled in wave 2 keeps its
+    wave-2 verdict), the raw fingerprint SET is preserved (the novelty
+    anti-join's input), and a (re)delivery at or below the floor fails
+    loud instead of overwriting consolidated history."""
+    import pytest as _pytest
+
+    from clickhouse_etl_loadtest_spark.operators.wetstream import compact_wet_store
+
+    sf_dir = _write_documents(tmp_path, DOCS)
+    store = str(tmp_path / "store")
+    waves = ([0, 1, 2, 7], [3, 4, 5], [0, 6], [8, 9])  # wave 2 re-crawls doc 0
+    for bid, ids in enumerate(waves[:3]):
+        wet_batch(_warc_frame(spark, sf_dir, ids), store, bid)
+
+    before_read = _canon(read_wet_store(spark, store))
+    raw_before = spark.read.parquet(store)
+    before_fp = {
+        r["fingerprint"] for r in raw_before.select("fingerprint").distinct().collect()
+    }
+    doc0_before = [
+        tuple(r)
+        for r in read_wet_store(spark, store).where("doc_id = 0").collect()
+    ]
+
+    info = compact_wet_store(spark, store, upto_batch_id=1)
+    assert info["floor"] == 1 and info["merged_partitions"] == 2
+
+    # reads identical after compaction (wave 2 partition untouched)
+    assert _canon(read_wet_store(spark, store)) == before_read
+    assert [
+        tuple(r)
+        for r in read_wet_store(spark, store).where("doc_id = 0").collect()
+    ] == doc0_before
+    raw_after = spark.read.parquet(store)
+    assert {
+        r["fingerprint"] for r in raw_after.select("fingerprint").distinct().collect()
+    } == before_fp
+
+    # a later wave still lands; the merged view stays consistent
+    wet_batch(_warc_frame(spark, sf_dir, waves[3]), store, 3)
+    assert read_wet_store(spark, store).where("doc_id = 8").count() == 1
+
+    # replay at or below the floor fails loud
+    with _pytest.raises(ValueError, match="compaction floor"):
+        wet_batch(_warc_frame(spark, sf_dir, waves[1]), store, 1)
+    # re-compacting backwards fails loud too
+    with _pytest.raises(ValueError, match="step backwards"):
+        compact_wet_store(spark, store, upto_batch_id=0)
+    # compacting FORWARD over a previous compaction works (c1 + b2 -> c2)
+    info2 = compact_wet_store(spark, store, upto_batch_id=2)
+    assert info2["floor"] == 2 and info2["merged_partitions"] == 2
+    assert _canon(read_wet_store(spark, store).where("doc_id <= 7")) == [
+        t for t in before_read
+    ]
+
+
+def test_compaction_keeps_curate_and_pack_semantics(spark, tmp_path):
+    """The composed curate-and-pack chain must be compaction-blind: packing
+    waves with a compaction between them produces the identical manifest
+    as the uncompacted drive (the novelty anti-join reads the preserved
+    earliest-sighting fingerprints; the already-packed check reads the
+    pack state, untouched)."""
+    from clickhouse_etl_loadtest_spark.operators.packstream import (
+        curate_and_pack_batch,
+        read_manifest,
+    )
+    from clickhouse_etl_loadtest_spark.operators.wetstream import compact_wet_store
+
+    sf_dir = _write_documents(tmp_path, DOCS)
+    # doc 7 duplicates doc 2's text: arriving in a LATER wave it must not
+    # re-pack, compacted or not
+    waves = ([0, 1, 2], [3, 4, 5], [7, 6], [8, 9, 10, 11])
+
+    def drive(tag, compact_after=None):
+        wet = str(tmp_path / f"wet_{tag}")
+        pack = str(tmp_path / f"pack_{tag}")
+        for bid, ids in enumerate(waves):
+            curate_and_pack_batch(
+                spark, _warc_frame(spark, sf_dir, ids), wet, pack, bid
+            )
+            if compact_after is not None and bid == compact_after:
+                compact_wet_store(spark, wet, upto_batch_id=bid)
+        return sorted(tuple(r) for r in read_manifest(spark, pack).collect())
+
+    plain = drive("plain")
+    compacted = drive("compacted", compact_after=1)
+    assert plain == compacted
