@@ -896,7 +896,10 @@ def _semdedup_recall_oracle(ks: tuple, iters: int) -> str:
         for k in ks
     ]
     rows = [
-        f"SELECT CAST({k} AS BIGINT) AS k, CAST(COUNT(*) AS BIGINT) AS n_pairs_within, "
+        f"SELECT CAST({k} AS BIGINT) AS k, "
+        f"(SELECT CAST(SUM(n * (n - 1) / 2) AS BIGINT) FROM "
+        f"(SELECT COUNT(*) AS n FROM asg{k} GROUP BY cluster)) AS pairs_checked, "
+        f"CAST(COUNT(*) AS BIGINT) AS n_pairs_within, "
         f"CAST(COUNT(DISTINCT p.vb) AS BIGINT) AS n_dropped "
         f"FROM exact_pairs p JOIN asg{k} x ON p.va = x.vec_id "
         f"JOIN asg{k} y ON p.vb = y.vec_id AND x.cluster = y.cluster"
@@ -920,7 +923,8 @@ ex AS (
 ),
 {asg_sql},
 per_k AS ({per_k_sql})
-SELECT p.k, e.n_pairs_exact, p.n_pairs_within, e.n_dropped_exact, p.n_dropped,
+SELECT p.k, p.pairs_checked, e.n_pairs_exact, p.n_pairs_within,
+       e.n_dropped_exact, p.n_dropped,
        ROUND(p.n_pairs_within * 1.0 / NULLIF(e.n_pairs_exact, 0), 6) AS pair_recall,
        ROUND(p.n_dropped * 1.0 / NULLIF(e.n_dropped_exact, 0), 6) AS drop_recall
 FROM per_k p, ex e
@@ -937,7 +941,9 @@ def embedding_semdedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     twin, as a function of the cluster count k — one row per k in
     ``_SEMDEDUP_RECALL_KS``: how many exact near-dup pairs survive within a
     cluster (``pair_recall``) and how much of ``semantic_dedup_keep``'s
-    drop-set the bounded rule reproduces (``drop_recall``). The
+    drop-set the bounded rule reproduces (``drop_recall``) — beside the
+    COST side of the same dial, ``pairs_checked`` = Σ n_c·(n_c−1)/2, the
+    within-cluster pairs the bounded pass actually scores at that k. The
     cluster-bounded drop-set is a SUBSET of the exact one by construction,
     so recall is the whole story (precision is always 1).
 
@@ -962,6 +968,17 @@ def embedding_semdedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     for k in _SEMDEDUP_RECALL_KS:
         assigned = kmeans_fit_assign(e, k=k, iterations=_KMEANS_ITERS).select(
             "vec_id", "cluster"
+        ).localCheckpoint()  # three consumers below; never re-run Lloyd
+        # the COST side of the dial: how many within-cluster pairs the
+        # bounded pass must actually score at this k (Σ n_c·(n_c−1)/2)
+        cost = (
+            assigned.groupBy("cluster")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(
+                F.sum(F.col("n") * (F.col("n") - 1) / 2)
+                .cast("bigint")
+                .alias("pairs_checked")
+            )
         )
         x = assigned.select(F.col("vec_id").alias("vec_a"), F.col("cluster").alias("_ca"))
         y = assigned.select(F.col("vec_id").alias("vec_b"), F.col("cluster").alias("_cb"))
@@ -973,13 +990,20 @@ def embedding_semdedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.count(F.lit(1)).alias("n_pairs_within"),
                 F.count_distinct("vec_b").alias("n_dropped"),
             )
-            .select(F.lit(k).cast("bigint").alias("k"), "n_pairs_within", "n_dropped")
+            .crossJoin(F.broadcast(cost))
+            .select(
+                F.lit(k).cast("bigint").alias("k"),
+                "pairs_checked",
+                "n_pairs_within",
+                "n_dropped",
+            )
         )
         per_k = row if per_k is None else per_k.unionByName(row)
     return (
         per_k.crossJoin(F.broadcast(ex))
         .select(
             "k",
+            "pairs_checked",
             "n_pairs_exact",
             "n_pairs_within",
             "n_dropped_exact",
