@@ -340,71 +340,28 @@ def doc_mixture_ipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     = converged). The weight column is the multiplier a 2-D mixture
     sampler applies per cell.
 
-    Scale: ONE corpus shuffle (the lang x source rollup); every sweep
-    aggregates and rescales the cell table (languages x domains — always
-    tiny), with 1-row totals broadcast back. DECIMAL-folded marginal sums
-    keep the scale factors order-independent across engines.
+    Scale: ONE corpus shuffle (the lang x source rollup); the sweeps are
+    ``operators/mixtures.py::ipf_weights`` — the reusable function a
+    mixture recipe calls on ANY contingency rollup (fuzzed against a
+    pure-numpy twin) — each aggregating and rescaling the tiny cell table
+    (languages x domains) with 1-row totals broadcast back. DECIMAL-folded
+    marginal sums keep the scale factors order-independent across engines.
     """
+    from ..operators.mixtures import ipf_weights
+
     d = _docs(spark, sf_dir).select(
         "lang", "source", F.size(_tokens()).cast("long").alias("n_toks")
     )
-    cells = (
-        d.groupBy("lang", "source")
-        .agg(F.sum("n_toks").alias("n_tokens"))
-        .where(F.col("n_tokens") > 0)
-        .withColumn("m", F.lit(1.0))
-        # every sweep references the cell frame twice (marginal sum + the
-        # rescale join); without materialization the corpus rollup re-derives
-        # 2^sweeps times (measured 5.3 s -> sub-second at the gate). The
-        # frame is languages x domains — always tiny.
-        .localCheckpoint()
-    )
-    tot = cells.agg(
-        F.sum("n_tokens").alias("total"),
-        F.count_distinct("lang").alias("n_langs"),
-    )
-    src = cells.groupBy("source").agg(F.sum("n_tokens").alias("src_tokens"))
-    alloc_dec = F.sum((F.col("n_tokens") * F.col("m")).cast("decimal(38,18)"))
-    for _ in range(_IPF_ITERS):
-        lsum = cells.groupBy("lang").agg(alloc_dec.cast("double").alias("cur"))
-        cells = (
-            cells.join(lsum, "lang")
-            .crossJoin(F.broadcast(tot))
-            .select(
-                "lang",
-                "source",
-                "n_tokens",
-                (
-                    F.col("m")
-                    * ((F.col("total") * 1.0 / F.col("n_langs")) / F.col("cur"))
-                ).alias("m"),
-            )
-        )
-        ssum = cells.groupBy("source").agg(alloc_dec.cast("double").alias("cur"))
-        cells = (
-            cells.join(F.broadcast(src), "source")
-            .join(F.broadcast(ssum), "source")
-            .select(
-                "lang",
-                "source",
-                "n_tokens",
-                (F.col("m") * (F.col("src_tokens") / F.col("cur"))).alias("m"),
-            )
-            .localCheckpoint()  # bound the per-sweep plan (tiny frame)
-        )
-    lfin = cells.groupBy("lang").agg(alloc_dec.cast("double").alias("cur"))
+    cells = d.groupBy("lang", "source").agg(F.sum("n_toks").alias("n_tokens"))
     return (
-        cells.join(lfin, "lang")
-        .crossJoin(F.broadcast(tot))
+        ipf_weights(cells, _IPF_ITERS)
         .select(
             "lang",
             "source",
             "n_tokens",
-            F.round("m", 6).alias("weight"),
-            F.round(F.col("n_tokens") * F.col("m"), 6).alias("alloc_tokens"),
-            F.round(
-                F.col("cur") / (F.col("total") * 1.0 / F.col("n_langs")), 6
-            ).alias("lang_residual"),
+            F.round("weight", 6).alias("weight"),
+            F.round("alloc_tokens", 6).alias("alloc_tokens"),
+            F.round("row_residual", 6).alias("lang_residual"),
         )
         .orderBy("lang", "source")
     )
