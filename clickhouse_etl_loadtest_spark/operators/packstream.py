@@ -73,6 +73,88 @@ def pack_batch(
     )
 
 
+def _pack_floor(state_path: str) -> int | None:
+    """Highest batch id folded into a compacted partition, or None."""
+    import json
+    import os
+
+    p = os.path.join(state_path, "_compaction_floor.json")
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return int(json.load(f)["floor"])
+
+
+def compact_pack_state(
+    spark: SparkSession, state_path: str, upto_batch_id: int
+) -> dict:
+    """Fold every per-wave partition with id <= ``upto_batch_id`` into one
+    consolidated partition each — the pack-state twin of
+    ``wetstream.compact_wet_store``, bounding listing/footer cost on a
+    store that ingests for months:
+
+    - ``manifest/batch=c<upto>``: the manifests are append-only content,
+      so compaction is pure concatenation (every row survives — a loader
+      reads the identical manifest);
+    - ``cursor/batch=c<upto>``: only the NEWEST cursor at or below the
+      floor matters to any later batch, so exactly that one row survives.
+
+    The floor then guards replays: ``pack_lengths_batch`` at or below it
+    fails loud instead of recomputing offsets from history the
+    consolidated cursor now owns (compact only past the streaming
+    checkpoint's replay window — the standard contract)."""
+    import json
+    import os
+    import re
+    import shutil
+
+    floor = _pack_floor(state_path)
+    if floor is not None and upto_batch_id <= floor:
+        raise ValueError(
+            f"pack state at {state_path} is already compacted through {floor}; "
+            f"re-compacting at {upto_batch_id} would step backwards"
+        )
+
+    def fold(sub: str, keep_latest_only: bool) -> int:
+        root = f"{state_path}/{sub}"
+        parts = [
+            d
+            for d in os.listdir(root)
+            if re.fullmatch(r"batch=[bc]\d+", d)
+            and int(re.sub(r"\D", "", d)) <= upto_batch_id
+        ]
+        if not parts:
+            raise ValueError(
+                f"no {sub} partitions at or below {upto_batch_id} to compact"
+            )
+        if keep_latest_only:
+            newest = max(parts, key=lambda d: int(re.sub(r"\D", "", d)))
+            merged = spark.read.parquet(f"{root}/{newest}")
+        else:
+            merged = spark.read.parquet(*[f"{root}/{d}" for d in parts])
+        out = f"{root}/batch=c{upto_batch_id}"
+        tmp = f"{root}/_compacting_c{upto_batch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        n = spark.read.parquet(tmp).count()
+        if os.path.exists(out):
+            shutil.rmtree(out)
+        os.rename(tmp, out)
+        for d in parts:
+            if f"{root}/{d}" != out:
+                shutil.rmtree(f"{root}/{d}")
+        return int(n)
+
+    manifest_rows = fold("manifest", keep_latest_only=False)
+    cursor_rows = fold("cursor", keep_latest_only=True)
+    with open(os.path.join(state_path, "_compaction_floor.json"), "w") as f:
+        json.dump({"floor": int(upto_batch_id)}, f)
+    return {
+        "floor": int(upto_batch_id),
+        "manifest_rows": manifest_rows,
+        "cursor_rows": cursor_rows,
+    }
+
+
 def pack_lengths_batch(
     spark: SparkSession,
     lengths_df: DataFrame,
@@ -84,6 +166,14 @@ def pack_lengths_batch(
     wet store's ``n_tokens``); :func:`pack_batch` is the tokenizing skin."""
     from .ranking import global_prefix_sum
 
+    # compaction floor: a (re)delivery at or below it would recompute
+    # offsets from history the consolidated cursor now owns — fail loud
+    floor = _pack_floor(state_path)
+    if floor is not None and batch_id <= floor:
+        raise ValueError(
+            f"pack state at {state_path} is compacted through batch {floor}; "
+            f"batch {batch_id} cannot (re)land below the compaction floor"
+        )
     prev_cursor, prev_id = _read_latest(spark, f"{state_path}/cursor", batch_id)
     # "replay recomputes from the pre-batch cursor" assumes foreachBatch's
     # monotonic batch ids: replaying an OLDER batch after a newer one landed

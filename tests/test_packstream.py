@@ -290,3 +290,55 @@ def test_empty_wave_advances_nothing(spark, tmp_path):
     m = {r["doc_id"]: r["start_offset"] for r in read_manifest(spark, state).collect()}
     assert m == {0: 0, 1: i0["end"]}
     assert cursor(spark, state) == i2["end"]
+
+
+def test_pack_state_compaction_preserves_stream_and_floors_replays(
+    spark, sf_dir, docs, tmp_path
+):
+    """compact_pack_state folds manifest partitions (pure concatenation —
+    manifests are append-only) and keeps exactly the newest cursor at the
+    floor; the packed stream continues IDENTICALLY afterwards (same
+    manifest as an uncompacted drive, same cursor), and a (re)delivery at
+    or below the floor fails loud."""
+    from clickhouse_etl_loadtest_spark.operators.packstream import (
+        compact_pack_state,
+    )
+
+    waves = _waves(docs)
+
+    def drive(tag, compact_after=None):
+        state = str(tmp_path / f"pack_{tag}")
+        for bid, wave in enumerate(waves):
+            pack_batch(spark, docs.where(F.col("doc_id").isin(wave)), state, bid)
+            if compact_after is not None and bid == compact_after:
+                info = compact_pack_state(spark, state, upto_batch_id=bid)
+                assert info["floor"] == bid and info["cursor_rows"] == 1
+        return state
+
+    plain = drive("plain")
+    compacted = drive("compacted", compact_after=1)
+    assert _canon(read_manifest(spark, compacted)) == _canon(
+        read_manifest(spark, plain)
+    )
+    assert cursor(spark, compacted) == cursor(spark, plain)
+
+    # replay at or below the floor fails loud; above it replays still work
+    from clickhouse_etl_loadtest_spark.operators.packstream import pack_lengths_batch
+
+    df = spark.createDataFrame([(1, 5)], "doc_id long, len_tokens long")
+    with pytest.raises(ValueError, match="compaction floor"):
+        pack_lengths_batch(spark, df, compacted, 1)
+    # re-deliver the last (post-floor) wave: unchanged state
+    before = _canon(read_manifest(spark, compacted))
+    last = len(waves) - 1
+    pack_batch(
+        spark, docs.where(F.col("doc_id").isin(waves[last])), compacted, last
+    )
+    assert _canon(read_manifest(spark, compacted)) == before
+    # backward re-compaction fails loud; forward works
+    with pytest.raises(ValueError, match="step backwards"):
+        compact_pack_state(spark, compacted, upto_batch_id=0)
+    info2 = compact_pack_state(spark, compacted, upto_batch_id=last)
+    assert info2["floor"] == last
+    assert _canon(read_manifest(spark, compacted)) == before
+    assert cursor(spark, compacted) == cursor(spark, plain)
