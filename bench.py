@@ -545,7 +545,9 @@ def main() -> None:
     # opt-in and carries forward like the other expensive waves.
     packstream_wave = None
     if os.environ.get("SPARK_GRAFT_PACKSTREAM_WAVE", "1") == "1":
-        packstream_wave = run_packstream_wave(spark, sf_dir, n_waves=6, replicas=2)
+        packstream_wave = run_packstream_wave(
+            spark, sf_dir, n_waves=6, replicas=2, compact_after=2
+        )
         print(f"# packstream wave: {packstream_wave}", file=sys.stderr)
     packstream_wave_20m = None
     if os.environ.get("SPARK_GRAFT_PACKSTREAM_20M", "0") == "1":
@@ -795,7 +797,9 @@ def _carried_forward(r: dict | None) -> dict | None:
     return out
 
 
-def run_packstream_wave(spark, sf_dir: str, n_waves: int = 6, replicas: int = 2) -> dict:
+def run_packstream_wave(
+    spark, sf_dir: str, n_waves: int = 6, replicas: int = 2, compact_after: int | None = None
+) -> dict:
     """The composed streaming tier at bench scale: drive the shards→trainer
     chain (``operators/packstream.py::curate_and_pack_batch`` — WARC walk →
     extract → quality/langid → store landing → fingerprint novelty →
@@ -851,6 +855,7 @@ def run_packstream_wave(spark, sf_dir: str, n_waves: int = 6, replicas: int = 2)
 
     try:
         per_wall, per_packed, per_cursor = [], [], []
+        compaction = None
         for w in range(n_waves):
             wdf = wave_frame(w)
             t0 = time.perf_counter()
@@ -858,6 +863,27 @@ def run_packstream_wave(spark, sf_dir: str, n_waves: int = 6, replicas: int = 2)
             per_wall.append(round(time.perf_counter() - t0, 3))
             per_packed.append(int(info["n_docs"]))
             per_cursor.append(int(info["end"]))
+            if compact_after is not None and w == compact_after:
+                # mid-drive store maintenance: fold both persistent stores
+                # at the floor and keep driving — the manifest/cursor and
+                # every later wave must be byte-identical to an uncompacted
+                # drive (pinned by tests; here the continuity IS the check)
+                from clickhouse_etl_loadtest_spark.operators.packstream import (
+                    compact_pack_state,
+                )
+                from clickhouse_etl_loadtest_spark.operators.wetstream import (
+                    compact_wet_store,
+                )
+
+                t0 = time.perf_counter()
+                wet_info = compact_wet_store(spark, wet_store, upto_batch_id=w)
+                pack_info = compact_pack_state(spark, pack_state, upto_batch_id=w)
+                compaction = {
+                    "after_wave": w,
+                    "wall_sec": round(time.perf_counter() - t0, 3),
+                    "wet": wet_info,
+                    "pack_manifest_rows": pack_info["manifest_rows"],
+                }
         store_rows = spark.read.parquet(wet_store).count()
         manifest_rows = read_manifest(spark, pack_state).count()
 
@@ -901,6 +927,7 @@ def run_packstream_wave(spark, sf_dir: str, n_waves: int = 6, replicas: int = 2)
             "pack_state_bytes": _du(pack_state),
             "replay_sec": replay_sec,
             "replay_equal": bool(replay_equal),
+            "compaction": compaction,
         }
     finally:
         _shutil.rmtree(wet_store, ignore_errors=True)
