@@ -74,15 +74,14 @@ def pack_batch(
 
 
 def _pack_floor(state_path: str) -> int | None:
-    """Highest batch id folded into a compacted partition, or None."""
-    import json
-    import os
+    """Highest batch id folded into a compacted partition, or None; heals
+    a crashed compaction's pending deletes (see ``operators/storemaint``)."""
+    from . import storemaint
 
-    p = os.path.join(state_path, "_compaction_floor.json")
-    if not os.path.exists(p):
-        return None
-    with open(p) as f:
-        return int(json.load(f)["floor"])
+    m = storemaint.read_marker(state_path)
+    if m["pending_delete"]:
+        storemaint.recover(state_path, ["manifest", "cursor"])
+    return None if m["floor"] is None else int(m["floor"])
 
 
 def compact_pack_state(
@@ -102,56 +101,51 @@ def compact_pack_state(
     The floor then guards replays: ``pack_lengths_batch`` at or below it
     fails loud instead of recomputing offsets from history the
     consolidated cursor now owns (compact only past the streaming
-    checkpoint's replay window — the standard contract)."""
-    import json
+    checkpoint's replay window — the standard contract). The whole fold
+    runs under the crash-safe commit protocol of ``operators/storemaint``
+    (both subdirs rename first, ONE marker write commits both, deletes
+    follow; every interrupted step is repaired on the next compaction or
+    ingest wave)."""
     import os
-    import re
-    import shutil
 
-    floor = _pack_floor(state_path)
+    from . import storemaint
+
+    storemaint.recover(state_path, ["manifest", "cursor"])
+    floor = storemaint.read_floor(state_path)
     if floor is not None and upto_batch_id <= floor:
         raise ValueError(
             f"pack state at {state_path} is already compacted through {floor}; "
             f"re-compacting at {upto_batch_id} would step backwards"
         )
 
-    def fold(sub: str, keep_latest_only: bool) -> int:
+    counts: dict[str, int] = {}
+    renamed: dict[str, list[str]] = {}
+
+    def fold(sub: str, keep_latest_only: bool) -> None:
         root = f"{state_path}/{sub}"
-        parts = [
-            d
-            for d in os.listdir(root)
-            if re.fullmatch(r"batch=[bc]\d+", d)
-            and int(re.sub(r"\D", "", d)) <= upto_batch_id
-        ]
+        parts = storemaint.list_parts(root, upto_batch_id)
         if not parts:
             raise ValueError(
                 f"no {sub} partitions at or below {upto_batch_id} to compact"
             )
         if keep_latest_only:
-            newest = max(parts, key=lambda d: int(re.sub(r"\D", "", d)))
-            merged = spark.read.parquet(f"{root}/{newest}")
+            merged = spark.read.parquet(f"{root}/{parts[-1]}")
         else:
             merged = spark.read.parquet(*[f"{root}/{d}" for d in parts])
         out = f"{root}/batch=c{upto_batch_id}"
         tmp = f"{root}/_compacting_c{upto_batch_id}"
         merged.write.mode("overwrite").parquet(tmp)
-        n = spark.read.parquet(tmp).count()
-        if os.path.exists(out):
-            shutil.rmtree(out)
+        counts[sub] = int(spark.read.parquet(tmp).count())
         os.rename(tmp, out)
-        for d in parts:
-            if f"{root}/{d}" != out:
-                shutil.rmtree(f"{root}/{d}")
-        return int(n)
+        renamed[sub] = parts
 
-    manifest_rows = fold("manifest", keep_latest_only=False)
-    cursor_rows = fold("cursor", keep_latest_only=True)
-    with open(os.path.join(state_path, "_compaction_floor.json"), "w") as f:
-        json.dump({"floor": int(upto_batch_id)}, f)
+    fold("manifest", keep_latest_only=False)
+    fold("cursor", keep_latest_only=True)
+    storemaint.commit_fold(state_path, upto_batch_id, renamed)
     return {
         "floor": int(upto_batch_id),
-        "manifest_rows": manifest_rows,
-        "cursor_rows": cursor_rows,
+        "manifest_rows": counts["manifest"],
+        "cursor_rows": counts["cursor"],
     }
 
 

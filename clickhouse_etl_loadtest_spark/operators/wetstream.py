@@ -286,15 +286,15 @@ def _land_extracted(
 
 def _compaction_floor(store_path: str) -> int | None:
     """Highest batch id folded into a compacted partition, or None. One
-    metadata read per wave — the marker is a single tiny JSON file."""
-    import json
-    import os
+    metadata read per wave; a marker left with pending deletes by a
+    crashed compaction is healed here, so the ingest path itself closes
+    the dirty-read window at the next wave."""
+    from . import storemaint
 
-    p = os.path.join(store_path, "_compaction_floor.json")
-    if not os.path.exists(p):
-        return None
-    with open(p) as f:
-        return int(json.load(f)["floor"])
+    m = storemaint.read_marker(store_path)
+    if m["pending_delete"]:
+        storemaint.recover(store_path, [""])
+    return None if m["floor"] is None else int(m["floor"])
 
 
 def compact_wet_store(spark: SparkSession, store_path: str, upto_batch_id: int) -> dict:
@@ -320,26 +320,24 @@ def compact_wet_store(spark: SparkSession, store_path: str, upto_batch_id: int) 
     partitions of fixed-width rows — flat walls there, but a store that
     ingests for months accumulates thousands of partitions whose listing
     and footer costs dominate long before the rows do). Compaction is one
-    ordinary Spark job: scan the merged partitions, two keyed rollups
-    (doc, fingerprint), one partition write — nothing driver-side.
+    ordinary Spark job — scan the merged partitions, two keyed rollups
+    (doc, fingerprint), one partition write — wrapped in the crash-safe
+    commit protocol of ``operators/storemaint.py``: the marker write is
+    the commit point, every interrupted step is repaired by the recovery
+    pass that runs at the start of each compaction AND each ingest wave.
     """
-    import json
     import os
-    import re
-    import shutil
 
-    floor = _compaction_floor(store_path)
+    from . import storemaint
+
+    storemaint.recover(store_path, [""])
+    floor = storemaint.read_floor(store_path)
     if floor is not None and upto_batch_id <= floor:
         raise ValueError(
             f"store at {store_path} is already compacted through {floor}; "
             f"re-compacting at {upto_batch_id} would step backwards"
         )
-    parts = [
-        d
-        for d in os.listdir(store_path)
-        if re.fullmatch(r"batch=[bc]\d+", d)
-        and int(re.sub(r"\D", "", d)) <= upto_batch_id
-    ]
+    parts = storemaint.list_parts(store_path, upto_batch_id)
     if not parts:
         raise ValueError(f"no partitions at or below {upto_batch_id} to compact")
     merged = spark.read.parquet(*[f"{store_path}/{d}" for d in parts])
@@ -364,15 +362,10 @@ def compact_wet_store(spark: SparkSession, store_path: str, upto_batch_id: int) 
     tmp = f"{store_path}/_compacting_c{upto_batch_id}"
     keep.write.mode("overwrite").parquet(tmp)
     rows = spark.read.parquet(tmp).count()
-    # swap in: land the consolidated partition, then drop the merged ones
-    if os.path.exists(out):
-        shutil.rmtree(out)
+    # swap in (recovery removed any stale out dir), then COMMIT via the
+    # marker and drop the merged originals
     os.rename(tmp, out)
-    for d in parts:
-        if f"{store_path}/{d}" != out:
-            shutil.rmtree(f"{store_path}/{d}")
-    with open(os.path.join(store_path, "_compaction_floor.json"), "w") as f:
-        json.dump({"floor": int(upto_batch_id)}, f)
+    storemaint.commit_fold(store_path, upto_batch_id, {"": parts})
     return {"floor": int(upto_batch_id), "merged_partitions": len(parts), "rows": int(rows)}
 
 

@@ -491,3 +491,66 @@ def test_compaction_keeps_curate_and_pack_semantics(spark, tmp_path):
     plain = drive("plain")
     compacted = drive("compacted", compact_after=1)
     assert plain == compacted
+
+
+def test_compaction_crash_states_are_repaired(spark, tmp_path):
+    """Every interruption point of the compaction protocol must be
+    recoverable: (A) crash AFTER the consolidated-partition rename but
+    BEFORE the marker — the uncommitted fold is discarded and a re-run
+    reproduces the clean result from the intact originals; (B) crash AFTER
+    the marker, DURING the original-partition deletes — the next
+    ingest-path floor check finishes the deletes, restoring
+    single-counted reads."""
+    import shutil
+
+    from clickhouse_etl_loadtest_spark.operators import storemaint
+    from clickhouse_etl_loadtest_spark.operators.wetstream import compact_wet_store
+
+    sf_dir = _write_documents(tmp_path, DOCS)
+
+    def build(tag):
+        store = str(tmp_path / f"store_{tag}")
+        for bid, ids in enumerate(([0, 1, 2, 7], [3, 4, 5], [0, 6])):
+            wet_batch(_warc_frame(spark, sf_dir, ids), store, bid)
+        return store
+
+    clean = build("clean")
+    compact_wet_store(spark, clean, upto_batch_id=1)
+    want_read = _canon(read_wet_store(spark, clean))
+    want_raw = sorted(
+        tuple(r) for r in spark.read.parquet(clean).drop("batch").collect()
+    )
+
+    # --- case A: renamed fold, no marker ---
+    a = build("crash_a")
+    shutil.copytree(f"{clean}/batch=c1", f"{a}/batch=c1")  # b0,b1 still present
+    # raw reads double-count in the crash window (the documented caveat)
+    assert spark.read.parquet(a).count() > len(want_raw)
+    info = compact_wet_store(spark, a, upto_batch_id=1)  # re-run repairs
+    assert info["floor"] == 1
+    assert _canon(read_wet_store(spark, a)) == want_read
+    assert sorted(
+        tuple(r) for r in spark.read.parquet(a).drop("batch").collect()
+    ) == want_raw
+
+    # --- case B: marker committed, deletes unfinished ---
+    b = build("crash_b")
+    compact_wet_store(spark, b, upto_batch_id=1)
+    # re-create an undeleted original: copy b0's content from the uncompacted twin
+    src = str(tmp_path / "store_crash_a_pristine")
+    # rebuild a pristine b0 partition by landing wave 0 into a scratch store
+    wet_batch(_warc_frame(spark, sf_dir, [0, 1, 2, 7]), src, 0)
+    shutil.copytree(f"{src}/batch=b0", f"{b}/batch=b0")
+    storemaint.write_marker(b, 1, ["batch=b0"])
+    assert spark.read.parquet(b).count() > len(want_raw)  # dirty window
+    # the next ingest wave's floor check self-heals before landing
+    wet_batch(_warc_frame(spark, sf_dir, [8, 9]), b, 3)
+    assert storemaint.read_marker(b)["pending_delete"] == []
+    got_raw = sorted(
+        tuple(r)
+        for r in spark.read.parquet(b)
+        .drop("batch")
+        .where("batch_seq <= 2")
+        .collect()
+    )
+    assert got_raw == want_raw
