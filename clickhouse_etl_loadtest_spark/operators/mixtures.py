@@ -11,9 +11,17 @@ the Spark sweeps against a pure-numpy twin to 1e-9 on randomized tables.
 
 Scale: the input is already a rollup, so every sweep aggregates and
 rescales the tiny cell table with 1-row totals broadcast back; each sweep
-localCheckpoints the cell frame (it is referenced twice per sweep —
-without materialization the upstream re-derives 2^sweeps times, measured
-4x at the gate). DECIMAL-folded marginal sums keep the scale factors
+MATERIALIZES the cell frame (it is referenced twice per sweep — without
+materialization the upstream re-derives 2^sweeps times, measured 4x at
+the gate). The default strategy (``materialize="collect"``) rebuilds the
+tiny frame from driver-held rows, which truncates lineage (constant plan
+size per sweep) AND keeps the operator fault-tolerant when embedded in a
+long-running pipeline: the rows live on the driver, so an executor loss
+mid-sweep just re-ships them — unlike ``localCheckpoint``, whose blocks
+are non-fault-tolerant and fail the job on executor loss (the same
+reason wetstream's streaming landers use persist). ``localCheckpoint``
+stays available as the opt-in no-driver-roundtrip path for interactive
+use. DECIMAL-folded marginal sums keep the scale factors
 order-independent across engines and partitionings. Reference: no
 counterpart; LLM-pipeline extension, SURVEY.md §7.6.
 """
@@ -24,12 +32,24 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _materialize(df: DataFrame, strategy: str) -> DataFrame:
+    """Cut the per-sweep plan growth. ``collect`` = driver-round-trip the
+    tiny rollup (fault-tolerant, constant plan); ``localCheckpoint`` = RDD
+    blocks on executors (no driver hop, non-fault-tolerant)."""
+    if strategy == "localCheckpoint":
+        return df.localCheckpoint()
+    if strategy == "collect":
+        return df.sparkSession.createDataFrame(df.collect(), df.schema)
+    raise ValueError(f"unknown materialize strategy: {strategy!r}")
+
+
 def ipf_weights(
     cells: DataFrame,
     iters: int,
     row_key: str = "lang",
     col_key: str = "source",
     value_col: str = "n_tokens",
+    materialize: str = "collect",
 ) -> DataFrame:
     """IPF sampling weights over a (``row_key``, ``col_key``,
     ``value_col``) contingency rollup: returns the input columns plus
@@ -39,7 +59,7 @@ def ipf_weights(
     dropped. The LAST sweep is the column scaling, so column totals equal
     availability exactly."""
     v = F.col(value_col)
-    cells = cells.where(v > 0).withColumn("m", F.lit(1.0)).localCheckpoint()
+    cells = _materialize(cells.where(v > 0).withColumn("m", F.lit(1.0)), materialize)
     tot = cells.agg(
         F.sum(value_col).alias("_total"),
         F.count_distinct(row_key).alias("_n_rows"),
@@ -59,12 +79,12 @@ def ipf_weights(
             .drop("_cur", "_total", "_n_rows")
         )
         csum = cells.groupBy(col_key).agg(alloc_dec.cast("double").alias("_cur"))
-        cells = (
+        cells = _materialize(  # bound the per-sweep plan (tiny frame)
             cells.join(F.broadcast(col_avail), col_key)
             .join(F.broadcast(csum), col_key)
             .withColumn("m", F.col("m") * (F.col("_avail") / F.col("_cur")))
-            .drop("_cur", "_avail")
-            .localCheckpoint()  # bound the per-sweep plan (tiny frame)
+            .drop("_cur", "_avail"),
+            materialize,
         )
     rfin = cells.groupBy(row_key).agg(alloc_dec.cast("double").alias("_cur"))
     return (

@@ -74,14 +74,15 @@ def pack_batch(
 
 
 def _pack_floor(state_path: str) -> int | None:
-    """Highest batch id folded into a compacted partition, or None; heals
-    a crashed compaction's pending deletes (see ``operators/storemaint``)."""
+    """Highest batch id folded into a compacted partition, or None; runs
+    ``storemaint.recover`` UNCONDITIONALLY so every crash state — pending
+    deletes AND the rename-without-marker case (an uncommitted
+    ``batch=c*`` dir the marker can't see) — is repaired at the next
+    ingest wave, as the storemaint crash matrix promises."""
     from . import storemaint
 
-    m = storemaint.read_marker(state_path)
-    if m["pending_delete"]:
-        storemaint.recover(state_path, ["manifest", "cursor"])
-    return None if m["floor"] is None else int(m["floor"])
+    storemaint.recover(state_path, ["manifest", "cursor"])
+    return storemaint.read_floor(state_path)
 
 
 def compact_pack_state(

@@ -19,11 +19,40 @@ batch query's exact keep set (the streamed==batch parity test in
 ``tests/test_semstream.py``); under arbitrary arrival the rule is
 arrival-first — the same ordering contract as ``operators/packstream.py``.
 
+That exactness has a measured price: the prior-compare term is
+O(wave x ALL same-cluster history), so the per-wave wall grows linearly
+with the stream's lifetime (``BENCH_PROFILE.json::semstream_wave_sf1``:
+3.2→15.9 s over 16 waves) — quadratic total over a months-long stream.
+``compare="kept"`` is the standard production relaxation: compare each
+wave only against SURVIVING (kept) prior vectors, the set batch SemDeDup
+would publish anyway. Cost becomes O(wave x kept history) — bounded by
+the post-dedup corpus, which in a dup-heavy stream is a small fraction of
+seen — at a measured recall delta: a newcomer whose only near neighbor
+was itself dropped now survives (transitive-chain misses only; the
+first-arrival representative of every neighborhood is always kept, so
+pairs adjacent to a survivor are still caught). The delta is a dial like
+``embedding_semdedup_recall``'s k — see SCALING.md and the floor tests in
+``tests/test_semstream.py``. The within-wave half keeps the exact
+pairwise rule in both modes (wave-bounded cost; only the history term
+scales with stream lifetime).
+
 Replay idempotence: a batch reads only EARLIER batches' partitions and
 overwrites its own, so a post-crash re-delivery reproduces identical
 partitions (the ``fuzzydedup.admit_batch`` / ``wetstream.wet_batch``
 recipe); an out-of-order re-delivery of an older batch after a newer one
 landed fails loud (the packstream cursor guard).
+
+Store lifecycle: per-batch partitions accumulate forever on a long
+stream — the listing/footer growth ``wetstream.compact_wet_store``'s
+docstring warns about. :func:`compact_sem_store` folds every partition
+at or below a floor into one consolidated ``batch=c<upto>`` partition
+under the shared crash-safe commit protocol of ``operators/storemaint``;
+verdict rows are append-only content (a replayed batch overwrites its
+own partition, never another's), so the fold is pure concatenation —
+readers and the prior-compare see the identical row set. The floor then
+guards replays: a (re)delivery at or below it fails loud, and every
+ingest wave runs ``storemaint.recover`` so any interrupted compaction
+step is repaired at the next operation.
 
 Scale: assignment is map-side (k x dim codebook in the closure); the only
 joins are keyed by cluster — the SemDeDup bound (Σ n_c² pairwise work, not
@@ -96,6 +125,58 @@ def semdedup_dropped(n: DataFrame, threshold: float) -> DataFrame:
     )
 
 
+def semdedup_bounded_verdicts(
+    n: DataFrame, threshold: float, n_waves: int, wave_col: str = "wave"
+) -> DataFrame:
+    """Batch twin of the ``compare="kept"`` streamed mode: fold ``n``
+    (``vec_id``, ``cluster``, ``embedding``, ``nrm``, ``wave_col`` in
+    0..n_waves-1) wave by wave, comparing each wave only against the
+    SURVIVORS of earlier waves plus the exact pairwise rule within its own
+    wave; returns (vec_id, cluster, wave, keep). Waves fold sequentially
+    (n_waves is small and fixed); each round's survivor set localCheckpoints
+    so the plan stays wave-bounded — the same parity contract
+    ``semdedup_dropped`` gives the exact mode, pinned by
+    ``tests/test_semstream.py``."""
+    kept_acc = None
+    verdicts = []
+    for w in range(n_waves):
+        wave = n.where(F.col(wave_col) == w).drop(wave_col)
+        dropped_w = semdedup_dropped(wave, threshold)
+        if kept_acc is not None:
+            p = kept_acc.select(
+                "cluster",
+                F.col("embedding").alias("emb_p"),
+                F.col("nrm").alias("nrm_p"),
+            )
+            cos = _dot(F.col("embedding"), F.col("emb_p")) / (
+                F.col("nrm") * F.col("nrm_p")
+            )
+            vs_kept = (
+                wave.join(p, "cluster").where(cos >= threshold)
+                .select("vec_id").distinct()
+            )
+            dropped_w = dropped_w.union(vs_kept).distinct()
+        verdict_w = (
+            wave.join(dropped_w.withColumn("_d", F.lit(True)), "vec_id", "left")
+            .select(
+                "vec_id",
+                "cluster",
+                "embedding",
+                "nrm",
+                F.lit(w).cast("int").alias("wave"),
+                F.coalesce(~F.col("_d"), F.lit(True)).alias("keep"),
+            )
+            .localCheckpoint()
+        )
+        kept_w = verdict_w.where("keep").drop("wave", "keep")
+        kept_acc = kept_w if kept_acc is None else kept_acc.unionByName(kept_w)
+        verdicts.append(verdict_w.select("vec_id", "cluster", "wave", "keep"))
+    out = verdicts[0]
+    for v in verdicts[1:]:
+        out = out.unionByName(v)
+    return out
+
+
 def _read_store(
     spark: SparkSession, state_path: str, before_batch_id: int | None
 ) -> DataFrame:
@@ -131,6 +212,18 @@ def codebook_ref_stats(
     return {"mean_dist2": float(r["mean_dist2"]), "p95_dist2": float(r["p95_dist2"])}
 
 
+def _sem_floor(state_path: str) -> int | None:
+    """Highest batch id folded into a compacted partition, or None; runs
+    ``storemaint.recover`` UNCONDITIONALLY (the wetstream/packstream
+    convention) so every crash state — pending deletes and the
+    rename-without-marker orphan the marker can't see — is repaired at
+    the next ingest wave."""
+    from . import storemaint
+
+    storemaint.recover(state_path, [""])
+    return storemaint.read_floor(state_path)
+
+
 def semdedup_batch(
     spark: SparkSession,
     batch_df: DataFrame,
@@ -142,6 +235,7 @@ def semdedup_batch(
     vec_col: str = "embedding",
     ref_stats: dict | None = None,
     drift_factor: float = 1.5,
+    compare: str = "all",
 ) -> dict:
     """Fold one wave of vectors into the persistent semantic-dedup store;
     returns ``{"n": ..., "kept": ..., "mean_dist2": ..., "p95_dist2": ...,
@@ -160,9 +254,27 @@ def semdedup_batch(
     True as soon as either statistic exceeds ``drift_factor`` x its
     reference — the operator keeps folding (the verdict rows are still
     exact for what WAS compared), the flag tells the pipeline owner to
-    re-train and re-seed before recall decays further."""
+    re-train and re-seed before recall decays further.
+
+    ``compare`` picks the prior-compare set: ``"all"`` (default) is the
+    exact-parity form — every SEEN same-cluster vector, O(history) per
+    wave; ``"kept"`` is the bounded production form — SURVIVORS only,
+    O(post-dedup corpus) per wave, at the transitive-chain recall delta
+    measured in SCALING.md (module docstring has the semantics)."""
     from pyspark.errors import AnalysisException
 
+    if compare not in ("all", "kept"):
+        raise ValueError(f"unknown compare mode: {compare!r}")
+    # compaction floor: a (re)delivery at or below it would land a b-
+    # partition alongside the consolidated partition that now owns those
+    # rows — fail loud (the wetstream/packstream contract)
+    floor = _sem_floor(state_path)
+    if floor is not None and batch_id <= floor:
+        raise ValueError(
+            f"semdedup store at {state_path} is compacted through batch "
+            f"{floor}; batch {batch_id} cannot (re)land below the "
+            f"compaction floor"
+        )
     # out-of-order guard (the packstream contract): an older batch replayed
     # after a newer one landed would compare against the future
     try:
@@ -221,6 +333,10 @@ def semdedup_batch(
         )
     wave = wave.drop("dist2")
     prior = _read_store(spark, state_path, before_batch_id=batch_id)
+    if compare == "kept":
+        # bounded mode: only survivors join the compare — the history term
+        # stops growing with drops, at the documented recall delta
+        prior = prior.where(F.col("keep"))
     p = prior.select(
         "cluster",
         F.col("embedding").alias("emb_p"),
@@ -254,6 +370,54 @@ def semdedup_batch(
         "mean_dist2": mean_d,
         "p95_dist2": p95_d,
         "drift_flagged": drift,
+    }
+
+
+def compact_sem_store(spark: SparkSession, state_path: str, upto_batch_id: int) -> dict:
+    """Fold every per-batch partition with id <= ``upto_batch_id`` into ONE
+    consolidated partition (``batch=c<upto>``) — the semstream twin of
+    ``wetstream.compact_wet_store``, bounding the listing/footer cost of a
+    store that ingests for months.
+
+    Verdict rows are append-only content: each batch writes only its own
+    partition (replays overwrite it, never another's), so the fold is pure
+    concatenation — every row survives, and both consumers see the
+    IDENTICAL set afterwards (``read_semdedup_store``'s full read, and the
+    prior-compare's ``< batch_id`` filter: ``c<upto>`` parses as id
+    ``upto``, and the floor guard keeps every later batch id above it).
+
+    The whole fold runs under the crash-safe commit protocol of
+    ``operators/storemaint`` (write to a ``_compacting_`` temp, rename,
+    ONE marker write commits, deletes follow); every interrupted step is
+    repaired by the recovery pass at the start of each compaction AND each
+    ingest wave (:func:`_sem_floor`). Compact only batches past the
+    streaming checkpoint's replay window — the standard contract, enforced
+    loud by the floor guard in :func:`semdedup_batch`."""
+    import os
+
+    from . import storemaint
+
+    storemaint.recover(state_path, [""])
+    floor = storemaint.read_floor(state_path)
+    if floor is not None and upto_batch_id <= floor:
+        raise ValueError(
+            f"semdedup store at {state_path} is already compacted through "
+            f"{floor}; re-compacting at {upto_batch_id} would step backwards"
+        )
+    parts = storemaint.list_parts(state_path, upto_batch_id)
+    if not parts:
+        raise ValueError(f"no partitions at or below {upto_batch_id} to compact")
+    merged = spark.read.parquet(*[f"{state_path}/{d}" for d in parts])
+    out = f"{state_path}/batch=c{upto_batch_id}"
+    tmp = f"{state_path}/_compacting_c{upto_batch_id}"
+    merged.write.mode("overwrite").parquet(tmp)
+    rows = spark.read.parquet(tmp).count()
+    os.rename(tmp, out)
+    storemaint.commit_fold(state_path, upto_batch_id, {"": parts})
+    return {
+        "floor": int(upto_batch_id),
+        "merged_partitions": len(parts),
+        "rows": int(rows),
     }
 
 

@@ -285,16 +285,17 @@ def _land_extracted(
 
 
 def _compaction_floor(store_path: str) -> int | None:
-    """Highest batch id folded into a compacted partition, or None. One
-    metadata read per wave; a marker left with pending deletes by a
-    crashed compaction is healed here, so the ingest path itself closes
-    the dirty-read window at the next wave."""
+    """Highest batch id folded into a compacted partition, or None.
+    Recovery runs UNCONDITIONALLY (one listdir + marker read per wave —
+    safe under the single-writer contract): a compaction that crashed
+    after the consolidated-dir rename but BEFORE the marker write leaves
+    an uncommitted ``batch=c*`` partition that would double-count every
+    row <= upto, and the marker alone can't see it — only the
+    above-floor-c-dir sweep inside ``storemaint.recover`` can."""
     from . import storemaint
 
-    m = storemaint.read_marker(store_path)
-    if m["pending_delete"]:
-        storemaint.recover(store_path, [""])
-    return None if m["floor"] is None else int(m["floor"])
+    storemaint.recover(store_path, [""])
+    return storemaint.read_floor(store_path)
 
 
 def compact_wet_store(spark: SparkSession, store_path: str, upto_batch_id: int) -> dict:

@@ -1021,6 +1021,151 @@ def embedding_semdedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- bounded (kept-representatives) incremental SemDeDup, recall measured ------------
+# The incremental twin (operators/semstream.py) pays O(all seen history) per
+# wave for exact batch parity — measured linear growth at the sf1.0 wave.
+# The production relaxation compares each wave only against SURVIVORS; this
+# query puts the resulting recall delta beside the exact form, per wave, on
+# the corpus: the kept-mode drop set is a SUBSET of the exact one (with
+# vec_id-contiguous waves a kept earlier survivor is an earlier seen
+# vector), so drop_recall per wave is the whole story — the dial the
+# pipeline owner reads before flipping compare="kept" on a long stream.
+
+_SEMDEDUP_N_WAVES = 3
+
+
+def _semdedup_bounded_oracle(n_waves: int, k: int, iters: int, thr: float) -> str:
+    cos = f"{_dot_sql('a.embedding', 'b.embedding')} / (a.nrm * b.nrm)"
+    ctes = [
+        f"asg AS (SELECT vec_id, cluster FROM ({_kmeans_oracle(k, iters)}) base)",
+        "mx AS (SELECT MAX(vec_id) AS mx FROM embeddings)",
+        f"n AS (SELECT e.vec_id, a.cluster, e.embedding, {_norm_sql('e.embedding')} AS nrm, "
+        f"CAST((e.vec_id * {n_waves}) // (m.mx + 1) AS INT) AS wave "
+        f"FROM embeddings e JOIN asg a ON e.vec_id = a.vec_id, mx m)",
+        f"exact_drop AS (SELECT DISTINCT b.vec_id FROM n a JOIN n b "
+        f"ON a.cluster = b.cluster AND a.vec_id < b.vec_id WHERE {cos} >= {thr})",
+    ]
+    kept_union = []
+    for w in range(n_waves):
+        within = (
+            f"SELECT b.vec_id FROM n a JOIN n b ON a.cluster = b.cluster "
+            f"AND a.vec_id < b.vec_id AND a.wave = {w} AND b.wave = {w} "
+            f"WHERE {cos} >= {thr}"
+        )
+        if kept_union:
+            kept = " UNION ALL ".join(f"SELECT * FROM k{i}" for i in range(w))
+            vs_kept = (
+                f"SELECT b.vec_id FROM ({kept}) a JOIN n b "
+                f"ON a.cluster = b.cluster AND b.wave = {w} WHERE {cos} >= {thr}"
+            )
+            ctes.append(
+                f"d{w} AS (SELECT DISTINCT vec_id FROM ({within} UNION ALL {vs_kept}))"
+            )
+        else:
+            ctes.append(f"d{w} AS (SELECT DISTINCT vec_id FROM ({within}))")
+        ctes.append(
+            f"k{w} AS (SELECT * FROM n WHERE wave = {w} "
+            f"AND vec_id NOT IN (SELECT vec_id FROM d{w}))"
+        )
+        kept_union.append(f"k{w}")
+    bounded = " UNION ".join(f"SELECT vec_id FROM d{w}" for w in range(n_waves))
+    ctes.append(f"bounded AS ({bounded})")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+SELECT wave, n_vecs, dropped_exact, dropped_bounded,
+       ROUND(dropped_bounded * 1.0 / NULLIF(dropped_exact, 0), 6) AS drop_recall
+FROM (
+    SELECT CAST(n.wave AS BIGINT) AS wave,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(COUNT(*) FILTER (WHERE n.vec_id IN (SELECT vec_id FROM exact_drop))
+               AS BIGINT) AS dropped_exact,
+           CAST(COUNT(*) FILTER (WHERE n.vec_id IN (SELECT vec_id FROM bounded))
+               AS BIGINT) AS dropped_bounded
+    FROM n GROUP BY n.wave
+)
+ORDER BY wave
+"""
+    )
+
+
+@register(
+    "embedding_semdedup_bounded",
+    _semdedup_bounded_oracle(
+        _SEMDEDUP_N_WAVES, _KMEANS_K, _KMEANS_ITERS, _NEAR_DUP_THRESHOLD
+    ),
+)
+def embedding_semdedup_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-wave recall of the BOUNDED incremental SemDeDup (compare each
+    wave only against earlier SURVIVORS — ``semstream.semdedup_batch``'s
+    ``compare="kept"`` mode, the O(kept) production relaxation of the
+    O(all seen) exact-parity form) vs the exact cluster-bounded drop set,
+    over ``_SEMDEDUP_N_WAVES`` contiguous vec_id waves: wave 0 is always
+    exact (nothing precedes it); later waves lose only transitive-chain
+    drops (a newcomer whose every near neighbor was itself dropped). The
+    bounded drop set is a subset of the exact one by construction, so
+    ``drop_recall`` per wave is the whole dial.
+
+    Scale: assignment is one Lloyd fit; the wave split is a 1-row max
+    broadcast (NO global window); the bounded fold is
+    ``operators/semstream.py::semdedup_bounded_verdicts`` — per wave one
+    cluster-keyed join against the (smaller) survivor set instead of all
+    seen history, exactly what a months-long stream pays.
+    """
+    from ..operators.clustering import kmeans_fit_assign
+    from ..operators.semstream import semdedup_bounded_verdicts, semdedup_dropped
+
+    e = _emb(spark, sf_dir)
+    assigned = kmeans_fit_assign(e, k=_KMEANS_K, iterations=_KMEANS_ITERS).select(
+        "vec_id", "cluster"
+    )
+    mx = e.agg(F.max("vec_id").alias("mx"))
+    n = (
+        e.join(assigned, "vec_id")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "vec_id",
+            "cluster",
+            "embedding",
+            _norm(F.col("embedding")).alias("nrm"),
+            F.expr(f"CAST((vec_id * {_SEMDEDUP_N_WAVES}) DIV (mx + 1) AS INT)").alias(
+                "wave"
+            ),
+        )
+        .localCheckpoint()  # exact arm + every bounded wave reuse the assign
+    )
+    exact_drop = semdedup_dropped(n, _NEAR_DUP_THRESHOLD)
+    bounded = semdedup_bounded_verdicts(n, _NEAR_DUP_THRESHOLD, _SEMDEDUP_N_WAVES)
+    return (
+        n.select("vec_id", "wave")
+        .join(exact_drop.withColumn("_de", F.lit(True)), "vec_id", "left")
+        .join(
+            bounded.select("vec_id", (~F.col("keep")).alias("_db")),
+            "vec_id",
+        )
+        .groupBy(F.col("wave").cast("bigint").alias("wave"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.count(F.when(F.col("_de"), 1)).alias("dropped_exact"),
+            F.count(F.when(F.col("_db"), 1)).alias("dropped_bounded"),
+        )
+        .select(
+            "wave",
+            "n_vecs",
+            "dropped_exact",
+            "dropped_bounded",
+            F.round(
+                F.col("dropped_bounded")
+                * 1.0
+                / F.nullif(F.col("dropped_exact"), F.lit(0)),
+                6,
+            ).alias("drop_recall"),
+        )
+        .orderBy("wave")
+    )
+
+
 # --- PCA residual audit (decorrelation screening before quantization/IVF) ------------
 
 _PCA_K = 8

@@ -342,3 +342,39 @@ def test_pack_state_compaction_preserves_stream_and_floors_replays(
     assert info2["floor"] == last
     assert _canon(read_manifest(spark, compacted)) == before
     assert cursor(spark, compacted) == cursor(spark, plain)
+
+
+def test_rename_orphan_healed_by_next_ingest_wave(spark, sf_dir, docs, tmp_path):
+    """A compaction that crashed AFTER the consolidated-dir renames but
+    BEFORE the marker write leaves orphan ``batch=c*`` dirs the marker
+    cannot see; the next ingest wave's UNCONDITIONAL recovery (round-13
+    hardening of ``_pack_floor``) must remove them before reading state,
+    restoring single-counted manifests and an uncorrupted cursor."""
+    import shutil
+
+    from clickhouse_etl_loadtest_spark.operators.packstream import compact_pack_state
+
+    waves = _waves(docs)
+
+    def build(tag, n):
+        state = str(tmp_path / f"pack_{tag}")
+        for bid in range(n):
+            pack_batch(spark, docs.where(F.col("doc_id").isin(waves[bid])), state, bid)
+        return state
+
+    clean = build("clean", 2)
+    compact_pack_state(spark, clean, upto_batch_id=1)
+
+    crash = build("crash", 2)
+    shutil.copytree(f"{clean}/manifest/batch=c1", f"{crash}/manifest/batch=c1")
+    shutil.copytree(f"{clean}/cursor/batch=c1", f"{crash}/cursor/batch=c1")
+    # dirty window: manifests double-counted until the next wave heals
+    assert (
+        spark.read.parquet(f"{crash}/manifest").count()
+        > read_manifest(spark, clean).count()
+    )
+    pack_batch(spark, docs.where(F.col("doc_id").isin(waves[2])), crash, 2)
+
+    want = build("plain", 3)
+    assert _canon(read_manifest(spark, crash)) == _canon(read_manifest(spark, want))
+    assert cursor(spark, crash) == cursor(spark, want)

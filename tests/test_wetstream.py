@@ -554,3 +554,35 @@ def test_compaction_crash_states_are_repaired(spark, tmp_path):
         .collect()
     )
     assert got_raw == want_raw
+
+
+def test_rename_orphan_healed_by_next_ingest_wave(spark, tmp_path):
+    """Case A (fold renamed, no marker) healed by the INGEST PATH, not just
+    a compaction re-run: ``_compaction_floor``'s unconditional recovery
+    (round-13 hardening) removes the orphan consolidated partition before
+    the wave lands, so raw reads go back to single-counted."""
+    import shutil
+
+    from clickhouse_etl_loadtest_spark.operators.wetstream import compact_wet_store
+
+    sf_dir = _write_documents(tmp_path, DOCS)
+
+    def build(tag, waves):
+        store = str(tmp_path / f"store_{tag}")
+        for bid, ids in enumerate(waves):
+            wet_batch(_warc_frame(spark, sf_dir, ids), store, bid)
+        return store
+
+    two = ([0, 1, 2, 7], [3, 4, 5])
+    clean = build("heal_clean", two)
+    compact_wet_store(spark, clean, upto_batch_id=1)
+
+    crash = build("heal_crash", two)
+    shutil.copytree(f"{clean}/batch=c1", f"{crash}/batch=c1")
+    assert (
+        spark.read.parquet(crash).count() > spark.read.parquet(clean).count()
+    )  # dirty window
+    wet_batch(_warc_frame(spark, sf_dir, [8, 9]), crash, 2)
+
+    want = build("heal_plain", two + ([8, 9],))
+    assert _canon(read_wet_store(spark, crash)) == _canon(read_wet_store(spark, want))
