@@ -629,6 +629,180 @@ def doc_source_epoch_fixpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- composed plan: epoch fixpoint x IPF (2-D water-filling) --------------------------
+# doc_source_epoch_fixpoint caps each SOURCE's budget; doc_mixture_ipf
+# rebalances lang x source cells toward a uniform language marginal against
+# RAW availability. A pipeline owner runs the two as ONE recipe: epoch-
+# expand each cell's mass by its source's fixpoint multiplier (so per-source
+# totals are exactly the capped final_tokens), then IPF over the expanded
+# contingency table. Conservation composes: IPF's final column sweep holds
+# source totals at final_tokens exactly, and the fixpoint conserves the
+# budget, so sum(alloc_tokens) == budget_x * corpus — end to end (pinned by
+# tests/test_epoch_ipf.py). Masses are scaled to integer MICRO-tokens
+# before the sweeps so every marginal sum stays order-independent across
+# engines — the proven integer-mass regime of doc_mixture_ipf.
+
+_MICRO = 1_000_000
+
+
+def _epoch_ipf_oracle() -> str:
+    x, cap, micro = _EPOCH_BUDGET_X, _EPOCH_CAP, _MICRO
+    sq = "sqrt(CAST(p.n_tokens AS DOUBLE))"
+    fixpoint = f"""
+rawcells AS (
+    SELECT lang, source,
+           CAST(SUM(len(regexp_extract_all(lower(text), '{TOKEN_RE}'))) AS BIGINT)
+               AS cell_tokens
+    FROM documents GROUP BY lang, source
+    HAVING SUM(len(regexp_extract_all(lower(text), '{TOKEN_RE}'))) > 0
+),
+pool AS (
+    SELECT source, CAST(SUM(cell_tokens) AS BIGINT) AS n_tokens
+    FROM rawcells GROUP BY source
+),
+tot0 AS (
+    SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(CAST(sqrt(CAST(n_tokens AS DOUBLE)) AS DECIMAL(38,18))) AS DOUBLE) AS sqrt_total
+    FROM pool
+),
+ordered AS (
+    SELECT n_tokens,
+           sqrt(CAST(n_tokens AS DOUBLE)) AS sq,
+           CAST(SUM(n_tokens) OVER w AS BIGINT) AS cum_tokens,
+           CAST(SUM(CAST(sqrt(CAST(n_tokens AS DOUBLE)) AS DECIMAL(38,18))) OVER w AS DOUBLE)
+               AS cum_sqrt,
+           LEAD(sqrt(CAST(n_tokens AS DOUBLE))) OVER (ORDER BY n_tokens, source) AS next_sq
+    FROM pool
+    WINDOW w AS (ORDER BY n_tokens, source ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+cand AS (
+    SELECT (t.total_tokens * {x} - {cap} * o.cum_tokens)
+               / NULLIF(t.sqrt_total - o.cum_sqrt, 0) AS lam
+    FROM ordered o, tot0 t
+    WHERE (t.total_tokens * {x} - {cap} * o.cum_tokens)
+              / NULLIF(t.sqrt_total - o.cum_sqrt, 0) > {cap} * o.sq
+      AND (o.next_sq IS NULL
+           OR (t.total_tokens * {x} - {cap} * o.cum_tokens)
+                  / NULLIF(t.sqrt_total - o.cum_sqrt, 0) <= {cap} * o.next_sq)
+),
+lamv AS (
+    SELECT COALESCE((SELECT MAX(lam) FROM cand),
+                    (SELECT total_tokens * {x} / sqrt_total FROM tot0)) AS lam
+),
+fx AS (
+    SELECT p.source,
+           l.lam > {cap} * {sq} AS capped,
+           CASE WHEN l.lam > {cap} * {sq} THEN {cap}
+                ELSE l.lam * {sq} / p.n_tokens END AS final_epochs
+    FROM pool p, lamv l
+),
+cells0 AS (
+    SELECT r.lang, r.source,
+           CAST(ROUND(r.cell_tokens * f.final_epochs * {micro}) AS BIGINT) AS n_tokens,
+           1.0 AS m
+    FROM rawcells r JOIN fx f USING (source)
+),
+tot AS (
+    SELECT CAST(SUM(n_tokens) AS BIGINT) AS total,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+    FROM cells0
+),
+src AS (
+    SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS src_tokens
+    FROM cells0 GROUP BY source
+),"""
+    sweeps = ",".join(
+        _IPF_ORACLE_ITER.format(t=t, p=t - 1) for t in range(1, _IPF_ITERS + 1)
+    )
+    return (
+        "WITH "
+        + fixpoint
+        + sweeps
+        + f""",
+lfin AS (
+    SELECT lang, CAST(SUM(CAST(n_tokens * m AS DECIMAL(38,18))) AS DOUBLE) AS cur
+    FROM cells{_IPF_ITERS} GROUP BY lang
+)
+SELECT c.lang, c.source, r.cell_tokens AS n_tokens, f.capped,
+       ROUND(f.final_epochs, 6) AS epoch_mult,
+       ROUND(c.n_tokens / {micro}.0, 6) AS epoch_tokens,
+       ROUND(c.m, 6) AS weight,
+       ROUND(c.n_tokens * c.m / {micro}.0, 6) AS alloc_tokens,
+       ROUND(l.cur / (t.total * 1.0 / t.n_langs), 6) AS lang_residual
+FROM cells{_IPF_ITERS} c
+JOIN rawcells r USING (lang, source)
+JOIN fx f USING (source)
+JOIN lfin l USING (lang), tot t
+ORDER BY c.lang, c.source
+"""
+    )
+
+
+@register("doc_epoch_ipf_plan", _epoch_ipf_oracle())
+def doc_epoch_ipf_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed sampling plan a pipeline owner actually schedules —
+    2-D water-filling: the per-source epoch FIXPOINT (Muennighoff-style
+    cap-and-redistribute, ``operators/epochs.py``) sets how many tokens
+    each source may contribute under the repetition cap; IPF
+    (``operators/mixtures.py``) then rebalances the epoch-expanded
+    lang x source table toward a uniform language marginal while holding
+    every source total exactly at its capped budget (the final sweep is
+    the source scaling). ``alloc_tokens`` therefore conserves the training
+    budget end to end: per-source sums equal the fixpoint's
+    ``final_tokens``, and the grand total equals budget_x x corpus
+    (invariants pinned by ``tests/test_epoch_ipf.py``).
+
+    Scale: ONE corpus shuffle (the lang x source rollup); the fixpoint
+    window runs over the source-cardinality table and the IPF sweeps touch
+    only the tiny cell table with 1-row totals broadcast back — both
+    reusable operators unchanged. Cell masses scale to integer
+    micro-tokens before the sweeps so every marginal fold is
+    order-independent across engines and partitionings.
+    """
+    from ..operators.epochs import epoch_fixpoint
+    from ..operators.mixtures import ipf_weights
+
+    d = _docs(spark, sf_dir).select(
+        "lang", "source", F.size(_tokens()).cast("long").alias("n_toks")
+    )
+    rawcells = (
+        d.groupBy("lang", "source")
+        .agg(F.sum("n_toks").alias("cell_tokens"))
+        .where(F.col("cell_tokens") > 0)
+    )
+    pool = rawcells.groupBy("source").agg(F.sum("cell_tokens").alias("n_tokens"))
+    fx = epoch_fixpoint(pool, _EPOCH_BUDGET_X, _EPOCH_CAP).select(
+        "source", "capped", "final_epochs"
+    )
+    cells = rawcells.join(F.broadcast(fx), "source").select(
+        "lang",
+        "source",
+        "cell_tokens",
+        "capped",
+        "final_epochs",
+        F.round(F.col("cell_tokens") * F.col("final_epochs") * _MICRO)
+        .cast("bigint")
+        .alias("mass_micro"),
+    )
+    return (
+        ipf_weights(
+            cells, _IPF_ITERS, row_key="lang", col_key="source", value_col="mass_micro"
+        )
+        .select(
+            "lang",
+            "source",
+            F.col("cell_tokens").alias("n_tokens"),
+            "capped",
+            F.round("final_epochs", 6).alias("epoch_mult"),
+            F.round(F.col("mass_micro") / _MICRO, 6).alias("epoch_tokens"),
+            F.round("weight", 6).alias("weight"),
+            F.round(F.col("alloc_tokens") / _MICRO, 6).alias("alloc_tokens"),
+            F.round("row_residual", 6).alias("lang_residual"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
 # --- cross-document repeated n-gram (boilerplate) coverage ---------------------------
 
 _GRAM_K = 5
@@ -2290,7 +2464,7 @@ ORDER BY threshold
 """
 
 
-@register("doc_quality_pr_holdout", _PR_HOLDOUT_ORACLE, extra=True)
+@register("doc_quality_pr_holdout", _PR_HOLDOUT_ORACLE)  # promoted r13: the last never-verdicted query
 def doc_quality_pr_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HELD-OUT calibration curve: train the quality classifier on 4/5 of
     the corpus (``doc_id % 5 < 4``), report precision/recall/F1 on the

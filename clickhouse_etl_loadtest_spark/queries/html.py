@@ -216,7 +216,7 @@ ORDER BY source
 """
 
 
-@register("doc_html_link_stats", _LINK_ORACLE)
+@register("doc_html_link_stats", _LINK_ORACLE, extra=True)  # rotated out r13 (5 green verdicts; html family keeps doc_html_extract + doc_html_boilerplate_stats driver-visible)
 def doc_html_link_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source link-density profile over the raw HTML: anchor counts,
     anchor-text chars vs total visible chars — the survey a pipeline owner

@@ -163,7 +163,7 @@ ORDER BY doc_id
 """
 
 
-@register("doc_pii_redact", _PII_REDACT_ORACLE)
+@register("doc_pii_redact", _PII_REDACT_ORACLE, extra=True)  # rotated out r13 (5 green verdicts; pii family keeps doc_pii_detect + doc_pii_source_report driver-visible)
 def doc_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The scrub applied: every PII match replaced by its typed placeholder
     (``<EMAIL>``/``<PHONE>``/``<IP>``, fixed class order), verified at the

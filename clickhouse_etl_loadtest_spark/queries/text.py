@@ -1424,7 +1424,7 @@ ORDER BY doc_id
 )
 
 
-@register("doc_dup_graph_pagerank", _PAGERANK_ORACLE)
+@register("doc_dup_graph_pagerank", _PAGERANK_ORACLE, extra=True)  # rotated out r13 (5 green verdicts; dup-graph family keeps doc_dup_cluster_profile + doc_softdedup_weights driver-visible)
 def doc_dup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank centrality over the verified near-dup graph — which
     documents sit at the CENTER of duplication neighborhoods (template

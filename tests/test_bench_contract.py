@@ -144,3 +144,47 @@ def test_compact_stream20m_carries_gate_fields():
     assert out["cold_duration_sec"] == 62.2
     assert out["update_time_ms_sum"] == 7
     assert bench._compact_stream20m(None) is None
+
+
+def test_stream20m_delta_near_boundary_demands_probe():
+    """Round-13 rule: a work delta within 5pp of the 25% threshold is never
+    labeled plainly — whichever side it lands on, the reason points at the
+    3-run isolated probe (the r12 +24.8% rise slid under the gate as
+    'update time flat')."""
+    prev = {
+        "duration_sec": 19.7,
+        "duration_sec_norm": 15.0,
+        "state_store": {"update_time_ms_sum": 412_000},
+    }
+
+    def cur(update):
+        return {
+            "duration_sec": 22.4,
+            "duration_sec_norm": 17.0,
+            "state_store": {"update_time_ms_sum": update},
+        }
+
+    # the r12 shape: +24.8% -> still under the gate, but not "flat"
+    d = bench.stream20m_delta(cur(514_000), prev)
+    assert d["work_regressed"] is False and d["noise"] is True
+    assert "probe before trusting" in d["noise_reason"]
+    # just over: regression with the near-threshold nuance
+    d = bench.stream20m_delta(cur(527_000), prev)
+    assert d["work_regressed"] is True and d["noise"] is False
+    assert "probe before trusting" in d["noise_reason"]
+    # far under / far over: the plain labels
+    d = bench.stream20m_delta(cur(430_000), prev)
+    assert d["noise"] is True and "flat" in d["noise_reason"]
+    d = bench.stream20m_delta(cur(600_000), prev)
+    assert d["noise"] is False and "regressed >25%" in d["noise_reason"]
+
+
+def test_tail_over_head_drops_warmup_wave():
+    """Wave 0 carries JVM/JIT warmup; with >=4 waves it must not inflate the
+    head median (which would understate growth); short series keep it."""
+    flat_after_warmup = [5.0, 1.0, 1.0, 1.0, 1.0, 1.0]
+    assert bench._tail_over_head(flat_after_warmup) == 1.0
+    growing = [5.0, 1.0, 2.0, 3.0, 4.0, 5.0]
+    assert bench._tail_over_head(growing) > 2.0
+    # too short to spare a wave: all points used
+    assert bench._tail_over_head([5.0, 1.0, 2.0]) == 0.4
