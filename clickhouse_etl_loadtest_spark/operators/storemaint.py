@@ -28,7 +28,12 @@ once. The operators' contract is single-writer (foreachBatch bodies are
 serialized; compaction runs from the same maintenance slot), and the
 ingest-path recovery closes the window at the next wave. On object
 storage swap ``os.rename``/``shutil.rmtree`` for the store's atomic
-metadata commit — the protocol shape is unchanged.
+metadata commit — the protocol shape is unchanged: single-object PUTs
+(the marker) stay atomic, and the one state a copy-then-delete "rename"
+adds that POSIX cannot — a PARTIAL consolidated dir from a mid-copy
+crash — is absorbed because recovery deletes ANY above-floor ``c``
+partition, complete or not (exercised against a rename-less double in
+``tests/test_storemaint_object_store.py``).
 """
 
 from __future__ import annotations
