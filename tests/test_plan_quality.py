@@ -1428,3 +1428,34 @@ def test_quality_pr_curve_aggregates_counts_only(spark, sf_dir):
     for ln in plan.splitlines():
         if "Exchange" in ln:
             assert "text#" not in ln, ln
+
+
+def test_epoch_ipf_plan_composes_without_blowup(spark, sf_dir):
+    """The composed 2-D water-filling plan: one corpus shuffle (the
+    lang x source rollup) feeds BOTH stages; the fixpoint's window and the
+    IPF sweeps run over rollup-cardinality frames with broadcast totals —
+    no Python, no cartesian blowup, and text never crosses an exchange
+    however the two operators compose."""
+    plan = exec_plan_of(spark, sf_dir, "doc_epoch_ipf_plan")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
+    for ln in plan.splitlines():
+        if "Exchange" in ln:
+            assert "text#" not in ln, ln
+
+
+def test_semdedup_bounded_no_global_window_no_python(spark, sf_dir):
+    """The bounded-mode recall query: the wave split is a 1-row max
+    broadcast (NEVER a global row_number/ntile window over the corpus),
+    every pair join is cluster-keyed (no cartesian), embeddings cross
+    exchanges only keyed by cluster, and no Python appears."""
+    plan = exec_plan_of(spark, sf_dir, "embedding_semdedup_bounded")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    # the wave assignment must not sort the corpus into one partition:
+    # any SinglePartition exchange may carry only 1-row aggregates
+    # (max vec_id / count frames), never embedding columns
+    for ln in plan.splitlines():
+        if "SinglePartition" in ln:
+            assert "embedding#" not in ln, ln
