@@ -104,6 +104,64 @@ def _read_index(spark: SparkSession, index_path: str) -> DataFrame | None:
         raise
 
 
+def _index_floor(index_path: str) -> int | None:
+    """Highest batch id folded into a compacted partition, or None; runs
+    ``storemaint.recover`` UNCONDITIONALLY (the round-13 convention shared
+    by wetstream/packstream/semstream) so every interrupted compaction
+    step — pending deletes AND the rename-without-marker orphan — heals at
+    the next admit."""
+    from . import storemaint
+
+    storemaint.recover(index_path, [""])
+    return storemaint.read_floor(index_path)
+
+
+def compact_band_index(spark: SparkSession, index_path: str, upto_batch_id: int) -> dict:
+    """Fold every per-batch band partition with id <= ``upto_batch_id``
+    into ONE consolidated partition (``batch=c<upto>``) — the fuzzy-dedup
+    twin of ``semstream.compact_sem_store``, bounding the listing/footer
+    cost of an index that admits for months.
+
+    The fold is pure concatenation and exact: an admitted doc shares NO
+    band with the index (any collision drops the whole doc) and in-batch
+    cluster resolution admits one doc per bucket-overlap component, so
+    ``(band, sig)`` rows are globally distinct across partitions — every
+    reader sees the identical set afterwards. The self-exclusion replay
+    filter (``batch != b<id>``) is untouched for live batches: their ids
+    sit ABOVE the floor, and the floor guard in :func:`admit_batch` fails
+    a (re)admit at or below it loud (its own partition no longer exists to
+    exclude — replayed rows would collide against themselves). The
+    ``batch=adhoc`` partition (no-batch-id mode) never matches the
+    ``batch=[bc]<digits>`` fold pattern and is left alone. Crash-safe
+    under ``operators/storemaint.py``'s commit-marker protocol."""
+    import os
+
+    from . import storemaint
+
+    storemaint.recover(index_path, [""])
+    floor = storemaint.read_floor(index_path)
+    if floor is not None and upto_batch_id <= floor:
+        raise ValueError(
+            f"band index at {index_path} is already compacted through "
+            f"{floor}; re-compacting at {upto_batch_id} would step backwards"
+        )
+    parts = storemaint.list_parts(index_path, upto_batch_id)
+    if not parts:
+        raise ValueError(f"no partitions at or below {upto_batch_id} to compact")
+    merged = spark.read.parquet(*[f"{index_path}/{d}" for d in parts])
+    out = f"{index_path}/batch=c{upto_batch_id}"
+    tmp = f"{index_path}/_compacting_c{upto_batch_id}"
+    merged.write.mode("overwrite").parquet(tmp)
+    rows = spark.read.parquet(tmp).count()
+    os.rename(tmp, out)
+    storemaint.commit_fold(index_path, upto_batch_id, {"": parts})
+    return {
+        "floor": int(upto_batch_id),
+        "merged_partitions": len(parts),
+        "rows": int(rows),
+    }
+
+
 def admit_batch(
     spark: SparkSession,
     batch_df: DataFrame,
@@ -139,6 +197,16 @@ def admit_batch(
     way, so the returned DataFrame does not depend on a re-listing of the
     index it just extended.
     """
+    # compaction floor: a (re)admit at or below it can no longer exclude
+    # its own folded partition — replayed rows would collide against
+    # themselves — so fail loud (the storemaint contract); the check also
+    # heals any interrupted compaction before the index is read
+    floor = _index_floor(index_path)
+    if batch_id is not None and floor is not None and batch_id <= floor:
+        raise ValueError(
+            f"band index at {index_path} is compacted through batch {floor}; "
+            f"batch {batch_id} cannot (re)admit below the compaction floor"
+        )
     bands = minhash_band_table(
         batch_df, id_col=id_col, text_col=text_col, num_perms=num_perms, band_size=band_size
     )

@@ -169,3 +169,62 @@ def test_intra_batch_resolution_is_cluster_transitive(spark, sf_dir, tmp_path):
     expected = cluster_reps | (all_ids - clustered)
     assert admitted == expected
     assert len(clustered) > len(cluster_reps)  # fixture really has clusters
+
+
+def test_band_index_compaction_preserves_admissions(spark, sf_dir, tmp_path):
+    """compact_band_index folds band partitions (pure concatenation —
+    admitted docs share no band with the index, so rows are globally
+    distinct) and later waves admit IDENTICALLY to an uncompacted twin;
+    replays at/below the floor fail loud, forward re-compaction works."""
+    import pytest as _pytest
+
+    from clickhouse_etl_loadtest_spark.operators.fuzzydedup import (
+        compact_band_index,
+    )
+
+    d = _docs(spark, sf_dir)
+    waves = [
+        d.where(F.col("doc_id") % 3 == k).select("doc_id", "text") for k in range(3)
+    ]
+
+    def drive(tag, compact_after=None):
+        index = f"{tmp_path}/idx_{tag}"
+        admitted = []
+        for bid, w in enumerate(waves):
+            admitted.append(
+                sorted(r["doc_id"] for r in admit_batch(
+                    spark, w, index, batch_id=bid
+                ).collect())
+            )
+            if compact_after is not None and bid == compact_after:
+                info = compact_band_index(spark, index, upto_batch_id=bid)
+                assert info["floor"] == bid and info["merged_partitions"] == bid + 1
+        return index, admitted
+
+    plain_idx, plain = drive("plain")
+    folded_idx, folded = drive("folded", compact_after=1)
+    assert folded == plain
+    want = sorted(
+        (r["band"], r["sig"]) for r in spark.read.parquet(plain_idx).collect()
+    )
+    got = sorted(
+        (r["band"], r["sig"]) for r in spark.read.parquet(folded_idx).collect()
+    )
+    assert got == want
+
+    # replay at/below the floor fails loud; above it replays still work
+    with _pytest.raises(ValueError, match="compaction floor"):
+        admit_batch(spark, waves[1], folded_idx, batch_id=1)
+    replay = sorted(
+        r["doc_id"]
+        for r in admit_batch(spark, waves[2], folded_idx, batch_id=2).collect()
+    )
+    assert replay == folded[2]
+    # backward re-compaction fails loud; forward works
+    with _pytest.raises(ValueError, match="step backwards"):
+        compact_band_index(spark, folded_idx, upto_batch_id=0)
+    info2 = compact_band_index(spark, folded_idx, upto_batch_id=2)
+    assert info2["floor"] == 2
+    assert sorted(
+        (r["band"], r["sig"]) for r in spark.read.parquet(folded_idx).collect()
+    ) == want
