@@ -90,3 +90,25 @@ def estimates(spark: SparkSession, state_path: str, group: str) -> DataFrame:
     return latest.select(
         group, F.hll_sketch_estimate("sketch").alias("approx_distinct")
     )
+
+
+def prune_state(spark: SparkSession, state_path: str) -> int:
+    """Drop every sketch snapshot except the newest (the only one
+    :func:`estimates` or a later :func:`update_sketches` ever reads) — the
+    shared delete-only snapshot maintenance pass; see
+    ``streamhh.prune_state`` for why latest-only stores need no commit
+    protocol."""
+    from .streamhh import prune_state as _prune
+
+    return _prune(spark, state_path, subdirs=("sketches",))
+
+
+def prune_state(spark: SparkSession, state_path: str) -> int:
+    """Drop every sketch snapshot except the newest (the only one
+    :func:`estimates` or a later :func:`update_sketches` ever reads) — the
+    shared delete-only snapshot maintenance pass; see
+    ``streamhh.prune_state`` for why latest-only stores need no commit
+    protocol."""
+    from .streamhh import prune_state as _prune
+
+    return _prune(spark, state_path, subdirs=("sketches",))

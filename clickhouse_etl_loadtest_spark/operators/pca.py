@@ -236,3 +236,25 @@ def moments_from_state(spark, state_path: str) -> tuple[int, np.ndarray, np.ndar
             cov[r["i"], r["j"]] = e
             cov[r["j"], r["i"]] = e
     return n, mean, cov
+
+
+def prune_state(spark, state_path: str) -> int:
+    """Drop every moment snapshot except the newest (the only one
+    :func:`moments_from_state` or a later :func:`update_moments` ever
+    reads) — the shared delete-only snapshot maintenance pass; see
+    ``streamhh.prune_state`` for why latest-only stores need no commit
+    protocol."""
+    from .streamhh import prune_state as _prune
+
+    return _prune(spark, state_path, subdirs=("moments", "meta"))
+
+
+def prune_state(spark, state_path: str) -> int:
+    """Drop every moment snapshot except the newest (the only one
+    :func:`moments_from_state` or a later :func:`update_moments` ever
+    reads) — the shared delete-only snapshot maintenance pass; see
+    ``streamhh.prune_state`` for why latest-only stores need no commit
+    protocol."""
+    from .streamhh import prune_state as _prune
+
+    return _prune(spark, state_path, subdirs=("moments", "meta"))

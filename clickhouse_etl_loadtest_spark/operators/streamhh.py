@@ -177,16 +177,26 @@ def confirm_exact(full_df: DataFrame, cands: DataFrame, key: str, phi: float) ->
     )
 
 
-def prune_state(spark: SparkSession, state_path: str) -> int:
+def prune_state(
+    spark: SparkSession, state_path: str, subdirs: tuple = ("summary", "meta")
+) -> int:
     """Drop every snapshot except the newest; returns how many batch
     partitions were removed. Safe once the batch that wrote the newest
     snapshot has committed (i.e. from the NEXT foreachBatch call or a
-    maintenance pass) — a replay only ever targets the latest batch id."""
+    maintenance pass) — a replay only ever targets the latest batch id.
+
+    Unlike the content stores (wet/pack/sem/band-index), latest-only
+    snapshot stores need NO commit-marker protocol: pruning is
+    delete-only, each whole-partition delete is idempotent, and a crash
+    mid-prune just leaves some obsolete snapshots for the next pass —
+    there is no partial state to repair. ``subdirs`` makes this the shared
+    maintenance pass for every snapshot store (``pca.prune_state``,
+    ``cardsketch.prune_state`` delegate here)."""
     import shutil
     from pathlib import Path
 
     removed = 0
-    for sub in ("summary", "meta"):
+    for sub in subdirs:
         root = Path(state_path) / sub
         if not root.exists():
             continue

@@ -75,3 +75,30 @@ def test_sketch_shuffle_carries_sketches_not_keys(spark, sf_dir):
     for ln in plan.splitlines():
         if "Exchange hashpartitioning" in ln:
             assert "user_id" not in ln, ln
+
+
+def test_prune_keeps_only_latest_sketch_snapshot(spark, sf_dir, tmp_path):
+    """The shared delete-only maintenance pass: after pruning, exactly one
+    snapshot remains and the estimates are unchanged."""
+    import os
+
+    from clickhouse_etl_loadtest_spark.operators.cardsketch import prune_state
+
+    state = str(tmp_path / "card-state")
+    ev = _events(spark, sf_dir)
+    for bid in range(3):
+        update_sketches(
+            spark, ev.where(F.col("event_id") % 3 == bid), state, "event_type", "user_id", bid
+        )
+    before = {
+        r["event_type"]: r["approx_distinct"]
+        for r in estimates(spark, state, "event_type").collect()
+    }
+    assert prune_state(spark, state) == 2  # 2 old sketch parts
+    after = {
+        r["event_type"]: r["approx_distinct"]
+        for r in estimates(spark, state, "event_type").collect()
+    }
+    assert before == after
+    parts = [d for d in os.listdir(f"{state}/sketches") if d.startswith("batch=")]
+    assert parts == ["batch=b2"]

@@ -221,3 +221,28 @@ def test_streaming_moments_tolerate_leading_empty_batch(spark, sf_dir, tmp_path)
     n_s, mean_s, cov_s = moments_from_state(spark, state)
     n_f, mean_f, cov_f = covariance_moments(emb)
     assert n_s == n_f and (mean_s == mean_f).all() and (cov_s == cov_f).all()
+
+
+def test_prune_keeps_only_latest_moment_snapshot(spark, sf_dir, tmp_path):
+    """The shared delete-only maintenance pass: after pruning, exactly one
+    snapshot remains per subdir and the finalized moments are unchanged."""
+    import os
+
+    from clickhouse_etl_loadtest_spark.operators.pca import (
+        moments_from_state,
+        prune_state,
+        update_moments,
+    )
+
+    emb = _emb(spark, sf_dir)
+    state = str(tmp_path / "pca-state")
+    for b in range(3):
+        update_moments(spark, emb.where(F.col("vec_id") % 3 == b), state, batch_id=b)
+    before = moments_from_state(spark, state)
+    assert prune_state(spark, state) == 4  # 2 old moments + 2 old meta parts
+    after = moments_from_state(spark, state)
+    assert before[0] == after[0]
+    assert (before[1] == after[1]).all() and (before[2] == after[2]).all()
+    for sub in ("moments", "meta"):
+        parts = [d for d in os.listdir(f"{state}/{sub}") if d.startswith("batch=")]
+        assert parts == ["batch=b2"]
