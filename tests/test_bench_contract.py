@@ -177,6 +177,10 @@ def test_stream20m_delta_near_boundary_demands_probe():
     assert d["noise"] is True and "flat" in d["noise_reason"]
     d = bench.stream20m_delta(cur(600_000), prev)
     assert d["noise"] is False and "regressed >25%" in d["noise_reason"]
+    # a large improvement is named, not called flat (the r13 -49.5% shape)
+    d = bench.stream20m_delta(cur(220_000), prev)
+    assert d["noise"] is True and "improved" in d["noise_reason"]
+    assert "flat" not in d["noise_reason"]
 
 
 def test_tail_over_head_drops_warmup_wave():
