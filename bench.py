@@ -578,6 +578,17 @@ def main() -> None:
             round(db / de, 4) if de else None
         )
         print(f"# semstream wave bounded: {semstream_wave_bounded}", file=sys.stderr)
+    # Incremental fuzzy dedup (band index) wave: default-on like the other
+    # store drives — every persistent store's compaction now runs mid-drive
+    # in the default bench (wet+pack inside packstream, semstream above,
+    # band index here).
+    fuzzystream_wave = None
+    if os.environ.get("SPARK_GRAFT_FUZZYSTREAM_WAVE", "1") == "1":
+        fuzzystream_wave = run_fuzzystream_wave(
+            spark, sf_dir, n_waves=6, compact_after=2
+        )
+        print(f"# fuzzystream wave: {fuzzystream_wave}", file=sys.stderr)
+
     semstream_wave_sf1 = None
     semstream_wave_sf1_bounded = None
     semstream_wave_sf1_dupheavy = None
@@ -805,6 +816,9 @@ def main() -> None:
                 "packstream_wave_20m": packstream_wave_20m
                 if packstream_wave_20m is not None
                 else _carried_forward((prev_profile or {}).get("packstream_wave_20m")),
+                "fuzzystream_wave": fuzzystream_wave
+                if fuzzystream_wave is not None
+                else _carried_forward((prev_profile or {}).get("fuzzystream_wave")),
                 "semstream_wave": semstream_wave
                 if semstream_wave is not None
                 else _carried_forward((prev_profile or {}).get("semstream_wave")),
@@ -1168,6 +1182,108 @@ def run_semstream_wave(
         }
     finally:
         _shutil.rmtree(state, ignore_errors=True)
+
+
+def run_fuzzystream_wave(
+    spark, sf_dir: str, n_waves: int = 6, compact_after: int | None = None
+) -> dict:
+    """Incremental MinHash-LSH dedup at bench scale: split the fixture's
+    document corpus into ``n_waves`` doc_id-ordered waves and admit each
+    through ``operators/fuzzydedup.py::admit_batch`` against ONE persistent
+    band index. Every wave is a mix of a FRESH slice and a re-crawl REPLICA
+    of the previous wave's slice (identical text, re-keyed ids — the
+    packstream wave's steady-re-crawl shape): a replica's band set is
+    byte-identical to its original's, so every replica must collide with
+    the index and admit ZERO rows (``admitted_replica_per_wave`` records
+    the invariant as data). The scale question: per-wave cost is the
+    band-keyed anti-join against a growing hashes-only index (text never
+    lands in the index), so the wall should track the wave, not the
+    corpus. ``compact_after`` folds the index mid-drive
+    (``compact_band_index``) — continuing admissions and the replay must
+    be oblivious. Replaying the last wave (same ``batch_id``) must admit
+    the identical id set against the identical index row count."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from pyspark.sql import functions as F
+
+    from clickhouse_etl_loadtest_spark.operators.fuzzydedup import (
+        admit_batch,
+        compact_band_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    ids = [r["doc_id"] for r in docs.orderBy("doc_id").select("doc_id").collect()]
+    n_docs = len(ids)
+    per = -(-n_docs // n_waves)
+    bounds = ids[::per] + [None]
+    n_waves = len(bounds) - 1
+    _REPLICA_OFFSET = 100_000_000
+
+    def fresh_slice(w: int):
+        lo, hi = bounds[w], bounds[w + 1]
+        s = docs.where(F.col("doc_id") >= lo)
+        return s.where(F.col("doc_id") < hi) if hi is not None else s
+
+    def batch_for(w: int):
+        b = fresh_slice(w)
+        if w > 0:
+            replica = fresh_slice(w - 1).select(
+                (F.col("doc_id") + _REPLICA_OFFSET + w * 1_000_000).alias("doc_id"),
+                "text",
+            )
+            b = b.unionByName(replica)
+        return b
+
+    def admitted_stats(adm):
+        r = adm.agg(
+            F.count(F.when(F.col("doc_id") < _REPLICA_OFFSET, 1)).alias("fresh"),
+            F.count(F.when(F.col("doc_id") >= _REPLICA_OFFSET, 1)).alias("replica"),
+            F.sum("doc_id").alias("ck"),
+        ).first()
+        return int(r["fresh"]), int(r["replica"]), int(r["ck"] or 0)
+
+    index_path = _tempfile.mkdtemp(prefix="bench-fuzzystream-")
+    try:
+        walls, fresh_adm, replica_adm = [], [], []
+        compaction, last_ck = None, None
+        for w in range(n_waves):
+            t0 = time.perf_counter()
+            adm = admit_batch(spark, batch_for(w), index_path, batch_id=w)
+            f_n, r_n, last_ck = admitted_stats(adm)
+            walls.append(round(time.perf_counter() - t0, 3))
+            fresh_adm.append(f_n)
+            replica_adm.append(r_n)
+            if compact_after is not None and w == compact_after:
+                t0 = time.perf_counter()
+                cinfo = compact_band_index(spark, index_path, upto_batch_id=w)
+                compaction = {
+                    "after_wave": w,
+                    "wall_sec": round(time.perf_counter() - t0, 3),
+                    **cinfo,
+                }
+        index_rows = spark.read.parquet(index_path).count()
+        t0 = time.perf_counter()
+        replay = admit_batch(spark, batch_for(n_waves - 1), index_path, batch_id=n_waves - 1)
+        rf, rr, rck = admitted_stats(replay)
+        replay_sec = round(time.perf_counter() - t0, 3)
+        return {
+            "n_waves": n_waves,
+            "documents": int(n_docs),
+            "compaction": compaction,
+            "per_wave_wall_sec": walls,
+            "wall_tail_over_head": _tail_over_head(walls),
+            "admitted_fresh_per_wave": fresh_adm,
+            "admitted_replica_per_wave": replica_adm,
+            "index_rows": int(index_rows),
+            "replay_sec": replay_sec,
+            "replay_equal": bool(
+                (rf, rr, rck) == (fresh_adm[-1], replica_adm[-1], last_ck)
+                and spark.read.parquet(index_path).count() == index_rows
+            ),
+        }
+    finally:
+        _shutil.rmtree(index_path, ignore_errors=True)
 
 
 def run_bigshard_wave(spark, target_gib: float = 3.2, chunk_bytes: int = 256 << 20) -> dict:
