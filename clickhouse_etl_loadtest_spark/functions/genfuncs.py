@@ -75,3 +75,47 @@ def gen_datetime(id_col: Column, base: str = "2024-01-01 00:00:00", step_seconds
     row id instead of wall clock so runs are reproducible."""
     ts = F.timestamp_seconds(F.unix_timestamp(F.lit(base)) + id_col.cast("long") * step_seconds)
     return F.date_format(ts, "yyyy-MM-dd HH:mm:ss")
+
+
+# --- SQL-string twins ---------------------------------------------------------
+# Same expressions as the Column builders above, emitted as Spark SQL strings
+# so the generator can build its whole projection in ONE selectExpr call.
+# Motivation (optimization round 13, guide §5 "the driver"): the Column forms
+# cost ~1,300 py4j round-trips per plan construction — 0.37 s of the
+# dedup_pipeline_e2e headline wall was the driver CHATTING with the JVM, not
+# computing. A SQL string parses JVM-side to the identical analyzed plan.
+
+
+def _h_mod_sql(id_expr: str, salt: str, mod: int) -> str:
+    hx = f"md5(concat('{salt}', cast({id_expr} as string)))"
+    return f"cast(cast(conv(substring({hx}, 1, 15), 16, 10) as bigint) % {mod} as int)"
+
+
+def gen_uuid_sql(id_expr: str, salt: str = "uuid") -> str:
+    hx = f"md5(concat('{salt}', cast({id_expr} as string)))"
+    return (
+        f"concat_ws('-', substring({hx}, 1, 8), substring({hx}, 9, 4), "
+        f"substring({hx}, 13, 4), substring({hx}, 17, 4), substring({hx}, 21, 12))"
+    )
+
+
+def _vocab_sql(values: list[str]) -> str:
+    return "array(" + ", ".join(f"'{v}'" for v in values) + ")"
+
+
+def gen_name_sql(id_expr: str) -> str:
+    first = f"element_at({_vocab_sql(FIRST_NAMES)}, {_h_mod_sql(id_expr, 'first', len(FIRST_NAMES))} + 1)"
+    last = f"element_at({_vocab_sql(LAST_NAMES)}, {_h_mod_sql(id_expr, 'last', len(LAST_NAMES))} + 1)"
+    return f"concat_ws(' ', {first}, {last})"
+
+
+def gen_email_sql(id_expr: str) -> str:
+    dom = f"element_at({_vocab_sql(EMAIL_DOMAINS)}, {_h_mod_sql(id_expr, 'dom', len(EMAIL_DOMAINS))} + 1)"
+    return f"concat('user', cast({id_expr} as string), '@', {dom})"
+
+
+def gen_datetime_sql(
+    id_expr: str, base: str = "2024-01-01 00:00:00", step_seconds: int = 1
+) -> str:
+    ts = f"timestamp_seconds(unix_timestamp('{base}') + cast({id_expr} as long) * {step_seconds})"
+    return f"date_format({ts}, 'yyyy-MM-dd HH:mm:ss')"

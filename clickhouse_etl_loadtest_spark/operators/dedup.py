@@ -44,8 +44,14 @@ def _first_per_key(df: DataFrame, keys: list[str], order_col: str) -> DataFrame:
     column).
     """
     payload = [c for c in df.columns if c not in keys]
-    agg = df.groupBy(*keys).agg(F.min_by(F.struct(*payload), F.col(order_col)).alias("_first"))
-    flat = agg.select(*keys, *[F.col(f"_first.{c}").alias(c) for c in payload])
+    # single-expr SQL strings: the Column-builder form cost ~60 py4j
+    # round-trips per construction (guide §5: driver latency); identical
+    # analyzed plan
+    cols = ", ".join(f"`{c}`" for c in payload)
+    agg = df.groupBy(*keys).agg(F.expr(f"min_by(struct({cols}), `{order_col}`) AS _first"))
+    flat = agg.selectExpr(
+        *[f"`{k}`" for k in keys], *[f"_first.`{c}` AS `{c}`" for c in payload]
+    )
     return flat.select(*df.columns)
 
 

@@ -47,9 +47,9 @@ def build_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthesize a media table from the documents fixture: payload bytes =
     utf-8 text (deterministic fake), kind round-robins, metadata derives from
     doc stats. Stands in for `spark.read.parquet("s3://media/...")`."""
-    from ..sources.tables import parallelize_scan
+    from ..sources.tables import load_table
 
-    d = parallelize_scan(spark, spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    d = load_table(spark, sf_dir, "documents", parallel=True)
     kind = F.element_at(
         F.array(*[F.lit(k) for k in MEDIA_KINDS]), (F.col("doc_id") % 3 + 1).cast("int")
     )

@@ -57,9 +57,9 @@ LANG_MARKERS = {
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..sources.tables import parallelize_scan
+    from ..sources.tables import load_table
 
-    return parallelize_scan(spark, spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    return load_table(spark, sf_dir, "documents", parallel=True)
 
 
 def _tokens(col: str = "text", pattern: str = TOKEN_RE) -> Column:
@@ -756,16 +756,28 @@ def _shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~8x slower (14s -> 1.6s for 260k shingles at sf0.1).
     """
     d = _docs(spark, sf_dir)
-    toks = _tokens()
-    with_toks = d.select("doc_id", toks.alias("toks")).where(F.size("toks") >= _SHINGLE_K)
-    n = F.size("toks") - (_SHINGLE_K - 1)
-    first_two = F.zip_with(
-        F.slice("toks", 1, n), F.slice(F.col("toks"), 2, n), lambda a, b: F.concat_ws(" ", a, b)
+    # The >=3-tokens predicate as an rlike on the RAW text, not on size(toks):
+    # a filter on size(toks) gets substituted through the projection and
+    # pushed below parallelize_scan's exchange, where it re-runs the full
+    # regexp_extract_all on the ONE pre-repartition scan partition — the
+    # whole corpus tokenized twice, once serially (guide §2.4/§7.2: watch
+    # what flows below each Exchange). "At least _SHINGLE_K maximal [a-z0-9]
+    # runs exist" is exactly "K runs separated by non-token chars match
+    # somewhere", an early-exit substring search; tokenization then runs
+    # once, above the exchange, in parallel. Expressions are SQL strings
+    # (one py4j call) — the Column/lambda form cost ~0.1 s of driver chatter
+    # per plan construction (guide §5).
+    min_k_runs = TOKEN_RE + ("[^a-z0-9]+" + TOKEN_RE) * (_SHINGLE_K - 1)
+    with_toks = d.where(F.lower(F.col("text")).rlike(min_k_runs)).selectExpr(
+        "doc_id", f"regexp_extract_all(lower(text), '{TOKEN_RE}', 0) AS toks"
     )
-    shingles = F.array_distinct(
-        F.zip_with(first_two, F.slice(F.col("toks"), 3, n), lambda ab, c: F.concat_ws(" ", ab, c))
+    n = f"(size(toks) - {_SHINGLE_K - 1})"
+    shingles = (
+        "array_distinct(zip_with("
+        f"zip_with(slice(toks, 1, {n}), slice(toks, 2, {n}), (x, y) -> concat_ws(' ', x, y)), "
+        f"slice(toks, 3, {n}), (x, y) -> concat_ws(' ', x, y)))"
     )
-    return with_toks.select("doc_id", shingles.alias("shingles"))
+    return with_toks.selectExpr("doc_id", f"{shingles} AS shingles")
 
 
 @register("doc_ngram_jaccard_pairs", _JACCARD_ORACLE, extra=True)
@@ -913,12 +925,18 @@ def _minhash_bands_df(
         sh = sh.where(doc_predicate)
     # hash INSIDE the array before exploding: the Generate then emits 8-byte
     # longs instead of ~30-byte shingle strings (measured 1.49 s -> 1.00 s
-    # on the sf0.1 signature stage; same md5 count, narrower rows)
-    hashed = sh.select(
-        "doc_id", F.explode(F.transform(F.col("shingles"), lambda s: h32(s))).alias("sh")
+    # on the sf0.1 signature stage; same md5 count, narrower rows).
+    # SQL-string expressions: the 16 Column-built MIN aggregates alone cost
+    # ~0.27 s of py4j chatter per plan construction (guide §5)
+    hashed = sh.selectExpr(
+        "doc_id",
+        "explode(transform(shingles, s -> cast(conv(substring(md5(cast(s as string)), 1, 8), 16, 10) as bigint))) AS sh",
     )
     mins = hashed.groupBy("doc_id").agg(
-        *[F.min(perm_hash32(F.col("sh"), a, b)).alias(f"mh{k}") for k, (a, b) in enumerate(_PERMS)]
+        *[
+            F.expr(f"min({perm_hash32_sql('sh', a, b)}) AS mh{k}")
+            for k, (a, b) in enumerate(_PERMS)
+        ]
     )
     # (band, signature) rows via stack — one pass over the signature table
     stack_expr = ", ".join(
@@ -939,21 +957,16 @@ def _lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = _minhash_bands_df(spark, sf_dir)
     buckets = (
         bands.groupBy("band", "sig")
-        .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
+        .agg(F.expr("sort_array(collect_set(doc_id)) AS ids"))
         .where(F.size("ids") >= 2)
     )
-    pairs = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
-                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-            ),
-        )
+    pairs = (
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids)), y -> struct(x AS doc_a, y AS doc_b))))"
     )
     return (
-        buckets.select(F.explode(pairs).alias("p"))
-        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        buckets.selectExpr(f"explode({pairs}) AS p")
+        .selectExpr("p.doc_a AS doc_a", "p.doc_b AS doc_b")
         .distinct()
     )
 

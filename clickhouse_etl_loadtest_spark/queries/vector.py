@@ -26,13 +26,24 @@ DIM = 64
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..sources.tables import parallelize_scan
+    from ..sources.tables import load_table
 
-    return parallelize_scan(spark, spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+    return load_table(spark, sf_dir, "embeddings", parallel=True)
 
 
-def _dot(a: Column, b: Column) -> Column:
-    """Sequential-fold double dot product: sum_i a[i]*b[i]."""
+def _dot(a: Column | str, b: Column | str) -> Column:
+    """Sequential-fold double dot product: sum_i a[i]*b[i].
+
+    Pass column NAMES where possible: the string form is one JVM-parsed
+    expression (the Column/lambda form costs ~25 py4j round-trips per use —
+    driver plan-construction latency, guide §5). Both parse/analyze to the
+    identical fold, so results are bit-for-bit the same.
+    """
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(
+            f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)), "
+            "cast(0.0 as double), (acc, x) -> acc + x)"
+        )
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -40,7 +51,13 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
-def _norm(a: Column) -> Column:
+def _norm(a: Column | str) -> Column:
+    """sqrt(sum a[i]^2); same string-form contract as :func:`_dot`."""
+    if isinstance(a, str):
+        return F.expr(
+            f"sqrt(aggregate(transform({a}, x -> cast(x as double) * cast(x as double)), "
+            "cast(0.0 as double), (acc, x) -> acc + x))"
+        )
     return F.sqrt(F.aggregate(F.transform(a, lambda x: x.cast("double") * x.cast("double")), F.lit(0.0), lambda acc, x: acc + x))
 
 
@@ -103,15 +120,15 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.where(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("q_emb"),
-        _norm(F.col("embedding")).alias("q_nrm"),
+        _norm("embedding").alias("q_nrm"),
     )
     c = e.select(
         F.col("vec_id").alias("n_id"),
         F.col("embedding").alias("n_emb"),
         F.col("label").alias("n_label"),
-        _norm(F.col("embedding")).alias("n_nrm"),
+        _norm("embedding").alias("n_nrm"),
     )
-    cosine = _dot(F.col("q_emb"), F.col("n_emb")) / (F.col("q_nrm") * F.col("n_nrm"))
+    cosine = _dot("q_emb", "n_emb") / (F.col("q_nrm") * F.col("n_nrm"))
     scored = F.broadcast(q).join(c, F.col("q_id") != F.col("n_id")).select(
         "q_id", "n_id", "n_label", cosine.alias("cosine")
     )
@@ -178,10 +195,10 @@ def embedding_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     mirrors). Small-data only — the inequality join is a nested-loop plan.
     """
     e = _emb(spark, sf_dir)
-    n = e.select("vec_id", "embedding", _norm(F.col("embedding")).alias("nrm"))
+    n = e.select("vec_id", "embedding", _norm("embedding").alias("nrm"))
     a = n.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"), F.col("nrm").alias("nrm_a"))
     b = n.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"), F.col("nrm").alias("nrm_b"))
-    cosine = _dot(F.col("emb_a"), F.col("emb_b")) / (F.col("nrm_a") * F.col("nrm_b"))
+    cosine = _dot("emb_a", "emb_b") / (F.col("nrm_a") * F.col("nrm_b"))
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
         .select("vec_a", "vec_b", cosine.alias("cosine"))
@@ -613,7 +630,7 @@ def ivf_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cell_dists")[0]["cell"].alias("cell"),
         F.col("label").alias("n_label"),
         F.col("embedding").alias("n_emb"),
-        _norm(F.col("embedding")).alias("n_nrm"),
+        _norm("embedding").alias("n_nrm"),
     )
     probes = (
         with_cells.where(F.col("vec_id") < _N_QUERIES)
@@ -623,10 +640,10 @@ def ivf_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.transform(F.slice("cell_dists", 1, _NPROBE), lambda s: s["cell"])
             ).alias("cell"),
             F.col("embedding").alias("q_emb"),
-            _norm(F.col("embedding")).alias("q_nrm"),
+            _norm("embedding").alias("q_nrm"),
         )
     )
-    cosine = _dot(F.col("q_emb"), F.col("n_emb")) / (F.col("q_nrm") * F.col("n_nrm"))
+    cosine = _dot("q_emb", "n_emb") / (F.col("q_nrm") * F.col("n_nrm"))
     cand = (
         assign.join(F.broadcast(probes), "cell")
         .where(F.col("n_id") != F.col("q_id"))
@@ -860,7 +877,7 @@ def embedding_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = (
         e.join(assigned, "vec_id")
-        .select("vec_id", "cluster", "embedding", _norm(F.col("embedding")).alias("nrm"))
+        .select("vec_id", "cluster", "embedding", _norm("embedding").alias("nrm"))
         .localCheckpoint()
     )
     dropped = semdedup_dropped(n, _NEAR_DUP_THRESHOLD)
@@ -1128,7 +1145,7 @@ def embedding_semdedup_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             "cluster",
             "embedding",
-            _norm(F.col("embedding")).alias("nrm"),
+            _norm("embedding").alias("nrm"),
             F.expr(f"CAST((vec_id * {_SEMDEDUP_N_WAVES}) DIV (mx + 1) AS INT)").alias(
                 "wave"
             ),
@@ -1612,14 +1629,14 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir)
     q = e.where(F.col("vec_id") == _RRF_QUERY_VEC).select(
         F.col("embedding").alias("q_emb"),
-        _norm(F.col("embedding")).alias("q_norm"),
+        _norm("embedding").alias("q_norm"),
     )
     cos = (
         e.where(F.col("vec_id") != _RRF_QUERY_VEC)
         .crossJoin(F.broadcast(q))
         .select(
             F.col("vec_id").alias("item_id"),
-            (_dot(F.col("q_emb"), F.col("embedding")) / (F.col("q_norm") * _norm(F.col("embedding")))).alias("cosine"),
+            (_dot("q_emb", "embedding") / (F.col("q_norm") * _norm("embedding"))).alias("cosine"),
         )
     )
     v_top = cos.orderBy(F.desc("cosine"), "item_id").limit(_RRF_TOPK)
@@ -1717,14 +1734,14 @@ def embedding_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     x = e.where(F.col("vec_id") % 2 == 0).select(
         F.col("vec_id").alias("x_id"),
         F.col("embedding").alias("x_emb"),
-        _norm(F.col("embedding")).alias("x_nrm"),
+        _norm("embedding").alias("x_nrm"),
     )
     y = e.where(F.col("vec_id") % 2 == 1).select(
         F.col("vec_id").alias("y_id"),
         F.col("embedding").alias("y_emb"),
-        _norm(F.col("embedding")).alias("y_nrm"),
+        _norm("embedding").alias("y_nrm"),
     )
-    cosine = _dot(F.col("x_emb"), F.col("y_emb")) / (F.col("x_nrm") * F.col("y_nrm"))
+    cosine = _dot("x_emb", "y_emb") / (F.col("x_nrm") * F.col("y_nrm"))
     scored = F.broadcast(x).crossJoin(y).select("x_id", "y_id", cosine.alias("cosine"))
     from ..operators.bitext import margin_mutual_best
 
@@ -1876,7 +1893,7 @@ def embedding_bitext_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = e.select(
         "vec_id",
         F.col("embedding"),
-        _norm(F.col("embedding")).alias("nrm"),
+        _norm("embedding").alias("nrm"),
     )
     a = n.select(
         F.col("vec_id").alias("x_id"),
@@ -1888,7 +1905,7 @@ def embedding_bitext_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("y_emb"),
         F.col("nrm").alias("y_nrm"),
     )
-    cosine = _dot(F.col("x_emb"), F.col("y_emb")) / (F.col("x_nrm") * F.col("y_nrm"))
+    cosine = _dot("x_emb", "y_emb") / (F.col("x_nrm") * F.col("y_nrm"))
     scored = (
         cand.join(a, "x_id").join(b, "y_id").select("x_id", "y_id", cosine.alias("cosine"))
     )

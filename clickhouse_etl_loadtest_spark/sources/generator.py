@@ -28,7 +28,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.genfuncs import EMAIL_DOMAINS, FIRST_NAMES, LAST_NAMES, gen_datetime, gen_email, gen_name, gen_uuid
+from ..functions.genfuncs import (
+    EMAIL_DOMAINS,
+    FIRST_NAMES,
+    LAST_NAMES,
+    gen_datetime_sql,
+    gen_email_sql,
+    gen_name_sql,
+    gen_uuid_sql,
+)
 
 
 def unique_count(total_records: int, duplication_rate: float) -> int:
@@ -73,38 +81,33 @@ def generate_user_events(
     uniq_parts = max(1, round(n_parts * n_unique / total_records)) if n_dup > 0 else n_parts
     dup_parts = max(1, n_parts - uniq_parts)
 
-    uniq = spark.range(0, n_unique, 1, uniq_parts)
-    uniq = uniq.select(
-        F.col("id").alias("seq"),
-        F.col("id").alias("_src"),
-        F.lit(False).alias("is_duplicate"),
+    # whole projection as selectExpr strings: the Column-builder form cost
+    # ~1,300 py4j round-trips (0.37 s of driver latency) per construction;
+    # the SQL strings parse JVM-side to the identical analyzed plan
+    # (optimization r13, guide §5 "the driver should do almost no work")
+    uniq = spark.range(0, n_unique, 1, uniq_parts).selectExpr(
+        "id AS seq", "id AS _src", "false AS is_duplicate"
     )
 
     if n_dup > 0:
-        dup = spark.range(n_unique, total_records, 1, dup_parts)
-        # deterministic "earlier key" choice: h60('dup'||seq) % n_unique
-        src = (
-            F.conv(F.substring(F.md5(F.concat(F.lit("dup"), F.col("id").cast("string"))), 1, 15), 16, 10)
-            .cast("long")
-            % F.lit(n_unique)
-        )
-        dup = dup.select(
-            F.col("id").alias("seq"),
-            src.alias("_src"),
-            F.lit(True).alias("is_duplicate"),
+        dup = spark.range(n_unique, total_records, 1, dup_parts).selectExpr(
+            "id AS seq",
+            # deterministic "earlier key" choice: h60('dup'||seq) % n_unique
+            "cast(conv(substring(md5(concat('dup', cast(id as string))), 1, 15), 16, 10) as bigint)"
+            f" % {n_unique} AS _src",
+            "true AS is_duplicate",
         )
         base = uniq.unionAll(dup)
     else:
         base = uniq
 
-    src = F.col("_src")
-    return base.select(
+    return base.selectExpr(
         "seq",
-        gen_uuid(src, "evt").alias("event_id"),
-        gen_uuid(src, "usr").alias("user_id"),
-        gen_name(src).alias("name"),
-        gen_email(src).alias("email"),
-        gen_datetime(src).alias("created_at"),
+        f"{gen_uuid_sql('_src', 'evt')} AS event_id",
+        f"{gen_uuid_sql('_src', 'usr')} AS user_id",
+        f"{gen_name_sql('_src')} AS name",
+        f"{gen_email_sql('_src')} AS email",
+        f"{gen_datetime_sql('_src')} AS created_at",
         "is_duplicate",
     )
 
