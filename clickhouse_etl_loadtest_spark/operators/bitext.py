@@ -44,6 +44,16 @@ def margin_mutual_best(
     x_id."""
     if mean_by not in ("k", "count"):
         raise ValueError(f"mean_by must be 'k' or 'count', got {mean_by!r}")
+    # ``scored`` is consumed by THREE branches (the rank frame and the final
+    # margin join) and Spark recomputes a subtree per branch — for the
+    # all-pairs baseline that re-ran the full cosine cross-join three times
+    # (measured: 4.6 s wall of which ~2/3 was recompute). Materialize it once
+    # (guide §3.3/§5: truncate the plan when an intermediate is reused); the
+    # frame is fixed-width (x_id, y_id, cosine) rows bounded by candidate
+    # volume. localCheckpoint trades lineage for speed: an executor loss
+    # re-runs the query, the standard batch-query trade (the streaming
+    # ingest paths use persist() instead — see operators/wetstream.py).
+    scored = scored.localCheckpoint()
     wx = Window.partitionBy("x_id").orderBy(F.desc("cosine"), "y_id")
     wy = Window.partitionBy("y_id").orderBy(F.desc("cosine"), "x_id")
     rnk = scored.select(
