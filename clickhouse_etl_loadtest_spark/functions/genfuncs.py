@@ -86,13 +86,20 @@ def gen_datetime(id_col: Column, base: str = "2024-01-01 00:00:00", step_seconds
 # computing. A SQL string parses JVM-side to the identical analyzed plan.
 
 
+def _sql_str(v: str) -> str:
+    """Single-quoted SQL literal with ' and \\ escaped — the salts/vocab are
+    safe constants today, but a future entry containing either character
+    would otherwise parse wrong silently (round-13 ADVICE)."""
+    return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
 def _h_mod_sql(id_expr: str, salt: str, mod: int) -> str:
-    hx = f"md5(concat('{salt}', cast({id_expr} as string)))"
+    hx = f"md5(concat({_sql_str(salt)}, cast({id_expr} as string)))"
     return f"cast(cast(conv(substring({hx}, 1, 15), 16, 10) as bigint) % {mod} as int)"
 
 
 def gen_uuid_sql(id_expr: str, salt: str = "uuid") -> str:
-    hx = f"md5(concat('{salt}', cast({id_expr} as string)))"
+    hx = f"md5(concat({_sql_str(salt)}, cast({id_expr} as string)))"
     return (
         f"concat_ws('-', substring({hx}, 1, 8), substring({hx}, 9, 4), "
         f"substring({hx}, 13, 4), substring({hx}, 17, 4), substring({hx}, 21, 12))"
@@ -100,7 +107,7 @@ def gen_uuid_sql(id_expr: str, salt: str = "uuid") -> str:
 
 
 def _vocab_sql(values: list[str]) -> str:
-    return "array(" + ", ".join(f"'{v}'" for v in values) + ")"
+    return "array(" + ", ".join(_sql_str(v) for v in values) + ")"
 
 
 def gen_name_sql(id_expr: str) -> str:

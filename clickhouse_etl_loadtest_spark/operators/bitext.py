@@ -50,9 +50,13 @@ def margin_mutual_best(
     # (measured: 4.6 s wall of which ~2/3 was recompute). Materialize it once
     # (guide §3.3/§5: truncate the plan when an intermediate is reused); the
     # frame is fixed-width (x_id, y_id, cosine) rows bounded by candidate
-    # volume. localCheckpoint trades lineage for speed: an executor loss
-    # re-runs the query, the standard batch-query trade (the streaming
-    # ingest paths use persist() instead — see operators/wetstream.py).
+    # volume. localCheckpoint trades lineage for speed: blocks live only on
+    # executors, so losing one fails the job instead of recomputing —
+    # acceptable for short batch queries (the streaming ingest paths use
+    # persist() instead — see operators/wetstream.py). Callers must NOT
+    # checkpoint ``scored`` themselves: this operator materializes it, and a
+    # second checkpoint is a duplicate eager job + duplicate block storage
+    # (r13 ADVICE — both crosslingual miners used to).
     scored = scored.localCheckpoint()
     wx = Window.partitionBy("x_id").orderBy(F.desc("cosine"), "y_id")
     wy = Window.partitionBy("y_id").orderBy(F.desc("cosine"), "x_id")

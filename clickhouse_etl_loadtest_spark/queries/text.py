@@ -4229,16 +4229,15 @@ def doc_crosslingual_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
-    # materialize the scored candidates ONCE (localCheckpoint — the
-    # corpus-release precedent): the miner references this frame three
-    # times (two rank passes + the margin join), and re-deriving the
-    # embedding bridge and the fold per reference measured ~4x slower
+    # the miner references scored three times (two rank passes + the margin
+    # join) and materializes it ONCE itself (operators/bitext.py) — no
+    # checkpoint here, a second one double-materialized (r13 ADVICE)
     scored = (
         F.broadcast(x)
         .crossJoin(y)
         .select("x_id", "y_id", dot.alias("cosine"))
         .where(F.col("cosine") > 0)
-    ).localCheckpoint()
+    )
     return margin_mutual_best(scored, _XLING_K, _XLING_THRESH, mean_by="count").select(
         F.col("x_id").alias("en_doc"),
         F.col("y_id").alias("de_doc"),

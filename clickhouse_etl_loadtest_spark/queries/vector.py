@@ -1730,6 +1730,19 @@ def embedding_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector's own candidate list, so the same windows apply unchanged to the
     bounded candidate frame.
     """
+    from ..operators.bitext import margin_mutual_best
+
+    return margin_mutual_best(
+        _bitext_scored(spark, sf_dir), _BITEXT_K, _BITEXT_THRESH, mean_by="k"
+    )
+
+
+def _bitext_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The all-pairs scored-candidate frame of ``embedding_bitext_mining``,
+    BEFORE the miner's localCheckpoint materializes it. Split out so the
+    plan-quality test can assert the broadcast/cross-join shape here — the
+    checkpoint truncates the query's own executed plan at a Scan
+    ExistingRDD, hiding this subtree (round-13 lesson)."""
     e = _emb(spark, sf_dir)
     x = e.where(F.col("vec_id") % 2 == 0).select(
         F.col("vec_id").alias("x_id"),
@@ -1742,10 +1755,7 @@ def embedding_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         _norm("embedding").alias("y_nrm"),
     )
     cosine = _dot("x_emb", "y_emb") / (F.col("x_nrm") * F.col("y_nrm"))
-    scored = F.broadcast(x).crossJoin(y).select("x_id", "y_id", cosine.alias("cosine"))
-    from ..operators.bitext import margin_mutual_best
-
-    return margin_mutual_best(scored, _BITEXT_K, _BITEXT_THRESH, mean_by="k")
+    return F.broadcast(x).crossJoin(y).select("x_id", "y_id", cosine.alias("cosine"))
 
 
 # --- LSH-banded bitext mining (the production path) -----------------------------------
@@ -2131,12 +2141,14 @@ def doc_crosslingual_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
+    # the miner materializes scored once itself (operators/bitext.py) — a
+    # checkpoint here double-materialized (r13 ADVICE)
     scored = (
         cand.join(a, "x_id")
         .join(b, "y_id")
         .select("x_id", "y_id", dot.alias("cosine"))
         .where(F.col("cosine") > 0)
-    ).localCheckpoint()
+    )
     return margin_mutual_best(scored, _XLING_K, _XLING_THRESH, mean_by="count").select(
         F.col("x_id").alias("en_doc"),
         F.col("y_id").alias("de_doc"),

@@ -3,8 +3,10 @@
 Usage: python scripts/capture_plans.py <tag-dir> [before|after] [name ...]
 
 Writes plans/<tag>/<query>_<suffix>.txt for each named query (default: the
-bench headline set). Plans only — nothing is executed, so this is safe to run
-beside other Spark work.
+bench headline set). Mostly plan-only, but queries whose CONSTRUCTOR calls
+localCheckpoint (the margin_mutual_best family, semdedup, release stacks)
+eagerly run real Spark jobs during capture (r13 ADVICE) — don't run this
+beside timed measurements.
 """
 
 from __future__ import annotations

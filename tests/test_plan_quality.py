@@ -1234,11 +1234,29 @@ def test_bitext_mining_broadcasts_x_side_fixed_width_exchanges(spark, sf_dir):
     """The all-pairs margin baseline must broadcast the X side (the only
     nested-loop in the plan) and every exchange after scoring carries
     fixed-width (id, cosine/margin) rows — embedding arrays never shuffle,
-    and no Python touches the hot path."""
+    and no Python touches the hot path.
+
+    The miner localCheckpoints the scored frame (r13 optimization), which
+    truncates the query's executed plan at a Scan ExistingRDD — so the
+    scoring subtree is asserted on the pre-checkpoint frame
+    (``_bitext_scored``) and the miner plan on the full query."""
+    from clickhouse_etl_loadtest_spark.queries.vector import _bitext_scored
+
+    scoring = (
+        _bitext_scored(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" in scoring  # broadcast(x).crossJoin(y)
+    assert "CartesianProduct" not in scoring
+    # scoring is map-only past the broadcast: the only exchanges are the
+    # BroadcastExchange itself and parallelize_scan's round-robin spread
+    assert "Exchange hashpartitioning" not in scoring
+    assert "Exchange rangepartitioning" not in scoring
     plan = exec_plan_of(spark, sf_dir, "embedding_bitext_mining")
-    assert "BroadcastNestedLoopJoin" in plan  # broadcast(x).crossJoin(y)
+    # miner consumes the materialized fixed-width candidates, never raw vectors
+    assert "Scan ExistingRDD[x_id" in plan
     assert "CartesianProduct" not in plan
-    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    for p in (plan, scoring):
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     for ln in plan.splitlines():
         if "Exchange" in ln:
             assert "emb#" not in ln and "embedding#" not in ln, ln
