@@ -923,20 +923,28 @@ def _minhash_bands_df(
     sh = _shingles_df(spark, sf_dir)
     if doc_predicate is not None:
         sh = sh.where(doc_predicate)
-    # hash INSIDE the array before exploding: the Generate then emits 8-byte
-    # longs instead of ~30-byte shingle strings (measured 1.49 s -> 1.00 s
-    # on the sf0.1 signature stage; same md5 count, narrower rows).
-    # SQL-string expressions: the 16 Column-built MIN aggregates alone cost
-    # ~0.27 s of py4j chatter per plan construction (guide §5)
-    hashed = sh.selectExpr(
+    # Signatures computed ARRAY-NATIVE (r14): the shingles are already
+    # grouped per doc in an array, so each permutation's MIN is an
+    # array_min over the hashed array — no explode, no groupBy(doc_id), no
+    # Exchange (guide §2.4: remove shuffles outright). The r13 form
+    # (explode hashed longs -> 16-buffer MIN hash aggregate) paid a
+    # corpus-scale Generate, a per-row aggregate hash-map probe, and a
+    # (partially-aggregated) shuffle; this form is one map-only projection.
+    # md5 count is identical (hashed once per shingle into `hs`); MIN over
+    # a group of non-null longs == array_min over the same values, and
+    # every doc past _shingles_df has >= 1 shingle, so array_min never
+    # sees an empty array. Measured sf1.0 signature stage: 8.4 s CPU ->
+    # map-only (see OPTIMIZATION_r14.md); oracle hash-green.
+    hs = "transform(shingles, s -> cast(conv(substring(md5(cast(s as string)), 1, 8), 16, 10) as bigint))"
+    mins = sh.selectExpr(
         "doc_id",
-        "explode(transform(shingles, s -> cast(conv(substring(md5(cast(s as string)), 1, 8), 16, 10) as bigint))) AS sh",
-    )
-    mins = hashed.groupBy("doc_id").agg(
+        f"{hs} AS hs",
+    ).selectExpr(
+        "doc_id",
         *[
-            F.expr(f"min({perm_hash32_sql('sh', a, b)}) AS mh{k}")
+            f"array_min(transform(hs, h -> {perm_hash32_sql('h', a, b)})) AS mh{k}"
             for k, (a, b) in enumerate(_PERMS)
-        ]
+        ],
     )
     # (band, signature) rows via stack — one pass over the signature table
     stack_expr = ", ".join(

@@ -76,8 +76,16 @@ def generate_user_events(
 
     # the two range legs SHARE the partition budget (proportional to their
     # row counts) so the union really has num_partitions tasks — the C6
-    # "publisher process count = Spark tasks" contract
-    n_parts = num_partitions or spark.sparkContext.defaultParallelism
+    # "publisher process count = Spark tasks" contract. When the caller does
+    # NOT pin a process count, the default is data-adaptive (guide §2):
+    # at least ~25k rows per generation task, capped at the core count —
+    # a 5,500-row oracle run is 1 task instead of 32 near-empty ones
+    # (measured: task-scheduling overhead dominated dedup_pipeline_e2e's
+    # 8-core-beats-32-core scaling ratio of 0.60), while any at-scale total
+    # still fans out to every core.
+    n_parts = num_partitions or max(
+        1, min(spark.sparkContext.defaultParallelism, total_records // 25_000)
+    )
     uniq_parts = max(1, round(n_parts * n_unique / total_records)) if n_dup > 0 else n_parts
     dup_parts = max(1, n_parts - uniq_parts)
 

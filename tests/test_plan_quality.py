@@ -57,6 +57,23 @@ def test_region_revenue_broadcasts_dimensions(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_fact_table_is_never_the_broadcast_build_side(spark, sf_dir):
+    """r14 regression gate: size-only estimation used to BROADCAST the
+    pruned lineitem fact table in the Q3/Q5 shapes (join-output estimates
+    inflate past any threshold while the pruned scan slips under it) — a
+    serial driver hash build of every fact row, and an OOM at real scale.
+    The SHUFFLE_HASH hint on the customer⋈orders side pins the deliberate
+    strategy: lineitem STREAMS; only the selective side is ever built."""
+    import re
+
+    for name in ("shipping_priority", "region_revenue"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "ShuffledHashJoin" in plan, name  # the hinted orderkey join
+        # no BroadcastExchange may carry lineitem columns (the fact table)
+        for m in re.finditer(r"\(\d+\) BroadcastExchange\s*\nInput \[\d+\]: \[([^\]]*)\]", plan):
+            assert "l_orderkey" not in m.group(1), (name, m.group(1))
+
+
 def test_dedup_uses_partial_aggregation_not_global_window(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "dedup_first_event_per_user_type")
     # first-wins via one min_by aggregation: partial + final agg, ONE shuffle
