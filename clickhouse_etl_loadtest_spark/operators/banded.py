@@ -60,6 +60,14 @@ def banded_hamming_pairs(
         banded.groupBy("band", "key")
         .agg(F.array_sort(F.collect_set("ds")).alias("members"))
         .where(F.size("members") >= 2)
+        # the O(|bucket|^2) pair expansion below runs in THIS frame's tasks,
+        # and AQE's size-based coalescing sees only the tiny bucket rows —
+        # measured: the whole expansion (17 MB of pairs from 260 KB of
+        # buckets) serialized into ONE 8-s task on doc_simhash_near_pairs
+        # (guide §2.5: compute skew is invisible to byte-based coalescing).
+        # Round-robin the BUCKET rows across the cluster; a single giant
+        # bucket still lands in one task (same caveat as AQE skew-split).
+        .repartition(hashed.sparkSession.sparkContext.defaultParallelism)
     )
     pairs = F.flatten(
         F.transform(

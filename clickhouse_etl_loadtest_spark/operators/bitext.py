@@ -58,14 +58,23 @@ def margin_mutual_best(
     # second checkpoint is a duplicate eager job + duplicate block storage
     # (r13 ADVICE — both crosslingual miners used to).
     scored = scored.localCheckpoint()
+    # Candidate frames are small in BYTES but expensive per row (two sorted
+    # rank passes + DECIMAL(38) sums), so AQE's size-based coalescing
+    # collapses the window exchanges to ONE task (measured 2.8 s serial on
+    # the crosslingual-LSH arm — guide §2.5: compute cost is invisible to
+    # byte-based coalescing). Each window needs its hash exchange anyway;
+    # pinning the SAME exchange via repartition(N, key) fixes the width
+    # without adding a shuffle. Window results are partitioning-independent
+    # (ranks are per-key, ties broken by id; the k-NN sums are DECIMAL).
+    n_parts = scored.sparkSession.sparkContext.defaultParallelism
     wx = Window.partitionBy("x_id").orderBy(F.desc("cosine"), "y_id")
     wy = Window.partitionBy("y_id").orderBy(F.desc("cosine"), "x_id")
-    rnk = scored.select(
-        "x_id",
-        "y_id",
-        "cosine",
-        F.row_number().over(wx).alias("rx"),
-        F.row_number().over(wy).alias("ry"),
+    rnk = (
+        scored.repartition(n_parts, "x_id")
+        .withColumn("rx", F.row_number().over(wx))
+        .repartition(n_parts, "y_id")
+        .withColumn("ry", F.row_number().over(wy))
+        .select("x_id", "y_id", "cosine", "rx", "ry")
     )
     dec = F.col("cosine").cast("decimal(38,18)")
     div = F.lit(k) if mean_by == "k" else F.count(F.lit(1))
@@ -86,14 +95,10 @@ def margin_mutual_best(
     bx = Window.partitionBy("x_id").orderBy(F.desc("margin"), "y_id")
     by = Window.partitionBy("y_id").orderBy(F.desc("margin"), "x_id")
     return (
-        m.select(
-            "x_id",
-            "y_id",
-            "cosine",
-            "margin",
-            F.row_number().over(bx).alias("_bx"),
-            F.row_number().over(by).alias("_by"),
-        )
+        m.repartition(n_parts, "x_id")
+        .withColumn("_bx", F.row_number().over(bx))
+        .repartition(n_parts, "y_id")
+        .withColumn("_by", F.row_number().over(by))
         .where(
             (F.col("_bx") == 1) & (F.col("_by") == 1) & (F.col("margin") >= threshold)
         )

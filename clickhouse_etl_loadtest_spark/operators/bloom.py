@@ -97,12 +97,13 @@ def build_bloom(df: DataFrame, key: Column | str, expected_items: int, fpp: floa
     """Build a Bloom filter over ``key`` (hashed to int64 JVM-side).
 
     Each input partition fills a LOCAL bit array inside ``mapInPandas`` and
-    emits it as one binary row; the driver ORs the partition arrays via
-    ``toLocalIterator`` (peak driver memory = 2 filter copies, not
-    partitions × filter). On a 1000-executor cluster insert an intermediate
-    OR level first (groupBy pmod(spark_partition_id, 32) → OR per group) if
-    partitions × filter bytes strains the driver — at the default 128 MiB
-    split size that is only needed past ~10^4 partitions × ~100 MB filters.
+    emits it as one binary row; the partition arrays OR together in a
+    distributed ``treeReduce`` (depth 2), so the driver receives exactly ONE
+    array and the whole build is one job. (The r13 form fetched partitions
+    one at a time via ``toLocalIterator`` — one sequential ~200 ms driver
+    round-trip job PER PARTITION, ~6 s of the doc_bloom_incremental_dedup
+    wall on a 32-partition build; guide §5: the driver should do almost no
+    data work.) Peak memory anywhere = 2 filter copies per reduce task.
     """
     n_bits, n_hashes = bloom_params(expected_items, fpp)
     kc = F.col(key) if isinstance(key, str) else key
@@ -124,10 +125,17 @@ def build_bloom(df: DataFrame, key: Column | str, expected_items: int, fpp: floa
             yield pd.DataFrame({"bits": [arr.tobytes()]})
 
     parts = hashed.mapInPandas(_fill, schema="bits binary")
-    merged = np.zeros(n_bits // 8, dtype=np.uint8)
-    for row in parts.toLocalIterator():
-        merged |= np.frombuffer(row["bits"], dtype=np.uint8)
-    return BloomFilter(bits=merged.tobytes(), n_bits=n_bits, n_hashes=n_hashes)
+    arrays = parts.rdd.map(lambda row: row["bits"])
+    try:
+        merged = arrays.treeReduce(
+            lambda a, b: (
+                np.frombuffer(a, dtype=np.uint8) | np.frombuffer(b, dtype=np.uint8)
+            ).tobytes(),
+            depth=2,
+        )
+    except ValueError:  # empty input: _fill yielded no rows
+        merged = np.zeros(n_bits // 8, dtype=np.uint8).tobytes()
+    return BloomFilter(bits=bytes(merged), n_bits=n_bits, n_hashes=n_hashes)
 
 
 def with_bloom_flag(df: DataFrame, key: Column | str, bloom: BloomFilter, flag_col: str = "_bloom_maybe") -> DataFrame:

@@ -64,8 +64,21 @@ def kmeans_fit_assign(
         raise ValueError("kmeans_fit_assign: empty input")
     k = len(centroids)  # corpus smaller than k: fit what exists
 
+    # The Lloyd loop only reads vec_col and only produces the k x dim
+    # codebook, so iterate over a PRUNED, MATERIALIZED copy (guide §4/§5):
+    # localCheckpoint stops each iteration re-deriving the input plan
+    # (spark.ml caches its input for the same reason), and a tiny corpus
+    # coalesces so the per-iteration Arrow boundary is paid by a few real
+    # batches, not 32 near-empty tasks (measured 0.73 -> 0.52 s/round at
+    # 2k vectors; 24 rounds inside embedding_semdedup_recall). ~50k rows
+    # per task keeps the coalesce a no-op at corpus scale.
+    loop = vectors.select(vec_col).localCheckpoint()
+    parts = max(1, min(loop.rdd.getNumPartitions(), loop.count() // 50_000 + 1))
+    if parts < loop.rdd.getNumPartitions():
+        loop = loop.coalesce(parts)
+
     for _ in range(iterations):
-        assigned = _assign(vectors, centroids, vec_col)
+        assigned = _assign(loop, centroids, vec_col)
         rows = (
             assigned.select("cluster", F.posexplode(vec_col).alias("i", "v"))
             .groupBy("cluster", "i")

@@ -4221,17 +4221,28 @@ def doc_crosslingual_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = doc_embedding_hashed(spark, sf_dir)
     langs = _docs(spark, sf_dir).select("doc_id", "lang")
-    # materialize each side's vectors (localCheckpoint): the per-pair fold
-    # below streams the y side once per broadcast row — running it over
-    # checkpointed arrays instead of re-deriving the bridge inside the
-    # nested-loop stage measured 2x faster
-    e = emb.join(langs, "doc_id")
+    # materialize the language-sliced bridge ONCE (r14: the old per-side
+    # checkpoints re-derived the whole embedding bridge twice — two
+    # identical 8-s stages in the profile); x/y below are cheap filters
+    # over the checkpointed blocks
+    e = (
+        emb.join(langs, "doc_id")
+        .where(F.col("lang").isin(_XLING_X_LANG, _XLING_Y_LANG))
+        .localCheckpoint()
+    )
     x = e.where(F.col("lang") == _XLING_X_LANG).select(
         F.col("doc_id").alias("x_id"), F.col("embedding").alias("xe")
-    ).localCheckpoint()
-    y = e.where(F.col("lang") == _XLING_Y_LANG).select(
-        F.col("doc_id").alias("y_id"), F.col("embedding").alias("ye")
-    ).localCheckpoint()
+    )
+    # the quadratic per-pair fold below runs in the STREAMED side's tasks,
+    # and the aggregated bridge collapses to ~1 partition (AQE size-based
+    # coalescing is blind to downstream per-row cost) — measured 21 s of
+    # the 27 s wall in ONE task (guide §2.5: compute-skew, not data-skew).
+    # Spread the streamed side across the cluster before the cross join.
+    y = (
+        e.where(F.col("lang") == _XLING_Y_LANG)
+        .select(F.col("doc_id").alias("y_id"), F.col("embedding").alias("ye"))
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     dot = F.aggregate(
         F.zip_with(F.col("xe"), F.col("ye"), lambda a, b: a * b),
         F.lit(0.0),

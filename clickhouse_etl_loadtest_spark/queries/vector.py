@@ -981,8 +981,7 @@ def embedding_semdedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_pairs_exact"),
         F.count_distinct("vec_b").alias("n_dropped_exact"),
     )
-    per_k: DataFrame | None = None
-    for k in _SEMDEDUP_RECALL_KS:
+    def _row_for_k(k: int) -> DataFrame:
         assigned = kmeans_fit_assign(e, k=k, iterations=_KMEANS_ITERS).select(
             "vec_id", "cluster"
         ).localCheckpoint()  # three consumers below; never re-run Lloyd
@@ -999,7 +998,7 @@ def embedding_semdedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         x = assigned.select(F.col("vec_id").alias("vec_a"), F.col("cluster").alias("_ca"))
         y = assigned.select(F.col("vec_id").alias("vec_b"), F.col("cluster").alias("_cb"))
-        row = (
+        return (
             pairs.join(x, "vec_a")
             .join(y, "vec_b")
             .where(F.col("_ca") == F.col("_cb"))
@@ -1015,7 +1014,19 @@ def embedding_semdedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_dropped",
             )
         )
-        per_k = row if per_k is None else per_k.unionByName(row)
+
+    # The per-k Lloyd fits are INDEPENDENT driver-side loops of small jobs
+    # (5 centroid collects + 2 checkpoints each); run them from a thread
+    # pool so their jobs overlap on the cluster (guide §2.6) instead of
+    # paying ~28 sequential job latencies. Results are deterministic per k;
+    # the final orderBy("k") pins the output order.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(_SEMDEDUP_RECALL_KS)) as pool:
+        rows = list(pool.map(_row_for_k, _SEMDEDUP_RECALL_KS))
+    per_k = rows[0]
+    for r in rows[1:]:
+        per_k = per_k.unionByName(r)
     return (
         per_k.crossJoin(F.broadcast(ex))
         .select(
@@ -1916,8 +1927,15 @@ def embedding_bitext_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nrm").alias("y_nrm"),
     )
     cosine = _dot("x_emb", "y_emb") / (F.col("x_nrm") * F.col("y_nrm"))
+    # spread the candidate ids before the (broadcast) vector attaches: the
+    # per-pair fold runs at this frame's width, which AQE otherwise
+    # coalesces by bytes, blind to the fold's per-row cost (same fix as
+    # doc_crosslingual_lsh — see that comment for the measurements)
     scored = (
-        cand.join(a, "x_id").join(b, "y_id").select("x_id", "y_id", cosine.alias("cosine"))
+        cand.repartition(cand.sparkSession.sparkContext.defaultParallelism)
+        .join(a, "x_id")
+        .join(b, "y_id")
+        .select("x_id", "y_id", cosine.alias("cosine"))
     )
     from ..operators.bitext import margin_mutual_best
 
@@ -1954,12 +1972,20 @@ def embedding_bitext_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: both inputs end at mined-pair volume (≤ min(|X|, |Y|) rows by
     mutuality); the membership join and the single-row rollup are
     negligible — and stay distributed (no driver-side counting)."""
-    exact = embedding_bitext_mining(spark, sf_dir).select(
-        "x_id", "y_id", F.lit(1).alias("in_exact")
-    )
-    lsh = embedding_bitext_lsh(spark, sf_dir).select(
-        F.col("x_id").alias("l_x_id"), F.col("y_id").alias("l_y_id"), F.lit(1).alias("in_lsh")
-    )
+    # the two arms are independent and both run eager materialization jobs
+    # during construction (the miner's localCheckpoint) — build them from a
+    # thread pool so those jobs overlap on the cluster (guide §2.6)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_exact = pool.submit(embedding_bitext_mining, spark, sf_dir)
+        f_lsh = pool.submit(embedding_bitext_lsh, spark, sf_dir)
+        exact = f_exact.result().select("x_id", "y_id", F.lit(1).alias("in_exact"))
+        lsh = f_lsh.result().select(
+            F.col("x_id").alias("l_x_id"),
+            F.col("y_id").alias("l_y_id"),
+            F.lit(1).alias("in_lsh"),
+        )
     j = exact.join(
         lsh,
         (F.col("x_id") == F.col("l_x_id")) & (F.col("y_id") == F.col("l_y_id")),
@@ -2142,9 +2168,15 @@ def doc_crosslingual_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, v: acc + v,
     )
     # the miner materializes scored once itself (operators/bitext.py) — a
-    # checkpoint here double-materialized (r13 ADVICE)
+    # checkpoint here double-materialized (r13 ADVICE). The a/b vector sides
+    # BROADCAST (small), so the per-pair fold runs at the candidate frame's
+    # width — which AQE's size-based coalescing collapses to a few tasks
+    # (blind to per-row fold cost: measured 17.6 s of CPU in 8 tasks).
+    # Spreading the CANDIDATE ids (16 B/row — the cheapest frame here)
+    # before the joins pins the fold at cluster width with no array shuffle.
     scored = (
-        cand.join(a, "x_id")
+        cand.repartition(spark.sparkContext.defaultParallelism)
+        .join(a, "x_id")
         .join(b, "y_id")
         .select("x_id", "y_id", dot.alias("cosine"))
         .where(F.col("cosine") > 0)
