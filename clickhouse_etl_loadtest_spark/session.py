@@ -55,18 +55,11 @@ def get_spark(
         # 128 MiB input splits: big enough to amortize task overhead at 100 TB,
         # small enough that a single parquet row-group skew doesn't stall a stage.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
-        # Scan-parallelism FLOOR (guide §6): without it a 184 MB multi-row-
-        # group file (sf1.0 lineitem) scans as 2 tasks on 32 cores — measured
-        # 3.5 s walls on the sf1.0 TPC-H shapes were scan-bound. The floor
-        # derives from the session's core count (scale-adaptive, not a
-        # constant): split size becomes ~total/cores when files are fewer
-        # than cores, and at 100 TB (splits >> cores) it is a no-op. Single-
-        # row-group files are unaffected (empty extra splits cost ~ms).
-        .config(
-            "spark.sql.files.minPartitionNum",
-            os.environ.get("SPARK_GRAFT_MIN_SCAN_PARTITIONS")
-            or os.environ.get("SPARK_GRAFT_CPUS", "32"),
-        )
+        # NOTE (r14): no spark.sql.files.minPartitionNum override — its
+        # default already falls back to the session's default parallelism
+        # (probed: the sf1.0 184 MB lineitem scans 32-wide out of the box),
+        # so an explicit floor at the core count is a no-op at every core
+        # count the driver uses.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
