@@ -39,6 +39,13 @@ def _materialize(df: DataFrame, strategy: str) -> DataFrame:
     if strategy == "localCheckpoint":
         return df.localCheckpoint()
     if strategy == "collect":
+        # NOTE (r14): leave the rebuilt frame exactly as createDataFrame
+        # returns it. A coalesce(1) looks like it should cut the 32
+        # near-empty tasks per sweep job, but it demotes the driver-local
+        # rows from a plan-time-foldable LocalRelation to a real
+        # distributed RDD scan — measured doc_epoch_ipf_plan 5.4 -> 20.2 s
+        # and doc_mixture_ipf 4.5 -> 17.1 s. Reverted; the per-sweep task
+        # fan-out is the cheaper half of that trade.
         return df.sparkSession.createDataFrame(df.collect(), df.schema)
     raise ValueError(f"unknown materialize strategy: {strategy!r}")
 

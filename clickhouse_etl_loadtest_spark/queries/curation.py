@@ -1667,11 +1667,26 @@ def doc_incremental_substring_cuts(spark: SparkSession, sf_dir: str) -> DataFram
 
     d = _docs(spark, sf_dir)
     toks = _tokens()
-    grams = d.select(
+    # ">= _CUT_L tokens" as an rlike on the raw text, not size(toks): the
+    # size() filter substitutes through the projection and pushes below
+    # parallelize_scan's exchange, re-running the full tokenization on the
+    # ONE pre-repartition scan partition (the r13 _shingles_df lesson —
+    # measured here as two serial 2.8 s scan tasks, one per consumer of
+    # `pos`). "K maximal token runs exist" is an early-exit substring probe.
+    min_k_runs = TOKEN_RE + ("[^a-z0-9]+" + TOKEN_RE) * (_CUT_L - 1)
+    grams = d.where(F.lower(F.col("text")).rlike(min_k_runs)).select(
         "doc_id", _positional_gram_hashes(toks, _CUT_L).alias("ghs")
-    ).where(F.size(toks) >= _CUT_L)
-    pos = grams.select("doc_id", F.posexplode("ghs").alias("pos0", "gh")).select(
-        "doc_id", (F.col("pos0") + 1).alias("pos"), "gh"
+    )
+    # `pos` feeds BOTH the snapshot gram set and the batch probe side; the
+    # un-materialized plan re-tokenized + re-hashed the corpus once per
+    # side (2 x ~10 s of executor work at sf0.1). Materialize the
+    # fixed-width (doc_id, pos, gh) rows once (guide §5 — the at-100TB form
+    # writes the snapshot grams as a bucketed at-rest index instead, per
+    # the docstring; the checkpoint is the query-form analogue).
+    pos = (
+        grams.select("doc_id", F.posexplode("ghs").alias("pos0", "gh"))
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "gh")
+        .localCheckpoint()
     )
     snap = (
         pos.where(F.col("doc_id") % _SNAPSHOT_MOD < _SNAPSHOT_KEEP)
